@@ -1,0 +1,49 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampNTZType
+
+/** Table loaders for the driver's star-schema testdata (TESTDATA.md).
+  *
+  * One parquet file per table under `\$dir/`. All queries read through
+  * here so that layout decisions (e.g. switching a table to a bucketed
+  * or partitioned copy) happen in exactly one place.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+      // reader rejects; read the raw int64 nanos and truncate to the
+      // engine's microsecond TIMESTAMP_NTZ (same truncation DuckDB
+      // applies, so oracle comparisons agree).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  /** Register every table as a temp view (for the SQL entry points). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Session builder used by library entry points when the caller does
+    * not supply one. 32 shuffle partitions to match local[32]; AQE on
+    * so skew/coalesce decisions re-plan at runtime (the 100 TB posture:
+    * on a real cluster these same configs scale with executor count).
+    */
+  def session(master: String = "local[32]"): SparkSession =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}

@@ -1,0 +1,422 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.engine.Tables
+
+/** The reference's nine-query dashboard surface plus generator stats,
+  * re-expressed over the driver's star schema (mapping per FIXTURES.md:
+  * vote stream ≈ `events`, voter ≈ `customer`(+nation), candidate ≈ a
+  * small dimension, geography ≈ `nation`).
+  *
+  * Reference semantics (file:line cites are into /root/reference):
+  *  - Q1  `app.py:66-81`   latest-hour count + LAG hourly change
+  *  - Q2  `app.py:83-124`  leaderboard: pct via scalar subquery,
+  *                         ROW_NUMBER rank, single-row LAG change CTE
+  *  - Q3  `app.py:126-151` running count window re-grouped per minute
+  *  - Q4a `app.py:155-164` 3-way join + string_agg(DISTINCT)
+  *  - Q4b `app.py:166-184` RANK per group, keep rank=1 (ties kept)
+  *  - Q5a `app.py:190-198` share-of-total via scalar subquery
+  *  - Q5b `app.py:200-220` CASE bucketing + SUM(...) OVER () grand total
+  *  - Q6  `app.py:224-230` plain projection
+  *  - Q7  `app.py:232-263` manual 3-way LEFT-JOIN pivot, /3 quirk
+  *  - Q8  `app.py:441-446` equality-filter lookup
+  *  - stats `src/data_generator.py:204-215` LEFT JOIN COUNT(*) quirk
+  *
+  * Determinism contract for the DuckDB oracle: every query is totally
+  * ordered; doubles are produced only by a single division of exact
+  * (integer or decimal-backed) values so Spark and DuckDB agree
+  * bit-for-bit; no ROUND on doubles (HALF_UP vs half-even hazard,
+  * SURVEY §7.5-1).
+  */
+object CoreQueries {
+  private val dec = DecimalType(18, 2)
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Q1 analog (`app.py:66-81`): per-hour event counts; return the
+    * latest hour's row with its LAG-based change.
+    */
+  def hourlyLatest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = t(spark, dir, "events")
+    val hourly = events
+      .groupBy(date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("votes"), max($"ts").as("latest_ts"))
+    hourly
+      .withColumn("hourly_change", $"votes" - lag($"votes", 1).over(Window.orderBy($"hour")))
+      .orderBy($"hour".desc)
+      .limit(1)
+  }
+
+  /** Q2 analog (`app.py:83-124`): event-type leaderboard. Faithful
+    * shape: percentage via an uncorrelated scalar total (broadcast
+    * cross join — Catalyst's own rewrite of the scalar subquery),
+    * global ROW_NUMBER rank, and the reference's single-row
+    * `hourly_change` CTE (`ORDER BY hour DESC LIMIT 1`, quirk §2.5-2)
+    * LEFT-JOINed back with COALESCE(…,0). Ties pinned by event_type so
+    * the result is deterministic (the reference leaves them unpinned).
+    */
+  def leaderboard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = t(spark, dir, "events")
+    val perHour = events
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val latestChange = perHour
+      .withColumn("hourly_change",
+        $"cnt" - lag($"cnt", 1).over(Window.partitionBy($"event_type").orderBy($"hour")))
+      .orderBy($"hour".desc, $"event_type")
+      .limit(1)
+      .select($"event_type", $"hourly_change")
+    val total = events.agg(count(lit(1)).as("total"))
+    events
+      .join(broadcast(latestChange), Seq("event_type"), "left")
+      .groupBy($"event_type", $"hourly_change")
+      .agg(count(lit(1)).as("vote_count"))
+      .crossJoin(broadcast(total))
+      .withColumn("percentage", $"vote_count" * lit(100.0) / $"total")
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"vote_count".desc, $"event_type")).cast("long"))
+      .select($"event_type", $"vote_count", $"percentage", $"rank",
+        coalesce($"hourly_change", lit(0L)).as("hourly_change"))
+      .orderBy($"rank")
+  }
+
+  /** Q3 analog (`app.py:126-151`): running per-type count over time
+    * (explicit ROWS UNBOUNDED PRECEDING..CURRENT ROW frame), then
+    * re-grouped per minute taking MAX of the running count.
+    */
+  def runningByMinute(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = t(spark, dir, "events")
+    val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("running", count(lit(1)).over(w))
+      .groupBy(date_trunc("minute", $"ts").as("minute"), $"event_type")
+      .agg(max($"running").as("votes"))
+      .orderBy($"minute", $"event_type")
+  }
+
+  /** Q4a analog (`app.py:155-164`): 3-way join, per-nation totals +
+    * `string_agg(DISTINCT …)` rendered deterministically as
+    * concat_ws(sort_array(collect_set)) (SURVEY §7.5-2). Nation is
+    * 25 rows → broadcast; the orders⋈customer join shuffles on the
+    * customer key (correct at 100 TB — both sides scale).
+    */
+  def nationRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t(spark, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("total_votes"),
+        concat_ws(", ", sort_array(collect_set($"o_orderpriority"))).as("priorities"))
+      .select($"n_name".as("nation"), $"total_votes", $"priorities")
+      .orderBy($"nation")
+  }
+
+  /** Q4b analog (`app.py:166-184`): leading order-status per nation via
+    * RANK (not ROW_NUMBER) so ties are kept — quirk §2.5-7.
+    */
+  def leadingStatus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t(spark, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", $"o_orderstatus")
+      .agg(count(lit(1)).as("votes"))
+    counts
+      .withColumn("rnk", rank().over(Window.partitionBy($"n_name").orderBy($"votes".desc)))
+      .filter($"rnk" === 1)
+      .select($"n_name".as("nation"), $"o_orderstatus".as("status"), $"votes")
+      .orderBy($"nation", $"status")
+  }
+
+  /** Q5a analog (`app.py:190-198`): share of total per order priority,
+    * percentage via the scalar-total cross join.
+    */
+  def priorityShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = t(spark, dir, "orders")
+    val total = orders.agg(count(lit(1)).as("total"))
+    orders
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("votes"))
+      .crossJoin(broadcast(total))
+      .select($"o_orderpriority".as("priority"), $"votes",
+        ($"votes" * lit(100.0) / $"total").as("percentage"))
+      .orderBy($"priority")
+  }
+
+  /** Q5b analog (`app.py:200-220`): CASE bucketing of account balance,
+    * percentage of grand total via SUM(...) OVER () — the unpartitioned
+    * window collapses the (tiny, post-aggregate) frame to one partition,
+    * which is fine because it runs over ≤4 rows (SURVEY §7.5-3).
+    */
+  def balanceBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "customer")
+      .withColumn("bucket",
+        when($"c_acctbal" < 0, "negative")
+          .when($"c_acctbal" < 3000, "low")
+          .when($"c_acctbal" < 7000, "mid")
+          .otherwise("high"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("percentage", $"cnt" * lit(100.0) / sum($"cnt").over(Window.partitionBy()))
+      .orderBy($"bucket")
+  }
+
+  /** Q6 analog (`app.py:224-230`): plain projection scan. The point at
+    * scale is column pruning — `ReadSchema` must show only these five.
+    */
+  def partProjection(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "part")
+      .select($"p_partkey", $"p_name", $"p_brand", $"p_type", $"p_size")
+      .orderBy($"p_partkey")
+  }
+
+  /** Q7 analog (`app.py:232-263`): the faithful manual pivot — a
+    * distinct-nation spine LEFT-JOINed three times against per-
+    * (nation,status) aggregates on hard-coded status literals, with
+    * COALESCE(…,0) and the reference's divide-by-3 quirk (§2.5-3):
+    * averages are divided by the literal 3 even when a status is
+    * absent for the nation.
+    */
+  def nationPivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val joined = t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t(spark, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+    val sv = joined
+      .groupBy($"n_name", $"o_orderstatus")
+      .agg(count(lit(1)).as("votes"),
+        (sum($"o_totalprice".cast(dec)).cast("double") / count(lit(1))).as("avg_price"),
+        (count(when($"o_orderpriority" === "1-URGENT", 1)) * lit(100.0) / count(lit(1)))
+          .as("urgent_pct"))
+    val spine = t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name").distinct()
+    def side(alias: String, status: String) =
+      sv.as(alias).filter(col(s"$alias.o_orderstatus") === status)
+    val zero = lit(0L)
+    val zeroD = lit(0.0)
+    spine.as("s")
+      .join(broadcast(side("f", "F")), col("s.n_name") === col("f.n_name"), "left")
+      .join(broadcast(side("o", "O")), col("s.n_name") === col("o.n_name"), "left")
+      .join(broadcast(side("p", "P")), col("s.n_name") === col("p.n_name"), "left")
+      .select(
+        col("s.n_name").as("nation"),
+        coalesce(col("f.votes"), zero).as("f_votes"),
+        coalesce(col("o.votes"), zero).as("o_votes"),
+        coalesce(col("p.votes"), zero).as("p_votes"),
+        (coalesce(col("f.votes"), zero) + coalesce(col("o.votes"), zero)
+          + coalesce(col("p.votes"), zero)).as("total_votes"),
+        ((coalesce(col("f.avg_price"), zeroD) + coalesce(col("o.avg_price"), zeroD)
+          + coalesce(col("p.avg_price"), zeroD)) / 3).as("avg_price_3"),
+        ((coalesce(col("f.urgent_pct"), zeroD) + coalesce(col("o.urgent_pct"), zeroD)
+          + coalesce(col("p.urgent_pct"), zeroD)) / 3).as("urgent_pct_3"))
+      .orderBy($"nation")
+  }
+
+  /** Q8 analog (`app.py:441-446`): equality-filter lookup. The
+    * reference builds this by f-string interpolation; we port the
+    * filter, never the injection pattern (quirk §2.5-9).
+    */
+  def supplierLookup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "supplier")
+      .filter($"s_name" === "Supplier#000000003")
+      .select($"s_suppkey", $"s_name", $"s_acctbal")
+  }
+
+  /** Generator-stats analog (`src/data_generator.py:204-215`): dimension
+    * LEFT JOIN facts with COUNT(*) — the null-extended row makes
+    * zero-match suppliers count 1, quirk §2.5-4 — and percentage with
+    * the NULLIF(…,0) guard.
+    */
+  def statsLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grandTotal = Window.partitionBy()
+    t(spark, dir, "supplier")
+      .join(t(spark, dir, "lineitem"), $"s_suppkey" === $"l_suppkey", "left")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("percentage",
+        $"votes" * lit(100.0) / nullif(sum($"votes").over(grandTotal), lit(0L)))
+      .orderBy($"votes".desc, $"s_name")
+  }
+
+  /** TPC-H-Q1-shaped pricing summary over lineitem: the bench headline.
+    * Double sums are computed exactly via DECIMAL(18,2) and cast back
+    * (SURVEY §7.5-1) so the oracle matches bit-for-bit. The shipdate
+    * predicate must reach the parquet scan as a pushed filter.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val one = lit(1).cast(dec)
+    t(spark, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-02 00:00:00"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity".cast(dec)).cast("double").as("sum_qty"),
+        sum($"l_extendedprice".cast(dec)).cast("double").as("sum_base_price"),
+        sum($"l_extendedprice".cast(dec) * (one - $"l_discount".cast(dec)))
+          .cast("double").as("sum_disc_price"),
+        (sum($"l_quantity".cast(dec)).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum($"l_extendedprice".cast(dec)).cast("double") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** JSON extraction from the events `props` payload — the Kafka-value
+    * decode surface (`src/data_generator.py:154,249` uses json.dumps;
+    * we read it back). Regex-based so the DuckDB oracle needs no JSON
+    * extension.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "events")
+      .select($"event_id",
+        regexp_extract($"props", "\"k\": ([0-9]+)", 1).cast("long").as("k"))
+      .orderBy($"event_id")
+  }
+
+  /** All core queries, keyed as exposed through SparkEntry. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_hourly_latest" -> hourlyLatest _,
+    "q2_leaderboard" -> leaderboard _,
+    "q3_running_by_minute" -> runningByMinute _,
+    "q4a_nation_rollup" -> nationRollup _,
+    "q4b_leading_status" -> leadingStatus _,
+    "q5a_priority_share" -> priorityShare _,
+    "q5b_balance_buckets" -> balanceBuckets _,
+    "q6_part_projection" -> partProjection _,
+    "q7_nation_pivot" -> nationPivot _,
+    "q8_supplier_lookup" -> supplierLookup _,
+    "stats_left_join" -> statsLeftJoin _,
+    "q_pricing_summary" -> pricingSummary _,
+    "q_json_extract" -> jsonExtract _,
+  )
+
+  /** DuckDB-equivalent SQL for the driver's oracle (column names and
+    * ordering must match the DataFrames above exactly).
+    */
+  val oracle: Map[String, String] = Map(
+    "q1_hourly_latest" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, count(*) AS votes, max(ts) AS latest_ts
+        |  FROM events GROUP BY 1)
+        |SELECT hour, votes, latest_ts,
+        |       votes - lag(votes) OVER (ORDER BY hour) AS hourly_change
+        |FROM hourly ORDER BY hour DESC LIMIT 1""".stripMargin,
+    "q2_leaderboard" ->
+      """WITH per_hour AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |changes AS (
+        |  SELECT event_type, hour,
+        |         cnt - lag(cnt) OVER (PARTITION BY event_type ORDER BY hour) AS hourly_change
+        |  FROM per_hour),
+        |latest AS (
+        |  SELECT event_type, hourly_change FROM changes ORDER BY hour DESC, event_type LIMIT 1)
+        |SELECT e.event_type, count(*) AS vote_count,
+        |       count(*) * 100.0 / (SELECT count(*) FROM events) AS percentage,
+        |       CAST(row_number() OVER (ORDER BY count(*) DESC, e.event_type) AS BIGINT) AS rank,
+        |       coalesce(l.hourly_change, 0) AS hourly_change
+        |FROM events e LEFT JOIN latest l ON e.event_type = l.event_type
+        |GROUP BY e.event_type, l.hourly_change
+        |ORDER BY rank""".stripMargin,
+    "q3_running_by_minute" ->
+      """WITH cumulative AS (
+        |  SELECT event_type, ts,
+        |         count(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |  FROM events)
+        |SELECT date_trunc('minute', ts) AS minute, event_type, max(running) AS votes
+        |FROM cumulative GROUP BY 1, 2 ORDER BY minute, event_type""".stripMargin,
+    "q4a_nation_rollup" ->
+      """SELECT n_name AS nation, count(*) AS total_votes,
+        |       string_agg(DISTINCT o_orderpriority, ', ' ORDER BY o_orderpriority) AS priorities
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |            JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY nation""".stripMargin,
+    "q4b_leading_status" ->
+      """WITH counts AS (
+        |  SELECT n_name, o_orderstatus, count(*) AS votes
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |              JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, rank() OVER (PARTITION BY n_name ORDER BY votes DESC) AS rnk FROM counts)
+        |SELECT n_name AS nation, o_orderstatus AS status, votes
+        |FROM ranked WHERE rnk = 1 ORDER BY nation, status""".stripMargin,
+    "q5a_priority_share" ->
+      """SELECT o_orderpriority AS priority, count(*) AS votes,
+        |       count(*) * 100.0 / (SELECT count(*) FROM orders) AS percentage
+        |FROM orders GROUP BY o_orderpriority ORDER BY priority""".stripMargin,
+    "q5b_balance_buckets" ->
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+        |            WHEN c_acctbal < 3000 THEN 'low'
+        |            WHEN c_acctbal < 7000 THEN 'mid'
+        |            ELSE 'high' END AS bucket,
+        |       count(*) AS cnt,
+        |       count(*) * 100.0 / sum(count(*)) OVER () AS percentage
+        |FROM customer GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q6_part_projection" ->
+      "SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part ORDER BY p_partkey",
+    "q7_nation_pivot" ->
+      """WITH sv AS (
+        |  SELECT n_name, o_orderstatus, count(*) AS votes,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |         count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) * 100.0 / count(*) AS urgent_pct
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |              JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT s.n_name AS nation,
+        |       coalesce(f.votes, 0) AS f_votes,
+        |       coalesce(o.votes, 0) AS o_votes,
+        |       coalesce(p.votes, 0) AS p_votes,
+        |       coalesce(f.votes, 0) + coalesce(o.votes, 0) + coalesce(p.votes, 0) AS total_votes,
+        |       (coalesce(f.avg_price, 0.0) + coalesce(o.avg_price, 0.0) + coalesce(p.avg_price, 0.0)) / 3 AS avg_price_3,
+        |       (coalesce(f.urgent_pct, 0.0) + coalesce(o.urgent_pct, 0.0) + coalesce(p.urgent_pct, 0.0)) / 3 AS urgent_pct_3
+        |FROM spine s
+        |LEFT JOIN sv f ON s.n_name = f.n_name AND f.o_orderstatus = 'F'
+        |LEFT JOIN sv o ON s.n_name = o.n_name AND o.o_orderstatus = 'O'
+        |LEFT JOIN sv p ON s.n_name = p.n_name AND p.o_orderstatus = 'P'
+        |ORDER BY nation""".stripMargin,
+    "q8_supplier_lookup" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |WHERE s_name = 'Supplier#000000003'""".stripMargin,
+    "stats_left_join" ->
+      """SELECT s_name, count(*) AS votes,
+        |       count(*) * 100.0 / NULLIF(sum(count(*)) OVER (), 0) AS percentage
+        |FROM supplier LEFT JOIN lineitem ON s_suppkey = l_suppkey
+        |GROUP BY s_name ORDER BY votes DESC, s_name""".stripMargin,
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id,
+        |       CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+  )
+}
