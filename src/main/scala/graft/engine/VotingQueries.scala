@@ -1,0 +1,263 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The three reference tables, as DataFrames (schemas per FIXTURES.md §A;
+  * DDL `src/setup_database.py:52-117`).
+  */
+final case class VotingTables(candidate: DataFrame, voter: DataFrame, vote: DataFrame) {
+  def register(spark: SparkSession): Unit = {
+    candidate.createOrReplaceTempView("candidate")
+    voter.createOrReplaceTempView("voter")
+    vote.createOrReplaceTempView("vote")
+  }
+}
+
+/** The reference's query surface in its original (voting-schema) form —
+  * a user of thaovy1508/RealTime-Voting-System can hand these functions
+  * the same three tables and get the same nine dashboard results, the
+  * generator stats, and the pandas post-ops.
+  *
+  * Faithful-quirk register (SURVEY §2.5) is preserved on purpose:
+  * Q1 returns the latest hour only; Q2's change CTE collapses to one
+  * row; Q7 divides by literal 3; stats counts ≥1 for zero-vote
+  * candidates; RANK keeps ties.
+  */
+object VotingQueries {
+
+  /** Q1 `get_total_votes` (`app.py:66-81`): per-hour counts, return the
+    * most recent hour's row — `total_votes` is the latest HOUR's count,
+    * not the global total (quirk §2.5-1).
+    */
+  def totalVotes(t: VotingTables): DataFrame = {
+    val spark = t.vote.sparkSession
+    import spark.implicits._
+    t.vote
+      .groupBy(date_trunc("hour", $"voted_at").as("__hour"))
+      .agg(count(lit(1)).as("total_votes"), max($"voted_at").as("last_update"))
+      .withColumn("hourly_change",
+        $"total_votes" - lag($"total_votes", 1).over(Window.orderBy($"__hour")))
+      .orderBy($"__hour".desc)
+      .limit(1)
+      .select($"total_votes", $"last_update", $"hourly_change")
+  }
+
+  /** Q2 `get_votes_by_candidate` (`app.py:83-124`): leaderboard with
+    * percentage via scalar subquery, global ROW_NUMBER rank, and the
+    * single-row `vote_changes` CTE (`ORDER BY hour DESC LIMIT 1`,
+    * quirk §2.5-2) LEFT-JOINed back with COALESCE(…,0).
+    */
+  def votesByCandidate(t: VotingTables): DataFrame = {
+    val spark = t.vote.sparkSession
+    import spark.implicits._
+    val hourly = t.vote.join(t.candidate, "candidate_id")
+      .groupBy($"candidate_id", date_trunc("hour", $"voted_at").as("hour"))
+      .agg(count(lit(1)).as("hourly_count"))
+    val changes = hourly
+      .select($"candidate_id", $"hour",
+        ($"hourly_count" - lag($"hourly_count", 1)
+          .over(Window.partitionBy($"candidate_id").orderBy($"hour"))).as("hourly_change"))
+      .orderBy($"hour".desc)
+      .limit(1)
+      .select($"candidate_id", $"hourly_change")
+    val total = t.vote.agg(count(lit(1)).as("__total"))
+    t.vote.join(t.candidate, "candidate_id")
+      .join(broadcast(changes), Seq("candidate_id"), "left")
+      .groupBy($"candidate_id", $"first_name", $"last_name", $"party", $"hourly_change")
+      .agg(count(lit(1)).as("vote_count"))
+      .crossJoin(broadcast(total))
+      .select($"first_name", $"last_name", $"party", $"vote_count",
+        round($"vote_count" * lit(100.0) / $"__total", 2).as("percentage"),
+        row_number().over(Window.orderBy($"vote_count".desc)).as("rank"),
+        coalesce($"hourly_change", lit(0L)).as("hourly_change"))
+      .orderBy($"vote_count".desc)
+  }
+
+  /** Q3 `get_historical_trends` (`app.py:126-151`): running per-candidate
+    * count (explicit ROWS frame), re-grouped per minute with MAX.
+    */
+  def historicalTrends(t: VotingTables): DataFrame = {
+    val spark = t.vote.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"candidate_id").orderBy($"voted_at")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.vote.join(t.candidate, "candidate_id")
+      .select(
+        concat_ws(" ", $"first_name", $"last_name").as("candidate_name"),
+        $"party", $"voted_at",
+        count(lit(1)).over(w).as("cumulative_votes"))
+      .groupBy(date_trunc("minute", $"voted_at").as("vote_time"), $"candidate_name", $"party")
+      .agg(max($"cumulative_votes").as("total_votes"))
+      .orderBy($"vote_time")
+  }
+
+  /** Q4a `get_geographical_data` — votes by state (`app.py:155-164`):
+    * 3-way join + `string_agg(DISTINCT party, ', ')` rendered
+    * deterministically sorted (SURVEY §7.5-2).
+    */
+  def votesByState(t: VotingTables): DataFrame = {
+    val spark = t.vote.sparkSession
+    import spark.implicits._
+    t.vote.join(t.voter, "voter_id").join(t.candidate, "candidate_id")
+      .groupBy($"address_state")
+      .agg(count(lit(1)).as("vote_count"),
+        concat_ws(", ", sort_array(collect_set($"party"))).as("parties"))
+  }
+
+  /** Q4b — leading party per state (`app.py:166-184`): RANK (not
+    * ROW_NUMBER) so tied parties both surface (quirk §2.5-7).
+    */
+  def leadingPartyByState(t: VotingTables): DataFrame = {
+    val spark = t.vote.sparkSession
+    import spark.implicits._
+    t.vote.join(t.voter, "voter_id").join(t.candidate, "candidate_id")
+      .groupBy($"address_state", $"party")
+      .agg(count(lit(1)).as("party_votes"))
+      .withColumn("rank",
+        rank().over(Window.partitionBy($"address_state").orderBy($"party_votes".desc)))
+      .filter($"rank" === 1)
+      .select($"address_state", $"party", $"party_votes")
+  }
+
+  /** Q5a `get_demographic_data` — gender split (`app.py:190-198`). */
+  def genderDistribution(t: VotingTables): DataFrame = {
+    val spark = t.vote.sparkSession
+    import spark.implicits._
+    val total = t.vote.agg(count(lit(1)).as("__total"))
+    t.vote.join(t.voter, "voter_id")
+      .groupBy($"gender")
+      .agg(count(lit(1)).as("vote_count"))
+      .crossJoin(broadcast(total))
+      .select($"gender", $"vote_count",
+        round($"vote_count" * lit(100.0) / $"__total", 2).as("percentage"))
+  }
+
+  /** Q5b — age buckets (`app.py:200-220`): CASE bucketing + grand-total
+    * window percentage.
+    */
+  def ageDistribution(t: VotingTables): DataFrame = {
+    val spark = t.vote.sparkSession
+    import spark.implicits._
+    t.vote.join(t.voter, "voter_id")
+      .withColumn("age_group",
+        when($"age" < 30, "18-29")
+          .when($"age" < 45, "30-44")
+          .when($"age" < 60, "45-59")
+          .otherwise("60+"))
+      .groupBy($"age_group")
+      .agg(count(lit(1)).as("count"))
+      .withColumn("percentage",
+        round($"count" * lit(100.0) / sum($"count").over(Window.partitionBy()), 2))
+      .orderBy($"age_group")
+  }
+
+  /** Q6 `get_candidate_info` (`app.py:224-230`): plain projection. */
+  def candidateInfo(t: VotingTables): DataFrame =
+    t.candidate.select("first_name", "last_name", "party", "age", "gender",
+      "biography", "img_url")
+
+  /** The three hard-coded parties of the manual pivot
+    * (`app.py:255-257`, `src/data_generator.py:13`).
+    */
+  val parties: Seq[String] =
+    Seq("Management Party", "Liberation Party", "United Republic Party")
+
+  /** Q7 `get_state_voting_details` (`app.py:232-263`): distinct-state
+    * spine, three LEFT JOINs on hard-coded party literals, COALESCE→0,
+    * and the faithful divide-by-literal-3 for Avg Age / Male % even
+    * when a party is absent in a state (quirk §2.5-3).
+    */
+  def stateVotingDetails(t: VotingTables): DataFrame = {
+    val spark = t.vote.sparkSession
+    import spark.implicits._
+    // qualify age/gender to the voter side — the reference SQL's `v.age`
+    // (candidate also carries both columns)
+    val stateVotes = t.vote.join(t.voter, "voter_id").join(t.candidate, "candidate_id")
+      .groupBy($"address_state", $"party")
+      .agg(count(lit(1)).as("votes"),
+        round(avg(t.voter("age")), 1).as("avg_age"),
+        round(lit(100.0) * count(when(t.voter("gender") === "male", 1)) / count(lit(1)), 1)
+          .as("male_pct"))
+    def side(prefix: String, party: String): DataFrame =
+      stateVotes.filter($"party" === party).select(
+        $"address_state".as(s"${prefix}_state"),
+        $"votes".as(s"${prefix}_votes"),
+        $"avg_age".as(s"${prefix}_age"),
+        $"male_pct".as(s"${prefix}_pct"))
+    val spine = t.voter.select($"address_state").distinct()
+    val zero = lit(0L)
+    val zeroD = lit(0.0)
+    spine
+      .join(broadcast(side("m", parties(0))), $"address_state" === $"m_state", "left")
+      .join(broadcast(side("l", parties(1))), $"address_state" === $"l_state", "left")
+      .join(broadcast(side("u", parties(2))), $"address_state" === $"u_state", "left")
+      .groupBy($"address_state", $"m_votes", $"l_votes", $"u_votes")
+      .agg(
+        round(avg(coalesce($"m_age", zeroD) + coalesce($"l_age", zeroD)
+          + coalesce($"u_age", zeroD)) / 3, 1).as("avg_age3"),
+        round(avg(coalesce($"m_pct", zeroD) + coalesce($"l_pct", zeroD)
+          + coalesce($"u_pct", zeroD)) / 3, 1).as("male_pct3"))
+      .select(
+        $"address_state".as("State"),
+        coalesce($"m_votes", zero).as(parties(0)),
+        coalesce($"l_votes", zero).as(parties(1)),
+        coalesce($"u_votes", zero).as(parties(2)),
+        (coalesce($"m_votes", zero) + coalesce($"l_votes", zero)
+          + coalesce($"u_votes", zero)).as("Total Votes"),
+        $"avg_age3".as("Avg Age"),
+        $"male_pct3".as("Male %"))
+      .orderBy($"State")
+  }
+
+  /** Q8 leader image lookup (`app.py:441-446`): the filter, never the
+    * f-string interpolation (quirk §2.5-9).
+    */
+  def candidateImage(t: VotingTables, firstName: String, lastName: String): DataFrame = {
+    val spark = t.candidate.sparkSession
+    import spark.implicits._
+    t.candidate
+      .filter($"first_name" === firstName && $"last_name" === lastName)
+      .select($"img_url")
+  }
+
+  /** Generator stats (`src/data_generator.py:204-215`): candidate LEFT
+    * JOIN vote with COUNT(*) — zero-vote candidates still count 1 via
+    * the null-extended row (quirk §2.5-4) — and NULLIF-guarded
+    * percentage of the window grand total.
+    */
+  def generatorStats(t: VotingTables): DataFrame = {
+    val spark = t.vote.sparkSession
+    import spark.implicits._
+    t.candidate.join(t.vote, Seq("candidate_id"), "left")
+      .groupBy($"candidate_id", $"first_name", $"last_name", $"party")
+      .agg(count(lit(1)).as("vote_count"))
+      .withColumn("percentage",
+        round($"vote_count" * lit(100.0)
+          / nullif(sum($"vote_count").over(Window.partitionBy()), lit(0L)), 2))
+      .select($"first_name", $"last_name", $"party", $"vote_count", $"percentage")
+      .orderBy($"vote_count".desc)
+  }
+
+  // ---- pandas post-ops that are part of the query semantics ----
+
+  /** Party rollup over Q2 output (`app.py:485`). */
+  def partyRollup(votesByCandidate: DataFrame): DataFrame = {
+    val spark = votesByCandidate.sparkSession
+    import spark.implicits._
+    votesByCandidate.groupBy($"party").agg(sum($"vote_count").as("vote_count"))
+  }
+
+  /** Case-insensitive state search over Q7 output (`app.py:682`). */
+  def stateSearch(stateDetails: DataFrame, search: String): DataFrame = {
+    val spark = stateDetails.sparkSession
+    import spark.implicits._
+    stateDetails.filter(lower($"State").contains(search.toLowerCase))
+  }
+
+  /** Leader pick — first row of the (already desc-sorted) Q2 output
+    * (`app.py:435`).
+    */
+  def leader(votesByCandidate: DataFrame): DataFrame = votesByCandidate.limit(1)
+}
