@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Deduplication operators over `documents` (builder brief; SURVEY
+  * §7.4): exact hash-groupBy, MinHash+LSH (shingle → minhash → band →
+  * bucket-join), SimHash signatures, and exact n-gram Jaccard.
+  *
+  * Scale design: everything is expressed as shuffle-on-key joins and
+  * aggregations — shingling is a projection; the LSH band join
+  * distributes on (band, band_key), which is exactly the bucketing a
+  * 1000-executor run needs; candidate verification only touches the
+  * candidate pairs, never the n² cross product. Hash functions are
+  * md5-derived so any engine (and the DuckDB oracle) reproduces them.
+  */
+object Dedup {
+
+  private val NumHashes = 16
+  private val BandSize = 4
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  /** (doc_id, shingle) — distinct word 3-grams per doc. */
+  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 3)
+      .select($"doc_id", explode(array_distinct(
+        expr("transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")))
+        .as("shingle"))
+  }
+
+  /** Per-(doc, k) minhash values: min over shingles of the first 16 hex
+    * chars of md5(k||'|'||shingle). Fixed-width lowercase hex compares
+    * lexicographically = numerically, in every engine.
+    */
+  private def minhashes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    shingles(spark, dir)
+      .select($"doc_id", $"shingle",
+        explode(sequence(lit(0), lit(NumHashes - 1))).as("k"))
+      .select($"doc_id", $"k",
+        substring(md5(concat($"k".cast("string"), lit("|"), $"shingle")), 1, 16).as("hv"))
+      .groupBy($"doc_id", $"k")
+      .agg(min($"hv").as("h"))
+  }
+
+  /** Exact dedup: hash-groupBy on the content fingerprint. */
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .groupBy(md5($"text").as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("keeper_doc_id"))
+      .orderBy($"fingerprint")
+  }
+
+  /** MinHash + LSH near-dup candidates: 16 minhashes, 4 bands of 4; a
+    * shared band key makes a candidate pair; estimated Jaccard =
+    * matching minhashes / 16.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashes = minhashes(spark, dir)
+    val bands = hashes
+      .withColumn("band", expr(s"k div $BandSize"))
+      .groupBy($"doc_id", $"band")
+      .agg(concat_ws("",
+        expr("transform(array_sort(collect_list(struct(k, h))), x -> x.h)")).as("band_key"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(hashes.as("ha"), $"doc_a" === col("ha.doc_id"))
+      .join(hashes.as("hb"), $"doc_b" === col("hb.doc_id") && col("ha.k") === col("hb.k"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg((sum(when(col("ha.h") === col("hb.h"), 1).otherwise(0)) / lit(16.0))
+        .as("est_jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** SimHash signatures: 64-bit sign-of-weighted-sum over distinct
+    * tokens, emitted as two 32-bit halves plus a 16-bit band bucket
+    * (the join key a hamming-near-dup pass would distribute on).
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bits = docs(spark, dir)
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
+      .select($"doc_id", $"tok", explode(sequence(lit(0), lit(63))).as("p"))
+      .withColumn("hexd", expr("substr(md5(tok), (p div 4) + 1, 1)"))
+      .withColumn("v", expr("instr('0123456789abcdef', hexd) - 1"))
+      .withColumn("bit", expr("CAST(floor(v / pow(2, 3 - (p % 4))) AS INT) % 2"))
+      .groupBy($"doc_id", $"p")
+      .agg(sum($"bit" * 2 - 1).as("s"))
+      .withColumn("sbit", when($"s" > 0, 1L).otherwise(0L))
+    bits.groupBy($"doc_id")
+      .agg(
+        sum(when($"p" < 32, $"sbit" * pow(lit(2.0), lit(31) - $"p").cast("long"))
+          .otherwise(0L)).as("simhash_hi"),
+        sum(when($"p" >= 32, $"sbit" * pow(lit(2.0), lit(63) - $"p").cast("long"))
+          .otherwise(0L)).as("simhash_lo"),
+        sum(when($"p" < 16, $"sbit" * pow(lit(2.0), lit(15) - $"p").cast("long"))
+          .otherwise(0L)).as("bucket16"))
+      .orderBy($"doc_id")
+  }
+
+  /** Exact n-gram Jaccard over an inverted shingle index: only pairs
+    * sharing ≥1 shingle are materialised (never n²), then filtered to
+    * the near-dup threshold.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingles(spark, dir)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("intersection"))
+    inter
+      .join(sizes.as("sa"), $"doc_a" === col("sa.doc_id"))
+      .join(sizes.as("sb"), $"doc_b" === col("sb.doc_id"))
+      .select($"doc_a", $"doc_b", $"intersection",
+        ($"intersection" * lit(1.0) / (col("sa.n") + col("sb.n") - $"intersection"))
+          .as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> exact _,
+    "dedup_minhash_lsh" -> minhashLsh _,
+    "dedup_simhash" -> simhash _,
+    "dedup_ngram_jaccard" -> ngramJaccard _,
+  )
+
+  private val shingleCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks WHERE len(t) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS fingerprint, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $shingleCte,
+        |ks AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS k FROM sh),
+        |hashes AS (SELECT doc_id, k, min(substr(md5(k || '|' || shingle), 1, 16)) AS h
+        |           FROM ks GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, k // 4 AS band, string_agg(h, '' ORDER BY k) AS band_key
+        |          FROM hashes GROUP BY doc_id, k // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        |SELECT c.doc_a, c.doc_b,
+        |       sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+        |FROM cand c
+        |JOIN hashes ha ON ha.doc_id = c.doc_a
+        |JOIN hashes hb ON hb.doc_id = c.doc_b AND hb.k = ha.k
+        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |ps AS (SELECT doc_id, tok, unnest(generate_series(0, 63)) AS p FROM tok),
+        |bits AS (SELECT doc_id, p,
+        |           CAST(floor((strpos('0123456789abcdef', substr(md5(tok), (p // 4) + 1, 1)) - 1)
+        |                / pow(2, 3 - (p % 4))) AS INT) % 2 AS bit
+        |         FROM ps),
+        |sums AS (SELECT doc_id, p, sum(bit * 2 - 1) AS s FROM bits GROUP BY 1, 2),
+        |sbits AS (SELECT doc_id, p, CASE WHEN s > 0 THEN 1 ELSE 0 END AS sbit FROM sums)
+        |SELECT doc_id,
+        |       sum(CASE WHEN p < 32 THEN sbit * CAST(pow(2, 31 - p) AS BIGINT) ELSE 0 END) AS simhash_hi,
+        |       sum(CASE WHEN p >= 32 THEN sbit * CAST(pow(2, 63 - p) AS BIGINT) ELSE 0 END) AS simhash_lo,
+        |       sum(CASE WHEN p < 16 THEN sbit * CAST(pow(2, 15 - p) AS BIGINT) ELSE 0 END) AS bucket16
+        |FROM sbits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS intersection
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, intersection,
+        |       intersection * 1.0 / (sa.n + sb.n - intersection) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE intersection * 1.0 / (sa.n + sb.n - intersection) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+  )
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.Vectors
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors, FIXTURES.md §B): brute-force cosine top-k as the exact
+  * baseline, and a sign-bucket LSH variant as the scale path (prune
+  * candidates to one bucket before scoring — at 100 TB the bucket join
+  * replaces the cross join entirely).
+  *
+  * Cosine values are rounded to 6 dp before ranking so results are
+  * reproducible across engines (double accumulation order differs at
+  * the last ulp); ties then break deterministically on vec_id.
+  */
+object Similarity {
+
+  private val NumQueries = 5
+  private val TopK = 5
+
+  private def emb(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", Vectors.toDouble($"embedding").as("emb"))
+      .withColumn("nrm", Vectors.norm($"emb"))
+  }
+
+  /** Exact brute-force cosine top-k for the first `NumQueries` vectors. */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"emb".as("qe"), $"nrm".as("nq"))
+    q.join(e, $"vec_id" =!= $"q_id")
+      .withColumn("cos", round(Vectors.dot($"qe", $"emb") / ($"nq" * $"nrm"), 6))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id"))
+          .cast("long"))
+      .filter($"rnk" <= TopK)
+      .select($"q_id", $"vec_id", $"cos", $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
+  /** LSH-bucketed ANN: candidates restricted to the query's sign
+    * bucket (first 8 dims), then exact cosine within the bucket.
+    */
+  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir).withColumn("bucket", Vectors.signBucket($"emb", 8))
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"emb".as("qe"), $"nrm".as("nq"), $"bucket")
+    q.join(e, Seq("bucket"))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("cos", round(Vectors.dot($"qe", $"emb") / ($"nq" * $"nrm"), 6))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id"))
+          .cast("long"))
+      .filter($"rnk" <= TopK)
+      .select($"q_id", $"bucket", $"vec_id", $"cos", $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_cosine_topk" -> cosineTopK _,
+    "ann_lsh_topk" -> lshTopK _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ann_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |pairs AS (SELECT q_id, e.vec_id, qe, e.embedding AS ve
+        |          FROM q, embeddings e WHERE e.vec_id <> q_id),
+        |flat AS (SELECT q_id, vec_id, CAST(unnest(qe) AS DOUBLE) AS x,
+        |                CAST(unnest(ve) AS DOUBLE) AS y FROM pairs),
+        |dots AS (SELECT q_id, vec_id, sum(x*y) AS dot,
+        |                sqrt(sum(x*x)) AS nq, sqrt(sum(y*y)) AS nv
+        |         FROM flat GROUP BY 1, 2),
+        |scored AS (SELECT q_id, vec_id, round(dot/(nq*nv), 6) AS cos,
+        |                  CAST(row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY round(dot/(nq*nv), 6) DESC, vec_id) AS BIGINT) AS rnk
+        |           FROM dots)
+        |SELECT q_id, vec_id, cos, rnk FROM scored WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin,
+    "ann_lsh_topk" ->
+      """WITH b AS (SELECT vec_id, embedding,
+        |             array_to_string(list_transform(embedding[1:8],
+        |               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS qe, bucket FROM b WHERE vec_id < 5),
+        |pairs AS (SELECT q.q_id, q.bucket, e.vec_id, q.qe, e.embedding AS ve
+        |          FROM q JOIN b e ON q.bucket = e.bucket AND e.vec_id <> q.q_id),
+        |flat AS (SELECT q_id, bucket, vec_id, CAST(unnest(qe) AS DOUBLE) AS x,
+        |                CAST(unnest(ve) AS DOUBLE) AS y FROM pairs),
+        |dots AS (SELECT q_id, bucket, vec_id, sum(x*y) AS dot,
+        |                sqrt(sum(x*x)) AS nq, sqrt(sum(y*y)) AS nv
+        |         FROM flat GROUP BY 1, 2, 3),
+        |scored AS (SELECT q_id, bucket, vec_id, round(dot/(nq*nv), 6) AS cos,
+        |                  CAST(row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY round(dot/(nq*nv), 6) DESC, vec_id) AS BIGINT) AS rnk
+        |           FROM dots)
+        |SELECT q_id, bucket, vec_id, cos, rnk FROM scored WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin,
+  )
+}

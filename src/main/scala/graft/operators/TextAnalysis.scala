@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface (builder brief; SURVEY §7.4): token
+  * counting (whitespace + BPE-ish regex), quality scoring, n-gram
+  * language-ID heuristic, and document fingerprinting.
+  *
+  * Everything is built from codegen'd `functions._` higher-order
+  * expressions — no UDFs — so the operators scale as plain projections:
+  * embarrassingly parallel, no shuffle, full column pruning.
+  */
+object TextAnalysis {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  private val tok = split(col("text"), " ")
+
+  /** Token statistics: whitespace tokens, distinct types, exact summed
+    * token length (integer arithmetic → deterministic double on the
+    * single final division), and a BPE-ish regex token count.
+    */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id", tok.as("t"), $"text")
+      .select(
+        $"doc_id",
+        size($"t").cast("long").as("n_tokens"),
+        size(array_distinct($"t")).cast("long").as("n_types"),
+        expr("aggregate(transform(t, x -> CAST(length(x) AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("sum_token_len"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+          .cast("long").as("n_bpe_tokens"))
+      .withColumn("avg_token_len", $"sum_token_len" * lit(1.0) / $"n_tokens")
+      .orderBy($"doc_id")
+  }
+
+  /** Quality scoring: length, token count, stopword ratio, type/token
+    * ratio, and a categorical grade.
+    */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id", tok.as("t"), $"text")
+      .select(
+        $"doc_id",
+        length($"text").cast("long").as("n_chars"),
+        size($"t").cast("long").as("n_tokens"),
+        expr("CAST(size(filter(t, x -> x = 'the' OR x = 'a')) AS BIGINT)").as("n_stopwords"),
+        (size(array_distinct($"t")) * lit(1.0) / size($"t")).as("type_token_ratio"))
+      .withColumn("stopword_ratio", $"n_stopwords" * lit(1.0) / $"n_tokens")
+      .withColumn("grade",
+        when($"n_tokens" >= 40 && $"stopword_ratio" < 0.2, "good")
+          .when($"n_tokens" >= 15, "fair")
+          .otherwise("low"))
+      .orderBy($"doc_id")
+  }
+
+  /** Language-ID heuristic: distinct-token overlap against per-language
+    * marker sets, argmax with a fixed precedence order. (The testdata's
+    * `lang` column is random relative to its synthetic text, so this is
+    * a deterministic scoring function, not a recovery of that label.)
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def score(markers: Seq[String]): org.apache.spark.sql.Column = {
+      val arr = markers.map(m => s"'$m'").mkString(", ")
+      expr(s"CAST(size(filter(array_distinct(t), x -> array_contains(array($arr), x))) AS BIGINT)")
+    }
+    docs(spark, dir)
+      .select($"doc_id", tok.as("t"))
+      .select($"doc_id",
+        score(Seq("the", "a", "of", "and")).as("s_en"),
+        score(Seq("der", "die", "das", "und")).as("s_de"),
+        score(Seq("el", "la", "los", "y")).as("s_es"))
+      .withColumn("predicted_lang",
+        when($"s_en" >= $"s_de" && $"s_en" >= $"s_es" && $"s_en" > 0, "en")
+          .when($"s_de" >= $"s_es" && $"s_de" > 0, "de")
+          .when($"s_es" > 0, "es")
+          .otherwise("und"))
+      .orderBy($"doc_id")
+  }
+
+  /** Document fingerprints: exact content hash, order-insensitive
+    * bag-of-tokens hash (canonicalised by sort), and a head fingerprint
+    * for prefix-dup detection.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id", tok.as("t"), $"text")
+      .select(
+        $"doc_id",
+        md5($"text").as("exact_md5"),
+        md5(array_join(array_sort($"t"), " ")).as("bag_md5"),
+        md5(array_join(slice($"t", 1, 5), " ")).as("head_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_stats" -> tokenStats _,
+    "text_quality" -> quality _,
+    "text_lang_id" -> langId _,
+    "text_fingerprint" -> fingerprint _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_token_stats" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents)
+        |SELECT doc_id,
+        |       len(t) AS n_tokens,
+        |       len(list_distinct(t)) AS n_types,
+        |       list_aggregate(list_transform(t, x -> CAST(length(x) AS BIGINT)), 'sum') AS sum_token_len,
+        |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS n_bpe_tokens,
+        |       list_aggregate(list_transform(t, x -> CAST(length(x) AS BIGINT)), 'sum') * 1.0 / len(t) AS avg_token_len
+        |FROM toks ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents)
+        |SELECT doc_id,
+        |       CAST(length(text) AS BIGINT) AS n_chars,
+        |       len(t) AS n_tokens,
+        |       CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stopwords,
+        |       len(list_distinct(t)) * 1.0 / len(t) AS type_token_ratio,
+        |       CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS BIGINT) * 1.0 / len(t) AS stopword_ratio,
+        |       CASE WHEN len(t) >= 40 AND CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS BIGINT) * 1.0 / len(t) < 0.2 THEN 'good'
+        |            WHEN len(t) >= 15 THEN 'fair'
+        |            ELSE 'low' END AS grade
+        |FROM toks ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |scores AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(list_distinct(t), x -> list_contains(['the','a','of','and'], x))) AS BIGINT) AS s_en,
+        |         CAST(len(list_filter(list_distinct(t), x -> list_contains(['der','die','das','und'], x))) AS BIGINT) AS s_de,
+        |         CAST(len(list_filter(list_distinct(t), x -> list_contains(['el','la','los','y'], x))) AS BIGINT) AS s_es
+        |  FROM toks)
+        |SELECT doc_id, s_en, s_de, s_es,
+        |       CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+        |            WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+        |            WHEN s_es > 0 THEN 'es'
+        |            ELSE 'und' END AS predicted_lang
+        |FROM scores ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents)
+        |SELECT doc_id,
+        |       md5(text) AS exact_md5,
+        |       md5(array_to_string(list_sort(t), ' ')) AS bag_md5,
+        |       md5(array_to_string(t[1:5], ' ')) AS head_md5
+        |FROM toks ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Property-style checks for the training-data-pipeline operators over
+  * the sf0.001 fixture tables (the DuckDB oracle gate covers exact
+  * values; these pin the cross-operator invariants).
+  */
+class ExtensionSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("minhash LSH candidates recall every true near-dup pair (jaccard >= 0.8)") {
+    val cand = Dedup.minhashLsh(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Dedup.ngramJaccard(spark, dir)
+      .filter("jaccard >= 0.8")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture should contain planted near-dups")
+    assert(truth.subsetOf(cand))
+  }
+
+  test("minhash estimated jaccard is close to exact jaccard on candidate pairs") {
+    val est = Dedup.minhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Dedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val common = est.keySet intersect exact.keySet
+    assert(common.nonEmpty)
+    common.foreach { k => assert(math.abs(est(k) - exact(k)) <= 0.35) }
+  }
+
+  test("exact dedup groups partition the corpus") {
+    val total = graft.engine.Tables.load(spark, dir, "documents").count()
+    val grouped = Dedup.exact(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("n_docs")).collect()(0).getLong(0)
+    assert(grouped === total)
+  }
+
+  test("simhash signatures are 32-bit-bounded and deterministic") {
+    val r1 = Dedup.simhash(spark, dir).collect()
+    val r2 = Dedup.simhash(spark, dir).collect()
+    assert(r1.toSeq === r2.toSeq)
+    r1.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) < (1L << 32))
+      assert(r.getLong(2) >= 0 && r.getLong(2) < (1L << 32))
+      assert(r.getLong(3) >= 0 && r.getLong(3) < (1L << 16))
+    }
+  }
+
+  test("brute-force ANN returns k neighbors per query, cosine in [-1,1], rank ordered") {
+    val rows = Similarity.cosineTopK(spark, dir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size === 5)
+    byQ.values.foreach { rs =>
+      assert(rs.length === 5)
+      val cs = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(cs.toSeq === cs.sortBy(-_).toSeq) // descending by rank
+      cs.foreach(c => assert(c >= -1.0 && c <= 1.0))
+    }
+  }
+
+  test("LSH ANN results stay within the query's sign bucket and agree with brute force") {
+    val lsh = Similarity.lshTopK(spark, dir).collect()
+    val brute = Similarity.cosineTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      // when a bucketed neighbor is also in the brute-force top-k, the
+      // cosine must be identical
+      brute.get(key).foreach(c => assert(c === r.getDouble(3)))
+    }
+  }
+
+  test("language-ID + quality + token stats cover every document exactly once") {
+    val n = graft.engine.Tables.load(spark, dir, "documents").count()
+    assert(TextAnalysis.langId(spark, dir).count() === n)
+    assert(TextAnalysis.quality(spark, dir).count() === n)
+    val ts = TextAnalysis.tokenStats(spark, dir)
+    assert(ts.count() === n)
+    assert(ts.filter("n_types > n_tokens").count() === 0)
+    assert(ts.filter("n_tokens <= 0").count() === 0)
+  }
+}
