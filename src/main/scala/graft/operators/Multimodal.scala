@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Multimodal-column plumbing (builder brief): image/audio/video as
+  * opaque `binary` columns with a typed metadata struct, plus
+  * decode / feature-extract / resize / frame-sample operators.
+  *
+  * The actual codec work is STUBBED — no image/audio libraries exist
+  * in this container — behind `decodeStub`, a clearly-marked
+  * deterministic fake. Everything Spark-side is real and tested: the
+  * schema, the partition-wise batch shape (`mapPartitions` over a
+  * typed Dataset — the JVM analog of a Pandas-UDF `mapInPandas`
+  * pipeline), and the pure-expression frame sampler.
+  */
+object Multimodal {
+
+  /** One media item: opaque payload + typed metadata. */
+  final case class MediaRecord(media_id: Long, kind: String, bytes: Array[Byte],
+    width: Int, height: Int, duration_ms: Long)
+
+  /** Extracted features for one media item (what a real decoder would
+    * hand the training pipeline).
+    */
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+    checksum: String, features: Array[Double])
+
+  /** Synthesize a media table from `documents` (text bytes standing in
+    * for an encoded payload) so the plumbing runs against real
+    * testdata shapes.
+    */
+  def fromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text", $"n_chars")
+      .withColumn("kind",
+        element_at(typedLit(Seq("image", "audio", "video")),
+          (col("doc_id") % 3).cast("int") + 1))
+      .select(
+        $"doc_id".as("media_id"),
+        $"kind",
+        encode($"text", "UTF-8").as("bytes"),
+        ($"n_chars" % 640).cast("int").as("width"),
+        ($"n_chars" % 480).cast("int").as("height"),
+        ($"n_chars" * 10).as("duration_ms"))
+      .as[MediaRecord]
+  }
+
+  /** ??? in spirit — the decode step a real deployment would replace
+    * with an image/audio codec. Deterministic fake: an 8-dim feature
+    * vector derived from the payload's MD5, so tests and downstream
+    * operators (ANN over media features) run end-to-end.
+    *
+    * Runs partition-wise over the typed Dataset: one iterator per
+    * partition, records streamed — the exact batch shape a vectorized
+    * decoder needs (decode N items per partition without
+    * per-row overhead).
+    */
+  def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition init (a real decoder would open its codec here once)
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.map { m =>
+        digest.reset()
+        val h = digest.digest(m.bytes)
+        val feats = Array.tabulate(8)(i => ((h(i) & 0xff) - 128) / 128.0)
+        MediaFeatures(m.media_id, m.kind, m.bytes.length.toLong,
+          h.map("%02x".format(_)).mkString, feats)
+      }
+    }
+  }
+
+  /** Frame sampling as a pure expression pipeline (no UDF): split the
+    * payload into fixed-size "frames" and keep every `stride`-th one.
+    * Column pruning and predicate pushdown survive because this is all
+    * Catalyst expressions.
+    */
+  def frameSample(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    media
+      .withColumn("n_frames",
+        ceil(length(col("bytes")) / lit(frameBytes.toDouble)).cast("int"))
+      .select(col("media_id"), col("kind"), col("bytes"), col("n_frames"),
+        posexplode(sequence(lit(0), col("n_frames") - 1)).as(Seq("frame_idx", "f")))
+      .filter(col("frame_idx") % stride === 0)
+      .select(col("media_id"), col("kind"), col("frame_idx"),
+        expr(s"substring(bytes, frame_idx * $frameBytes + 1, $frameBytes)").as("frame"))
+
+  /** Resize is metadata-only at this layer (a real implementation
+    * rewrites pixels in decodeStub's seam): clamp the declared
+    * dimensions, preserving aspect.
+    */
+  def resizeMeta(media: DataFrame, maxDim: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxDim) / greatest(col("width"), greatest(col("height"), lit(1))))
+    media
+      .withColumn("width", (col("width") * scale).cast("int"))
+      .withColumn("height", (col("height") * scale).cast("int"))
+  }
+
+  /** Oracle-checkable slice of the binary plumbing: byte lengths and
+    * content hashes of the synthesized payload column.
+    */
+  def binaryStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(
+        $"doc_id",
+        octet_length($"text").cast("long").as("n_bytes"),
+        md5($"text").as("payload_md5"),
+        md5(substring($"text", 1, 64)).as("head_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_stats" -> binaryStats _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mm_binary_stats" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       md5(text) AS payload_md5,
+        |       md5(substr(text, 1, 64)) AS head_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

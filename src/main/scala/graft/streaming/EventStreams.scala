@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types._
+
+/** The reference's declared streaming topology (SURVEY §3.3), natively
+  * in Structured Streaming: Kafka-shaped JSON votes in, two windowed
+  * aggregate streams out (`aggregated_votes_per_candidate`,
+  * `aggregated_turnout_by_location`, `README.md:116-118`), with
+  * watermarking, `unique_voter` dedup (`src/setup_database.py:105`),
+  * and checkpoint-based recovery (report §3.3).
+  *
+  * Every transform here is source-agnostic: hand it
+  * `spark.readStream.format("kafka")...` in production or a
+  * MemoryStream-backed frame in tests. Batch/stream parity is the
+  * Structured Streaming guarantee the spec suite asserts.
+  */
+object EventStreams {
+
+  /** The denormalized vote Kafka message (`src/data_generator.py:188-197`):
+    * the vote row plus voter_name/candidate_name/party, which is what
+    * lets the aggregations run without a stream-dim join.
+    */
+  val voteMessageSchema: StructType = StructType(Seq(
+    StructField("vote_id", StringType),
+    StructField("voter_id", StringType),
+    StructField("voter_name", StringType),
+    StructField("candidate_id", StringType),
+    StructField("candidate_name", StringType),
+    StructField("party", StringType),
+    StructField("voted_at", TimestampType),
+    StructField("vote", IntegerType)))
+
+  /** Parse a Kafka-shaped stream (binary `value` holding the JSON
+    * message) into typed vote columns — `from_json` at the boundary
+    * (`src/data_generator.py:249` produced it with json.dumps).
+    */
+  def parseVotes(kafkaShaped: DataFrame): DataFrame =
+    kafkaShaped
+      .select(from_json(col("value").cast("string"), voteMessageSchema).as("m"))
+      .select(col("m.*"))
+
+  /** At-least-once delivery dedup (`vote_id`) + the `unique_voter`
+    * constraint (`voter_id`), bounded by the watermark so state stays
+    * finite at 100 TB/day rates.
+    */
+  def dedupVotes(votes: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    votes
+      .withWatermark("voted_at", watermark)
+      .dropDuplicatesWithinWatermark("vote_id")
+      .dropDuplicates("voter_id")
+
+  /** `aggregated_votes_per_candidate`: tumbling 1-hour window per
+    * candidate. Map-side partial aggregation + shuffle on
+    * (window, candidate) — the state store keys stay bounded by
+    * watermark expiry.
+    */
+  def votesPerCandidate(votes: DataFrame, watermark: String = "10 minutes",
+      window_ : String = "1 hour"): DataFrame =
+    votes
+      .withWatermark("voted_at", watermark)
+      .groupBy(window(col("voted_at"), window_),
+        col("candidate_id"), col("candidate_name"), col("party"))
+      .agg(count(lit(1)).as("vote_count"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("candidate_id"), col("candidate_name"), col("party"), col("vote_count"))
+
+  /** Sliding-window variant (report §3.3 names both tumbling and
+    * sliding intervals).
+    */
+  def votesPerCandidateSliding(votes: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    votes
+      .withWatermark("voted_at", watermark)
+      .groupBy(window(col("voted_at"), "1 hour", "30 minutes"), col("candidate_id"))
+      .agg(count(lit(1)).as("vote_count"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("candidate_id"), col("vote_count"))
+
+  /** `aggregated_turnout_by_location`: stream-static join against the
+    * voter dimension (the vote message carries no address), then a
+    * tumbling window per state. The static side is broadcast when
+    * small; at 100 TB it becomes a shuffled stream-static join keyed
+    * on voter_id.
+    */
+  def turnoutByLocation(votes: DataFrame, voters: DataFrame,
+      watermark: String = "10 minutes", window_ : String = "1 hour"): DataFrame =
+    votes
+      .withWatermark("voted_at", watermark)
+      .join(voters.select(col("voter_id"), col("address_state")), Seq("voter_id"))
+      .groupBy(window(col("voted_at"), window_), col("address_state"))
+      .agg(count(lit(1)).as("turnout"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("address_state"), col("turnout"))
+
+  /** Kafka-sink shaping: JSON value keyed by vote_id
+    * (`src/data_generator.py:248`).
+    */
+  def toKafkaShape(df: DataFrame, keyCol: Column): DataFrame =
+    df.select(keyCol.cast("string").as("key"), to_json(struct(col("*"))).as("value"))
+
+  /** Checkpointed writer — the report's recovery story (§3.3). */
+  def checkpointedWriter(df: DataFrame, checkpointDir: String,
+      mode: OutputMode = OutputMode.Update()): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(mode)
+      .option("checkpointLocation", checkpointDir)
+
+  /** Convenience: run an aggregate stream into an in-memory table and
+    * block until the source is drained (test/demo harness).
+    */
+  def runToMemory(df: DataFrame, name: String, checkpointDir: String,
+      mode: OutputMode = OutputMode.Complete()): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

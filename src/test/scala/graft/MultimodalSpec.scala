@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("media table carries binary payloads with typed metadata") {
+    val m = Multimodal.fromDocuments(spark, dir)
+    val schema = m.schema
+    assert(schema("bytes").dataType.typeName === "binary")
+    assert(m.count() === 500)
+    assert(m.select("kind").distinct().count() === 3)
+  }
+
+  test("decode stub streams partition-wise and is deterministic") {
+    val m = Multimodal.fromDocuments(spark, dir).repartition(8)
+    val f1 = Multimodal.decodeStub(m).collect().sortBy(_.media_id)
+    val f2 = Multimodal.decodeStub(m).collect().sortBy(_.media_id)
+    assert(f1.length === 500)
+    assert(f1.map(_.checksum).toSeq === f2.map(_.checksum).toSeq)
+    f1.foreach { f =>
+      assert(f.features.length === 8)
+      f.features.foreach(x => assert(x >= -1.0 && x <= 1.0))
+      assert(f.checksum.length === 32)
+    }
+  }
+
+  test("frame sampler yields every stride-th fixed-size frame, by expression only") {
+    val m = Multimodal.fromDocuments(spark, dir).toDF()
+    val frames = Multimodal.frameSample(m, frameBytes = 32, stride = 2)
+    val one = frames.filter("media_id = 0").orderBy("frame_idx").collect()
+    val nBytes = m.filter("media_id = 0").select(length(col("bytes"))).collect()(0).getInt(0)
+    val expected = (0 until math.ceil(nBytes / 32.0).toInt).count(_ % 2 == 0)
+    assert(one.length === expected)
+    assert(one.map(_.getAs[Int]("frame_idx")).forall(_ % 2 == 0))
+    // all but possibly the last sampled frame are full-size
+    val sizes = one.map(r => r.getAs[Array[Byte]]("frame").length)
+    assert(sizes.dropRight(1).forall(_ === 32))
+  }
+
+  test("resizeMeta clamps dimensions preserving aspect") {
+    val m = Multimodal.fromDocuments(spark, dir).toDF()
+    val r = Multimodal.resizeMeta(m, maxDim = 100)
+    assert(r.filter("width > 100 or height > 100").count() === 0)
+    assert(r.count() === m.count())
+  }
+}

@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStreams
+
+/** Structured Streaming behavior: batch/stream parity, JSON boundary
+  * parsing, dedup, late-data handling under watermark, and
+  * checkpoint-restart recovery (the report's §3.3 claims).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ckpt(): String =
+    Files.createTempDirectory("graft-ckpt").toString
+
+  private def voteJson(voteId: String, voterId: String, candidateId: String,
+      name: String, party: String, at: String): String =
+    s"""{"vote_id":"$voteId","voter_id":"$voterId","voter_name":"V $voterId",
+       |"candidate_id":"$candidateId","candidate_name":"$name","party":"$party",
+       |"voted_at":"$at","vote":1}""".stripMargin.replaceAll("\n", "")
+
+  test("kafka-shaped JSON parses through the declared message schema") {
+    import spark.implicits._
+    val df = Seq(voteJson("t1", "v1", "c1", "Alice Smith", "Management Party",
+      "2024-05-01 10:05:00")).toDF("value")
+    val parsed = EventStreams.parseVotes(df).collect()(0)
+    assert(parsed.getAs[String]("vote_id") === "t1")
+    assert(parsed.getAs[String]("party") === "Management Party")
+    assert(parsed.getAs[Timestamp]("voted_at") === Timestamp.valueOf("2024-05-01 10:05:00"))
+    assert(parsed.getAs[Int]("vote") === 1)
+  }
+
+  test("streaming votesPerCandidate equals its batch twin on the same bounded input") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val msgs = (0 until 50).map { i =>
+      voteJson(s"t$i", s"v$i", s"c${i % 3}", s"Cand ${i % 3}", s"P${i % 3}",
+        f"2024-05-01 ${10 + i / 20}%02d:${(i * 3) % 60}%02d:00")
+    }
+    val stream = MemoryStream[String]
+    stream.addData(msgs)
+    val agg = EventStreams.votesPerCandidate(
+      EventStreams.parseVotes(stream.toDF().withColumnRenamed("value", "value")))
+    val q = EventStreams.runToMemory(agg, "vpc", ckpt())
+    val streamed = spark.table("vpc")
+      .orderBy("window_start", "candidate_id").collect().toSeq.map(_.toSeq)
+    q.stop()
+    val batch = EventStreams.votesPerCandidate(
+      EventStreams.parseVotes(msgs.toDF("value")))
+      .orderBy("window_start", "candidate_id").collect().toSeq.map(_.toSeq)
+    assert(streamed === batch)
+    assert(streamed.map(_(5).asInstanceOf[Long]).sum === 50L)
+  }
+
+  test("turnoutByLocation joins the static voter dimension into the stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val voters = Seq(("v1", "Texas"), ("v2", "Texas"), ("v3", "Ohio"))
+      .toDF("voter_id", "address_state")
+    val stream = MemoryStream[String]
+    stream.addData(Seq(
+      voteJson("t1", "v1", "c1", "A", "P", "2024-05-01 10:05:00"),
+      voteJson("t2", "v2", "c1", "A", "P", "2024-05-01 10:15:00"),
+      voteJson("t3", "v3", "c2", "B", "Q", "2024-05-01 10:25:00")))
+    val agg = EventStreams.turnoutByLocation(
+      EventStreams.parseVotes(stream.toDF()), voters)
+    val q = EventStreams.runToMemory(agg, "turnout", ckpt())
+    val rows = spark.table("turnout").orderBy("address_state")
+      .select("address_state", "turnout").collect().map(_.toSeq).toSeq
+    q.stop()
+    assert(rows === Seq(Seq("Ohio", 1L), Seq("Texas", 2L)))
+  }
+
+  test("dedupVotes drops redelivered vote_ids and enforces unique_voter") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    stream.addData(Seq(
+      voteJson("t1", "v1", "c1", "A", "P", "2024-05-01 10:05:00"),
+      voteJson("t1", "v1", "c1", "A", "P", "2024-05-01 10:05:00"), // kafka redelivery
+      voteJson("t2", "v1", "c2", "B", "Q", "2024-05-01 10:06:00"), // same voter, 2nd vote
+      voteJson("t3", "v2", "c1", "A", "P", "2024-05-01 10:07:00")))
+    val deduped = EventStreams.dedupVotes(EventStreams.parseVotes(stream.toDF()))
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup").option("checkpointLocation", ckpt()).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup").select("voter_id").collect().map(_.getString(0)).sorted
+    assert(rows.toSeq === Seq("v1", "v2"))
+  }
+
+  test("late rows beyond the watermark are dropped from append-mode windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val agg = EventStreams.votesPerCandidate(
+      EventStreams.parseVotes(stream.toDF()), watermark = "10 minutes")
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("late").option("checkpointLocation", ckpt()).start()
+    // batch 1: events in hour 10; advance event time far past hour 10 + watermark
+    stream.addData(Seq(
+      voteJson("t1", "v1", "c1", "A", "P", "2024-05-01 10:05:00"),
+      voteJson("t2", "v2", "c1", "A", "P", "2024-05-01 12:30:00")))
+    q.processAllAvailable()
+    // batch 2: a straggler for hour 10 — watermark (12:30 - 10min) closed that window
+    stream.addData(Seq(voteJson("t9", "v9", "c1", "A", "P", "2024-05-01 10:06:00")))
+    q.processAllAvailable()
+    // batch 3: advance time so hour-12 window also emits
+    stream.addData(Seq(voteJson("t4", "v4", "c1", "A", "P", "2024-05-01 14:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val counts = spark.table("late")
+      .select("window_start", "vote_count").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    // hour-10 window emitted exactly 1 (the straggler was dropped)
+    assert(counts("2024-05-01 10:00:00.0") === 1L)
+    assert(counts("2024-05-01 12:00:00.0") === 1L)
+  }
+
+  test("checkpoint restart resumes counts exactly once (report §3.3 recovery)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val checkpoint = ckpt()
+    val out = Files.createTempDirectory("graft-out").toString
+    val stream = MemoryStream[String]
+    def agg(s: MemoryStream[String]) =
+      EventStreams.votesPerCandidate(EventStreams.parseVotes(s.toDF()))
+    val q1 = agg(stream).writeStream.outputMode(OutputMode.Append())
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", checkpoint).start()
+    stream.addData(Seq(voteJson("t1", "v1", "c1", "A", "P", "2024-05-01 10:05:00")))
+    stream.addData(Seq(voteJson("t2", "v2", "c1", "A", "P", "2024-05-01 13:00:00")))
+    q1.processAllAvailable()
+    q1.stop()
+    // restart from the same checkpoint with a fresh source continuing the offsets
+    val stream2 = MemoryStream[String]
+    stream2.addData(Seq(voteJson("t1", "v1", "c1", "A", "P", "2024-05-01 10:05:00")))
+    stream2.addData(Seq(voteJson("t2", "v2", "c1", "A", "P", "2024-05-01 13:00:00")))
+    stream2.addData(Seq(voteJson("t3", "v3", "c1", "A", "P", "2024-05-01 16:00:00")))
+    val q2 = agg(stream2).writeStream.outputMode(OutputMode.Append())
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", checkpoint).start()
+    q2.processAllAvailable()
+    q2.stop()
+    val result = spark.read.parquet(out)
+    // hour-10 and hour-13 windows each closed exactly once despite replay
+    assert(result.filter("vote_count <> 1").count() === 0)
+    assert(result.select("window_start").distinct().count() === result.count())
+  }
+}
