@@ -35,19 +35,27 @@ object Dedup {
         .as("shingle"))
   }
 
-  /** Per-(doc, k) minhash values: min over shingles of the first 16 hex
-    * chars of md5(k||'|'||shingle). Fixed-width lowercase hex compares
-    * lexicographically = numerically, in every engine.
+  /** Per-doc minhash signature array: min over shingles of the first 16
+    * hex chars of md5(k||'|'||shingle), k = 0..15. Fixed-width lowercase
+    * hex compares lexicographically = numerically, in every engine.
+    *
+    * Scale shape: the 16 hashes are computed as an array on each
+    * (doc, shingle) row and reduced with 16 min-aggregates, so the
+    * shuffle carries one row per (doc, shingle) — not 16 — and the
+    * aggregation is map-side partial.
     */
-  private def minhashes(spark: SparkSession, dir: String): DataFrame = {
+  private def signatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val hs = expr(
+      s"transform(sequence(0, ${NumHashes - 1}), " +
+        "k -> substr(md5(concat(CAST(k AS STRING), '|', shingle)), 1, 16))")
     shingles(spark, dir)
-      .select($"doc_id", $"shingle",
-        explode(sequence(lit(0), lit(NumHashes - 1))).as("k"))
-      .select($"doc_id", $"k",
-        substring(md5(concat($"k".cast("string"), lit("|"), $"shingle")), 1, 16).as("hv"))
-      .groupBy($"doc_id", $"k")
-      .agg(min($"hv").as("h"))
+      .select($"doc_id", hs.as("hs"))
+      .groupBy($"doc_id")
+      .agg(min(element_at($"hs", 1)).as("h0"),
+        (1 until NumHashes).map(i => min(element_at($"hs", i + 1)).as(s"h$i")): _*)
+      .select($"doc_id",
+        array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
   /** Exact dedup: hash-groupBy on the content fingerprint. */
@@ -65,12 +73,11 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val hashes = minhashes(spark, dir)
-    val bands = hashes
-      .withColumn("band", expr(s"k div $BandSize"))
-      .groupBy($"doc_id", $"band")
-      .agg(concat_ws("",
-        expr("transform(array_sort(collect_list(struct(k, h))), x -> x.h)")).as("band_key"))
+    val sigs = signatures(spark, dir)
+    val bands = sigs.select($"doc_id",
+      posexplode(expr(s"transform(sequence(0, ${NumHashes / BandSize - 1}), " +
+        s"b -> concat_ws('', slice(sig, b * $BandSize + 1, $BandSize)))")))
+      .toDF("doc_id", "band", "band_key")
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
@@ -78,11 +85,11 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
-      .join(hashes.as("ha"), $"doc_a" === col("ha.doc_id"))
-      .join(hashes.as("hb"), $"doc_b" === col("hb.doc_id") && col("ha.k") === col("hb.k"))
-      .groupBy($"doc_a", $"doc_b")
-      .agg((sum(when(col("ha.h") === col("hb.h"), 1).otherwise(0)) / lit(16.0))
-        .as("est_jaccard"))
+      .join(sigs.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
+      .join(sigs.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        (expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))") / lit(16.0))
+          .as("est_jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
 
