@@ -289,6 +289,34 @@ object CoreQueries {
       .orderBy($"event_id")
   }
 
+  /** Exact distinct counting per group — count(DISTINCT) expands via
+    * Catalyst's two-phase distinct-aggregate rewrite (partial distinct
+    * before the shuffle).
+    */
+  def distinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("distinct_users"),
+        count(lit(1)).as("events"))
+      .orderBy($"event_type")
+  }
+
+  /** Approximate distinct counting (HLL++, `approx_count_distinct`) —
+    * the at-scale variant of distinctUsers: one pass, fixed-size
+    * sketch state, no distinct expansion. Sketch values are
+    * implementation-specific, so this op has no cross-engine oracle
+    * (driver records the rows-only check); the spec asserts the
+    * estimate against the exact counts.
+    */
+  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", 0.02).as("approx_distinct_users"))
+      .orderBy($"event_type")
+  }
+
   /** All core queries, keyed as exposed through SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_hourly_latest" -> hourlyLatest _,
@@ -304,6 +332,8 @@ object CoreQueries {
     "stats_left_join" -> statsLeftJoin _,
     "q_pricing_summary" -> pricingSummary _,
     "q_json_extract" -> jsonExtract _,
+    "q_distinct_users" -> distinctUsers _,
+    "q_approx_distinct_users" -> approxDistinctUsers _,
   )
 
   /** DuckDB-equivalent SQL for the driver's oracle (column names and
@@ -418,5 +448,10 @@ object CoreQueries {
       """SELECT event_id,
         |       CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    // q_approx_distinct_users intentionally has no oracle: HLL sketches
+    // are engine-specific (rows-only check).
+    "q_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_users, count(*) AS events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
