@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.Vectors
+import graft.plans.ArrayExpressions
 
 /** Similarity search over the `embeddings` table (64-dim float
   * vectors, FIXTURES.md §B): brute-force cosine top-k as the exact
@@ -36,7 +37,9 @@ object Similarity {
     val q = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"emb".as("qe"), $"nrm".as("nq"))
     q.join(e, $"vec_id" =!= $"q_id")
-      .withColumn("cos", round(Vectors.dot($"qe", $"emb") / ($"nq" * $"nrm"), 6))
+      // native codegen'd dot (bit-identical to Vectors.dot — see
+      // ArrayExpressionsSpec) for the q×n hot loop
+      .withColumn("cos", round(ArrayExpressions.dot($"qe", $"emb") / ($"nq" * $"nrm"), 6))
       .withColumn("rnk",
         row_number().over(Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id"))
           .cast("long"))
@@ -55,7 +58,7 @@ object Similarity {
       .select($"vec_id".as("q_id"), $"emb".as("qe"), $"nrm".as("nq"), $"bucket")
     q.join(e, Seq("bucket"))
       .filter($"vec_id" =!= $"q_id")
-      .withColumn("cos", round(Vectors.dot($"qe", $"emb") / ($"nq" * $"nrm"), 6))
+      .withColumn("cos", round(ArrayExpressions.dot($"qe", $"emb") / ($"nq" * $"nrm"), 6))
       .withColumn("rnk",
         row_number().over(Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id"))
           .cast("long"))
