@@ -1,0 +1,62 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout choices — the Spark equivalents of the reference's
+  * three B-tree indexes (`src/setup_database.py:108-116`; SURVEY §4):
+  *
+  *  - `idx_vote_voted_at`   → date-partitioned parquet: the hour/minute
+  *    range queries prune whole partitions at planning time.
+  *  - `idx_vote_candidate_id` / join keys → bucketed tables: co-located
+  *    joins and aggregations with NO shuffle exchange at read time.
+  *  - `idx_voter_state`     → parquet row-group min/max pruning comes
+  *    free once data is written sorted within partitions.
+  *
+  * At 100 TB these are the difference between scanning everything and
+  * scanning one day / one bucket; the specs assert the plan properties
+  * (PartitionFilters present, Exchange absent) rather than timings.
+  */
+object Layouts {
+
+  /** Write events date-partitioned (and sorted by ts within files) —
+    * the `idx_vote_voted_at` replacement.
+    */
+  def writeDatePartitionedEvents(spark: SparkSession, dir: String, out: String): Unit = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .withColumn("event_date", to_date($"ts"))
+      .sortWithinPartitions($"ts")
+      .write.mode("overwrite")
+      .partitionBy("event_date")
+      .parquet(out)
+  }
+
+  def readDatePartitionedEvents(spark: SparkSession, out: String): DataFrame =
+    spark.read.parquet(out)
+
+  /** Persist orders and lineitem bucketed on the join key — the
+    * co-located-join layout (both sides hash into the same bucket
+    * scheme, so the join needs no exchange).
+    */
+  def writeBucketedOrderTables(spark: SparkSession, dir: String, buckets: Int = 8): Unit = {
+    Tables.load(spark, dir, "orders")
+      .write.mode("overwrite")
+      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_bucketed")
+    Tables.load(spark, dir, "lineitem")
+      .write.mode("overwrite")
+      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("lineitem_bucketed")
+  }
+
+  /** Revenue per order over the bucketed tables — shuffle-free join. */
+  def bucketedOrderRevenue(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.table("orders_bucketed")
+      .join(spark.table("lineitem_bucketed"), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey")
+      .agg(sum($"l_extendedprice".cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double").as("revenue"))
+  }
+}

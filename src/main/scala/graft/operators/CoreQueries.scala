@@ -64,6 +64,10 @@ object CoreQueries {
   def leaderboard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val events = t(spark, dir, "events")
+    // single scan: every downstream quantity (per-type counts, grand
+    // total, latest-hour change) derives from the per-(type, hour)
+    // aggregate — at 100 TB this is one shuffle over the raw data
+    // instead of three
     val perHour = events
       .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
       .agg(count(lit(1)).as("cnt"))
@@ -73,11 +77,11 @@ object CoreQueries {
       .orderBy($"hour".desc, $"event_type")
       .limit(1)
       .select($"event_type", $"hourly_change")
-    val total = events.agg(count(lit(1)).as("total"))
-    events
+    val total = perHour.agg(sum($"cnt").as("total"))
+    perHour
+      .groupBy($"event_type")
+      .agg(sum($"cnt").as("vote_count"))
       .join(broadcast(latestChange), Seq("event_type"), "left")
-      .groupBy($"event_type", $"hourly_change")
-      .agg(count(lit(1)).as("vote_count"))
       .crossJoin(broadcast(total))
       .withColumn("percentage", $"vote_count" * lit(100.0) / $"total")
       .withColumn("rank",

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.engine.{VotingQueries => VQ}
+import graft.sources.VotingGen
+
+/** Property-based invariants (SURVEY §5.3) over ScalaCheck-generated
+  * generator parameters: percentages sum to ~100, rank is a
+  * permutation, cumulative trends are monotone, dedup is idempotent.
+  * (Plain scalacheck Gen sampled with a fixed RNG seed; the
+  * scalatestplus bridge isn't on the classpath.)
+  */
+class PropertySpec extends SparkSpec {
+
+  private val cases: Seq[(Int, Long)] =
+    Gen.listOfN(5, Gen.zip(Gen.choose(20, 300), Gen.choose(0L, 10000L)))
+      .apply(Gen.Parameters.default, Seed(42L)).get
+
+  private def forAllCases(body: (Int, Long) => Unit): Unit =
+    cases.foreach { case (n, seed) => body(n, seed) }
+
+  test("Q2 percentages sum to ~100 and rank is a 1..k permutation") {
+    forAllCases { (n, seed) =>
+      val t = VotingGen.generate(spark, nVoters = n, seed = seed)
+      val rows = VQ.votesByCandidate(t).collect()
+      val pctSum = rows.map(_.getAs[Double]("percentage")).sum
+      assert(math.abs(pctSum - 100.0) < 0.05)
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to rows.length))
+    }
+  }
+
+  test("Q3 cumulative totals are monotone non-decreasing per candidate") {
+    forAllCases { (n, seed) =>
+      val t = VotingGen.generate(spark, nVoters = n, seed = seed)
+      VQ.historicalTrends(t).orderBy("vote_time").collect()
+        .groupBy(_.getAs[String]("candidate_name"))
+        .foreach { case (_, rs) =>
+          val xs = rs.map(_.getAs[Long]("total_votes")).toSeq
+          assert(xs === xs.sorted)
+        }
+    }
+  }
+
+  test("gender + age distribution percentages each sum to ~100") {
+    forAllCases { (n, seed) =>
+      val t = VotingGen.generate(spark, nVoters = n, seed = seed)
+      val g = VQ.genderDistribution(t).collect().map(_.getAs[Double]("percentage")).sum
+      val a = VQ.ageDistribution(t).collect().map(_.getAs[Double]("percentage")).sum
+      assert(math.abs(g - 100.0) < 0.05)
+      assert(math.abs(a - 100.0) < 0.05)
+    }
+  }
+
+  test("unique_voter dedup is idempotent and keeps one row per voter") {
+    import org.apache.spark.sql.functions._
+    forAllCases { (n, seed) =>
+      val t = VotingGen.generate(spark, nVoters = n, seed = seed)
+      // duplicate the stream (simulated redelivery), then dedup
+      val doubled = t.vote.union(t.vote)
+      val once = doubled.dropDuplicates("voter_id")
+      val twice = once.dropDuplicates("voter_id")
+      assert(once.count() === n.toLong)
+      assert(twice.count() === once.count())
+      assert(once.groupBy(col("voter_id")).count().filter("count > 1").count() === 0)
+    }
+  }
+}
