@@ -35,21 +35,25 @@ object Dedup {
         .as("shingle"))
   }
 
-  /** Per-doc minhash signature array: min over shingles of the first 16
-    * hex chars of md5(k||'|'||shingle), k = 0..15. Fixed-width lowercase
-    * hex compares lexicographically = numerically, in every engine.
+  /** Per-doc minhash signature array. Hash family: 4 seeded md5 digests
+    * per shingle, each sliced into four 8-hex-char (32-bit) chunks —
+    * 16 independent hash functions from 4 md5 calls (slices of one
+    * digest are independent; an affine h1+k·h2 family is NOT — its
+    * correlated argmins quadruple false candidates on this corpus).
+    * Fixed-width lowercase hex compares lexicographically =
+    * numerically, in every engine.
     *
-    * Scale shape: the 16 hashes are computed as an array on each
-    * (doc, shingle) row and reduced with 16 min-aggregates, so the
-    * shuffle carries one row per (doc, shingle) — not 16 — and the
-    * aggregation is map-side partial.
+    * Scale shape: the 16 chunks ride as an array on each (doc, shingle)
+    * row and reduce via 16 map-side-partial min-aggregates, so the
+    * shuffle carries one row per (doc, shingle) — not 16.
     */
   private def signatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val hs = expr(
-      s"transform(sequence(0, ${NumHashes - 1}), " +
-        "k -> substr(md5(concat(CAST(k AS STRING), '|', shingle)), 1, 16))")
-    shingles(spark, dir)
+    val seeded = shingles(spark, dir).select($"doc_id" +:
+      (0 until NumHashes / 4).map(s => md5(concat(lit(s + "|"), $"shingle")).as(s"m$s")): _*)
+    val hs = array((0 until NumHashes).map(k =>
+      substring(col(s"m${k / 4}"), (k % 4) * 8 + 1, 8)): _*)
+    seeded
       .select($"doc_id", hs.as("hs"))
       .groupBy($"doc_id")
       .agg(min(element_at($"hs", 1)).as("h0"),
@@ -122,15 +126,29 @@ object Dedup {
   /** Exact n-gram Jaccard over an inverted shingle index: only pairs
     * sharing ≥1 shingle are materialised (never n²), then filtered to
     * the near-dup threshold.
+    *
+    * Pair generation goes through posting lists (shingle → sorted doc
+    * ids → in-memory pair expansion) rather than a self-join: one
+    * shuffle on shingle instead of two, and single-document shingles
+    * (the vast majority) are dropped before any pair exists. Skewed
+    * postings (boilerplate shingles) are the quadratic hazard at
+    * scale — cap df there; AQE splits what remains.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = shingles(spark, dir)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val pairs = sh
+      .groupBy($"shingle")
+      .agg(sort_array(collect_list($"doc_id")).as("ds"))
+      .filter(size($"ds") > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ds) - 2),
+          |  i -> transform(slice(ds, i + 2, size(ds) - i - 1),
+          |       x -> struct(ds[i] AS doc_a, x AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    val inter = pairs
+      .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("intersection"))
     inter
       .join(sizes.as("sa"), $"doc_a" === col("sa.doc_id"))
@@ -161,7 +179,8 @@ object Dedup {
     "dedup_minhash_lsh" ->
       s"""WITH $shingleCte,
         |ks AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS k FROM sh),
-        |hashes AS (SELECT doc_id, k, min(substr(md5(k || '|' || shingle), 1, 16)) AS h
+        |hashes AS (SELECT doc_id, k,
+        |             min(substr(md5((k // 4) || '|' || shingle), (k % 4) * 8 + 1, 8)) AS h
         |           FROM ks GROUP BY 1, 2),
         |bands AS (SELECT doc_id, k // 4 AS band, string_agg(h, '' ORDER BY k) AS band_key
         |          FROM hashes GROUP BY doc_id, k // 4),
