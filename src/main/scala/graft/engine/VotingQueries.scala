@@ -260,4 +260,37 @@ object VotingQueries {
     * (`app.py:435`).
     */
   def leader(votesByCandidate: DataFrame): DataFrame = votesByCandidate.limit(1)
+
+  /** Static US-state lookup standing in for the GeoJSON fetch
+    * (`app.py:563`); geometry stays presentation-side (SURVEY §1.1).
+    */
+  def usStates(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      "Alabama", "Alaska", "Arizona", "Arkansas", "California", "Colorado",
+      "Connecticut", "Delaware", "Florida", "Georgia", "Hawaii", "Idaho",
+      "Illinois", "Indiana", "Iowa", "Kansas", "Kentucky", "Louisiana",
+      "Maine", "Maryland", "Massachusetts", "Michigan", "Minnesota",
+      "Mississippi", "Missouri", "Montana", "Nebraska", "Nevada",
+      "New Hampshire", "New Jersey", "New Mexico", "New York",
+      "North Carolina", "North Dakota", "Ohio", "Oklahoma", "Oregon",
+      "Pennsylvania", "Rhode Island", "South Carolina", "South Dakota",
+      "Tennessee", "Texas", "Utah", "Vermont", "Virginia", "Washington",
+      "West Virginia", "Wisconsin", "Wyoming")
+      .zipWithIndex.map { case (n, i) => (f"US$i%02d", n) }
+      .toDF("id", "name")
+  }
+
+  /** Geo left-merge (`app.py:567-572, 590-595`): every state keeps a
+    * row; vote columns are null where no votes landed — exactly
+    * pandas' merge(how='left') semantics.
+    */
+  def geoMerge(states: DataFrame, votesByState: DataFrame): DataFrame = {
+    val spark = states.sparkSession
+    import spark.implicits._
+    states.join(broadcast(votesByState), $"name" === $"address_state", "left")
+  }
+
+  /** Active-states metric — row count of Q4a (`app.py:463`). */
+  def activeStates(votesByState: DataFrame): Long = votesByState.count()
 }

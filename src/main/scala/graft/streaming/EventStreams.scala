@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 
 /** The reference's declared streaming topology (SURVEY §3.3), natively
@@ -93,6 +93,37 @@ object EventStreams {
       .agg(count(lit(1)).as("turnout"))
       .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
         col("address_state"), col("turnout"))
+
+  /** Cumulative tally update emitted by the stateful stream. */
+  final case class CandidateTally(candidate_id: String, total_votes: Long,
+    last_voted_at: java.sql.Timestamp)
+
+  /** Custom per-key state beyond windowed aggregation (the
+    * `mapGroupsWithState` surface): a running all-time tally per
+    * candidate, emitting an updated `CandidateTally` on every
+    * micro-batch that touches the key. State is one counter per
+    * candidate — constant-size regardless of input rate.
+    */
+  def runningTallies(votes: DataFrame): Dataset[CandidateTally] = {
+    val spark = votes.sparkSession
+    import spark.implicits._
+    votes
+      .select($"candidate_id", $"voted_at")
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), CandidateTally](GroupStateTimeout.NoTimeout) {
+        case (candidateId, rows, state: GroupState[(Long, Long)]) =>
+          val (prevCount, prevTs) = state.getOption.getOrElse((0L, 0L))
+          var count = prevCount
+          var maxTs = prevTs
+          rows.foreach { case (_, ts) =>
+            count += 1
+            if (ts.getTime > maxTs) maxTs = ts.getTime
+          }
+          state.update((count, maxTs))
+          CandidateTally(candidateId, count, new java.sql.Timestamp(maxTs))
+      }
+  }
 
   /** Kafka-sink shaping: JSON value keyed by vote_id
     * (`src/data_generator.py:248`).

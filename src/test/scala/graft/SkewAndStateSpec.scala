@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.engine.{VotingQueries => VQ}
+import graft.operators.Skew
+import graft.sources.VotingGen
+import graft.streaming.EventStreams
+
+class SkewAndStateSpec extends SparkSpec {
+
+  test("salted join equals the plain join on a skewed key distribution") {
+    import spark.implicits._
+    // 90% of rows share one hot key
+    val big = (1 to 2000).map(i => (if (i <= 1800) "hot" else s"k$i", i))
+      .toDF("key", "v")
+    val small = Seq(("hot", "H"), ("k1900", "A"), ("k1999", "B")).toDF("key", "tag")
+    val plain = big.join(small, "key").groupBy($"key", $"tag")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .orderBy($"key").collect().map(_.toSeq).toSeq
+    val salted = Skew.saltedJoin(big, small, "key", buckets = 8)
+      .groupBy($"key", $"tag")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .orderBy($"key").collect().map(_.toSeq).toSeq
+    assert(salted === plain)
+  }
+
+  test("salted count equals plain groupBy count") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => if (i % 10 == 0) s"k${i % 50}" else "hot")
+      .toDF("key")
+    val plain = df.groupBy("key").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCount(df, "key", buckets = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+  }
+
+  test("stateful running tallies accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def msg(i: Int, cand: String, at: String) =
+      s"""{"vote_id":"t$i","voter_id":"v$i","voter_name":"V","candidate_id":"$cand",""" +
+        s""""candidate_name":"C","party":"P","voted_at":"$at","vote":1}"""
+    val stream = MemoryStream[String]
+    val tallies = EventStreams.runningTallies(
+      EventStreams.parseVotes(stream.toDF()))
+    val q = tallies.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("tallies")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-st").toString)
+      .start()
+    stream.addData(Seq(
+      msg(1, "c1", "2024-05-01 10:00:00"), msg(2, "c1", "2024-05-01 10:01:00"),
+      msg(3, "c2", "2024-05-01 10:02:00")))
+    q.processAllAvailable()
+    stream.addData(Seq(msg(4, "c1", "2024-05-01 10:03:00")))
+    q.processAllAvailable()
+    q.stop()
+    // memory sink in update mode: last emitted row per key wins
+    val last = spark.table("tallies")
+      .groupBy($"candidate_id").agg(max($"total_votes").as("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(last === Map("c1" -> 3L, "c2" -> 1L))
+  }
+
+  test("geo merge keeps all 50 states; active-states metric counts Q4a rows") {
+    val t = VotingGen.generate(spark, nVoters = 300, seed = 11)
+    val q4a = VQ.votesByState(t)
+    val merged = VQ.geoMerge(VQ.usStates(spark), q4a)
+    assert(merged.count() === 50)
+    assert(merged.filter("vote_count IS NULL").count() === 50 - VQ.activeStates(q4a))
+    // every state with votes carried its counts through the merge
+    assert(merged.filter("vote_count IS NOT NULL").count() === VQ.activeStates(q4a))
+  }
+}
