@@ -37,8 +37,8 @@ object Tables {
     * so skew/coalesce decisions re-plan at runtime (the 100 TB posture:
     * on a real cluster these same configs scale with executor count).
     */
-  def session(master: String = "local[32]"): SparkSession =
-    SparkSession.builder()
+  def session(master: String = "local[32]"): SparkSession = {
+    val spark = SparkSession.builder()
       .master(master)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", "32")
@@ -46,4 +46,9 @@ object Tables {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // SQL names for the native expressions (idempotent; also applies
+    // when getOrCreate returns a pre-existing session)
+    graft.plans.GraftExtensions.register(spark)
+    spark
+  }
 }
