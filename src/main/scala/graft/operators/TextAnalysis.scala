@@ -103,7 +103,32 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Term-frequency surface: per-doc top-3 terms (stopwords excluded)
+    * with corpus document-frequency — the TF side of TF-IDF (IDF's log
+    * is left to callers: libm vs JVM log differ at the ulp, which would
+    * break the cross-engine oracle for zero analytical gain here).
+    * The rank filter compiles to WindowGroupLimit (top-k pushed below
+    * the full window sort).
+    */
+  def topTerms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = docs(spark, dir)
+      .select($"doc_id", explode(tok).as("term"))
+      .filter(!$"term".isin("the", "a"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+    tf.join(df, "term")
+      .withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"tf".desc, $"term")).cast("long"))
+      .filter($"rnk" <= 3)
+      .select($"doc_id", $"term", $"tf", $"df", $"rnk")
+      .orderBy($"doc_id", $"rnk")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_top_terms" -> topTerms _,
     "text_token_stats" -> tokenStats _,
     "text_quality" -> quality _,
     "text_lang_id" -> langId _,
@@ -111,6 +136,16 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_top_terms" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |f AS (SELECT doc_id, term, count(*) AS tf FROM terms
+        |      WHERE term NOT IN ('the', 'a') GROUP BY 1, 2),
+        |d AS (SELECT term, count(DISTINCT doc_id) AS df FROM f GROUP BY 1),
+        |r AS (SELECT f.doc_id, f.term, f.tf, d.df,
+        |        CAST(row_number() OVER (PARTITION BY f.doc_id ORDER BY f.tf DESC, f.term) AS BIGINT) AS rnk
+        |      FROM f JOIN d USING (term))
+        |SELECT doc_id, term, tf, df, rnk FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
     "text_token_stats" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents)
         |SELECT doc_id,
