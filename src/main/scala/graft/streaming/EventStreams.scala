@@ -138,6 +138,63 @@ object EventStreams {
       .outputMode(mode)
       .option("checkpointLocation", checkpointDir)
 
+  /** File-backed vote stream: JSON-lines files dropped into `dir`
+    * (the replayable stand-in for the Kafka topic in broker-less
+    * environments; `Outputs.jsonLines` produces compatible files).
+    */
+  def fileVoteSource(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    parseVotes(spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(dir))
+
+  /** Kafka vote source — the production topology
+    * (`votes_topic`, `README.md:112`). Requires a broker; in this
+    * test environment only the file/memory sources run.
+    */
+  def kafkaVoteSource(spark: org.apache.spark.sql.SparkSession,
+      servers: String, topic: String = "votes_topic"): DataFrame =
+    parseVotes(spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .load())
+
+  /** Keyed upsert sink via foreachBatch — the engine's replacement for
+    * the reference's per-row INSERT + commit (`src/data_generator.py:
+    * 233-242`): each micro-batch merges into a parquet table keyed by
+    * `key`, newest `versionCol` wins. Exactly-once composes from the
+    * checkpoint (batch replays re-merge idempotently).
+    */
+  def foreachBatchUpsert(df: DataFrame, path: String, key: String,
+      versionCol: String, checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.expressions.Window
+        val existing =
+          try spark.read.parquet(path)
+          catch { case _: Throwable => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
+        val merged = existing.unionByName(batch)
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col(key)).orderBy(col(versionCol).desc)))
+          .filter(col("__rn") === 1)
+          .drop("__rn")
+        // write to a staging dir then swap, so the read above never
+        // sees a half-written table on the next batch
+        val stage = path + "__stage"
+        merged.write.mode("overwrite").parquet(stage)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(path)
+        fs.delete(dst, true)
+        fs.rename(new org.apache.hadoop.fs.Path(stage), dst)
+        ()
+      }
+      .start()
+
   /** Convenience: run an aggregate stream into an in-memory table and
     * block until the source is drained (test/demo harness).
     */

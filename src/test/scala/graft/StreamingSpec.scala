@@ -152,4 +152,39 @@ class StreamingSpec extends SparkSpec {
     assert(result.filter("vote_count <> 1").count() === 0)
     assert(result.select("window_start").distinct().count() === result.count())
   }
+
+  test("foreachBatch upsert keeps the newest row per key across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft-upsert").toString + "/table"
+    val stream = MemoryStream[String]
+    val q = EventStreams.foreachBatchUpsert(
+      EventStreams.parseVotes(stream.toDF()), out,
+      key = "voter_id", versionCol = "voted_at", checkpointDir = ckpt())
+    stream.addData(Seq(
+      voteJson("t1", "v1", "c1", "A", "P", "2024-05-01 10:00:00"),
+      voteJson("t2", "v2", "c1", "A", "P", "2024-05-01 10:01:00")))
+    q.processAllAvailable()
+    // second batch: v1 re-votes (newer) — upsert must replace, not append
+    stream.addData(Seq(voteJson("t3", "v1", "c2", "B", "Q", "2024-05-01 11:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(out)
+      .select("voter_id", "vote_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows === Map("v1" -> "t3", "v2" -> "t2"))
+  }
+
+  test("file vote source streams JSON-lines files end to end") {
+    val srcDir = Files.createTempDirectory("graft-filesrc").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(srcDir, "b1.json"),
+      (1 to 20).map(i => voteJson(s"t$i", s"v$i", s"c${i % 2}", "C", "P",
+        f"2024-05-01 10:${i % 60}%02d:00")).mkString("\n").getBytes)
+    val agg = EventStreams.votesPerCandidate(EventStreams.fileVoteSource(spark, srcDir))
+    val q = EventStreams.runToMemory(agg, "filesrc", ckpt())
+    val total = spark.table("filesrc")
+      .agg(org.apache.spark.sql.functions.sum("vote_count")).collect()(0).getLong(0)
+    q.stop()
+    assert(total === 20L)
+  }
 }
