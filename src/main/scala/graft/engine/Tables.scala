@@ -28,6 +28,15 @@ object Tables {
       spark.read.parquet(s"$dir/$name.parquet")
     }
 
+  /** JDBC table scan — the production equivalent of the reference's
+    * Postgres source (`app.py:51-63`; SURVEY §2.3). No database exists
+    * in this test environment, so this is the declared surface only;
+    * partitioning options shard the scan across executors.
+    */
+  def fromJdbc(spark: SparkSession, url: String, table: String,
+      props: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, props)
+
   /** Register every table as a temp view (for the SQL entry points). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

@@ -160,8 +160,33 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Embedding-cosine near-dup: candidate pairs from the sign-bucket
+    * LSH (the scale path — the bucket join replaces the n² cross
+    * product), scored with the native codegen dot product, kept above
+    * the similarity threshold. Cosines are rounded to 6 dp for
+    * cross-engine rank/compare stability.
+    */
+  def embeddingCosine(spark: SparkSession, dir: String,
+      threshold: Double = 0.35): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Vectors
+    val e = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", Vectors.toDouble($"embedding").as("emb"))
+      .withColumn("nrm", Vectors.norm($"emb"))
+      .withColumn("bucket", Vectors.signBucket($"emb", 8))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(graft.plans.ArrayExpressions.dot(col("a.emb"), col("b.emb"))
+          / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .filter($"cos" >= threshold)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exact _,
+    "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => embeddingCosine(s, d)),
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_simhash" -> simhash _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
@@ -173,6 +198,21 @@ object Dedup {
       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_embedding_cosine" ->
+      """WITH b AS (SELECT vec_id, embedding,
+        |             array_to_string(list_transform(embedding[1:8],
+        |               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        |           FROM embeddings),
+        |pairs AS (SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+        |                 a.embedding AS ea, b2.embedding AS eb
+        |          FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+        |flat AS (SELECT vec_a, vec_b, CAST(unnest(ea) AS DOUBLE) AS x,
+        |                CAST(unnest(eb) AS DOUBLE) AS y FROM pairs),
+        |dots AS (SELECT vec_a, vec_b,
+        |                round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+        |         FROM flat GROUP BY 1, 2)
+        |SELECT vec_a, vec_b, cos FROM dots WHERE cos >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS fingerprint, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
