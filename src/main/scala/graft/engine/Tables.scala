@@ -20,7 +20,10 @@ object Tables {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
       // reader rejects; read the raw int64 nanos and truncate to the
       // engine's microsecond TIMESTAMP_NTZ (same truncation DuckDB
-      // applies, so oracle comparisons agree).
+      // applies, so oracle comparisons agree). The legacy flag is a
+      // session-wide engine policy (nanos parquet == int64 + explicit
+      // truncation everywhere); it is also set at session construction,
+      // and re-set here so driver-built sessions get it on first load.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
@@ -53,6 +56,7 @@ object Tables {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // SQL names for the native expressions (idempotent; also applies

@@ -92,8 +92,8 @@ object Dedup {
       .join(sigs.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
       .join(sigs.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
       .select($"doc_a", $"doc_b",
-        (expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))") / lit(16.0))
-          .as("est_jaccard"))
+        (expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))")
+          / lit(NumHashes.toDouble)).as("est_jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -166,8 +166,14 @@ object Dedup {
     * the similarity threshold. Cosines are rounded to 6 dp for
     * cross-engine rank/compare stability.
     */
+  /** Threshold shared by embeddingCosine and its oracle SQL — a caller
+    * overriding the parameter diverges from `oracle` by design (the
+    * oracle documents the SparkEntry-exposed default query only).
+    */
+  val EmbeddingCosineThreshold: Double = 0.35
+
   def embeddingCosine(spark: SparkSession, dir: String,
-      threshold: Double = 0.35): DataFrame = {
+      threshold: Double = EmbeddingCosineThreshold): DataFrame = {
     import spark.implicits._
     import graft.functions.Vectors
     val e = Tables.load(spark, dir, "embeddings")
@@ -199,7 +205,7 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "dedup_embedding_cosine" ->
-      """WITH b AS (SELECT vec_id, embedding,
+      s"""WITH b AS (SELECT vec_id, embedding,
         |             array_to_string(list_transform(embedding[1:8],
         |               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
         |           FROM embeddings),
@@ -211,7 +217,7 @@ object Dedup {
         |dots AS (SELECT vec_a, vec_b,
         |                round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
         |         FROM flat GROUP BY 1, 2)
-        |SELECT vec_a, vec_b, cos FROM dots WHERE cos >= 0.35
+        |SELECT vec_a, vec_b, cos FROM dots WHERE cos >= $EmbeddingCosineThreshold
         |ORDER BY vec_a, vec_b""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS fingerprint, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
@@ -228,7 +234,7 @@ object Dedup {
         |         FROM bands a JOIN bands b
         |           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
         |SELECT c.doc_a, c.doc_b,
-        |       sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+        |       sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) / $NumHashes.0 AS est_jaccard
         |FROM cand c
         |JOIN hashes ha ON ha.doc_id = c.doc_a
         |JOIN hashes hb ON hb.doc_id = c.doc_b AND hb.k = ha.k

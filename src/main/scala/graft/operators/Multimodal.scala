@@ -83,6 +83,9 @@ object Multimodal {
     media
       .withColumn("n_frames",
         ceil(length(col("bytes")) / lit(frameBytes.toDouble)).cast("int"))
+      // empty payloads must yield zero frames — sequence(0, -1) would
+      // otherwise step BACKWARDS and emit phantom rows
+      .filter(col("n_frames") > 0)
       .select(col("media_id"), col("kind"), col("bytes"), col("n_frames"),
         posexplode(sequence(lit(0), col("n_frames") - 1)).as(Seq("frame_idx", "f")))
       .filter(col("frame_idx") % stride === 0)

@@ -43,14 +43,24 @@ object EventStreams {
       .select(col("m.*"))
 
   /** At-least-once delivery dedup (`vote_id`) + the `unique_voter`
-    * constraint (`voter_id`), bounded by the watermark so state stays
-    * finite at 100 TB/day rates.
+    * constraint (`voter_id`).
+    *
+    * Both default to within-watermark dedup so the state store stays
+    * bounded at 100 TB/day rates (plain streaming dropDuplicates on a
+    * non-event-time key never evicts). Within-horizon dedup is exact
+    * for the reference's workload — its generator never re-votes a
+    * voter (`src/data_generator.py:283-292`) — but a voter re-voting
+    * after the watermark horizon would NOT be caught; pass
+    * `allTimeVoterDedup = true` for the exact-but-unbounded semantics.
     */
-  def dedupVotes(votes: DataFrame, watermark: String = "10 minutes"): DataFrame =
-    votes
+  def dedupVotes(votes: DataFrame, watermark: String = "10 minutes",
+      allTimeVoterDedup: Boolean = false): DataFrame = {
+    val withinWm = votes
       .withWatermark("voted_at", watermark)
       .dropDuplicatesWithinWatermark("vote_id")
-      .dropDuplicates("voter_id")
+    if (allTimeVoterDedup) withinWm.dropDuplicates("voter_id")
+    else withinWm.dropDuplicatesWithinWatermark("voter_id")
+  }
 
   /** `aggregated_votes_per_candidate`: tumbling 1-hour window per
     * candidate. Map-side partial aggregation + shuffle on
@@ -172,25 +182,41 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        import org.apache.hadoop.fs.Path
         import org.apache.spark.sql.expressions.Window
-        val existing =
-          try spark.read.parquet(path)
-          catch { case _: Throwable => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
+        val conf = spark.sparkContext.hadoopConfiguration
+        val dst = new Path(path)
+        val prev = new Path(path + "__prev")
+        val stage = new Path(path + "__stage")
+        // resolve the filesystem FROM the target path (fs.defaultFS may
+        // be a different scheme than the sink location)
+        val fs = dst.getFileSystem(conf)
+        // recovery-aware read: prefer the live table; if a previous run
+        // crashed mid-swap, the last good table is at __prev. Absence
+        // is detected explicitly — a transient read error must FAIL the
+        // batch (checkpoint will retry), never silently empty the table.
+        val source =
+          if (fs.exists(dst)) Some(dst)
+          else if (fs.exists(prev)) Some(prev)
+          else None
+        val existing = source match {
+          case Some(p) => spark.read.parquet(p.toString)
+          case None => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+        }
         val merged = existing.unionByName(batch)
           .withColumn("__rn", row_number().over(
             Window.partitionBy(col(key)).orderBy(col(versionCol).desc)))
           .filter(col("__rn") === 1)
           .drop("__rn")
-        // write to a staging dir then swap, so the read above never
-        // sees a half-written table on the next batch
-        val stage = path + "__stage"
-        merged.write.mode("overwrite").parquet(stage)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val dst = new org.apache.hadoop.fs.Path(path)
-        fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(stage), dst)
+        // stage → swap: at every crash point either dst or __prev holds
+        // a complete table, so the recovery read above never loses data
+        fs.delete(stage, true)
+        merged.write.mode("overwrite").parquet(stage.toString)
+        fs.delete(prev, true)
+        if (fs.exists(dst)) fs.rename(dst, prev)
+        fs.rename(stage, dst)
+        fs.delete(prev, true)
         ()
       }
       .start()

@@ -47,4 +47,14 @@ class MultimodalSpec extends SparkSpec {
     assert(r.filter("width > 100 or height > 100").count() === 0)
     assert(r.count() === m.count())
   }
+
+  test("frame sampler emits zero frames for empty payloads") {
+    import spark.implicits._
+    val m = Seq((1L, "image", Array.empty[Byte], 0, 0, 0L),
+        (2L, "image", "abc".getBytes, 0, 0, 0L))
+      .toDF("media_id", "kind", "bytes", "width", "height", "duration_ms")
+    val frames = graft.operators.Multimodal.frameSample(m, frameBytes = 2, stride = 1)
+    assert(frames.filter("media_id = 1").count() === 0)
+    assert(frames.filter("media_id = 2").count() === 2)
+  }
 }
