@@ -77,20 +77,21 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sigs = signatures(spark, dir)
-    val bands = sigs.select($"doc_id",
+    // signatures ride along on the band rows so the expensive signature
+    // subtree (md5s + 16 min-aggs) is planned exactly once — the est
+    // join below reads sig_a/sig_b off the matched band rows instead of
+    // re-joining (and re-computing) the signature relation twice
+    val bands = signatures(spark, dir).select($"doc_id", $"sig",
       posexplode(expr(s"transform(sequence(0, ${NumHashes / BandSize - 1}), " +
         s"b -> concat_ws('', slice(sig, b * $BandSize + 1, $BandSize)))")))
-      .toDF("doc_id", "band", "band_key")
-    val cand = bands.as("a")
+      .toDF("doc_id", "sig", "band", "band_key")
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
           && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(sigs.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
-      .join(sigs.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
       .select($"doc_a", $"doc_b",
         (expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))")
           / lit(NumHashes.toDouble)).as("est_jaccard"))
@@ -137,7 +138,14 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = shingles(spark, dir)
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    // per-doc shingle counts as a pure projection (no second explode +
+    // shuffle over the shingle relation)
+    val sizes = docs(spark, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 3)
+      .select($"doc_id", expr(
+        "CAST(size(array_distinct(transform(sequence(0, size(t)-3), " +
+          "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))) AS BIGINT)").as("n"))
     val pairs = sh
       .groupBy($"shingle")
       .agg(sort_array(collect_list($"doc_id")).as("ds"))
