@@ -72,14 +72,98 @@ object WindowedEvents {
       .orderBy($"user_id")
   }
 
+  /** Gap-based sessionization via lag + running sum (the portable
+    * form): a new session starts when the gap to the previous event
+    * reaches 30 minutes. Boundary semantics (`>=`) match Spark's
+    * session_window (an event at exactly session-end opens a new one).
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val lagTs = lag($"ts", 1).over(w)
+    Tables.load(spark, dir, "events")
+      .withColumn("new_sess",
+        when(lagTs.isNull || $"ts" >= lagTs + expr("INTERVAL 30 MINUTE"), 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum($"new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sess_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts").as("session_start"), max($"ts").as("session_end"))
+      .orderBy($"user_id", $"sess_id")
+  }
+
+  /** The same sessions through Spark's native session_window — the
+    * streaming-capable form (merging windows in the state store).
+    */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"session_window.start".as("window_start"),
+        $"session_window.end".as("window_end"), $"user_id", $"n_events")
+      .orderBy($"user_id", $"window_start")
+  }
+
+  /** Signup → purchase conversion funnel: per-user first signup, first
+    * purchase at-or-after it, corpus-level conversion rate.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.load(spark, dir, "events")
+    val signups = events.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("signup_ts"))
+    val converted = signups
+      .join(events.filter($"event_type" === "purchase").as("p"),
+        $"p.user_id" === signups("user_id") && col("p.ts") >= $"signup_ts")
+      .select(signups("user_id")).distinct()
+    signups.agg(count(lit(1)).as("n_signup_users"))
+      .crossJoin(broadcast(converted.agg(count(lit(1)).as("n_converted"))))
+      .withColumn("conversion_pct", $"n_converted" * lit(100.0) / $"n_signup_users")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize" -> sessionize _,
+    "s_session_window" -> sessionWindow _,
+    "q_funnel" -> funnel _,
     "s_tumbling_hourly" -> tumblingHourly _,
     "s_sliding_hourly" -> slidingHourly _,
     "s_turnout_by_nation" -> turnoutByNation _,
     "s_first_event_per_user" -> firstEventPerUser _,
   )
 
+  private val sessionCte =
+    """w AS (SELECT user_id, ts, event_id,
+      |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |               OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                        + INTERVAL 30 MINUTE
+      |             THEN 1 ELSE 0 END AS new_sess
+      |      FROM events),
+      |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |      FROM w)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_sessionize" ->
+      s"""WITH $sessionCte
+        |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, sess_id""".stripMargin,
+    "s_session_window" ->
+      s"""WITH $sessionCte
+        |SELECT min(ts) AS window_start, max(ts) + INTERVAL 30 MINUTE AS window_end,
+        |       user_id, count(*) AS n_events
+        |FROM s GROUP BY user_id, sess_id ORDER BY user_id, window_start""".stripMargin,
+    "q_funnel" ->
+      """WITH su AS (SELECT user_id, min(ts) AS signup_ts FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |conv AS (SELECT DISTINCT su.user_id FROM su
+        |         JOIN events e ON e.user_id = su.user_id
+        |          AND e.event_type = 'purchase' AND e.ts >= su.signup_ts)
+        |SELECT (SELECT count(*) FROM su) AS n_signup_users,
+        |       (SELECT count(*) FROM conv) AS n_converted,
+        |       (SELECT count(*) FROM conv) * 100.0 / (SELECT count(*) FROM su) AS conversion_pct""".stripMargin,
     "s_tumbling_hourly" ->
       """SELECT date_trunc('hour', ts) AS window_start,
         |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
