@@ -187,4 +187,33 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(total === 20L)
   }
+
+  test("native session_window aggregates merge across micro-batches under watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val agg = EventStreams.parseVotes(stream.toDF())
+      .withWatermark("voted_at", "1 hour")
+      .groupBy(session_window($"voted_at", "30 minutes"), $"candidate_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"session_window.start".as("ws"), $"session_window.end".as("we"),
+        $"candidate_id", $"n")
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sessions").option("checkpointLocation", ckpt()).start()
+    // batch 1: two events 10 min apart (one session), then a far-future
+    // event to advance the watermark past session end
+    stream.addData(Seq(
+      voteJson("t1", "v1", "c1", "A", "P", "2024-05-01 10:00:00"),
+      voteJson("t2", "v2", "c1", "A", "P", "2024-05-01 10:10:00")))
+    q.processAllAvailable()
+    stream.addData(Seq(voteJson("t3", "v3", "c1", "A", "P", "2024-05-01 20:00:00")))
+    q.processAllAvailable()
+    stream.addData(Seq(voteJson("t4", "v4", "c1", "A", "P", "2024-05-02 10:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions").orderBy("ws")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString, r.getLong(3)))
+    // first session: 10:00-10:10 merged into one window ending 10:40, n=2
+    assert(rows.head === ("2024-05-01 10:00:00.0", "2024-05-01 10:40:00.0", 2L))
+  }
 }
