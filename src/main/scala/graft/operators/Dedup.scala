@@ -24,15 +24,23 @@ object Dedup {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
 
-  /** (doc_id, shingle) — distinct word 3-grams per doc. */
-  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, sh_arr) — the distinct word-3-gram array per doc: the
+    * single definition every shingle consumer derives from.
+    */
+  private def shingleArrays(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     docs(spark, dir)
       .select($"doc_id", split($"text", " ").as("t"))
       .filter(size($"t") >= 3)
-      .select($"doc_id", explode(array_distinct(
-        expr("transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")))
-        .as("shingle"))
+      .select($"doc_id", array_distinct(
+        expr("transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"))
+        .as("sh_arr"))
+  }
+
+  /** (doc_id, shingle) — exploded form. */
+  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    shingleArrays(spark, dir).select($"doc_id", explode($"sh_arr").as("shingle"))
   }
 
   /** Per-doc minhash signature array. Hash family: 4 seeded md5 digests
@@ -139,13 +147,9 @@ object Dedup {
     import spark.implicits._
     val sh = shingles(spark, dir)
     // per-doc shingle counts as a pure projection (no second explode +
-    // shuffle over the shingle relation)
-    val sizes = docs(spark, dir)
-      .select($"doc_id", split($"text", " ").as("t"))
-      .filter(size($"t") >= 3)
-      .select($"doc_id", expr(
-        "CAST(size(array_distinct(transform(sequence(0, size(t)-3), " +
-          "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))) AS BIGINT)").as("n"))
+    // shuffle over the shingle relation), from the same definition
+    val sizes = shingleArrays(spark, dir)
+      .select($"doc_id", size($"sh_arr").cast("long").as("n"))
     val pairs = sh
       .groupBy($"shingle")
       .agg(sort_array(collect_list($"doc_id")).as("ds"))

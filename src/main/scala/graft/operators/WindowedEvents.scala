@@ -74,8 +74,10 @@ object WindowedEvents {
 
   /** Gap-based sessionization via lag + running sum (the portable
     * form): a new session starts when the gap to the previous event
-    * reaches 30 minutes. Boundary semantics (`>=`) match Spark's
-    * session_window (an event at exactly session-end opens a new one).
+    * EXCEEDS 30 minutes. The strict `>` matches Spark's native
+    * session_window, which MERGES an event landing exactly at the
+    * previous session's end (empirically verified — `>=` would split
+    * there and diverge from s_session_window on exact boundaries).
     */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -83,7 +85,7 @@ object WindowedEvents {
     val lagTs = lag($"ts", 1).over(w)
     Tables.load(spark, dir, "events")
       .withColumn("new_sess",
-        when(lagTs.isNull || $"ts" >= lagTs + expr("INTERVAL 30 MINUTE"), 1L)
+        when(lagTs.isNull || $"ts" > lagTs + expr("INTERVAL 30 MINUTE"), 1L)
           .otherwise(0L))
       .withColumn("sess_id", sum($"new_sess")
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -112,14 +114,18 @@ object WindowedEvents {
   def funnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val events = Tables.load(spark, dir, "events")
+    // single pass: one signup aggregate, one left join against
+    // purchases, both counts from one final aggregation (no
+    // double-planned signup subtree)
     val signups = events.filter($"event_type" === "signup")
       .groupBy($"user_id").agg(min($"ts").as("signup_ts"))
-    val converted = signups
-      .join(events.filter($"event_type" === "purchase").as("p"),
-        $"p.user_id" === signups("user_id") && col("p.ts") >= $"signup_ts")
-      .select(signups("user_id")).distinct()
-    signups.agg(count(lit(1)).as("n_signup_users"))
-      .crossJoin(broadcast(converted.agg(count(lit(1)).as("n_converted"))))
+    signups
+      .join(events.filter($"event_type" === "purchase")
+        .select($"user_id".as("pu"), $"ts".as("pts")),
+        $"pu" === $"user_id" && $"pts" >= $"signup_ts", "left")
+      .groupBy($"user_id")
+      .agg(max($"pts".isNotNull.cast("long")).as("conv"))
+      .agg(count(lit(1)).as("n_signup_users"), sum($"conv").as("n_converted"))
       .withColumn("conversion_pct", $"n_converted" * lit(100.0) / $"n_signup_users")
   }
 
@@ -136,8 +142,8 @@ object WindowedEvents {
   private val sessionCte =
     """w AS (SELECT user_id, ts, event_id,
       |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-      |               OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-      |                        + INTERVAL 30 MINUTE
+      |               OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                       + INTERVAL 30 MINUTE
       |             THEN 1 ELSE 0 END AS new_sess
       |      FROM events),
       |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id

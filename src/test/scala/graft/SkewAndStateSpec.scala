@@ -75,4 +75,24 @@ class SkewAndStateSpec extends SparkSpec {
     // every state with votes carried its counts through the merge
     assert(merged.filter("vote_count IS NOT NULL").count() === VQ.activeStates(q4a))
   }
+
+  test("sessionize and native session_window agree at the exact 30-minute boundary") {
+    import spark.implicits._
+    // events at exactly gap distance MERGE in native session_window;
+    // the lag/cumsum form must use strict > to match
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    def ns(t: String): Long = java.sql.Timestamp.valueOf(t).getTime * 1000000L
+    Seq(
+      (0L, ns("2024-05-01 10:00:00"), 1L, "click", 0.0, "{}"),
+      (1L, ns("2024-05-01 10:30:00"), 1L, "click", 0.0, "{}"), // exactly at session end
+      (2L, ns("2024-05-01 11:00:01"), 1L, "click", 0.0, "{}")) // 1s past -> new session
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir + "/events.parquet")
+    val a = graft.operators.WindowedEvents.sessionize(spark, dir)
+      .select("user_id", "n_events").collect().map(_.toSeq).toSeq
+    val b = graft.operators.WindowedEvents.sessionWindow(spark, dir)
+      .select("user_id", "n_events").collect().map(_.toSeq).toSeq
+    assert(a === Seq(Seq(1L, 2L), Seq(1L, 1L)))
+    assert(b === a)
+  }
 }
