@@ -17,19 +17,26 @@ object Bench {
     // untimed JVM/codegen warmup so the first timed query doesn't pay
     // session bring-up
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
+    // deterministic order, a clean heap per query, and one untimed
+    // priming run before the timed one: otherwise JIT warmup and GC
+    // pressure from neighbouring queries swing individual timings 3x
+    // run-to-run and the numbers measure the schedule, not the query
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      spark.catalog.clearCache()
+      System.gc()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
       }
+      val t0 = System.nanoTime()
+      if (ok) fn(spark, sfDir).count()
       // a failed query must read as a failure (-1), not as a fast run
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -24,23 +24,27 @@ object Dedup {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
 
-  /** (doc_id, sh_arr) — the distinct word-3-gram array per doc: the
-    * single definition every shingle consumer derives from.
+  /** The distinct word-3-gram array expression (over a tokenized
+    * column `t`) — the single definition every shingle consumer
+    * derives from. Shared as an EXPRESSION, not a projected column:
+    * explode over a pre-aliased array column defeats generator fusion
+    * and ran 6x slower (measured 0.6s vs 3.5s warm at sf0.1).
     */
-  private def shingleArrays(spark: SparkSession, dir: String): DataFrame = {
+  private val shingleArrayExpr: Column = array_distinct(
+    expr("transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"))
+
+  /** (doc_id, t) — whitespace-tokenized docs with ≥3 tokens. */
+  private def tokenized(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     docs(spark, dir)
       .select($"doc_id", split($"text", " ").as("t"))
       .filter(size($"t") >= 3)
-      .select($"doc_id", array_distinct(
-        expr("transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"))
-        .as("sh_arr"))
   }
 
   /** (doc_id, shingle) — exploded form. */
   private def shingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    shingleArrays(spark, dir).select($"doc_id", explode($"sh_arr").as("shingle"))
+    tokenized(spark, dir).select($"doc_id", explode(shingleArrayExpr).as("shingle"))
   }
 
   /** Per-doc minhash signature array. Hash family: 4 seeded md5 digests
@@ -148,8 +152,8 @@ object Dedup {
     val sh = shingles(spark, dir)
     // per-doc shingle counts as a pure projection (no second explode +
     // shuffle over the shingle relation), from the same definition
-    val sizes = shingleArrays(spark, dir)
-      .select($"doc_id", size($"sh_arr").cast("long").as("n"))
+    val sizes = tokenized(spark, dir)
+      .select($"doc_id", size(shingleArrayExpr).cast("long").as("n"))
     val pairs = sh
       .groupBy($"shingle")
       .agg(sort_array(collect_list($"doc_id")).as("ds"))
