@@ -14,6 +14,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the noop sink materialises every output column AND the final
+    // sort/projection — .count() let Catalyst prune both, so a query
+    // whose cost lives in its signature columns benched as a row scan
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+      }
     // untimed JVM/codegen warmup so the first timed query doesn't pay
     // session bring-up
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -24,20 +33,20 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.catalog.clearCache()
       System.gc()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-      }
+      val ok = run(name, fn)
       val t0 = System.nanoTime()
-      if (ok) fn(spark, sfDir).count()
+      if (ok) run(name, fn)
       // a failed query must read as a failure (-1), not as a fast run
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failures must not shrink the total: sum only successful queries
+    // and surface the failure count explicitly
+    val succeeded = results.filter(_._2 >= 0)
+    val total = succeeded.map(_._2).sum
+    val failed = results.length - succeeded.length
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

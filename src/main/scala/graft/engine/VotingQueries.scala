@@ -76,20 +76,28 @@ object VotingQueries {
   }
 
   /** Q3 `get_historical_trends` (`app.py:126-151`): running per-candidate
-    * count (explicit ROWS frame), re-grouped per minute with MAX.
+    * count, re-grouped per minute with MAX.
+    *
+    * Rollup mode (same rewrite as `CoreQueries.runningByMinute`): the
+    * running count is monotone per candidate, so `max(cumulative)`
+    * within a minute equals the cumulative sum of per-minute counts —
+    * pre-aggregate per (minute, candidate) first, window over minutes,
+    * then broadcast-join the candidate dimension for name/party. No
+    * single-task sort over raw votes.
     */
   def historicalTrends(t: VotingTables): DataFrame = {
     val spark = t.vote.sparkSession
     import spark.implicits._
-    val w = Window.partitionBy($"candidate_id").orderBy($"voted_at")
+    val w = Window.partitionBy($"candidate_id").orderBy($"vote_time")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t.vote.join(t.candidate, "candidate_id")
-      .select(
+    t.vote
+      .groupBy(date_trunc("minute", $"voted_at").as("vote_time"), $"candidate_id")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("total_votes", sum($"c").over(w))
+      .join(broadcast(t.candidate), "candidate_id")
+      .select($"vote_time",
         concat_ws(" ", $"first_name", $"last_name").as("candidate_name"),
-        $"party", $"voted_at",
-        count(lit(1)).over(w).as("cumulative_votes"))
-      .groupBy(date_trunc("minute", $"voted_at").as("vote_time"), $"candidate_name", $"party")
-      .agg(max($"cumulative_votes").as("total_votes"))
+        $"party", $"total_votes")
       .orderBy($"vote_time")
   }
 

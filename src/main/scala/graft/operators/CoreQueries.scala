@@ -91,19 +91,29 @@ object CoreQueries {
       .orderBy($"rank")
   }
 
-  /** Q3 analog (`app.py:126-151`): running per-type count over time
-    * (explicit ROWS UNBOUNDED PRECEDING..CURRENT ROW frame), then
+  /** Q3 analog (`app.py:126-151`): running per-type count over time,
     * re-grouped per minute taking MAX of the running count.
+    *
+    * Rollup mode: the reference's literal shape windows the RAW events
+    * partitioned only by `event_type` — with a handful of types, one
+    * task would sort an entire type's history (the classic
+    * single-partition scale-killer, SURVEY §7.5-3). Because the running
+    * count is monotone within a type, `max(running)` inside a minute
+    * IS the cumulative count through that minute's last event — so we
+    * pre-aggregate per (minute, type) with map-side partials and run
+    * the cumulative sum over the tiny per-minute frame. Identical
+    * rows, bounded window input (minutes, not events).
     */
   def runningByMinute(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val events = t(spark, dir, "events")
-    val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+    val w = Window.partitionBy($"event_type").orderBy($"minute")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
-      .withColumn("running", count(lit(1)).over(w))
       .groupBy(date_trunc("minute", $"ts").as("minute"), $"event_type")
-      .agg(max($"running").as("votes"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("votes", sum($"c").over(w))
+      .select($"minute", $"event_type", $"votes")
       .orderBy($"minute", $"event_type")
   }
 

@@ -21,6 +21,16 @@ object Dedup {
   private val NumHashes = 16
   private val BandSize = 4
 
+  /** Document-frequency cap on n-gram posting lists: a shingle shared
+    * by d documents expands d·(d−1)/2 pairs inside ONE task's row, so
+    * an uncapped boilerplate shingle (d ~ 10⁶ at 100 TB) is a
+    * quadratic-blowup / OOM hazard. Postings hotter than this are
+    * dropped — by construction they are boilerplate (headers, licence
+    * text) that contributes near-zero Jaccard evidence per pair. The
+    * oracle SQL applies the identical predicate.
+    */
+  val MaxShingleDf = 1000
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
 
@@ -110,30 +120,98 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** SimHash signatures: 64-bit sign-of-weighted-sum over distinct
-    * tokens, emitted as two 32-bit halves plus a 16-bit band bucket
-    * (the join key a hamming-near-dup pass would distribute on).
+  /** SimHash signatures: 64-bit sign-of-weighted-sum over the distinct
+    * word-3-gram shingles (the same feature space as [[minhashLsh]] —
+    * unigram features saturate on a shared vocabulary: measured on this
+    * corpus they put 451 unrelated pairs at hamming 0), emitted as two
+    * 32-bit halves plus a 16-bit band bucket.
+    *
+    * Shape: a PURE PROJECTION — each shingle's md5 is packed once into
+    * two 32-bit halves, and the 64 per-position sign sums are folded
+    * over the in-row shingle array with higher-order expressions. No
+    * explode, no shuffle (the round-1 form exploded 64 bit-rows per
+    * feature and paid two hash aggregations for what is per-document
+    * arithmetic). Bit p of a feature = bit (31−p) of its first md5
+    * half (p<32) / bit (63−p) of the second — identical to the
+    * hex-digit arithmetic the DuckDB oracle uses.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bits = docs(spark, dir)
-      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
-      .select($"doc_id", $"tok", explode(sequence(lit(0), lit(63))).as("p"))
-      .withColumn("hexd", expr("substr(md5(tok), (p div 4) + 1, 1)"))
-      .withColumn("v", expr("instr('0123456789abcdef', hexd) - 1"))
-      .withColumn("bit", expr("CAST(floor(v / pow(2, 3 - (p % 4))) AS INT) % 2"))
-      .groupBy($"doc_id", $"p")
-      .agg(sum($"bit" * 2 - 1).as("s"))
-      .withColumn("sbit", when($"s" > 0, 1L).otherwise(0L))
-    bits.groupBy($"doc_id")
-      .agg(
-        sum(when($"p" < 32, $"sbit" * pow(lit(2.0), lit(31) - $"p").cast("long"))
-          .otherwise(0L)).as("simhash_hi"),
-        sum(when($"p" >= 32, $"sbit" * pow(lit(2.0), lit(63) - $"p").cast("long"))
-          .otherwise(0L)).as("simhash_lo"),
-        sum(when($"p" < 16, $"sbit" * pow(lit(2.0), lit(15) - $"p").cast("long"))
-          .otherwise(0L)).as("bucket16"))
-      .orderBy($"doc_id")
+    simhashSignatures(spark, dir).orderBy($"doc_id")
+  }
+
+  /** Unordered (doc_id, simhash_hi, simhash_lo, bucket16) signature
+    * frame — the shared projection under [[simhash]] and
+    * [[simhashPairs]].
+    */
+  private def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val packed = transform(shingleArrayExpr, s => struct(
+      conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long").as("hi"),
+      conv(substring(md5(s.cast("binary")), 9, 8), 16, 10).cast("long").as("lo")))
+    // ONE fold over the shingle array with a 64-long accumulator. The
+    // inverted shape — transform(positions, p -> aggregate(shingles,…))
+    // — is 64x slower: CollapseProject inlines the md5-packing array
+    // into the position lambda, re-hashing every shingle per position.
+    // Here the packed array is the fold's collection argument, so it is
+    // evaluated once per row no matter what the optimizer inlines.
+    val counts = expr(
+      """aggregate(hs, array_repeat(CAST(0 AS BIGINT), 64),
+        |  (acc, t) -> zip_with(acc,
+        |    transform(sequence(0, 63), p ->
+        |      (CASE WHEN p < 32 THEN shiftright(t.hi, 31 - p)
+        |            ELSE shiftright(t.lo, 63 - p) END % 2) * 2 - 1),
+        |    (a, c) -> a + c))""".stripMargin)
+    val sbits =
+      expr("transform(cnts, s -> CAST(CASE WHEN s > 0 THEN 1 ELSE 0 END AS BIGINT))")
+    def packBits(from: Int, len: Int) =
+      expr(s"aggregate(slice(sbits, $from, $len), CAST(0 AS BIGINT), (a, x) -> a * 2 + x)")
+    tokenized(spark, dir)
+      .select($"doc_id", packed.as("hs"))
+      .select($"doc_id", counts.as("cnts"))
+      .select($"doc_id", sbits.as("sbits"))
+      .select($"doc_id",
+        packBits(1, 32).as("simhash_hi"),
+        packBits(33, 32).as("simhash_lo"),
+        packBits(1, 16).as("bucket16"))
+  }
+
+  /** Hamming radius for [[simhashPairs]] — shared with its oracle SQL. */
+  val SimhashMaxHamming = 12
+
+  /** SimHash near-dup pairs: band the 64-bit signature into four
+    * 16-bit keys, self-join on (band, band_key), then keep candidate
+    * pairs within [[SimhashMaxHamming]] exact hamming distance
+    * (codegen'd `graft_hamming64` on each 32-bit half).
+    *
+    * Scale shape: same banding argument as [[minhashLsh]] — the join
+    * distributes on 4·2¹⁶ keys instead of an n² cross product, and by
+    * pigeonhole any pair at hamming ≤ 3 shares a band exactly; larger
+    * radii are caught probabilistically (near-dups concentrate their
+    * bit flips). The signature subtree is a pure projection, planned
+    * once — band rows carry the halves so the hamming filter needs no
+    * re-join.
+    */
+  def simhashPairs(spark: SparkSession, dir: String,
+      maxHamming: Int = SimhashMaxHamming): DataFrame = {
+    import spark.implicits._
+    import graft.plans.ArrayExpressions.hamming64
+    val banded = simhashSignatures(spark, dir)
+      .select($"doc_id", $"simhash_hi", $"simhash_lo",
+        posexplode(array(
+          expr("simhash_hi div 65536"), expr("simhash_hi % 65536"),
+          expr("simhash_lo div 65536"), expr("simhash_lo % 65536"))))
+      .toDF("doc_id", "simhash_hi", "simhash_lo", "band", "band_key")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (hamming64(col("a.simhash_hi"), col("b.simhash_hi"))
+          + hamming64(col("a.simhash_lo"), col("b.simhash_lo"))).as("hamming"))
+      .filter($"hamming" <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
+      .orderBy($"doc_a", $"doc_b")
   }
 
   /** Exact n-gram Jaccard over an inverted shingle index: only pairs
@@ -145,7 +223,7 @@ object Dedup {
     * shuffle on shingle instead of two, and single-document shingles
     * (the vast majority) are dropped before any pair exists. Skewed
     * postings (boilerplate shingles) are the quadratic hazard at
-    * scale — cap df there; AQE splits what remains.
+    * scale — [[MaxShingleDf]] caps them; AQE splits what remains.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -157,7 +235,7 @@ object Dedup {
     val pairs = sh
       .groupBy($"shingle")
       .agg(sort_array(collect_list($"doc_id")).as("ds"))
-      .filter(size($"ds") > 1)
+      .filter(size($"ds").between(2, MaxShingleDf))
       .select(explode(expr(
         """flatten(transform(sequence(0, size(ds) - 2),
           |  i -> transform(slice(ds, i + 2, size(ds) - i - 1),
@@ -211,6 +289,7 @@ object Dedup {
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => embeddingCosine(s, d)),
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_simhash" -> simhash _,
+    "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "dedup_ngram_jaccard" -> ngramJaccard _,
   )
 
@@ -218,6 +297,27 @@ object Dedup {
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks WHERE len(t) >= 3),
       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx)""".stripMargin
+
+  /** Shared signature CTE for the two simhash oracles, over the same
+    * shingle features as the engine. The sums are CAST back to BIGINT
+    * because DuckDB widens sum(BIGINT) to HUGEINT, which the driver's
+    * type-sensitive hash compare would reject even though values are
+    * equal.
+    */
+  private val simhashCte =
+    s"""$shingleCte,
+      |ps AS (SELECT doc_id, shingle, unnest(generate_series(0, 63)) AS p FROM sh),
+      |bits AS (SELECT doc_id, p,
+      |           CAST(floor((strpos('0123456789abcdef', substr(md5(shingle), (p // 4) + 1, 1)) - 1)
+      |                / pow(2, 3 - (p % 4))) AS INT) % 2 AS bit
+      |         FROM ps),
+      |sums AS (SELECT doc_id, p, sum(bit * 2 - 1) AS s FROM bits GROUP BY 1, 2),
+      |sbits AS (SELECT doc_id, p, CASE WHEN s > 0 THEN 1 ELSE 0 END AS sbit FROM sums),
+      |sig AS (SELECT doc_id,
+      |          CAST(sum(CASE WHEN p < 32 THEN sbit * CAST(pow(2, 31 - p) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash_hi,
+      |          CAST(sum(CASE WHEN p >= 32 THEN sbit * CAST(pow(2, 63 - p) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash_lo,
+      |          CAST(sum(CASE WHEN p < 16 THEN sbit * CAST(pow(2, 15 - p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket16
+      |        FROM sbits GROUP BY doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dedup_embedding_cosine" ->
@@ -256,24 +356,38 @@ object Dedup {
         |JOIN hashes hb ON hb.doc_id = c.doc_b AND hb.k = ha.k
         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash" ->
-      """WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |ps AS (SELECT doc_id, tok, unnest(generate_series(0, 63)) AS p FROM tok),
-        |bits AS (SELECT doc_id, p,
-        |           CAST(floor((strpos('0123456789abcdef', substr(md5(tok), (p // 4) + 1, 1)) - 1)
-        |                / pow(2, 3 - (p % 4))) AS INT) % 2 AS bit
-        |         FROM ps),
-        |sums AS (SELECT doc_id, p, sum(bit * 2 - 1) AS s FROM bits GROUP BY 1, 2),
-        |sbits AS (SELECT doc_id, p, CASE WHEN s > 0 THEN 1 ELSE 0 END AS sbit FROM sums)
-        |SELECT doc_id,
-        |       sum(CASE WHEN p < 32 THEN sbit * CAST(pow(2, 31 - p) AS BIGINT) ELSE 0 END) AS simhash_hi,
-        |       sum(CASE WHEN p >= 32 THEN sbit * CAST(pow(2, 63 - p) AS BIGINT) ELSE 0 END) AS simhash_lo,
-        |       sum(CASE WHEN p < 16 THEN sbit * CAST(pow(2, 15 - p) AS BIGINT) ELSE 0 END) AS bucket16
-        |FROM sbits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $simhashCte
+        |SELECT doc_id, simhash_hi, simhash_lo, bucket16
+        |FROM sig ORDER BY doc_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH $simhashCte,
+        |banded AS (
+        |  SELECT doc_id, simhash_hi, simhash_lo, bd.band,
+        |         CASE bd.band WHEN 0 THEN simhash_hi // 65536
+        |                      WHEN 1 THEN simhash_hi % 65536
+        |                      WHEN 2 THEN simhash_lo // 65536
+        |                      ELSE simhash_lo % 65536 END AS band_key
+        |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) bd),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |       CAST(bit_count(xor(sa.simhash_hi, sb.simhash_hi))
+        |          + bit_count(xor(sa.simhash_lo, sb.simhash_lo)) AS BIGINT) AS hamming
+        |FROM cand JOIN sig sa ON sa.doc_id = doc_a
+        |          JOIN sig sb ON sb.doc_id = doc_b
+        |WHERE bit_count(xor(sa.simhash_hi, sb.simhash_hi))
+        |    + bit_count(xor(sa.simhash_lo, sb.simhash_lo)) <= $SimhashMaxHamming
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCte,
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |kept AS (SELECT shingle FROM sh GROUP BY shingle
+        |         HAVING count(*) BETWEEN 2 AND $MaxShingleDf),
         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS intersection
         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          JOIN kept k ON k.shingle = a.shingle
         |          GROUP BY 1, 2)
         |SELECT doc_a, doc_b, intersection,
         |       intersection * 1.0 / (sa.n + sb.n - intersection) AS jaccard

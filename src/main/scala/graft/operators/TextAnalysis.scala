@@ -151,7 +151,7 @@ object TextAnalysis {
         |SELECT doc_id,
         |       len(t) AS n_tokens,
         |       len(list_distinct(t)) AS n_types,
-        |       list_aggregate(list_transform(t, x -> CAST(length(x) AS BIGINT)), 'sum') AS sum_token_len,
+        |       CAST(list_aggregate(list_transform(t, x -> CAST(length(x) AS BIGINT)), 'sum') AS BIGINT) AS sum_token_len,
         |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS n_bpe_tokens,
         |       list_aggregate(list_transform(t, x -> CAST(length(x) AS BIGINT)), 'sum') * 1.0 / len(t) AS avg_token_len
         |FROM toks ORDER BY doc_id""".stripMargin,

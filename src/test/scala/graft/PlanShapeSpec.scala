@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+
+import graft.operators.{CoreQueries, Dedup}
+
+/** Plan-shape regressions for the scale rewrites: the point is not the
+  * sf0.001 result (the oracle gate covers values) but that the PLAN is
+  * the one that survives 100 TB — these assertions fail if someone
+  * reverts to the naive shape.
+  */
+class PlanShapeSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q3 rollup mode: the running-count window reads a pre-aggregate, not raw events") {
+    val plan = CoreQueries.runningByMinute(spark, dir).queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected a Window node")
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"window input must be the per-(minute,type) aggregate, got:\n${w.child}")
+    }
+  }
+
+  test("simhash is a pure projection: no hash-partitioned shuffle, no aggregate") {
+    val plan = Dedup.simhash(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"simhash should not shuffle on a key:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"simhash should not aggregate:\n$plan")
+  }
+
+  test("simhash pairs join distributes on (band, band_key), never a cross product") {
+    val plan = Dedup.simhashPairs(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pairs generation must stay an equi-join:\n$plan")
+  }
+}
