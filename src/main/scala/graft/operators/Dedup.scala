@@ -266,14 +266,22 @@ object Dedup {
     */
   val EmbeddingCosineThreshold: Double = 0.35
 
+  /** Sign-LSH bucket width for [[embeddingCosine]]. 2^bits buckets —
+    * raise it as the corpus grows so each bucket's self-join stays
+    * executor-sized (see `Similarity.LshBucketBits` for the recall
+    * recipe); the oracle documents the default.
+    */
+  val EmbeddingLshBits = 8
+
   def embeddingCosine(spark: SparkSession, dir: String,
-      threshold: Double = EmbeddingCosineThreshold): DataFrame = {
+      threshold: Double = EmbeddingCosineThreshold,
+      bits: Int = EmbeddingLshBits): DataFrame = {
     import spark.implicits._
     import graft.functions.Vectors
     val e = Tables.load(spark, dir, "embeddings")
       .select($"vec_id", Vectors.toDouble($"embedding").as("emb"))
       .withColumn("nrm", Vectors.norm($"emb"))
-      .withColumn("bucket", Vectors.signBucket($"emb", 8))
+      .withColumn("bucket", Vectors.signBucket($"emb", bits))
     e.as("a")
       .join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))

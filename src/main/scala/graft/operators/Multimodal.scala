@@ -118,8 +118,24 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Media-feature ANN: the decode seam's 8-dim feature vectors fed
+    * straight into the generic exact cosine top-k — the end-to-end
+    * multimodal story (binary payload → partition-wise decode →
+    * similarity search). The stub's features are dyadic rationals
+    * ((byte−128)/128), so every dot product is EXACT in double
+    * arithmetic and the DuckDB oracle reproduces it bit-for-bit from
+    * md5(text).
+    */
+  def mediaFeatureTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.cosineTopKOver(
+      decodeStub(fromDocuments(spark, dir)).toDF(), "media_id", "features")
+      .select($"q_id", $"vec_id".as("media_id"), $"cos", $"rnk")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_stats" -> binaryStats _,
+    "mm_feature_topk" -> mediaFeatureTopK _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -129,5 +145,21 @@ object Multimodal {
         |       md5(text) AS payload_md5,
         |       md5(substr(text, 1, 64)) AS head_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_feature_topk" ->
+      """WITH f AS (SELECT doc_id AS vec_id, md5(text) AS h FROM documents),
+        |feats AS (SELECT vec_id, i,
+        |            ((strpos('0123456789abcdef', substr(h, i*2+1, 1)) - 1) * 16
+        |             + strpos('0123456789abcdef', substr(h, i*2+2, 1)) - 1 - 128) / 128.0 AS x
+        |          FROM f, (SELECT unnest(generate_series(0, 7)) AS i) idx),
+        |dots AS (SELECT q.vec_id AS q_id, e.vec_id, sum(q.x * e.x) AS dot,
+        |                sqrt(sum(q.x * q.x)) AS nq, sqrt(sum(e.x * e.x)) AS nv
+        |         FROM feats q JOIN feats e ON q.i = e.i AND e.vec_id <> q.vec_id
+        |         WHERE q.vec_id < 5 GROUP BY 1, 2),
+        |scored AS (SELECT q_id, vec_id AS media_id, round(dot/(nq*nv), 6) AS cos,
+        |                  CAST(row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY round(dot/(nq*nv), 6) DESC, vec_id) AS BIGINT) AS rnk
+        |           FROM dots)
+        |SELECT q_id, media_id, cos, rnk FROM scored WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin,
   )
 }

@@ -23,6 +23,16 @@ object Similarity {
   private val NumQueries = 5
   private val TopK = 5
 
+  /** Default sign-LSH bucket width. 2^bits buckets: more bits → smaller
+    * buckets → more parallelism and pruning but lower single-bucket
+    * recall. At 100 TB raise the bits (buckets must stay executor-
+    * sized) and recover recall with [[lshTopKMultiProbe]]'s hamming-1
+    * probing instead of widening buckets. The SparkEntry oracles
+    * document the default — callers overriding it diverge from
+    * `oracle` by design.
+    */
+  val LshBucketBits = 8
+
   private def emb(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "embeddings")
@@ -30,11 +40,17 @@ object Similarity {
       .withColumn("nrm", Vectors.norm($"emb"))
   }
 
-  /** Exact brute-force cosine top-k for the first `NumQueries` vectors. */
-  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** Exact brute-force cosine top-k over ANY (id, array<double>) frame
+    * — the reusable exact path (media features ride through here too).
+    * Queries are the rows with id < `numQueries`.
+    */
+  def cosineTopKOver(e0: DataFrame, idCol: String, embCol: String,
+      numQueries: Int = NumQueries, k: Int = TopK): DataFrame = {
+    val spark = e0.sparkSession
     import spark.implicits._
-    val e = emb(spark, dir)
-    val q = e.filter($"vec_id" < NumQueries)
+    val e = e0.select(col(idCol).as("vec_id"), col(embCol).as("emb"))
+      .withColumn("nrm", Vectors.norm($"emb"))
+    val q = e.filter($"vec_id" < numQueries)
       .select($"vec_id".as("q_id"), $"emb".as("qe"), $"nrm".as("nq"))
     q.join(e, $"vec_id" =!= $"q_id")
       // native codegen'd dot (bit-identical to Vectors.dot — see
@@ -43,17 +59,27 @@ object Similarity {
       .withColumn("rnk",
         row_number().over(Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id"))
           .cast("long"))
-      .filter($"rnk" <= TopK)
+      .filter($"rnk" <= k)
       .select($"q_id", $"vec_id", $"cos", $"rnk")
       .orderBy($"q_id", $"rnk")
   }
 
-  /** LSH-bucketed ANN: candidates restricted to the query's sign
-    * bucket (first 8 dims), then exact cosine within the bucket.
-    */
-  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** Exact brute-force cosine top-k for the first `NumQueries` vectors. */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = emb(spark, dir).withColumn("bucket", Vectors.signBucket($"emb", 8))
+    cosineTopKOver(
+      Tables.load(spark, dir, "embeddings")
+        .select($"vec_id", Vectors.toDouble($"embedding").as("emb")),
+      "vec_id", "emb")
+  }
+
+  /** LSH-bucketed ANN: candidates restricted to the query's sign
+    * bucket (first `bits` dims), then exact cosine within the bucket.
+    */
+  def lshTopK(spark: SparkSession, dir: String,
+      bits: Int = LshBucketBits): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir).withColumn("bucket", Vectors.signBucket($"emb", bits))
     val q = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"emb".as("qe"), $"nrm".as("nq"), $"bucket")
     q.join(e, Seq("bucket"))
@@ -67,9 +93,42 @@ object Similarity {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** Multi-probe LSH ANN: each query probes its own sign bucket PLUS
+    * every bucket at hamming distance 1 (one flipped bit) — `bits`+1
+    * probe keys per query. A data vector lives in exactly one bucket,
+    * so probes never duplicate a candidate; recall lost to a borderline
+    * sign (the common near-neighbor failure: one dimension near 0
+    * flips) is recovered without enlarging any bucket. This is the
+    * scale recipe: raise `bits` to keep buckets small, multi-probe to
+    * keep recall.
+    */
+  def lshTopKMultiProbe(spark: SparkSession, dir: String,
+      bits: Int = LshBucketBits): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir).withColumn("bucket", Vectors.signBucket($"emb", bits))
+    val flips = expr(
+      s"""transform(sequence(1, $bits), i -> concat(
+         |  substring(bucket, 1, i - 1),
+         |  CASE WHEN substring(bucket, i, 1) = '1' THEN '0' ELSE '1' END,
+         |  substring(bucket, i + 1, $bits - i)))""".stripMargin)
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"emb".as("qe"), $"nrm".as("nq"),
+        explode(concat(array($"bucket"), flips)).as("bucket"))
+    q.join(e, Seq("bucket"))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("cos", round(ArrayExpressions.dot($"qe", $"emb") / ($"nq" * $"nrm"), 6))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id"))
+          .cast("long"))
+      .filter($"rnk" <= TopK)
+      .select($"q_id", $"vec_id", $"cos", $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> cosineTopK _,
-    "ann_lsh_topk" -> lshTopK _,
+    "ann_lsh_topk" -> ((s: SparkSession, d: String) => lshTopK(s, d)),
+    "ann_lsh_multiprobe" -> ((s: SparkSession, d: String) => lshTopKMultiProbe(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -106,6 +165,31 @@ object Similarity {
         |                       ORDER BY round(dot/(nq*nv), 6) DESC, vec_id) AS BIGINT) AS rnk
         |           FROM dots)
         |SELECT q_id, bucket, vec_id, cos, rnk FROM scored WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin,
+    "ann_lsh_multiprobe" ->
+      """WITH b AS (SELECT vec_id, embedding,
+        |             array_to_string(list_transform(embedding[1:8],
+        |               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS qe, bucket FROM b WHERE vec_id < 5),
+        |probes AS (SELECT q_id, qe,
+        |             CASE WHEN i = 0 THEN bucket
+        |                  ELSE substr(bucket, 1, i - 1)
+        |                    || (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END)
+        |                    || substr(bucket, i + 1) END AS bucket
+        |           FROM q, (SELECT unnest(generate_series(0, 8)) AS i)),
+        |pairs AS (SELECT p.q_id, e.vec_id, p.qe, e.embedding AS ve
+        |          FROM probes p JOIN b e ON p.bucket = e.bucket AND e.vec_id <> p.q_id),
+        |flat AS (SELECT q_id, vec_id, CAST(unnest(qe) AS DOUBLE) AS x,
+        |                CAST(unnest(ve) AS DOUBLE) AS y FROM pairs),
+        |dots AS (SELECT q_id, vec_id, sum(x*y) AS dot,
+        |                sqrt(sum(x*x)) AS nq, sqrt(sum(y*y)) AS nv
+        |         FROM flat GROUP BY 1, 2),
+        |scored AS (SELECT q_id, vec_id, round(dot/(nq*nv), 6) AS cos,
+        |                  CAST(row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY round(dot/(nq*nv), 6) DESC, vec_id) AS BIGINT) AS rnk
+        |           FROM dots)
+        |SELECT q_id, vec_id, cos, rnk FROM scored WHERE rnk <= 5
         |ORDER BY q_id, rnk""".stripMargin,
   )
 }

@@ -14,10 +14,14 @@ import org.apache.spark.sql.SparkSessionExtensions
   * the (b) rung of the custom-operator ladder: a scalar `Expression`
   * with `doGenCode`, before reaching for a custom physical operator.
   *
-  * Semantics match `graft.functions.Vectors.dot` exactly (sequential
-  * double accumulation in element order), so swapping one for the
-  * other never changes oracle results — only removes the per-element
-  * lambda-call overhead of the higher-order-function path.
+  * Semantics match `graft.functions.Vectors.dot` on equal-length,
+  * null-free arrays (sequential double accumulation in element order
+  * — the domain every caller and spec exercises), so swapping one for
+  * the other never changes oracle results — only removes the
+  * per-element lambda-call overhead of the higher-order-function path.
+  * Outside that domain they differ: the HOF form yields null on a
+  * length mismatch or null element; DotProductD min-truncates and
+  * must not be fed null elements.
   */
 object ArrayExpressions {
 

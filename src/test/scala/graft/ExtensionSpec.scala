@@ -71,6 +71,28 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH recall is at least single-bucket recall vs brute force") {
+    val brute = Similarity.cosineTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = Similarity.lshTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val multi = Similarity.lshTopKMultiProbe(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((multi intersect brute).size >= (single intersect brute).size)
+    // probing can only widen the candidate pool
+    assert(multi.size >= single.size)
+  }
+
+  test("narrower LSH buckets (bits=4) still score shared pairs identically to brute force") {
+    val brute = Similarity.cosineTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val narrow = Similarity.lshTopK(spark, dir, bits = 4).collect()
+    assert(narrow.nonEmpty)
+    narrow.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(2))).foreach(c => assert(c === r.getDouble(3)))
+    }
+  }
+
   test("language-ID + quality + token stats cover every document exactly once") {
     val n = graft.engine.Tables.load(spark, dir, "documents").count()
     assert(TextAnalysis.langId(spark, dir).count() === n)

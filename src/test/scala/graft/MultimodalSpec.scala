@@ -48,6 +48,26 @@ class MultimodalSpec extends SparkSpec {
     assert(r.count() === m.count())
   }
 
+  test("media-feature top-k matches a brute-force recomputation of the stub features") {
+    val feats = Multimodal.decodeStub(Multimodal.fromDocuments(spark, dir))
+      .collect().map(f => f.media_id -> f.features).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = (0L until 5L).flatMap { q =>
+      feats.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(feats(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, c), i) => (q, id, c, i + 1L) }
+    }.toSet
+    val got = Multimodal.mediaFeatureTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got === expected)
+  }
+
   test("frame sampler emits zero frames for empty payloads") {
     import spark.implicits._
     val m = Seq((1L, "image", Array.empty[Byte], 0, 0, 0L),
