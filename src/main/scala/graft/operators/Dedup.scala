@@ -65,11 +65,24 @@ object Dedup {
     * Fixed-width lowercase hex compares lexicographically =
     * numerically, in every engine.
     *
-    * Scale shape: the 16 chunks ride as an array on each (doc, shingle)
-    * row and reduce via 16 map-side-partial min-aggregates, so the
-    * shuffle carries one row per (doc, shingle) — not 16.
+    * Scale shape: a PURE PROJECTION — the codegen'd `graft_minhash16`
+    * kernel minimises all 16 slots in one pass over the in-row shingle
+    * array, so signatures cost zero shuffle. [[signaturesHof]] is the
+    * aggregate twin it is spec-checked against bit-for-bit.
     */
-  private def signatures(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def signatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tokenized(spark, dir)
+      .select($"doc_id",
+        graft.plans.ArrayExpressions.minhash16(shingleArrayExpr).as("sig"))
+  }
+
+  /** Stock-Catalyst twin of [[signatures]]: explode shingles, 4 md5
+    * projections, 16 map-side-partial min-aggregates (one shuffled row
+    * per (doc, shingle)). Kept as the no-custom-code fallback and the
+    * kernel's cross-check (ArrayExpressionsSpec).
+    */
+  private[graft] def signaturesHof(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val seeded = shingles(spark, dir).select($"doc_id" +:
       (0 until NumHashes / 4).map(s => md5(concat(lit(s + "|"), $"shingle")).as(s"m$s")): _*)
@@ -142,9 +155,29 @@ object Dedup {
 
   /** Unordered (doc_id, simhash_hi, simhash_lo, bucket16) signature
     * frame — the shared projection under [[simhash]] and
-    * [[simhashPairs]].
+    * [[simhashPairs]]. Uses the codegen'd `graft_simhash64` kernel
+    * (row-level MD5 + bit counting); [[simhashSignaturesHof]] is the
+    * pure-expression twin it is spec-checked against bit-for-bit.
     */
   private def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tokenized(spark, dir)
+      .select($"doc_id",
+        graft.plans.ArrayExpressions.simhash64(shingleArrayExpr).as("s"))
+      .select($"doc_id",
+        $"s.hi".as("simhash_hi"),
+        $"s.lo".as("simhash_lo"),
+        expr("s.hi div 65536").as("bucket16"))
+  }
+
+  /** Higher-order-function twin of [[simhashSignatures]]: identical
+    * semantics built only from stock Catalyst expressions. Kept as the
+    * cross-check for the native kernel (SimhashParitySpec) and as the
+    * no-custom-code fallback; 20x slower per row (per-element lambda
+    * dispatch: features × 64 positions), so the kernel serves the hot
+    * path.
+    */
+  private[graft] def simhashSignaturesHof(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val packed = transform(shingleArrayExpr, s => struct(
       conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long").as("hi"),

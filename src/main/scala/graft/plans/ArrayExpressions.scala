@@ -2,11 +2,12 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Native Catalyst expressions for the vector hot path (SURVEY §7.4:
@@ -85,12 +86,165 @@ object ArrayExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** 64-bit SimHash of a feature-string array, packed as two 32-bit
+    * halves `struct(hi, lo)` — the row-level replacement for the
+    * higher-order-function fold in `Dedup.simhash`, which is
+    * interpreted PER ELEMENT (features × 64 positions of lambda
+    * dispatch: 7 s at sf0.1 against ~0.3 s here). Bit-identical to
+    * that fold and to the DuckDB oracle's hex-digit arithmetic: bit p
+    * of a feature is bit (7−p%8) of byte p/8 of its md5.
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes = Seq(ArrayType(StringType))
+    override def dataType: DataType = StructType(Seq(
+      StructField("hi", LongType, nullable = false),
+      StructField("lo", LongType, nullable = false)))
+    override def prettyName: String = "graft_simhash64"
+
+    override def nullSafeEval(a: Any): Any =
+      SimHashUtil.compute(a.asInstanceOf[ArrayData])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.SimHashUtil.compute($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** 16 MinHashes of a feature-string array: 4 seeded md5 digests per
+    * feature, each sliced into four 8-hex-char chunks, minimised
+    * per-slot over all features — the in-row replacement for
+    * `Dedup.signatures`' explode → 4 md5 projections → 16 min
+    * aggregates, which shuffles one row per (doc, feature). Chunk
+    * values and the lexicographic min order are identical (fixed-width
+    * lowercase hex), so signatures are bit-equal to the aggregate
+    * form and to the DuckDB oracle.
+    */
+  case class MinHash16(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    // null for an empty feature array (the aggregate twin emits no row)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_minhash16"
+
+    override def nullSafeEval(a: Any): Any =
+      SimHashUtil.minhash16(a.asInstanceOf[ArrayData])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""
+           |${ev.value} = graft.plans.SimHashUtil.minhash16($c);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Column builders (usable without any session registration). */
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProductD(Bridge.expression(a), Bridge.expression(b)))
 
   def hamming64(a: Column, b: Column): Column =
     Bridge.column(HammingDistance64(Bridge.expression(a), Bridge.expression(b)))
+
+  def simhash64(features: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(features)))
+
+  def minhash16(features: Column): Column =
+    Bridge.column(MinHash16(Bridge.expression(features)))
+}
+
+/** Row-level SimHash kernel called from both interpreted eval and the
+  * generated code of [[ArrayExpressions.SimHash64]].
+  */
+object SimHashUtil {
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(arr: ArrayData): InternalRow = {
+    val md = digests.get()
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      // null elements are skipped (the engine never produces them:
+      // shingle arrays are built from non-null text)
+      if (!arr.isNullAt(i)) {
+        val h = md.digest(arr.getUTF8String(i).getBytes)
+        var p = 0
+        while (p < 64) {
+          counts(p) += ((h(p >> 3) >> (7 - (p & 7))) & 1) * 2 - 1
+          p += 1
+        }
+      }
+      i += 1
+    }
+    var hi = 0L
+    var lo = 0L
+    var p = 0
+    while (p < 32) { if (counts(p) > 0) hi |= 1L << (31 - p); p += 1 }
+    while (p < 64) { if (counts(p) > 0) lo |= 1L << (63 - p); p += 1 }
+    new GenericInternalRow(Array[Any](hi, lo))
+  }
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** 16 min-of-seeded-md5-chunk values over the feature array; null
+    * for an empty array (no features → no signature), matching the
+    * aggregate form where min() over zero rows is null.
+    */
+  def minhash16(arr: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val md = digests.get()
+    val mins = new Array[String](16)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val feat = arr.getUTF8String(i).getBytes
+        var s = 0
+        while (s < 4) {
+          md.reset()
+          md.update((48 + s).toByte) // '0'+s
+          md.update('|'.toByte)
+          md.update(feat)
+          val h = md.digest()
+          // hex-encode the 16 digest bytes → four 8-hex-char chunks
+          val hex = new Array[Char](32)
+          var b = 0
+          while (b < 16) {
+            hex(b * 2) = HexDigits((h(b) >> 4) & 0xf)
+            hex(b * 2 + 1) = HexDigits(h(b) & 0xf)
+            b += 1
+          }
+          var c = 0
+          while (c < 4) {
+            val chunk = new String(hex, c * 8, 8)
+            val k = s * 4 + c
+            if (mins(k) == null || chunk.compareTo(mins(k)) < 0) mins(k) = chunk
+            c += 1
+          }
+          s += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](16)
+    var k = 0
+    while (k < 16) {
+      out(k) = org.apache.spark.unsafe.types.UTF8String.fromString(mins(k))
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** SQL-name registration via SparkSessionExtensions — enable with
@@ -114,7 +268,15 @@ object GraftExtensions {
     (FunctionIdentifier("graft_hamming64"),
       new ExpressionInfo(classOf[ArrayExpressions.HammingDistance64].getName, "graft_hamming64"),
       (children: Seq[Expression]) =>
-        ArrayExpressions.HammingDistance64(children(0), children(1))))
+        ArrayExpressions.HammingDistance64(children(0), children(1))),
+    (FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[ArrayExpressions.SimHash64].getName, "graft_simhash64"),
+      (children: Seq[Expression]) =>
+        ArrayExpressions.SimHash64(children(0))),
+    (FunctionIdentifier("graft_minhash16"),
+      new ExpressionInfo(classOf[ArrayExpressions.MinHash16].getName, "graft_minhash16"),
+      (children: Seq[Expression]) =>
+        ArrayExpressions.MinHash16(children(0))))
 
   /** Register into a live session (withExtensions only applies at
     * construction time).

@@ -27,12 +27,42 @@ class ArrayExpressionsSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).toSeq === Seq(0L, 1L, 8L, 63L, 64L))
   }
 
-  test("extensions register graft_dot / graft_hamming64 as SQL functions") {
+  test("extensions register graft_dot / graft_hamming64 / graft_simhash64 as SQL functions") {
     GraftExtensions.register(spark)
     val r = spark.sql(
       "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
-        "graft_hamming64(5L, 6L) AS h").collect()(0)
+        "graft_hamming64(5L, 6L) AS h, " +
+        "graft_simhash64(array('a b c')).hi AS s").collect()(0)
     assert(r.getDouble(0) === 11.0)
     assert(r.getLong(1) === 2L)
+    assert(r.getLong(2) >= 0L && r.getLong(2) < (1L << 32))
+  }
+
+  test("native simhash kernel matches the higher-order-function fold bit for bit") {
+    val native = graft.operators.Dedup.simhash(spark, "/root/testdata/sf0.001")
+      .collect().toSeq.map(_.toSeq)
+    val hof = graft.operators.Dedup.simhashSignaturesHof(spark, "/root/testdata/sf0.001")
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    assert(native.nonEmpty)
+    assert(native === hof)
+  }
+
+  test("native minhash kernel matches the aggregate signature form bit for bit") {
+    val native = graft.operators.Dedup.signatures(spark, "/root/testdata/sf0.001")
+      .orderBy("doc_id").collect().toSeq.map(r => (r.getLong(0), r.getSeq[String](1)))
+    val agg = graft.operators.Dedup.signaturesHof(spark, "/root/testdata/sf0.001")
+      .orderBy("doc_id").collect().toSeq.map(r => (r.getLong(0), r.getSeq[String](1)))
+    assert(native.nonEmpty)
+    assert(native === agg)
+  }
+
+  test("minhash kernel yields null for an empty feature array") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_minhash16(CAST(array() AS ARRAY<STRING>)) AS a, " +
+        "graft_minhash16(array('x y z')) AS b")
+      .collect()(0)
+    assert(r.isNullAt(0))
+    assert(r.getSeq[String](1).length === 16)
   }
 }
