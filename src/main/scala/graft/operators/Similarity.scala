@@ -125,10 +125,55 @@ object Similarity {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** IVF list count / probe fan-out. Centroids here are a deterministic
+    * sample (the first `IvfNumCentroids` vectors) so the oracle can
+    * reproduce the assignment; a production deployment trains them
+    * (k-means) offline and broadcasts the same way.
+    */
+  val IvfNumCentroids = 8
+  val IvfNProbe = 2
+
+  /** IVF-style ANN: assign every vector to its nearest centroid
+    * (broadcast centroid table, map-side argmax — an embarrassingly
+    * parallel projection), then each query scores only the `nProbe`
+    * inverted lists nearest to it. This is the second scale path next
+    * to sign-LSH: candidate volume ≈ nProbe/numCentroids of the corpus,
+    * and the candidate join distributes on cent_id — list-partitioned,
+    * exactly how a 1000-executor IVF shards. Ties and floats are pinned
+    * the usual way (cosines rounded to 6 dp, ranks break on id).
+    */
+  def ivfTopK(spark: SparkSession, dir: String,
+      numCentroids: Int = IvfNumCentroids, nProbe: Int = IvfNProbe): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val cents = e.filter($"vec_id" < numCentroids)
+      .select($"vec_id".as("cent_id"), $"emb".as("cemb"), $"nrm".as("cnrm"))
+    val ranked = e.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        round(ArrayExpressions.dot($"emb", $"cemb") / ($"nrm" * $"cnrm"), 6))
+      .withColumn("crnk",
+        row_number().over(Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id"))
+          .cast("long"))
+    val assign = ranked.filter($"crnk" === 1)
+      .select($"vec_id", $"emb", $"nrm", $"cent_id")
+    val probes = ranked.filter($"vec_id" < NumQueries && $"crnk" <= nProbe)
+      .select($"vec_id".as("q_id"), $"emb".as("qe"), $"nrm".as("nq"), $"cent_id")
+    probes.join(assign, Seq("cent_id"))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("cos", round(ArrayExpressions.dot($"qe", $"emb") / ($"nq" * $"nrm"), 6))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id"))
+          .cast("long"))
+      .filter($"rnk" <= TopK)
+      .select($"q_id", $"vec_id", $"cos", $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> cosineTopK _,
     "ann_lsh_topk" -> ((s: SparkSession, d: String) => lshTopK(s, d)),
     "ann_lsh_multiprobe" -> ((s: SparkSession, d: String) => lshTopKMultiProbe(s, d)),
+    "ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -189,6 +234,34 @@ object Similarity {
         |                  CAST(row_number() OVER (PARTITION BY q_id
         |                       ORDER BY round(dot/(nq*nv), 6) DESC, vec_id) AS BIGINT) AS rnk
         |           FROM dots)
+        |SELECT q_id, vec_id, cos, rnk FROM scored WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin,
+    "ann_ivf_topk" ->
+      """WITH c AS (SELECT vec_id AS cent_id, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+        |cf AS (SELECT e.vec_id, c.cent_id, CAST(unnest(e.embedding) AS DOUBLE) AS x,
+        |              CAST(unnest(c.cemb) AS DOUBLE) AS y FROM embeddings e, c),
+        |cd AS (SELECT vec_id, cent_id,
+        |              round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS csim
+        |       FROM cf GROUP BY 1, 2),
+        |ranked AS (SELECT vec_id, cent_id,
+        |                  CAST(row_number() OVER (PARTITION BY vec_id
+        |                       ORDER BY csim DESC, cent_id) AS BIGINT) AS crnk
+        |           FROM cd),
+        |assign AS (SELECT vec_id, cent_id FROM ranked WHERE crnk = 1),
+        |probes AS (SELECT vec_id AS q_id, cent_id FROM ranked WHERE vec_id < 5 AND crnk <= 2),
+        |cand AS (SELECT p.q_id, a.vec_id FROM probes p
+        |         JOIN assign a ON p.cent_id = a.cent_id AND a.vec_id <> p.q_id),
+        |pf AS (SELECT cand.q_id, cand.vec_id, CAST(unnest(q.embedding) AS DOUBLE) AS x,
+        |              CAST(unnest(v.embedding) AS DOUBLE) AS y
+        |       FROM cand JOIN embeddings q ON q.vec_id = cand.q_id
+        |                 JOIN embeddings v ON v.vec_id = cand.vec_id),
+        |pd AS (SELECT q_id, vec_id,
+        |              round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+        |       FROM pf GROUP BY 1, 2),
+        |scored AS (SELECT q_id, vec_id, cos,
+        |                  CAST(row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+        |           FROM pd)
         |SELECT q_id, vec_id, cos, rnk FROM scored WHERE rnk <= 5
         |ORDER BY q_id, rnk""".stripMargin,
   )

@@ -83,6 +83,18 @@ class ExtensionSpec extends SparkSpec {
     assert(multi.size >= single.size)
   }
 
+  test("IVF ANN returns results per query and scores shared pairs identically to brute force") {
+    val ivf = Similarity.ivfTopK(spark, dir).collect()
+    assert(ivf.nonEmpty)
+    val brute = Similarity.cosineTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivf.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(1))).foreach(c => assert(c === r.getDouble(2)))
+    }
+    // every query probes nProbe lists, so each gets some candidates
+    assert(ivf.map(_.getLong(0)).distinct.length === 5)
+  }
+
   test("narrower LSH buckets (bits=4) still score shared pairs identically to brute force") {
     val brute = Similarity.cosineTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
