@@ -247,6 +247,59 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Near-dup cluster parameters, shared with the oracle SQL: pairs at
+    * estimated jaccard ≥ threshold become edges; labels propagate for a
+    * FIXED hop budget. Both engine and oracle compute "min doc_id
+    * within `ClusterMaxHops` hops", so the gate compares identical
+    * semantics by construction (dup clusters are near-cliques — their
+    * diameter is far below 10; a pathological longer chain would just
+    * split deterministically on both sides).
+    */
+  val ClusterThreshold = 0.5
+  val ClusterMaxHops = 10
+
+  /** Near-dup clustering with canonical keeper election — the step a
+    * training pipeline actually dedups with: connected components over
+    * the [[minhashLsh]] candidate graph via min-label propagation
+    * (each round: label ← min(own, neighbours') — the standard
+    * distributed connected-components shape). Every tokenised doc gets
+    * a row; `cluster_id` = the component's minimum doc_id; the keeper
+    * is the member equal to it.
+    *
+    * Scale shape: the hop loop is CONTROL only (no driver data) — each
+    * round is one shuffle-on-key join + aggregate over the (tiny,
+    * post-LSH) edge relation. The edge frame and each round's labels
+    * are eagerly `localCheckpoint`ed: the label frame is consumed
+    * TWICE per round (propagation + merge), so without truncation the
+    * logical plan doubles every iteration — 2^hops subtree copies
+    * (measured: 182 s at sf0.001; ~2 s with checkpoints). On a cluster
+    * the same loop uses reliable `checkpoint` to HDFS.
+    */
+  def clusters(spark: SparkSession, dir: String,
+      threshold: Double = ClusterThreshold,
+      maxHops: Int = ClusterMaxHops): DataFrame = {
+    import spark.implicits._
+    val sel = minhashLsh(spark, dir)
+      .filter($"est_jaccard" >= threshold)
+      .select($"doc_a".as("src"), $"doc_b".as("dst"))
+    val sym = sel.union(sel.select($"dst", $"src")).toDF("src", "dst")
+      .localCheckpoint()
+    var labels = tokenized(spark, dir).select($"doc_id")
+      .withColumn("cluster_id", $"doc_id")
+      .localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      val prop = labels.join(sym, labels("doc_id") === sym("src"))
+        .groupBy($"dst").agg(min($"cluster_id").as("nl"))
+      labels = labels.join(prop, labels("doc_id") === prop("dst"), "left")
+        .select($"doc_id",
+          least($"cluster_id", coalesce($"nl", $"cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+    }
+    labels
+      .select($"doc_id", $"cluster_id", ($"doc_id" === $"cluster_id").as("is_keeper"))
+      .orderBy($"doc_id")
+  }
+
   /** Exact n-gram Jaccard over an inverted shingle index: only pairs
     * sharing ≥1 shingle are materialised (never n²), then filtered to
     * the near-dup threshold.
@@ -331,6 +384,7 @@ object Dedup {
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
+    "dedup_clusters" -> ((s: SparkSession, d: String) => clusters(s, d)),
     "dedup_ngram_jaccard" -> ngramJaccard _,
   )
 
@@ -360,6 +414,27 @@ object Dedup {
       |          CAST(sum(CASE WHEN p < 16 THEN sbit * CAST(pow(2, 15 - p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket16
       |        FROM sbits GROUP BY doc_id)""".stripMargin
 
+  /** Shared candidate-pair + estimated-jaccard CTE for the minhash
+    * oracles (ends in `est(doc_a, doc_b, est_jaccard)`).
+    */
+  private val minhashPairsCte =
+    s"""$shingleCte,
+      |ks AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS k FROM sh),
+      |hashes AS (SELECT doc_id, k,
+      |             min(substr(md5((k // 4) || '|' || shingle), (k % 4) * 8 + 1, 8)) AS h
+      |           FROM ks GROUP BY 1, 2),
+      |bands AS (SELECT doc_id, k // 4 AS band, string_agg(h, '' ORDER BY k) AS band_key
+      |          FROM hashes GROUP BY doc_id, k // 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM bands a JOIN bands b
+      |           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |est AS (SELECT c.doc_a, c.doc_b,
+      |          sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) / $NumHashes.0 AS est_jaccard
+      |        FROM cand c
+      |        JOIN hashes ha ON ha.doc_id = c.doc_a
+      |        JOIN hashes hb ON hb.doc_id = c.doc_b AND hb.k = ha.k
+      |        GROUP BY 1, 2)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_embedding_cosine" ->
       s"""WITH b AS (SELECT vec_id, embedding,
@@ -380,22 +455,22 @@ object Dedup {
       """SELECT md5(text) AS fingerprint, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
     "dedup_minhash_lsh" ->
-      s"""WITH $shingleCte,
-        |ks AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS k FROM sh),
-        |hashes AS (SELECT doc_id, k,
-        |             min(substr(md5((k // 4) || '|' || shingle), (k % 4) * 8 + 1, 8)) AS h
-        |           FROM ks GROUP BY 1, 2),
-        |bands AS (SELECT doc_id, k // 4 AS band, string_agg(h, '' ORDER BY k) AS band_key
-        |          FROM hashes GROUP BY doc_id, k // 4),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |         FROM bands a JOIN bands b
-        |           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
-        |SELECT c.doc_a, c.doc_b,
-        |       sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) / $NumHashes.0 AS est_jaccard
-        |FROM cand c
-        |JOIN hashes ha ON ha.doc_id = c.doc_a
-        |JOIN hashes hb ON hb.doc_id = c.doc_b AND hb.k = ha.k
-        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $minhashPairsCte
+        |SELECT doc_a, doc_b, est_jaccard FROM est ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+        |sel AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= $ClusterThreshold),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM sel
+        |          UNION ALL SELECT doc_b, doc_a FROM sel),
+        |docs0 AS (SELECT doc_id FROM toks WHERE len(t) >= 3),
+        |walk(doc_id, label, depth) AS (
+        |  SELECT doc_id, doc_id, 0 FROM docs0
+        |  UNION
+        |  SELECT e.dst, w.label, w.depth + 1
+        |  FROM walk w JOIN edges e ON e.src = w.doc_id WHERE w.depth < $ClusterMaxHops),
+        |labels AS (SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY 1)
+        |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_keeper
+        |FROM labels ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $simhashCte
         |SELECT doc_id, simhash_hi, simhash_lo, bucket16

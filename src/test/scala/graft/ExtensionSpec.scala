@@ -36,6 +36,24 @@ class ExtensionSpec extends SparkSpec {
     assert(grouped === total)
   }
 
+  test("near-dup clusters: edges share a cluster, keepers are minima, isolated docs self-cluster") {
+    val labels = Dedup.clusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = graft.engine.Tables.load(spark, dir, "documents").count()
+    assert(labels.size === total)
+    // every ≥-threshold candidate pair landed in one cluster
+    Dedup.minhashLsh(spark, dir).filter("est_jaccard >= 0.5").collect().foreach { r =>
+      assert(labels(r.getLong(0)) === labels(r.getLong(1)))
+    }
+    // cluster_id is the component minimum, and it is a member of itself
+    labels.foreach { case (doc, c) =>
+      assert(c <= doc)
+      assert(labels(c) === c)
+    }
+    // there is at least one real multi-doc cluster in the fixture
+    assert(labels.exists { case (doc, c) => doc != c })
+  }
+
   test("simhash signatures are 32-bit-bounded and deterministic") {
     val r1 = Dedup.simhash(spark, dir).collect()
     val r2 = Dedup.simhash(spark, dir).collect()
