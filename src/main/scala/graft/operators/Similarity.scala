@@ -158,7 +158,9 @@ object Similarity {
       .select($"vec_id", $"emb", $"nrm", $"cent_id")
     val probes = ranked.filter($"vec_id" < NumQueries && $"crnk" <= nProbe)
       .select($"vec_id".as("q_id"), $"emb".as("qe"), $"nrm".as("nq"), $"cent_id")
-    probes.join(assign, Seq("cent_id"))
+    // ≤ queries × nProbe rows — broadcast, or Catalyst sort-merges the
+    // whole assignment relation against it
+    broadcast(probes).join(assign, Seq("cent_id"))
       .filter($"vec_id" =!= $"q_id")
       .withColumn("cos", round(ArrayExpressions.dot($"qe", $"emb") / ($"nq" * $"nrm"), 6))
       .withColumn("rnk",
