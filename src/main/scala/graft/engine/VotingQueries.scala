@@ -75,6 +75,41 @@ object VotingQueries {
       .orderBy($"vote_count".desc)
   }
 
+  /** Q2 leaderboard served from the streaming-maintained per-(hour,
+    * candidate) rollup — `EventStreams.votesPerCandidate` output kept
+    * fresh by `foreachBatchUpsert` — instead of raw votes. This is the
+    * SURVEY §7.5-3 rollup-mode dashboard path for 100 TB: every window
+    * function and percentage here runs over hours × candidates
+    * aggregate rows, so refresh cost is independent of vote volume.
+    * Reproduces Q2's quirks exactly (single-row change CTE, COALESCE
+    * to 0, ROW_NUMBER rank) — spec-checked equal to
+    * [[votesByCandidate]] over the same votes.
+    */
+  def leaderboardFromRollup(rollup: DataFrame): DataFrame = {
+    val spark = rollup.sparkSession
+    import spark.implicits._
+    val perHour = rollup.select($"candidate_id", $"candidate_name", $"party",
+      $"window_start".as("hour"), $"vote_count".as("hourly_count"))
+    val changes = perHour
+      .select($"candidate_id", $"hour",
+        ($"hourly_count" - lag($"hourly_count", 1)
+          .over(Window.partitionBy($"candidate_id").orderBy($"hour"))).as("hourly_change"))
+      .orderBy($"hour".desc)
+      .limit(1)
+      .select($"candidate_id", $"hourly_change")
+    val totals = perHour.groupBy($"candidate_id", $"candidate_name", $"party")
+      .agg(sum($"hourly_count").as("vote_count"))
+    val total = totals.agg(sum($"vote_count").as("__total"))
+    totals
+      .join(broadcast(changes), Seq("candidate_id"), "left")
+      .crossJoin(broadcast(total))
+      .select($"candidate_name", $"party", $"vote_count",
+        round($"vote_count" * lit(100.0) / $"__total", 2).as("percentage"),
+        row_number().over(Window.orderBy($"vote_count".desc)).as("rank"),
+        coalesce($"hourly_change", lit(0L)).as("hourly_change"))
+      .orderBy($"vote_count".desc)
+  }
+
   /** Q3 `get_historical_trends` (`app.py:126-151`): running per-candidate
     * count, re-grouped per minute with MAX.
     *

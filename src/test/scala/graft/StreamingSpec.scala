@@ -188,6 +188,46 @@ class StreamingSpec extends SparkSpec {
     assert(total === 20L)
   }
 
+  test("Q2 leaderboard served from the stream-maintained rollup equals the raw-vote query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft-rollup").toString + "/rollup"
+    // distinct per-candidate totals so the leaderboard order is unambiguous
+    val batch1 = (0 until 24).map { i =>
+      voteJson(s"t$i", s"v$i", s"c${i % 3}", s"Cand ${i % 3}", s"P${i % 3}",
+        f"2024-05-01 ${10 + i % 2}%02d:${i % 60}%02d:00")
+    }
+    val batch2 = (24 until 30).map { i =>
+      voteJson(s"t$i", s"v$i", s"c${i % 2}", s"Cand ${i % 2}", s"P${i % 2}",
+        f"2024-05-01 12:${i % 60}%02d:00")
+    }
+    val stream = MemoryStream[String]
+    val agg = EventStreams.votesPerCandidate(EventStreams.parseVotes(stream.toDF()))
+      .withColumn("rollup_key", concat_ws("|", col("window_start"), col("candidate_id")))
+    val q = EventStreams.foreachBatchUpsert(agg, out,
+      key = "rollup_key", versionCol = "vote_count", checkpointDir = ckpt())
+    stream.addData(batch1)
+    q.processAllAvailable()
+    stream.addData(batch2) // second batch revises existing windows — upsert, not append
+    q.processAllAvailable()
+    q.stop()
+    val served = graft.engine.VotingQueries
+      .leaderboardFromRollup(spark.read.parquet(out).drop("rollup_key"))
+      .collect().toSeq.map(_.toSeq)
+    // raw-vote reference over the same 30 votes
+    val all = EventStreams.parseVotes((batch1 ++ batch2).toDF("value"))
+    val candidates = (0 until 3).map(k => (s"c$k", "Cand", s"$k", s"P$k"))
+      .toDF("candidate_id", "first_name", "last_name", "party")
+    val tables = graft.engine.VotingTables(candidates,
+      spark.emptyDataFrame, all.select("vote_id", "voter_id", "candidate_id", "voted_at", "vote"))
+    val reference = graft.engine.VotingQueries.votesByCandidate(tables)
+      .select(concat_ws(" ", col("first_name"), col("last_name")).as("candidate_name"),
+        col("party"), col("vote_count"), col("percentage"), col("rank"), col("hourly_change"))
+      .collect().toSeq.map(_.toSeq)
+    assert(served === reference)
+    assert(served.map(_(2).asInstanceOf[Long]).sum === 30L)
+  }
+
   test("native session_window aggregates merge across micro-batches under watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
