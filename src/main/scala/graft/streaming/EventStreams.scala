@@ -135,6 +135,64 @@ object EventStreams {
       }
   }
 
+  /** One closed voter session emitted by [[voterSessions]]. */
+  final case class VoterSession(voter_id: String, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Custom gap-based sessionization with explicit keyed state — the
+    * `flatMapGroupsWithState` surface (report §3.3's stateful layer
+    * beyond windowed aggregation). Native `session_window` covers the
+    * plain case; this seam exists for semantics it cannot express
+    * (per-key gap policies, session caps, custom payloads) and emits
+    * each CLOSED session exactly once in Append mode: a session closes
+    * in-batch when a later event for the key exceeds the gap, or via
+    * `EventTimeTimeout` when the watermark passes last-event + gap.
+    * `session_end` is the last event's timestamp (not last + gap).
+    * State per key is three longs — bounded by live keys, expired by
+    * the timeout.
+    *
+    * Gap boundary matches the native operator: an event at exactly
+    * last + gap MERGES (split is strictly greater).
+    */
+  def voterSessions(votes: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "10 minutes"): Dataset[VoterSession] = {
+    val spark = votes.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    votes
+      .withWatermark("voted_at", watermark)
+      .select($"voter_id", $"voted_at")
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), VoterSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (voterId, rows, state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (start, last, n) = state.get
+            state.remove()
+            Iterator.single(VoterSession(voterId,
+              new java.sql.Timestamp(start), new java.sql.Timestamp(last), n))
+          } else {
+            val ts = rows.map(_._2.getTime).toArray.sorted
+            val closed = Seq.newBuilder[VoterSession]
+            var (start, last, n) = state.getOption.getOrElse((ts.head, ts.head - 1, 0L))
+            ts.foreach { t =>
+              if (t > last + gapMs && n > 0) {
+                closed += VoterSession(voterId,
+                  new java.sql.Timestamp(start), new java.sql.Timestamp(last), n)
+                start = t
+                n = 0L
+              }
+              last = math.max(last, t)
+              n += 1
+            }
+            state.update((start, last, n))
+            state.setTimeoutTimestamp(last + gapMs)
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Kafka-sink shaping: JSON value keyed by vote_id
     * (`src/data_generator.py:248`).
     */

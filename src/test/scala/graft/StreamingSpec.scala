@@ -228,6 +228,38 @@ class StreamingSpec extends SparkSpec {
     assert(served.map(_(2).asInstanceOf[Long]).sum === 30L)
   }
 
+  test("flatMapGroupsWithState sessionizer emits each closed session exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val sessions = EventStreams.voterSessions(
+      EventStreams.parseVotes(stream.toDF()), gapMinutes = 30)
+    val q = sessions.toDF().writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("vsessions").option("checkpointLocation", ckpt()).start()
+    // v1: two events 10 min apart, then one 80 min later in the SAME
+    // batch — the first fragment must close in-batch (flatMap output)
+    stream.addData(Seq(
+      voteJson("t1", "v1", "c1", "A", "P", "2024-05-01 10:00:00"),
+      voteJson("t2", "v1", "c1", "A", "P", "2024-05-01 10:10:00"),
+      voteJson("t3", "v1", "c1", "A", "P", "2024-05-01 11:30:00")))
+    q.processAllAvailable()
+    // v2 far ahead advances the watermark past v1's open fragment → timeout
+    stream.addData(Seq(voteJson("t4", "v2", "c1", "A", "P", "2024-05-01 20:00:00")))
+    q.processAllAvailable()
+    // advance again so v2's own session times out; v3 stays open
+    stream.addData(Seq(voteJson("t5", "v3", "c1", "A", "P", "2024-05-02 10:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("vsessions")
+      .orderBy("session_start")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3))).toSeq
+    assert(rows === Seq(
+      ("v1", "2024-05-01 10:00:00.0", "2024-05-01 10:10:00.0", 2L),
+      ("v1", "2024-05-01 11:30:00.0", "2024-05-01 11:30:00.0", 1L),
+      ("v2", "2024-05-01 20:00:00.0", "2024-05-01 20:00:00.0", 1L)))
+  }
+
   test("native session_window aggregates merge across micro-batches under watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
