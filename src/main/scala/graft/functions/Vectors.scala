@@ -35,4 +35,16 @@ object Vectors {
     */
   def signBucket(v: Column, bits: Int): Column =
     array_join(transform(slice(v, 1, bits), x => when(x >= 0, "1").otherwise("0")), "")
+
+  /** Multi-probe key set for a sign bucket: the bucket itself plus all
+    * `bits` buckets at hamming distance 1 (one flipped bit). Hamming-1
+    * adjacency is symmetric, so expanding ONE side of a bucket join
+    * covers every pair within distance 1 exactly once.
+    */
+  def probeBuckets(bucket: Column, bits: Int): Column =
+    concat(array(bucket), transform(sequence(lit(1), lit(bits)), i =>
+      concat(
+        bucket.substr(lit(1), i - 1),
+        when(bucket.substr(i, lit(1)) === "1", "0").otherwise("1"),
+        bucket.substr(i + 1, lit(bits) - i))))
 }

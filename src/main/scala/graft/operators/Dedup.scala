@@ -378,9 +378,40 @@ object Dedup {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** Multi-probe variant of [[embeddingCosine]]: one join side expands
+    * to its bucket plus all hamming-1 buckets, so near-dup pairs whose
+    * sign patterns differ in a single borderline dimension (the common
+    * LSH miss) are recovered. Hamming-1 adjacency is symmetric and a
+    * vector lives in exactly one bucket, so every pair within distance
+    * 1 is matched exactly once — no dedup pass needed. The recall
+    * recipe at scale: raise `bits` to shrink buckets, probe to keep
+    * recall.
+    */
+  def embeddingCosineMultiProbe(spark: SparkSession, dir: String,
+      threshold: Double = EmbeddingCosineThreshold,
+      bits: Int = EmbeddingLshBits): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Vectors
+    val e = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", Vectors.toDouble($"embedding").as("emb"))
+      .withColumn("nrm", Vectors.norm($"emb"))
+      .withColumn("bucket", Vectors.signBucket($"emb", bits))
+    val probed = e.select($"vec_id", $"emb", $"nrm",
+      explode(Vectors.probeBuckets($"bucket", bits)).as("bucket"))
+    probed.as("a")
+      .join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(graft.plans.ArrayExpressions.dot(col("a.emb"), col("b.emb"))
+          / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .filter($"cos" >= threshold)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exact _,
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => embeddingCosine(s, d)),
+    "dedup_embedding_mp" -> ((s: SparkSession, d: String) => embeddingCosineMultiProbe(s, d)),
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
@@ -444,6 +475,27 @@ object Dedup {
         |pairs AS (SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
         |                 a.embedding AS ea, b2.embedding AS eb
         |          FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+        |flat AS (SELECT vec_a, vec_b, CAST(unnest(ea) AS DOUBLE) AS x,
+        |                CAST(unnest(eb) AS DOUBLE) AS y FROM pairs),
+        |dots AS (SELECT vec_a, vec_b,
+        |                round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+        |         FROM flat GROUP BY 1, 2)
+        |SELECT vec_a, vec_b, cos FROM dots WHERE cos >= $EmbeddingCosineThreshold
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "dedup_embedding_mp" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+        |             array_to_string(list_transform(embedding[1:8],
+        |               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        |           FROM embeddings),
+        |probed AS (SELECT vec_id, embedding,
+        |             CASE WHEN i = 0 THEN bucket
+        |                  ELSE substr(bucket, 1, i - 1)
+        |                    || (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END)
+        |                    || substr(bucket, i + 1) END AS bucket
+        |           FROM b, (SELECT unnest(generate_series(0, 8)) AS i) idx),
+        |pairs AS (SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+        |                 a.embedding AS ea, b2.embedding AS eb
+        |          FROM probed a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
         |flat AS (SELECT vec_a, vec_b, CAST(unnest(ea) AS DOUBLE) AS x,
         |                CAST(unnest(eb) AS DOUBLE) AS y FROM pairs),
         |dots AS (SELECT vec_a, vec_b,

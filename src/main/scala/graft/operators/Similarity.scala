@@ -106,14 +106,9 @@ object Similarity {
       bits: Int = LshBucketBits): DataFrame = {
     import spark.implicits._
     val e = emb(spark, dir).withColumn("bucket", Vectors.signBucket($"emb", bits))
-    val flips = expr(
-      s"""transform(sequence(1, $bits), i -> concat(
-         |  substring(bucket, 1, i - 1),
-         |  CASE WHEN substring(bucket, i, 1) = '1' THEN '0' ELSE '1' END,
-         |  substring(bucket, i + 1, $bits - i)))""".stripMargin)
     val q = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"emb".as("qe"), $"nrm".as("nq"),
-        explode(concat(array($"bucket"), flips)).as("bucket"))
+        explode(Vectors.probeBuckets($"bucket", bits)).as("bucket"))
     q.join(e, Seq("bucket"))
       .filter($"vec_id" =!= $"q_id")
       .withColumn("cos", round(ArrayExpressions.dot($"qe", $"emb") / ($"nq" * $"nrm"), 6))

@@ -54,6 +54,15 @@ class ExtensionSpec extends SparkSpec {
     assert(labels.exists { case (doc, c) => doc != c })
   }
 
+  test("multi-probe embedding near-dup is a superset of single-bucket with identical scores") {
+    val single = Dedup.embeddingCosine(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val multi = Dedup.embeddingCosineMultiProbe(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(single.keySet.subsetOf(multi.keySet))
+    single.foreach { case (k, c) => assert(multi(k) === c) }
+  }
+
   test("simhash signatures are 32-bit-bounded and deterministic") {
     val r1 = Dedup.simhash(spark, dir).collect()
     val r2 = Dedup.simhash(spark, dir).collect()
