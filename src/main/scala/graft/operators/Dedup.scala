@@ -31,6 +31,15 @@ object Dedup {
     */
   val MaxShingleDf = 1000
 
+  /** The banded-join analog of [[MaxShingleDf]]: a degenerate corpus
+    * (boilerplate-dominated signatures) can funnel many documents into
+    * ONE (band, band_key) bucket, turning the LSH join quadratic in
+    * that task. Buckets hotter than this are dropped as saturated —
+    * standard LSH practice: a band shared by thousands of documents
+    * carries no pairwise evidence. Mirrored in the oracle SQL.
+    */
+  val MaxBandBucket = 1000
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
 
@@ -116,10 +125,17 @@ object Dedup {
     // subtree (md5s + 16 min-aggs) is planned exactly once — the est
     // join below reads sig_a/sig_b off the matched band rows instead of
     // re-joining (and re-computing) the signature relation twice
-    val bands = signatures(spark, dir).select($"doc_id", $"sig",
+    val bands0 = signatures(spark, dir).select($"doc_id", $"sig",
       posexplode(expr(s"transform(sequence(0, ${NumHashes / BandSize - 1}), " +
         s"b -> concat_ws('', slice(sig, b * $BandSize + 1, $BandSize)))")))
       .toDF("doc_id", "sig", "band", "band_key")
+    // saturated-bucket guard ([[MaxBandBucket]]): co-partitioned with
+    // the self-join key, so the size filter adds no extra exchange shape
+    val keptKeys = bands0.groupBy($"band", $"band_key")
+      .agg(count(lit(1)).as("bn"))
+      .filter($"bn" <= MaxBandBucket)
+      .select($"band", $"band_key")
+    val bands = bands0.join(keptKeys, Seq("band", "band_key"))
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
@@ -229,12 +245,18 @@ object Dedup {
       maxHamming: Int = SimhashMaxHamming): DataFrame = {
     import spark.implicits._
     import graft.plans.ArrayExpressions.hamming64
-    val banded = simhashSignatures(spark, dir)
+    val banded0 = simhashSignatures(spark, dir)
       .select($"doc_id", $"simhash_hi", $"simhash_lo",
         posexplode(array(
           expr("simhash_hi div 65536"), expr("simhash_hi % 65536"),
           expr("simhash_lo div 65536"), expr("simhash_lo % 65536"))))
       .toDF("doc_id", "simhash_hi", "simhash_lo", "band", "band_key")
+    // same saturated-bucket guard as minhashLsh ([[MaxBandBucket]])
+    val keptKeys = banded0.groupBy($"band", $"band_key")
+      .agg(count(lit(1)).as("bn"))
+      .filter($"bn" <= MaxBandBucket)
+      .select($"band", $"band_key")
+    val banded = banded0.join(keptKeys, Seq("band", "band_key"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
@@ -456,9 +478,12 @@ object Dedup {
       |           FROM ks GROUP BY 1, 2),
       |bands AS (SELECT doc_id, k // 4 AS band, string_agg(h, '' ORDER BY k) AS band_key
       |          FROM hashes GROUP BY doc_id, k // 4),
+      |bkept AS (SELECT band, band_key FROM bands GROUP BY 1, 2
+      |          HAVING count(*) <= $MaxBandBucket),
       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |         FROM bands a JOIN bands b
-      |           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      |         JOIN bkept k ON k.band = a.band AND k.band_key = a.band_key),
       |est AS (SELECT c.doc_a, c.doc_b,
       |          sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) / $NumHashes.0 AS est_jaccard
       |        FROM cand c
@@ -536,10 +561,13 @@ object Dedup {
         |                      WHEN 2 THEN simhash_lo // 65536
         |                      ELSE simhash_lo % 65536 END AS band_key
         |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) bd),
+        |bkept AS (SELECT band, band_key FROM banded GROUP BY 1, 2
+        |          HAVING count(*) <= $MaxBandBucket),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM banded a JOIN banded b
-        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |  JOIN bkept k ON k.band = a.band AND k.band_key = a.band_key)
         |SELECT doc_a, doc_b,
         |       CAST(bit_count(xor(sa.simhash_hi, sb.simhash_hi))
         |          + bit_count(xor(sa.simhash_lo, sb.simhash_lo)) AS BIGINT) AS hamming
