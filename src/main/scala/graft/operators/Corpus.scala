@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Corpus-management operators — the bookkeeping half of a training-data
+  * pipeline (builder brief; SURVEY §7.4 extension surface): deterministic
+  * sampling, train/val/test split assignment, token-budget batch packing,
+  * and benchmark-contamination detection.
+  *
+  * Everything keys on CONTENT HASHES, never on randomness: a pipeline
+  * rerun (or a different engine — the DuckDB oracle) must produce the
+  * same sample, the same split, the same contamination list. The shared
+  * hash bucket is the first 4 hex chars of md5(text) read as an
+  * integer, identical arithmetic on both engines.
+  */
+object Corpus {
+
+  /** 1-in-SampleK deterministic sample. */
+  val SampleK = 10
+
+  /** Split fractions: bucket < 80 → train, < 90 → val, else test. */
+  val TrainPct = 80
+  val ValPct = 90
+
+  /** Token budget per packed batch. */
+  val PackBudget = 512
+
+  /** Benchmark stand-in: every BenchMod-th document. */
+  val BenchMod = 50
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  /** 16-bit content-hash bucket (first 4 hex chars of md5(text)). */
+  private val hashBucket =
+    expr("CAST(conv(substr(md5(text), 1, 4), 16, 10) AS BIGINT)")
+
+  /** Deterministic 1-in-k sampling by content hash: rerun-stable,
+    * engine-independent, and unbiased for hash-uniform content —
+    * the property `rand()`-based sampling cannot give a pipeline
+    * that must be resumable and auditable.
+    */
+  def sample(spark: SparkSession, dir: String, k: Int = SampleK): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id", md5($"text").as("fingerprint"), hashBucket.as("hb"))
+      .filter($"hb" % k === 0)
+      .select($"doc_id", $"fingerprint")
+      .orderBy($"doc_id")
+  }
+
+  /** Train/val/test assignment from the same content-hash bucket:
+    * content-keyed (an exact duplicate always lands in the same split
+    * — no train/test leakage from dups), stable across reruns and
+    * corpus growth.
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id", (hashBucket % 100).as("bucket"))
+      .withColumn("split",
+        when($"bucket" < TrainPct, "train")
+          .when($"bucket" < ValPct, "val")
+          .otherwise("test"))
+      .orderBy($"doc_id")
+  }
+
+  /** Token-budget batch packing per language: contiguous fill in
+    * doc_id order, batch = exclusive-prefix-tokens div budget (a doc
+    * may straddle a boundary — the deterministic approximation of
+    * greedy packing; exact bin-packing is order-dependent anyway).
+    *
+    * The cumulative window is PARTITIONED BY lang, so no task ever
+    * sorts more than one language's documents. For a single global
+    * stream at 100 TB the same op runs as the classic two-pass prefix
+    * sum: per-partition totals, broadcast prefix offsets, map-side
+    * batch ids.
+    */
+  def packBatches(spark: SparkSession, dir: String,
+      budget: Int = PackBudget): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(spark, dir)
+      .select($"doc_id", $"lang",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .withColumn("batch",
+        (coalesce(sum($"n_tokens").over(w), lit(0L)) / budget).cast("long"))
+      .orderBy($"doc_id")
+  }
+
+  /** Benchmark-contamination detection (the decontamination pass every
+    * eval-honest pipeline runs): flag training documents whose 5-token
+    * head fingerprint collides with a held-out benchmark set — here
+    * the deterministic stand-in "every [[BenchMod]]-th doc". The
+    * benchmark fingerprint set is small → broadcast semi-join; at real
+    * scale this is exactly how a 13-gram bloom/semi-join decontam pass
+    * distributes.
+    */
+  def contamination(spark: SparkSession, dir: String,
+      benchMod: Int = BenchMod): DataFrame = {
+    import spark.implicits._
+    val f = docs(spark, dir)
+      .select($"doc_id",
+        md5(array_join(slice(split($"text", " "), 1, 5), " ")).as("head_md5"))
+    val bench = f.filter($"doc_id" % benchMod === 0).select($"head_md5")
+    f.filter($"doc_id" % benchMod =!= 0)
+      .join(broadcast(bench), Seq("head_md5"), "left_semi")
+      .select($"doc_id", $"head_md5")
+      .orderBy($"doc_id")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_sample" -> ((s: SparkSession, d: String) => sample(s, d)),
+    "corpus_split" -> splitAssign _,
+    "corpus_pack_batches" -> ((s: SparkSession, d: String) => packBatches(s, d)),
+    "corpus_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
+  )
+
+  /** DuckDB equivalent of [[hashBucket]]: nibble arithmetic over the
+    * same 4 hex chars (DuckDB has no conv()).
+    */
+  private val hbSql =
+    "(" + (0 until 4).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5(text), ${i + 1}, 1)) - 1) * ${1 << (4 * (3 - i))}")
+      .mkString(" + ") + ")"
+
+  val oracle: Map[String, String] = Map(
+    "corpus_sample" ->
+      s"""SELECT doc_id, md5(text) AS fingerprint FROM documents
+        |WHERE $hbSql % $SampleK = 0 ORDER BY doc_id""".stripMargin,
+    "corpus_split" ->
+      s"""WITH b AS (SELECT doc_id, CAST($hbSql % 100 AS BIGINT) AS bucket FROM documents)
+        |SELECT doc_id, bucket,
+        |       CASE WHEN bucket < $TrainPct THEN 'train'
+        |            WHEN bucket < $ValPct THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "corpus_pack_batches" ->
+      s"""WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+        |           FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |       CAST(coalesce(CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |            // $PackBudget AS BIGINT) AS batch
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "corpus_contamination" ->
+      s"""WITH f AS (SELECT doc_id,
+        |             md5(array_to_string((string_split(text, ' '))[1:5], ' ')) AS head_md5
+        |           FROM documents),
+        |bench AS (SELECT head_md5 FROM f WHERE doc_id % $BenchMod = 0)
+        |SELECT doc_id, head_md5 FROM f
+        |WHERE doc_id % $BenchMod <> 0 AND head_md5 IN (SELECT head_md5 FROM bench)
+        |ORDER BY doc_id""".stripMargin,
+  )
+}
