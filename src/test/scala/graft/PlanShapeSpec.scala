@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
 
-import graft.operators.{CoreQueries, Dedup}
+import graft.operators.{CoreQueries, Corpus, Dedup, Similarity}
 
 /** Plan-shape regressions for the scale rewrites: the point is not the
   * sf0.001 result (the oracle gate covers values) but that the PLAN is
@@ -34,5 +34,26 @@ class PlanShapeSpec extends SparkSpec {
     val plan = Dedup.simhashPairs(spark, dir).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"pairs generation must stay an equi-join:\n$plan")
+  }
+
+  test("IVF candidate join broadcasts the probe side") {
+    val plan = Similarity.ivfTopK(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probes must broadcast against the assignment relation:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no sort-merge join expected in IVF:\n$plan")
+  }
+
+  test("contamination is a broadcast semi-join on the benchmark fingerprints") {
+    val plan = Corpus.contamination(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") && plan.contains("Broadcast"),
+      s"expected a broadcast left-semi join:\n$plan")
+  }
+
+  test("batch packing windows per language, never a global single partition") {
+    val plan = Corpus.packBatches(spark, dir).queryExecution.executedPlan.toString
+    val windowSection = plan.split("Window").drop(1).headOption.getOrElse("")
+    assert(windowSection.contains("lang"),
+      s"packing window must be partitioned by lang:\n$plan")
   }
 }
