@@ -35,9 +35,11 @@ object Bench {
       System.gc()
       val ok = run(name, fn)
       val t0 = System.nanoTime()
-      if (ok) run(name, fn)
-      // a failed query must read as a failure (-1), not as a fast run
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      // a failure in EITHER run must read as a failure (-1), not as a
+      // fast run — the timed run can hit transient errors the priming
+      // run didn't
+      val timedOk = ok && run(name, fn)
+      name -> (if (timedOk) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

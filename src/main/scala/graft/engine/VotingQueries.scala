@@ -83,7 +83,12 @@ object VotingQueries {
     * aggregate rows, so refresh cost is independent of vote volume.
     * Reproduces Q2's quirks exactly (single-row change CTE, COALESCE
     * to 0, ROW_NUMBER rank) — spec-checked equal to
-    * [[votesByCandidate]] over the same votes.
+    * [[votesByCandidate]] over the same votes. Precondition: every
+    * candidate_id in the stream exists in the candidate dimension (the
+    * reference's FK, `setup_database.py:96-106`, guarantees this); a
+    * violating id would surface here (the denormalized message carries
+    * its name) but be silently dropped by the dim join in
+    * [[votesByCandidate]].
     */
   def leaderboardFromRollup(rollup: DataFrame): DataFrame = {
     val spark = rollup.sparkSession
@@ -130,9 +135,13 @@ object VotingQueries {
       .agg(count(lit(1)).as("c"))
       .withColumn("total_votes", sum($"c").over(w))
       .join(broadcast(t.candidate), "candidate_id")
-      .select($"vote_time",
-        concat_ws(" ", $"first_name", $"last_name").as("candidate_name"),
-        $"party", $"total_votes")
+      // the reference groups by NAME + party, not candidate_id — two
+      // candidates sharing a display name collapse to one row per
+      // minute with MAX of their cumulatives (faithful quirk; a no-op
+      // when names are unique)
+      .groupBy($"vote_time",
+        concat_ws(" ", $"first_name", $"last_name").as("candidate_name"), $"party")
+      .agg(max($"total_votes").as("total_votes"))
       .orderBy($"vote_time")
   }
 

@@ -237,6 +237,10 @@ object SimHashUtil {
       }
       i += 1
     }
+    // all-null feature arrays contribute nothing — same "no features →
+    // no signature" null as the empty array (the declared element type
+    // is non-null, so half-filled output is never allowed to escape)
+    if (mins(0) == null) return null
     val out = new Array[Any](16)
     var k = 0
     while (k < 16) {

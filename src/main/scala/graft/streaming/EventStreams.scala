@@ -173,22 +173,34 @@ object EventStreams {
             Iterator.single(VoterSession(voterId,
               new java.sql.Timestamp(start), new java.sql.Timestamp(last), n))
           } else {
+            // fold the batch's sorted events into gap-disjoint fragments,
+            // then interval-merge the carried state fragment at its time
+            // position — an in-watermark event EARLIER than the open
+            // session must extend or precede it, never be folded into it
+            // as if it were newest (that would freeze session_start)
             val ts = rows.map(_._2.getTime).toArray.sorted
-            val closed = Seq.newBuilder[VoterSession]
-            var (start, last, n) = state.getOption.getOrElse((ts.head, ts.head - 1, 0L))
+            val evFrags = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
             ts.foreach { t =>
-              if (t > last + gapMs && n > 0) {
-                closed += VoterSession(voterId,
-                  new java.sql.Timestamp(start), new java.sql.Timestamp(last), n)
-                start = t
-                n = 0L
-              }
-              last = math.max(last, t)
-              n += 1
+              if (evFrags.nonEmpty && t <= evFrags.last._2 + gapMs) {
+                val (s, l, n) = evFrags.last
+                evFrags(evFrags.length - 1) = (s, math.max(l, t), n + 1)
+              } else evFrags += ((t, t, 1L))
             }
+            val allFrags = (evFrags ++ state.getOption).sortBy(_._1)
+            val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+            allFrags.foreach { case f @ (s, l, n) =>
+              if (merged.nonEmpty && s <= merged.last._2 + gapMs) {
+                val (ps, pl, pn) = merged.last
+                merged(merged.length - 1) = (ps, math.max(pl, l), pn + n)
+              } else merged += f
+            }
+            val closed = merged.dropRight(1).map { case (s, l, n) =>
+              VoterSession(voterId, new java.sql.Timestamp(s), new java.sql.Timestamp(l), n)
+            }
+            val (start, last, n) = merged.last
             state.update((start, last, n))
             state.setTimeoutTimestamp(last + gapMs)
-            closed.result().iterator
+            closed.iterator
           }
       }
   }

@@ -60,9 +60,12 @@ class ArrayExpressionsSpec extends SparkSpec {
     GraftExtensions.register(spark)
     val r = spark.sql(
       "SELECT graft_minhash16(CAST(array() AS ARRAY<STRING>)) AS a, " +
-        "graft_minhash16(array('x y z')) AS b")
+        "graft_minhash16(array('x y z')) AS b, " +
+        "graft_minhash16(array(CAST(NULL AS STRING))) AS c")
       .collect()(0)
     assert(r.isNullAt(0))
     assert(r.getSeq[String](1).length === 16)
+    // all-null features must yield null, never an array of null elements
+    assert(r.isNullAt(2))
   }
 }

@@ -260,6 +260,29 @@ class StreamingSpec extends SparkSpec {
       ("v2", "2024-05-01 20:00:00.0", "2024-05-01 20:00:00.0", 1L)))
   }
 
+  test("sessionizer extends session_start backward for late in-watermark events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val sessions = EventStreams.voterSessions(
+      EventStreams.parseVotes(stream.toDF()), gapMinutes = 30)
+    val q = sessions.toDF().writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("latesess").option("checkpointLocation", ckpt()).start()
+    stream.addData(Seq(voteJson("t1", "v1", "c1", "A", "P", "2024-05-01 10:00:00")))
+    q.processAllAvailable()
+    // 09:55 is above the 09:50 watermark and within the gap BELOW the
+    // open session — it must extend the session's start, not vanish
+    // into it with the start frozen at 10:00
+    stream.addData(Seq(voteJson("t2", "v1", "c1", "A", "P", "2024-05-01 09:55:00")))
+    q.processAllAvailable()
+    stream.addData(Seq(voteJson("t3", "v2", "c1", "A", "P", "2024-05-02 10:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val v1 = spark.table("latesess").where("voter_id = 'v1'")
+      .collect().map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+    assert(v1.toSeq === Seq(("2024-05-01 09:55:00.0", "2024-05-01 10:00:00.0", 2L)))
+  }
+
   test("native session_window aggregates merge across micro-batches under watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -69,6 +69,21 @@ class VotingQueriesSpec extends SparkSpec {
     perCand.foreach { case (_, xs) => assert(xs === xs.sorted) }
   }
 
+  test("Q3 merges same-name candidates per minute with MAX, like the reference's name grouping") {
+    import spark.implicits._
+    val twins = Seq(
+      Candidate("c1", "Bob", "Jones", "1970-01-01", 54, "male", "Liberation Party", "b", "i"),
+      Candidate("c2", "Bob", "Jones", "1971-01-01", 53, "male", "Liberation Party", "b", "i"))
+    val votes = Seq(
+      Vote("t1", "v1", "c1", ts("2024-05-01 10:00:10"), 1),
+      Vote("t2", "v2", "c1", ts("2024-05-01 10:00:20"), 1),
+      Vote("t3", "v3", "c2", ts("2024-05-01 10:00:30"), 1))
+    val t = VotingTables(twins.toDF(), fixture.voter, votes.toDF())
+    val r = rows(VQ.historicalTrends(t))
+    // one row for the shared minute: MAX(c1's cumulative 2, c2's cumulative 1)
+    assert(r === Seq(Seq(ts("2024-05-01 10:00:00"), "Bob Jones", "Liberation Party", 2L)))
+  }
+
   test("Q4a votes by state with sorted string_agg(DISTINCT)") {
     val r = rows(VQ.votesByState(fixture).orderBy("address_state"))
     assert(r === Seq(
