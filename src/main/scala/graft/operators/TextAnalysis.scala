@@ -103,6 +103,32 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Winnowing fingerprints — the rolling-hash document fingerprint
+    * scheme (polynomial hash over token-3-grams, then the minimum of
+    * every 4 consecutive hashes, distinct): the standard fixed-size
+    * near-dup/plagiarism fingerprint set, guaranteed to share values
+    * between documents with sufficiently long common substrings.
+    * Token values are the first 4 hex chars of each token's md5 (so
+    * the DuckDB oracle reproduces them with nibble arithmetic); the
+    * k-gram hash is v₁·257² + v₂·257 + v₃ mod 1000003. All per-doc
+    * expression work — no shuffle before the final explode/sort.
+    */
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id", tok.as("t"))
+      .filter(size($"t") >= 3)
+      .withColumn("vals",
+        expr("transform(t, x -> CAST(conv(substr(md5(x), 1, 4), 16, 10) AS BIGINT))"))
+      .withColumn("hs", expr(
+        """transform(sequence(1, size(vals) - 2),
+          |  i -> (vals[i-1] * 66049 + vals[i] * 257 + vals[i+1]) % 1000003)""".stripMargin))
+      .withColumn("fp", explode(array_distinct(expr(
+        "transform(sequence(1, greatest(size(hs) - 3, 1)), j -> array_min(slice(hs, j, 4)))"))))
+      .select($"doc_id", $"fp")
+      .orderBy($"doc_id", $"fp")
+  }
+
   /** Term-frequency surface: per-doc top-3 terms (stopwords excluded)
     * with corpus document-frequency — the TF side of TF-IDF (IDF's log
     * is left to callers: libm vs JVM log differ at the ulp, which would
@@ -128,6 +154,7 @@ object TextAnalysis {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_winnow" -> winnowFingerprint _,
     "text_top_terms" -> topTerms _,
     "text_token_stats" -> tokenStats _,
     "text_quality" -> quality _,
@@ -136,6 +163,24 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_winnow" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |v AS (SELECT doc_id,
+        |        list_transform(t, x ->
+        |          CAST((strpos('0123456789abcdef', substr(md5(x), 1, 1)) - 1) * 4096
+        |             + (strpos('0123456789abcdef', substr(md5(x), 2, 1)) - 1) * 256
+        |             + (strpos('0123456789abcdef', substr(md5(x), 3, 1)) - 1) * 16
+        |             + (strpos('0123456789abcdef', substr(md5(x), 4, 1)) - 1) AS BIGINT)) AS vals
+        |      FROM toks WHERE len(t) >= 3),
+        |h AS (SELECT doc_id,
+        |        list_transform(generate_series(1, len(vals) - 2),
+        |          i -> (vals[i] * 66049 + vals[i+1] * 257 + vals[i+2]) % 1000003) AS hs
+        |      FROM v),
+        |w AS (SELECT doc_id,
+        |        list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+        |          j -> list_min(hs[j:j+3]))) AS fps
+        |      FROM h)
+        |SELECT doc_id, unnest(fps) AS fp FROM w ORDER BY doc_id, fp""".stripMargin,
     "text_top_terms" ->
       """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |f AS (SELECT doc_id, term, count(*) AS tf FROM terms

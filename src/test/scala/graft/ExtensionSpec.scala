@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.{Dedup, Similarity, TextAnalysis}
 
+
 /** Property-style checks for the training-data-pipeline operators over
   * the sf0.001 fixture tables (the DuckDB oracle gate covers exact
   * values; these pin the cross-operator invariants).
@@ -130,6 +131,20 @@ class ExtensionSpec extends SparkSpec {
     narrow.foreach { r =>
       brute.get((r.getLong(0), r.getLong(2))).foreach(c => assert(c === r.getDouble(3)))
     }
+  }
+
+  test("winnowing fingerprints are shared by near-dup documents") {
+    val fps = TextAnalysis.winnowFingerprint(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val nearDups = Dedup.ngramJaccard(spark, dir).filter("jaccard >= 0.9")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nearDups.nonEmpty)
+    nearDups.foreach { case (a, b) =>
+      assert((fps(a) intersect fps(b)).nonEmpty,
+        s"docs $a and $b are near-dups but share no winnow fingerprint")
+    }
+    // fingerprints are bounded by the rolling-hash modulus
+    fps.values.flatten.foreach(fp => assert(fp >= 0 && fp < 1000003))
   }
 
   test("language-ID + quality + token stats cover every document exactly once") {
