@@ -31,4 +31,14 @@ object Outputs {
 
   def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** ORC at rest — the second columnar format Spark ships natively
+    * (predicate pushdown and column pruning work the same as parquet,
+    * so a warehouse already on ORC can adopt the engine unchanged).
+    */
+  def orcWrite(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

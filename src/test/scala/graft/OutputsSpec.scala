@@ -39,6 +39,20 @@ class OutputsSpec extends SparkSpec {
       t.vote.orderBy("vote_id").collect().map(_.toSeq).toSeq)
   }
 
+  test("ORC round-trips votes and pushes filters to the scan") {
+    val t = VotingGen.generate(spark, nVoters = 50, seed = 7)
+    val path = Files.createTempDirectory("graft-orc").toString + "/votes"
+    Outputs.orcWrite(t.vote, path)
+    val back = Outputs.readOrc(spark, path)
+    assert(back.orderBy("vote_id").collect().map(_.toSeq).toSeq ===
+      t.vote.orderBy("vote_id").collect().map(_.toSeq).toSeq)
+    // columnar behavior parity with parquet: predicate reaches the scan
+    val plan = back.filter("candidate_id = 'c1'")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("candidate_id"),
+      s"no pushdown on ORC scan:\n$plan")
+  }
+
   test("approx distinct users tracks exact counts within the configured error") {
     val exact = graft.operators.CoreQueries.distinctUsers(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
