@@ -105,8 +105,7 @@ object Corpus {
       benchMod: Int = BenchMod): DataFrame = {
     import spark.implicits._
     val f = docs(spark, dir)
-      .select($"doc_id",
-        md5(array_join(slice(split($"text", " "), 1, 5), " ")).as("head_md5"))
+      .select($"doc_id", TextAnalysis.headMd5(split($"text", " ")).as("head_md5"))
     val bench = f.filter($"doc_id" % benchMod === 0).select($"head_md5")
     f.filter($"doc_id" % benchMod =!= 0)
       .join(broadcast(bench), Seq("head_md5"), "left_semi")

@@ -381,16 +381,14 @@ object Dedup {
     */
   val EmbeddingLshBits = 8
 
-  def embeddingCosine(spark: SparkSession, dir: String,
-      threshold: Double = EmbeddingCosineThreshold,
-      bits: Int = EmbeddingLshBits): DataFrame = {
-    import spark.implicits._
-    import graft.functions.Vectors
-    val e = Tables.load(spark, dir, "embeddings")
-      .select($"vec_id", Vectors.toDouble($"embedding").as("emb"))
-      .withColumn("nrm", Vectors.norm($"emb"))
-      .withColumn("bucket", Vectors.signBucket($"emb", bits))
-    e.as("a")
+  /** Bucket-equijoin `left` (possibly probe-expanded) against the full
+    * embedding frame and keep cosine-scored pairs above the threshold —
+    * the shared tail of both embedding near-dup variants.
+    */
+  private def bucketScoredPairs(left: DataFrame, e: DataFrame,
+      threshold: Double): DataFrame = {
+    import left.sparkSession.implicits._
+    left.as("a")
       .join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -398,6 +396,13 @@ object Dedup {
           / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
       .filter($"cos" >= threshold)
       .orderBy($"vec_a", $"vec_b")
+  }
+
+  def embeddingCosine(spark: SparkSession, dir: String,
+      threshold: Double = EmbeddingCosineThreshold,
+      bits: Int = EmbeddingLshBits): DataFrame = {
+    val e = Similarity.embWithBucket(spark, dir, bits)
+    bucketScoredPairs(e, e, threshold)
   }
 
   /** Multi-probe variant of [[embeddingCosine]]: one join side expands
@@ -414,20 +419,10 @@ object Dedup {
       bits: Int = EmbeddingLshBits): DataFrame = {
     import spark.implicits._
     import graft.functions.Vectors
-    val e = Tables.load(spark, dir, "embeddings")
-      .select($"vec_id", Vectors.toDouble($"embedding").as("emb"))
-      .withColumn("nrm", Vectors.norm($"emb"))
-      .withColumn("bucket", Vectors.signBucket($"emb", bits))
+    val e = Similarity.embWithBucket(spark, dir, bits)
     val probed = e.select($"vec_id", $"emb", $"nrm",
       explode(Vectors.probeBuckets($"bucket", bits)).as("bucket"))
-    probed.as("a")
-      .join(e.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(graft.plans.ArrayExpressions.dot(col("a.emb"), col("b.emb"))
-          / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
-      .filter($"cos" >= threshold)
-      .orderBy($"vec_a", $"vec_b")
+    bucketScoredPairs(probed, e, threshold)
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

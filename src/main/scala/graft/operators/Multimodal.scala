@@ -86,8 +86,8 @@ object Multimodal {
       // empty payloads must yield zero frames — sequence(0, -1) would
       // otherwise step BACKWARDS and emit phantom rows
       .filter(col("n_frames") > 0)
-      .select(col("media_id"), col("kind"), col("bytes"), col("n_frames"),
-        posexplode(sequence(lit(0), col("n_frames") - 1)).as(Seq("frame_idx", "f")))
+      .select(col("media_id"), col("kind"), col("bytes"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
       .filter(col("frame_idx") % stride === 0)
       .select(col("media_id"), col("kind"), col("frame_idx"),
         expr(s"substring(bytes, frame_idx * $frameBytes + 1, $frameBytes)").as("frame"))

@@ -40,6 +40,17 @@ object Similarity {
       .withColumn("nrm", Vectors.norm($"emb"))
   }
 
+  /** (vec_id, emb, nrm, bucket) — the shared prelude for every
+    * sign-bucketed consumer (here and the Dedup embedding near-dups):
+    * the bucketing and rounding conventions the cross-engine oracles
+    * depend on live in exactly one place.
+    */
+  private[operators] def embWithBucket(spark: SparkSession, dir: String,
+      bits: Int): DataFrame = {
+    import spark.implicits._
+    emb(spark, dir).withColumn("bucket", Vectors.signBucket($"emb", bits))
+  }
+
   /** Exact brute-force cosine top-k over ANY (id, array<double>) frame
     * — the reusable exact path (media features ride through here too).
     * Queries are the rows with id < `numQueries`.
@@ -79,7 +90,7 @@ object Similarity {
   def lshTopK(spark: SparkSession, dir: String,
       bits: Int = LshBucketBits): DataFrame = {
     import spark.implicits._
-    val e = emb(spark, dir).withColumn("bucket", Vectors.signBucket($"emb", bits))
+    val e = embWithBucket(spark, dir, bits)
     val q = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"emb".as("qe"), $"nrm".as("nq"), $"bucket")
     q.join(e, Seq("bucket"))
@@ -105,7 +116,7 @@ object Similarity {
   def lshTopKMultiProbe(spark: SparkSession, dir: String,
       bits: Int = LshBucketBits): DataFrame = {
     import spark.implicits._
-    val e = emb(spark, dir).withColumn("bucket", Vectors.signBucket($"emb", bits))
+    val e = embWithBucket(spark, dir, bits)
     val q = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"emb".as("qe"), $"nrm".as("nq"),
         explode(Vectors.probeBuckets($"bucket", bits)).as("bucket"))

@@ -21,6 +21,13 @@ object TextAnalysis {
 
   private val tok = split(col("text"), " ")
 
+  /** The 5-token head fingerprint (prefix-dup detection). One
+    * definition shared with `Corpus.contamination` — the decontam
+    * pass must key on exactly the fingerprint this module reports.
+    */
+  private[operators] def headMd5(tokens: org.apache.spark.sql.Column) =
+    md5(array_join(slice(tokens, 1, 5), " "))
+
   /** Token statistics: whitespace tokens, distinct types, exact summed
     * token length (integer arithmetic → deterministic double on the
     * single final division), and a BPE-ish regex token count.
@@ -99,7 +106,7 @@ object TextAnalysis {
         $"doc_id",
         md5($"text").as("exact_md5"),
         md5(array_join(array_sort($"t"), " ")).as("bag_md5"),
-        md5(array_join(slice($"t", 1, 5), " ")).as("head_md5"))
+        headMd5($"t").as("head_md5"))
       .orderBy($"doc_id")
   }
 

@@ -144,15 +144,16 @@ object EventStreams {
     * beyond windowed aggregation). Native `session_window` covers the
     * plain case; this seam exists for semantics it cannot express
     * (per-key gap policies, session caps, custom payloads) and emits
-    * each CLOSED session exactly once in Append mode: a session closes
-    * in-batch when a later event for the key exceeds the gap, or via
-    * `EventTimeTimeout` when the watermark passes last-event + gap.
-    * `session_end` is the last event's timestamp (not last + gap).
-    * State per key is three longs — bounded by live keys, expired by
-    * the timeout.
+    * each CLOSED session exactly once in Append mode.
     *
-    * Gap boundary matches the native operator: an event at exactly
-    * last + gap MERGES (split is strictly greater).
+    * A session closes ONLY when the watermark passes its last event +
+    * gap — never merely because a later in-batch event exceeded the
+    * gap: an on-time out-of-order event in a later batch may still
+    * bridge two open fragments, so the state holds the full list of
+    * open gap-disjoint fragments (bounded: fragments are at least gap
+    * apart, all above watermark − gap). `session_end` is the last
+    * event's timestamp (not last + gap). The gap boundary matches the
+    * native operator: an event at exactly last + gap MERGES.
     */
   def voterSessions(votes: DataFrame, gapMinutes: Int = 30,
       watermark: String = "10 minutes"): Dataset[VoterSession] = {
@@ -164,43 +165,41 @@ object EventStreams {
       .select($"voter_id", $"voted_at")
       .as[(String, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Long, Long), VoterSession](
+      .flatMapGroupsWithState[Seq[(Long, Long, Long)], VoterSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (voterId, rows, state: GroupState[(Long, Long, Long)]) =>
-          if (state.hasTimedOut) {
-            val (start, last, n) = state.get
-            state.remove()
-            Iterator.single(VoterSession(voterId,
-              new java.sql.Timestamp(start), new java.sql.Timestamp(last), n))
-          } else {
-            // fold the batch's sorted events into gap-disjoint fragments,
-            // then interval-merge the carried state fragment at its time
-            // position — an in-watermark event EARLIER than the open
-            // session must extend or precede it, never be folded into it
-            // as if it were newest (that would freeze session_start)
-            val ts = rows.map(_._2.getTime).toArray.sorted
-            val evFrags = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-            ts.foreach { t =>
-              if (evFrags.nonEmpty && t <= evFrags.last._2 + gapMs) {
-                val (s, l, n) = evFrags.last
-                evFrags(evFrags.length - 1) = (s, math.max(l, t), n + 1)
-              } else evFrags += ((t, t, 1L))
-            }
-            val allFrags = (evFrags ++ state.getOption).sortBy(_._1)
-            val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-            allFrags.foreach { case f @ (s, l, n) =>
-              if (merged.nonEmpty && s <= merged.last._2 + gapMs) {
-                val (ps, pl, pn) = merged.last
-                merged(merged.length - 1) = (ps, math.max(pl, l), pn + n)
-              } else merged += f
-            }
-            val closed = merged.dropRight(1).map { case (s, l, n) =>
-              VoterSession(voterId, new java.sql.Timestamp(s), new java.sql.Timestamp(l), n)
-            }
-            val (start, last, n) = merged.last
-            state.update((start, last, n))
-            state.setTimeoutTimestamp(last + gapMs)
-            closed.iterator
+        case (voterId, rows, state: GroupState[Seq[(Long, Long, Long)]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          // fold the batch's sorted events into gap-disjoint fragments,
+          // then interval-merge with the carried open fragments (an
+          // in-watermark event EARLIER than an open fragment must
+          // extend or precede it — session_start can move backward)
+          val ts = rows.map(_._2.getTime).toArray.sorted
+          val evFrags = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          ts.foreach { t =>
+            if (evFrags.nonEmpty && t <= evFrags.last._2 + gapMs) {
+              val (s, l, n) = evFrags.last
+              evFrags(evFrags.length - 1) = (s, math.max(l, t), n + 1)
+            } else evFrags += ((t, t, 1L))
+          }
+          val allFrags = (evFrags ++ state.getOption.getOrElse(Seq.empty)).sortBy(_._1)
+          val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          allFrags.foreach { case f @ (s, l, n) =>
+            if (merged.nonEmpty && s <= merged.last._2 + gapMs) {
+              val (ps, pl, pn) = merged.last
+              merged(merged.length - 1) = (ps, math.max(pl, l), pn + n)
+            } else merged += f
+          }
+          val (closed, open) = merged.partition { case (_, l, _) => l + gapMs <= wm }
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open.toSeq)
+            // clamped above the watermark: a straggler key whose
+            // deadline already passed would otherwise make
+            // setTimeoutTimestamp throw and kill the query
+            state.setTimeoutTimestamp(math.max(open.map(_._2).min + gapMs, wm + 1))
+          }
+          closed.iterator.map { case (s, l, n) =>
+            VoterSession(voterId, new java.sql.Timestamp(s), new java.sql.Timestamp(l), n)
           }
       }
   }
@@ -279,13 +278,25 @@ object EventStreams {
             Window.partitionBy(col(key)).orderBy(col(versionCol).desc)))
           .filter(col("__rn") === 1)
           .drop("__rn")
+        // Hadoop rename reports most failures by RETURNING FALSE, not
+        // throwing — an unchecked rename would let the checkpoint
+        // commit a batch whose output was silently abandoned in
+        // __stage. Throwing fails the batch so the checkpoint retries.
+        def mustRename(from: Path, to: Path): Unit =
+          require(fs.rename(from, to), s"rename $from -> $to failed")
         // stage → swap: at every crash point either dst or __prev holds
-        // a complete table, so the recovery read above never loses data
+        // a complete table, so the recovery read above never loses
+        // data. __prev is only touched while a fresh dst exists to
+        // replace it — a recovery run (dst absent, __prev = last good)
+        // must NOT delete __prev before stage lands at dst, or a crash
+        // in between would silently reset the table to one batch.
         fs.delete(stage, true)
         merged.write.mode("overwrite").parquet(stage.toString)
-        fs.delete(prev, true)
-        if (fs.exists(dst)) fs.rename(dst, prev)
-        fs.rename(stage, dst)
+        if (fs.exists(dst)) {
+          fs.delete(prev, true)
+          mustRename(dst, prev)
+        }
+        mustRename(stage, dst)
         fs.delete(prev, true)
         ()
       }

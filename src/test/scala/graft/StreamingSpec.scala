@@ -260,6 +260,33 @@ class StreamingSpec extends SparkSpec {
       ("v2", "2024-05-01 20:00:00.0", "2024-05-01 20:00:00.0", 1L)))
   }
 
+  test("sessionizer lets an on-time out-of-order event bridge two open fragments") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val sessions = EventStreams.voterSessions(
+      EventStreams.parseVotes(stream.toDF()), gapMinutes = 30)
+    val q = sessions.toDF().writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("bridge").option("checkpointLocation", ckpt()).start()
+    // two fragments 31 min apart — NOT closable yet (watermark hasn't
+    // passed end + gap), so both must stay open
+    stream.addData(Seq(
+      voteJson("t1", "v1", "c1", "A", "P", "2024-05-01 12:00:00"),
+      voteJson("t2", "v1", "c1", "A", "P", "2024-05-01 12:31:00")))
+    q.processAllAvailable()
+    // 12:25 is on time (watermark 12:21) and within the gap of BOTH
+    // fragments — they must merge into one session, like native
+    // session_window would
+    stream.addData(Seq(voteJson("t3", "v1", "c1", "A", "P", "2024-05-01 12:25:00")))
+    q.processAllAvailable()
+    stream.addData(Seq(voteJson("t4", "v2", "c1", "A", "P", "2024-05-02 12:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val v1 = spark.table("bridge").where("voter_id = 'v1'")
+      .collect().map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+    assert(v1.toSeq === Seq(("2024-05-01 12:00:00.0", "2024-05-01 12:31:00.0", 3L)))
+  }
+
   test("sessionizer extends session_start backward for late in-watermark events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
