@@ -335,13 +335,21 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // posting key = the shingle's md5 prefix as a 60-bit integer: an
+    // 8-byte shuffle/agg key instead of a 20-40 byte string. A key
+    // collision would merge two shingles' postings — deterministically
+    // and IDENTICALLY in the DuckDB oracle (same md5 arithmetic), so
+    // results still hash-match; at 2^60 key space the corpus-level
+    // collision odds are ~10^-5.
     val sh = shingles(spark, dir)
+      .select($"doc_id",
+        expr("CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT)").as("sk"))
     // per-doc shingle counts as a pure projection (no second explode +
     // shuffle over the shingle relation), from the same definition
     val sizes = tokenized(spark, dir)
       .select($"doc_id", size(shingleArrayExpr).cast("long").as("n"))
     val pairs = sh
-      .groupBy($"shingle")
+      .groupBy($"sk")
       .agg(sort_array(collect_list($"doc_id")).as("ds"))
       .filter(size($"ds").between(2, MaxShingleDf))
       .select(explode(expr(
@@ -435,6 +443,17 @@ object Dedup {
     "dedup_clusters" -> ((s: SparkSession, d: String) => clusters(s, d)),
     "dedup_ngram_jaccard" -> ngramJaccard _,
   )
+
+  /** DuckDB mirror of the engine's 60-bit shingle key
+    * (`conv(substr(md5(shingle),1,15),16,10)`) — DuckDB has no conv(),
+    * so the 15 hex chars become nibble-weighted arithmetic. All 15
+    * terms are static multiplications, so the total stays BIGINT (no
+    * sum() → HUGEINT widening).
+    */
+  private val shingleKeySql =
+    "(" + (0 until 15).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5(shingle), ${i + 1}, 1)) - 1) * ${math.pow(16, 14 - i).toLong}")
+      .mkString(" + ") + ")"
 
   private val shingleCte =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -574,11 +593,12 @@ object Dedup {
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCte,
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |kept AS (SELECT shingle FROM sh GROUP BY shingle
+        |skeys AS (SELECT doc_id, $shingleKeySql AS sk FROM sh),
+        |kept AS (SELECT sk FROM skeys GROUP BY sk
         |         HAVING count(*) BETWEEN 2 AND $MaxShingleDf),
         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS intersection
-        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |          JOIN kept k ON k.shingle = a.shingle
+        |          FROM skeys a JOIN skeys b ON a.sk = b.sk AND a.doc_id < b.doc_id
+        |          JOIN kept k ON k.sk = a.sk
         |          GROUP BY 1, 2)
         |SELECT doc_a, doc_b, intersection,
         |       intersection * 1.0 / (sa.n + sb.n - intersection) AS jaccard
