@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // specs compare Timestamp.valueOf wall-clock strings (JVM-default-TZ)
+  // against session-TZ-parsed values — pin both to UTC or every
+  // timestamp equality is host-timezone-dependent
+  "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -94,14 +94,19 @@ object Multimodal {
 
   /** Resize is metadata-only at this layer (a real implementation
     * rewrites pixels in decodeStub's seam): clamp the declared
-    * dimensions, preserving aspect.
+    * dimensions, preserving aspect. The scale factor is materialised
+    * BEFORE either dimension is replaced — `withColumn("width", …)`
+    * would otherwise make the height step's scale expression re-resolve
+    * `width` against the already-resized value and never shrink height.
     */
   def resizeMeta(media: DataFrame, maxDim: Int): DataFrame = {
     val scale = least(lit(1.0),
       lit(maxDim) / greatest(col("width"), greatest(col("height"), lit(1))))
     media
-      .withColumn("width", (col("width") * scale).cast("int"))
-      .withColumn("height", (col("height") * scale).cast("int"))
+      .withColumn("__scale", scale)
+      .withColumn("width", (col("width") * col("__scale")).cast("int"))
+      .withColumn("height", (col("height") * col("__scale")).cast("int"))
+      .drop("__scale")
   }
 
   /** Oracle-checkable slice of the binary plumbing: byte lengths and

@@ -17,6 +17,10 @@ class ArrayExpressionsSpec extends SparkSpec {
         Vectors.dot(col("a.emb"), col("b.emb")).as("hof"),
         ArrayExpressions.dot(col("a.emb"), col("b.emb")).as("native"))
     assert(both.filter($"hof" =!= $"native").count() === 0)
+    // null-safety: `=!=` is null-blind, so a regression to null on
+    // either side would otherwise pass the comparison above
+    assert(both.filter($"hof".isNull || $"native".isNull).count() === 0)
+    assert(both.count() === 2000)
   }
 
   test("codegen hamming distance counts differing bits") {

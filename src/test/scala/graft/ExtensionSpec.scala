@@ -88,15 +88,26 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("LSH ANN results stay within the query's sign bucket and agree with brute force") {
+    import org.apache.spark.sql.functions.col
     val lsh = Similarity.lshTopK(spark, dir).collect()
+    assert(lsh.nonEmpty)
+    val buckets = graft.engine.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.Vectors.signBucket(col("embedding"), 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val brute = Similarity.cosineTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     lsh.foreach { r =>
+      // the result row's bucket IS the query's bucket AND the neighbor's
+      assert(r.getString(1) === buckets(r.getLong(0)))
+      assert(r.getString(1) === buckets(r.getLong(2)))
       val key = (r.getLong(0), r.getLong(2))
       // when a bucketed neighbor is also in the brute-force top-k, the
       // cosine must be identical
       brute.get(key).foreach(c => assert(c === r.getDouble(3)))
     }
+    // the comparison above must not be vacuous
+    assert(lsh.exists(r => brute.contains((r.getLong(0), r.getLong(2)))))
   }
 
   test("multi-probe LSH recall is at least single-bucket recall vs brute force") {

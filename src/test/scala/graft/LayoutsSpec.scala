@@ -25,6 +25,10 @@ class LayoutsSpec extends SparkSpec {
   }
 
   test("bucketed orders x lineitem join has no shuffle exchange") {
+    // the session is shared across suites — restore the PRIOR values,
+    // not hardcoded defaults, or later suites run misconfigured
+    val priorBucketing = spark.conf.get("spark.sql.sources.bucketing.enabled")
+    val priorThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast path
     try {
@@ -40,7 +44,8 @@ class LayoutsSpec extends SparkSpec {
           .where("o_orderkey = l_orderkey")
           .select("o_orderkey").distinct().count())
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.sources.bucketing.enabled", priorBucketing)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorThreshold)
       spark.sql("DROP TABLE IF EXISTS orders_bucketed")
       spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
     }

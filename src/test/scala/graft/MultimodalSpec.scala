@@ -46,6 +46,17 @@ class MultimodalSpec extends SparkSpec {
     val r = Multimodal.resizeMeta(m, maxDim = 100)
     assert(r.filter("width > 100 or height > 100").count() === 0)
     assert(r.count() === m.count())
+    // aspect preservation: both dims scale by the SAME factor
+    // (100 / max dim), so the scaled values are derivable from the
+    // originals — a per-dimension clamp would fail this
+    val before = m.select("media_id", "width", "height").collect()
+      .map(x => x.getLong(0) -> (x.getInt(1), x.getInt(2))).toMap
+    r.select("media_id", "width", "height").collect().foreach { x =>
+      val (w0, h0) = before(x.getLong(0))
+      val scale = math.min(1.0, 100.0 / math.max(w0, math.max(h0, 1)))
+      assert(x.getInt(1) === (w0 * scale).toInt)
+      assert(x.getInt(2) === (h0 * scale).toInt)
+    }
   }
 
   test("media-feature top-k matches a brute-force recomputation of the stub features") {

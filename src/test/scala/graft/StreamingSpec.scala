@@ -45,7 +45,7 @@ class StreamingSpec extends SparkSpec {
     val stream = MemoryStream[String]
     stream.addData(msgs)
     val agg = EventStreams.votesPerCandidate(
-      EventStreams.parseVotes(stream.toDF().withColumnRenamed("value", "value")))
+      EventStreams.parseVotes(stream.toDF()))
     val q = EventStreams.runToMemory(agg, "vpc", ckpt())
     val streamed = spark.table("vpc")
       .orderBy("window_start", "candidate_id").collect().toSeq.map(_.toSeq)
@@ -192,15 +192,20 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val out = Files.createTempDirectory("graft-rollup").toString + "/rollup"
-    // distinct per-candidate totals so the leaderboard order is unambiguous
+    // distinct per-candidate totals (11/12/7) so every rank is
+    // unambiguous, and ONLY c1 occupies the latest hour so the
+    // reference's unpinned single-row change CTE is deterministic too
+    def msg(i: Int, cand: Int, hour: Int) =
+      voteJson(s"t$i", s"v$i", s"c$cand", s"Cand $cand", s"P$cand",
+        f"2024-05-01 $hour%02d:${i % 60}%02d:00")
     val batch1 = (0 until 24).map { i =>
-      voteJson(s"t$i", s"v$i", s"c${i % 3}", s"Cand ${i % 3}", s"P${i % 3}",
-        f"2024-05-01 ${10 + i % 2}%02d:${i % 60}%02d:00")
+      val cand = if (i < 9) 0 else if (i < 17) 1 else 2
+      msg(i, cand, 10 + i % 2)
     }
-    val batch2 = (24 until 30).map { i =>
-      voteJson(s"t$i", s"v$i", s"c${i % 2}", s"Cand ${i % 2}", s"P${i % 2}",
-        f"2024-05-01 12:${i % 60}%02d:00")
-    }
+    // batch2 REVISES an existing (hour-11, c0) rollup key — the upsert
+    // path, not just appends — and adds the hour-12 c1 rows
+    val batch2 = (24 until 28).map(i => msg(i, 1, 12)) ++
+      (28 until 30).map(i => msg(i, 0, 11))
     val stream = MemoryStream[String]
     val agg = EventStreams.votesPerCandidate(EventStreams.parseVotes(stream.toDF()))
       .withColumn("rollup_key", concat_ws("|", col("window_start"), col("candidate_id")))
@@ -208,7 +213,7 @@ class StreamingSpec extends SparkSpec {
       key = "rollup_key", versionCol = "vote_count", checkpointDir = ckpt())
     stream.addData(batch1)
     q.processAllAvailable()
-    stream.addData(batch2) // second batch revises existing windows — upsert, not append
+    stream.addData(batch2)
     q.processAllAvailable()
     q.stop()
     val served = graft.engine.VotingQueries
