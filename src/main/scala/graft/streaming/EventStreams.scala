@@ -36,10 +36,17 @@ object EventStreams {
   /** Parse a Kafka-shaped stream (binary `value` holding the JSON
     * message) into typed vote columns — `from_json` at the boundary
     * (`src/data_generator.py:249` produced it with json.dumps).
+    *
+    * Corrupt payloads and Kafka tombstones (null value on a compacted
+    * topic) make `from_json` yield null — those rows are DROPPED here:
+    * a null `voted_at` reaching the stateful operators downstream
+    * (`runningTallies`, `voterSessions` call `.getTime`) would
+    * NPE-crash the whole query on one bad message.
     */
   def parseVotes(kafkaShaped: DataFrame): DataFrame =
     kafkaShaped
       .select(from_json(col("value").cast("string"), voteMessageSchema).as("m"))
+      .filter(col("m").isNotNull && col("m.voted_at").isNotNull)
       .select(col("m.*"))
 
   /** At-least-once delivery dedup (`vote_id`) + the `unique_voter`
@@ -78,12 +85,15 @@ object EventStreams {
         col("candidate_id"), col("candidate_name"), col("party"), col("vote_count"))
 
   /** Sliding-window variant (report §3.3 names both tumbling and
-    * sliding intervals).
+    * sliding intervals). Carries only candidate_id — the
+    * `s_sliding_hourly` oracle contract — unlike the tumbling twin's
+    * denormalized name/party columns.
     */
-  def votesPerCandidateSliding(votes: DataFrame, watermark: String = "10 minutes"): DataFrame =
+  def votesPerCandidateSliding(votes: DataFrame, watermark: String = "10 minutes",
+      window_ : String = "1 hour", slide: String = "30 minutes"): DataFrame =
     votes
       .withWatermark("voted_at", watermark)
-      .groupBy(window(col("voted_at"), "1 hour", "30 minutes"), col("candidate_id"))
+      .groupBy(window(col("voted_at"), window_, slide), col("candidate_id"))
       .agg(count(lit(1)).as("vote_count"))
       .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
         col("candidate_id"), col("vote_count"))
@@ -92,7 +102,10 @@ object EventStreams {
     * voter dimension (the vote message carries no address), then a
     * tumbling window per state. The static side is broadcast when
     * small; at 100 TB it becomes a shuffled stream-static join keyed
-    * on voter_id.
+    * on voter_id. INNER join per the reference's FK semantics — a vote
+    * arriving before its voter row lands in the dimension is dropped
+    * for that micro-batch, not retried; a deployment with registration
+    * lag should left-join into an "unknown" bucket instead.
     */
   def turnoutByLocation(votes: DataFrame, voters: DataFrame,
       watermark: String = "10 minutes", window_ : String = "1 hour"): DataFrame =
@@ -193,9 +206,10 @@ object EventStreams {
           if (open.isEmpty) state.remove()
           else {
             state.update(open.toSeq)
-            // clamped above the watermark: a straggler key whose
-            // deadline already passed would otherwise make
-            // setTimeoutTimestamp throw and kill the query
+            // the partition above guarantees every open deadline is
+            // strictly beyond the watermark; the clamp is pure
+            // defense-in-depth (setTimeoutTimestamp THROWS on a
+            // stale timestamp, which would kill the whole query)
             state.setTimeoutTimestamp(math.max(open.map(_._2).min + gapMs, wm + 1))
           }
           closed.iterator.map { case (s, l, n) =>
@@ -250,54 +264,68 @@ object EventStreams {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        import org.apache.hadoop.fs.Path
-        import org.apache.spark.sql.expressions.Window
-        val conf = spark.sparkContext.hadoopConfiguration
-        val dst = new Path(path)
-        val prev = new Path(path + "__prev")
-        val stage = new Path(path + "__stage")
-        // resolve the filesystem FROM the target path (fs.defaultFS may
-        // be a different scheme than the sink location)
-        val fs = dst.getFileSystem(conf)
-        // recovery-aware read: prefer the live table; if a previous run
-        // crashed mid-swap, the last good table is at __prev. Absence
-        // is detected explicitly — a transient read error must FAIL the
-        // batch (checkpoint will retry), never silently empty the table.
-        val source =
-          if (fs.exists(dst)) Some(dst)
-          else if (fs.exists(prev)) Some(prev)
-          else None
-        val existing = source match {
-          case Some(p) => spark.read.parquet(p.toString)
-          case None => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
-        }
-        val merged = existing.unionByName(batch)
-          .withColumn("__rn", row_number().over(
-            Window.partitionBy(col(key)).orderBy(col(versionCol).desc)))
-          .filter(col("__rn") === 1)
-          .drop("__rn")
-        // Hadoop rename reports most failures by RETURNING FALSE, not
-        // throwing — an unchecked rename would let the checkpoint
-        // commit a batch whose output was silently abandoned in
-        // __stage. Throwing fails the batch so the checkpoint retries.
-        def mustRename(from: Path, to: Path): Unit =
-          require(fs.rename(from, to), s"rename $from -> $to failed")
-        // stage → swap: at every crash point either dst or __prev holds
-        // a complete table, so the recovery read above never loses
-        // data. __prev is only touched while a fresh dst exists to
-        // replace it — a recovery run (dst absent, __prev = last good)
-        // must NOT delete __prev before stage lands at dst, or a crash
-        // in between would silently reset the table to one batch.
-        fs.delete(stage, true)
-        merged.write.mode("overwrite").parquet(stage.toString)
-        if (fs.exists(dst)) {
+        // no-data micro-batches (watermark ticks) must not re-read and
+        // rewrite the whole table. NOTE: an if-guard, never `return` —
+        // a non-local return from a closure that outlives its enclosing
+        // method throws at batch time.
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import org.apache.hadoop.fs.Path
+          import org.apache.spark.sql.expressions.Window
+          val conf = spark.sparkContext.hadoopConfiguration
+          val dst = new Path(path)
+          // siblings derived from the NORMALIZED path — naive string
+          // concatenation on a trailing-slash path would nest __prev and
+          // __stage INSIDE dst and wedge the swap protocol forever
+          val prev = new Path(dst.getParent, dst.getName + "__prev")
+          val stage = new Path(dst.getParent, dst.getName + "__stage")
+          // resolve the filesystem FROM the target path (fs.defaultFS may
+          // be a different scheme than the sink location)
+          val fs = dst.getFileSystem(conf)
+          // recovery-aware read: prefer the live table; if a previous run
+          // crashed mid-swap, the last good table is at __prev. Absence
+          // is detected explicitly — a transient read error must FAIL the
+          // batch (checkpoint will retry), never silently empty the table.
+          val source =
+            if (fs.exists(dst)) Some(dst)
+            else if (fs.exists(prev)) Some(prev)
+            else None
+          val existing = source match {
+            case Some(p) => spark.read.parquet(p.toString)
+            case None => spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+          }
+          // a version TIE between the stored row and an update must
+          // resolve the same way in a batch and in its checkpoint
+          // replay, or recovery is not idempotent — break ties on a
+          // stable hash of the full row (arbitrary but deterministic)
+          val merged = existing.unionByName(batch)
+            .withColumn("__rn", row_number().over(
+              Window.partitionBy(col(key))
+                .orderBy(col(versionCol).desc, xxhash64(struct(col("*"))))))
+            .filter(col("__rn") === 1)
+            .drop("__rn")
+          // Hadoop rename reports most failures by RETURNING FALSE, not
+          // throwing — an unchecked rename would let the checkpoint
+          // commit a batch whose output was silently abandoned in
+          // __stage. Throwing fails the batch so the checkpoint retries.
+          def mustRename(from: Path, to: Path): Unit =
+            require(fs.rename(from, to), s"rename $from -> $to failed")
+          // stage → swap: at every crash point either dst or __prev holds
+          // a complete table, so the recovery read above never loses
+          // data. __prev is only touched while a fresh dst exists to
+          // replace it — a recovery run (dst absent, __prev = last good)
+          // must NOT delete __prev before stage lands at dst, or a crash
+          // in between would silently reset the table to one batch.
+          fs.delete(stage, true)
+          merged.write.mode("overwrite").parquet(stage.toString)
+          if (fs.exists(dst)) {
+            fs.delete(prev, true)
+            mustRename(dst, prev)
+          }
+          mustRename(stage, dst)
           fs.delete(prev, true)
-          mustRename(dst, prev)
         }
-        mustRename(stage, dst)
-        fs.delete(prev, true)
         ()
       }
       .start()
