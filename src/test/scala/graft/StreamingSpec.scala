@@ -35,6 +35,17 @@ class StreamingSpec extends SparkSpec {
     assert(parsed.getAs[Int]("vote") === 1)
   }
 
+  test("corrupt payloads and tombstones are dropped at the parse boundary") {
+    import spark.implicits._
+    val df = Seq(
+      voteJson("t1", "v1", "c1", "A", "P", "2024-05-01 10:05:00"),
+      "{not json at all",
+      """{"vote_id":"t2","voted_at":"not-a-timestamp"}""",
+      null.asInstanceOf[String]).toDF("value")
+    val parsed = EventStreams.parseVotes(df).collect()
+    assert(parsed.map(_.getAs[String]("vote_id")).toSeq === Seq("t1"))
+  }
+
   test("streaming votesPerCandidate equals its batch twin on the same bounded input") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
