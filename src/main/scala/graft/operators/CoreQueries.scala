@@ -47,10 +47,20 @@ object CoreQueries {
     val hourly = events
       .groupBy(date_trunc("hour", $"ts").as("hour"))
       .agg(count(lit(1)).as("votes"), max($"ts").as("latest_ts"))
+    // only the latest row survives, so its LAG needs just the two
+    // latest hours: orderBy+limit(2) plans as TakeOrderedAndProject
+    // (per-partition top-2, driver merge) — no global window over the
+    // whole hourly history
     hourly
-      .withColumn("hourly_change", $"votes" - lag($"votes", 1).over(Window.orderBy($"hour")))
-      .orderBy($"hour".desc)
-      .limit(1)
+      .orderBy($"hour".desc).limit(2)
+      .agg(count(lit(1)).as("__n"),
+        max_by(struct($"hour", $"votes", $"latest_ts"), $"hour").as("__l"),
+        min_by($"votes", $"hour").as("__pv"))
+      .filter($"__n" > 0)
+      .select($"__l.hour".as("hour"), $"__l.votes".as("votes"),
+        $"__l.latest_ts".as("latest_ts"),
+        when($"__n" > 1, $"__l.votes" - $"__pv")
+          .otherwise(lit(null).cast("long")).as("hourly_change"))
   }
 
   /** Q2 analog (`app.py:83-124`): event-type leaderboard. Faithful
@@ -78,14 +88,16 @@ object CoreQueries {
       .limit(1)
       .select($"event_type", $"hourly_change")
     val total = perHour.agg(sum($"cnt").as("total"))
-    perHour
+    val board = perHour
       .groupBy($"event_type")
       .agg(sum($"cnt").as("vote_count"))
       .join(broadcast(latestChange), Seq("event_type"), "left")
       .crossJoin(broadcast(total))
       .withColumn("percentage", $"vote_count" * lit(100.0) / $"total")
-      .withColumn("rank",
-        row_number().over(Window.orderBy($"vote_count".desc, $"event_type")).cast("long"))
+    // the ranked frame is post-aggregate, bounded by the event-type
+    // domain — an explicit single-reducer rank (Ranking.scala), not an
+    // accidental global window
+    Ranking.boundedRowNumber(board, "rank", $"vote_count".desc, $"event_type")
       .select($"event_type", $"vote_count", $"percentage", $"rank",
         coalesce($"hourly_change", lit(0L)).as("hourly_change"))
       .orderBy($"rank")
@@ -183,7 +195,15 @@ object CoreQueries {
           .otherwise("high"))
       .groupBy($"bucket")
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("percentage", $"cnt" * lit(100.0) / sum($"cnt").over(Window.partitionBy()))
+      .transform { agged =>
+        // grand total as a broadcast join against the re-aggregated
+        // frame instead of an unpartitioned window: the groupBy
+        // exchange is reused (one scan), and nothing collapses to a
+        // single partition
+        agged.crossJoin(broadcast(agged.agg(sum($"cnt").as("__total"))))
+      }
+      .withColumn("percentage", $"cnt" * lit(100.0) / $"__total")
+      .drop("__total")
       .orderBy($"bucket")
   }
 
@@ -258,13 +278,17 @@ object CoreQueries {
     */
   def statsLeftJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val grandTotal = Window.partitionBy()
     t(spark, dir, "supplier")
       .join(t(spark, dir, "lineitem"), $"s_suppkey" === $"l_suppkey", "left")
       .groupBy($"s_name")
       .agg(count(lit(1)).as("votes"))
-      .withColumn("percentage",
-        $"votes" * lit(100.0) / nullif(sum($"votes").over(grandTotal), lit(0L)))
+      .transform { agged =>
+        // grand total via broadcast join on the re-aggregated frame
+        // (exchange reused), not an unpartitioned window
+        agged.crossJoin(broadcast(agged.agg(sum($"votes").as("__total"))))
+      }
+      .withColumn("percentage", $"votes" * lit(100.0) / nullif($"__total", lit(0L)))
+      .drop("__total")
       .orderBy($"votes".desc, $"s_name")
   }
 
@@ -331,6 +355,23 @@ object CoreQueries {
       .orderBy($"event_type")
   }
 
+  /** Contiguous global rank over a data-scaled frame (every order,
+    * by price): the Ranking.globalRowNumber path — quantile-bucketed
+    * numbering plus offsets, never a single-partition sort. The
+    * bounded-domain leaderboard rank in Q2 is the other half of the
+    * story; this is the half that must survive 100 TB.
+    */
+  def globalRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = t(spark, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    Ranking.globalRowNumber(orders, "rank", buckets = 32,
+      bucketCol = "o_totalprice", ascending = false,
+      $"o_totalprice".desc, $"o_orderkey")
+      .select($"o_orderkey", $"o_totalprice", $"rank")
+      .orderBy($"rank")
+  }
+
   /** All core queries, keyed as exposed through SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_hourly_latest" -> hourlyLatest _,
@@ -348,6 +389,7 @@ object CoreQueries {
     "q_json_extract" -> jsonExtract _,
     "q_distinct_users" -> distinctUsers _,
     "q_approx_distinct_users" -> approxDistinctUsers _,
+    "q_global_rank" -> globalRank _,
   )
 
   /** DuckDB-equivalent SQL for the driver's oracle (column names and
@@ -467,5 +509,9 @@ object CoreQueries {
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users, count(*) AS events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_global_rank" ->
+      """SELECT o_orderkey, o_totalprice,
+        |       CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+        |FROM orders ORDER BY rank""".stripMargin,
   )
 }

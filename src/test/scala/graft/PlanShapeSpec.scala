@@ -50,6 +50,43 @@ class PlanShapeSpec extends SparkSpec {
       s"expected a broadcast left-semi join:\n$plan")
   }
 
+  test("no benched query plans an unpartitioned window (single-partition collapse)") {
+    // WindowExec warns + collapses to one task when partitionSpec is
+    // empty; every global-total / global-rank shape was rewritten to a
+    // broadcast total, TakeOrdered diff, or explicit bucketed rank
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => W}
+    for ((name, fn) <- graft.SparkEntry.queries) {
+      val plan = fn(spark, dir).queryExecution.optimizedPlan
+      plan.foreach {
+        case w: W => assert(w.partitionSpec.nonEmpty,
+          s"$name has an unpartitioned window:\n$w")
+        case _ =>
+      }
+    }
+  }
+
+  test("q1 plans a TakeOrdered top-2, not a window over the hourly history") {
+    val qe = CoreQueries.hourlyLatest(spark, dir).queryExecution
+    assert(qe.optimizedPlan.collect {
+      case w: LWindow => w }.isEmpty, "q1 should have no window at all")
+    assert(qe.executedPlan.toString.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject:\n${qe.executedPlan}")
+  }
+
+  test("global rank: windows are bucket-partitioned and numbering matches the oracle shape") {
+    val df = CoreQueries.globalRank(spark, dir)
+    df.queryExecution.optimizedPlan.foreach {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        assert(w.partitionSpec.nonEmpty, s"global rank must never collapse:\n$w")
+      case _ =>
+    }
+    // contiguity + determinism: ranks are exactly 1..n in price order
+    val rows = df.collect()
+    assert(rows.map(_.getLong(2)).toSeq == (1L to rows.length).toSeq)
+    val prices = rows.map(_.getDouble(1)).toSeq
+    assert(prices == prices.sorted.reverse, "rank order must follow price desc")
+  }
+
   test("batch packing windows per language, never a global single partition") {
     val plan = Corpus.packBatches(spark, dir).queryExecution.executedPlan.toString
     val windowSection = plan.split("Window").drop(1).headOption.getOrElse("")
