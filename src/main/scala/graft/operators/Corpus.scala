@@ -113,7 +113,28 @@ object Corpus {
       .orderBy($"doc_id")
   }
 
+  /** Stratified (language-rebalanced) deterministic downsample: every
+    * language is thinned to ≈ the smallest language's document count.
+    * A doc survives iff `hb * cnt_lang < min_cnt * 65536` — pure
+    * integer arithmetic on the content-hash bucket, so the kept set is
+    * rerun-stable, engine-exact, and content-keyed like [[sample]].
+    * Language counts are a tiny aggregate → broadcast joins; the
+    * filter itself is map-side, no extra shuffle over the corpus.
+    */
+  def stratified(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir).select($"doc_id", $"lang", hashBucket.as("hb"))
+    val counts = d.groupBy($"lang").agg(count(lit(1)).as("cnt"))
+    val mn = counts.agg(min($"cnt").as("mn"))
+    d.join(broadcast(counts), "lang")
+      .crossJoin(broadcast(mn))
+      .filter($"hb" * $"cnt" < $"mn" * lit(65536L))
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_stratified" -> stratified _,
     "corpus_sample" -> ((s: SparkSession, d: String) => sample(s, d)),
     "corpus_split" -> splitAssign _,
     "corpus_pack_batches" -> ((s: SparkSession, d: String) => packBatches(s, d)),
@@ -129,6 +150,13 @@ object Corpus {
       .mkString(" + ") + ")"
 
   val oracle: Map[String, String] = Map(
+    "corpus_stratified" ->
+      s"""WITH d AS (SELECT doc_id, lang, $hbSql AS hb FROM documents),
+        |c AS (SELECT lang, count(*) AS cnt FROM d GROUP BY 1),
+        |m AS (SELECT min(cnt) AS mn FROM c)
+        |SELECT doc_id, lang FROM d JOIN c USING (lang) CROSS JOIN m
+        |WHERE hb * cnt < mn * 65536
+        |ORDER BY doc_id""".stripMargin,
     "corpus_sample" ->
       s"""SELECT doc_id, md5(text) AS fingerprint FROM documents
         |WHERE $hbSql % $SampleK = 0 ORDER BY doc_id""".stripMargin,

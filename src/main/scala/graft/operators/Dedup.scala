@@ -309,13 +309,25 @@ object Dedup {
     var labels = tokenized(spark, dir).select($"doc_id")
       .withColumn("cluster_id", $"doc_id")
       .localCheckpoint()
-    for (_ <- 1 to maxHops) {
+    // early exit: label propagation is monotone (labels only decrease),
+    // so a round that changes nothing makes every later round a no-op —
+    // identical labels to the full maxHops run, at the cost of one tiny
+    // scan of the (checkpointed) label frame per round. Near-clique dup
+    // components converge in 2-3 hops; the cap still bounds the
+    // pathological chain exactly like the oracle's depth-bounded walk.
+    var hop = 0
+    var converged = false
+    while (hop < maxHops && !converged) {
       val prop = labels.join(sym, labels("doc_id") === sym("src"))
         .groupBy($"dst").agg(min($"cluster_id").as("nl"))
-      labels = labels.join(prop, labels("doc_id") === prop("dst"), "left")
+      val next = labels.join(prop, labels("doc_id") === prop("dst"), "left")
         .select($"doc_id",
-          least($"cluster_id", coalesce($"nl", $"cluster_id")).as("cluster_id"))
+          least($"cluster_id", coalesce($"nl", $"cluster_id")).as("cluster_id"),
+          (coalesce($"nl", $"cluster_id") < $"cluster_id").as("__changed"))
         .localCheckpoint()
+      converged = next.filter($"__changed").isEmpty
+      labels = next.drop("__changed")
+      hop += 1
     }
     labels
       .select($"doc_id", $"cluster_id", ($"doc_id" === $"cluster_id").as("is_keeper"))

@@ -160,7 +160,37 @@ object TextAnalysis {
       .orderBy($"doc_id", $"rnk")
   }
 
+  /** Intra-document repetition signals (the Gopher/RefinedWeb-style
+    * repetition rules a pretraining filter applies): duplicate-word
+    * fraction as a pure projection, and the most-frequent-bigram
+    * fraction via explode + count keyed BY DOCUMENT — one shuffle whose
+    * key cardinality scales with the corpus, never a per-row O(n²)
+    * array mode. Ratios are a single division of exact integers, so
+    * both engines agree bit-for-bit.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ws = docs(spark, dir).select($"doc_id", tok.as("t"))
+    val base = ws.select($"doc_id",
+      size($"t").cast("long").as("n_words"),
+      size(array_distinct($"t")).cast("long").as("n_distinct"))
+    // guard size >= 2: Spark's sequence(1, 0) would COUNT DOWN and
+    // fabricate a reversed pair rather than returning empty
+    val top = ws.filter(size($"t") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"))
+        .as("bigram"))
+      .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top_c"))
+    base.join(top, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_words",
+        (($"n_words" - $"n_distinct") * lit(1.0) / $"n_words").as("dup_word_ratio"),
+        ($"top_c" * lit(1.0) / ($"n_words" - 1)).as("top_bigram_ratio"))
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> repetition _,
     "text_winnow" -> winnowFingerprint _,
     "text_top_terms" -> topTerms _,
     "text_token_stats" -> tokenStats _,
@@ -170,6 +200,19 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |base AS (SELECT doc_id, len(t) AS n_words, len(list_distinct(t)) AS n_distinct FROM w),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i + 1])) AS bigram
+        |       FROM w WHERE len(t) >= 2),
+        |bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+        |tops AS (SELECT doc_id, max(c) AS top_c FROM bc GROUP BY 1)
+        |SELECT b.doc_id, b.n_words,
+        |       (b.n_words - b.n_distinct) * 1.0 / b.n_words AS dup_word_ratio,
+        |       t.top_c * 1.0 / (b.n_words - 1) AS top_bigram_ratio
+        |FROM base b LEFT JOIN tops t USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "text_winnow" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |v AS (SELECT doc_id,

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Time-series operators Spark has no first-class verb for, each built
+  * as a single-shuffle composition of native operators (builder brief:
+  * compose before custom plans):
+  *
+  *  - [[asofJoin]] — the classic "most recent right row at or before
+  *    each left row" join. NOT a range self-join (which explodes to a
+  *    cross product per key) and NOT a per-row subquery: both sides are
+  *    tagged and unioned, shuffled ONCE on the key, and the right
+  *    payload is carried forward with `last(ignoreNulls)` over a
+  *    (key, time)-sorted window. One shuffle, no candidate blowup,
+  *    partitioned by key — the 100 TB shape.
+  *  - [[gapFillMinutes]] — dense per-minute series with zero-filled
+  *    gaps: per-key spans from a tiny aggregate, minute spines via
+  *    `sequence` + `explode`, left join back. The spine is generated
+  *    distributed (one row per key going in), never on the driver.
+  *  - [[rollingSum]] — event-time rolling aggregate via a RANGE frame
+  *    over epoch micros, partitioned by key. Sums run in DECIMAL so
+  *    the result is order-independent and engine-exact.
+  */
+object TimeSeries {
+
+  /** Rolling window width for [[rollingSum]]: 10 minutes in µs. */
+  val RollingWindowMicros: Long = 600L * 1000000L
+
+  /** As-of join: for each `left` row, attach the most recent `right`
+    * row of the same `key` with `right(rightTs) <= left(leftTs)`
+    * (inclusive). Right payload columns (everything but `key`) must
+    * not collide with left column names. Among right rows sharing
+    * (key, ts), the greatest `tieBreak` wins. Left rows with no prior
+    * right row keep null payloads (LEFT-join semantics).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, tieBreak: String): DataFrame = {
+    val payload = right.columns.filter(_ != key).toSeq
+    val leftCols = left.columns.toSeq
+    val nullOf: (DataFrame, String) => Column =
+      (df, c) => lit(null).cast(df.schema(c).dataType)
+    // tag + align the two sides on one schema: key, event time, side
+    // (right sorts before left at equal time -> inclusive match),
+    // right tiebreak, then both sides' columns with nulls opposite
+    val l = left.select(
+      col(key) +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
+        nullOf(right, tieBreak).as("__tb") +:
+        (leftCols.filter(_ != key).map(col) ++
+          payload.map(c => nullOf(right, c).as(c))): _*)
+    val r = right.select(
+      col(key) +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
+        col(tieBreak).as("__tb") +:
+        (leftCols.filter(_ != key).map(c => nullOf(left, c).as(c)) ++
+          payload.map(col)): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"), col("__tb").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = l.unionByName(r)
+      .select(col(key) +: col("__side") +: leftCols.filter(_ != key).map(col) ++:
+        payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+    filled.filter(col("__side") === 1).drop("__side")
+      .select(leftCols.map(col) ++ payload.map(col): _*)
+  }
+
+  /** For each error event, the user's most recent click at or before
+    * it — the canonical attribution as-of.
+    */
+  def asofLastClick(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val errors = ev.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("last_click_id"),
+        $"ts".as("last_click_ts"))
+    asofJoin(errors, clicks, "user_id", "ts", "last_click_ts", "last_click_id")
+      .orderBy($"event_id")
+  }
+
+  /** Dense per-(event_type, minute) counts with zero-filled gaps over
+    * each type's observed span.
+    */
+  def gapFillMinutes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perMin = Tables.load(spark, dir, "events")
+      .groupBy($"event_type", date_trunc("minute", $"ts").as("minute"))
+      .agg(count(lit(1)).as("cnt"))
+    // spans: one row per event type (tiny) -> the minute spine is
+    // exploded from it in parallel, never materialised on the driver
+    val spine = perMin
+      .groupBy($"event_type")
+      .agg(min($"minute").as("mn"), max($"minute").as("mx"))
+      .select($"event_type",
+        explode(sequence($"mn", $"mx", expr("interval 1 minute"))).as("minute"))
+    spine
+      .join(perMin, Seq("event_type", "minute"), "left")
+      .select($"event_type", $"minute", coalesce($"cnt", lit(0L)).as("cnt"))
+      .orderBy($"event_type", $"minute")
+  }
+
+  /** Per-user event-time rolling sum of `value` over the trailing
+    * 10 minutes (RANGE frame on epoch micros — event time, not row
+    * count, so irregular event spacing is handled exactly).
+    */
+  def rollingSum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy(unix_micros($"ts".cast("timestamp")))
+      .rangeBetween(-RollingWindowMicros, 0)
+    Tables.load(spark, dir, "events")
+      .select($"event_id", $"user_id", $"ts", $"value")
+      .withColumn("roll_10m",
+        sum($"value".cast("decimal(18,2)")).over(w).cast("double"))
+      .orderBy($"event_id")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> asofLastClick _,
+    "q_gapfill" -> gapFillMinutes _,
+    "q_rolling_sum" -> rollingSum _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH err AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        |clk AS (
+        |  SELECT user_id, event_id AS last_click_id, ts AS last_click_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT e.event_id, e.user_id, e.ts, c.last_click_id, c.last_click_ts
+        |FROM err e ASOF LEFT JOIN clk c
+        |  ON e.user_id = c.user_id AND e.ts >= c.last_click_ts
+        |ORDER BY e.event_id""".stripMargin,
+    "q_gapfill" ->
+      """WITH per_min AS (
+        |  SELECT event_type, date_trunc('minute', ts) AS minute, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT event_type, min(minute) AS mn, max(minute) AS mx
+        |  FROM per_min GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS minute
+        |  FROM spans)
+        |SELECT s.event_type, s.minute, coalesce(p.cnt, 0) AS cnt
+        |FROM spine s LEFT JOIN per_min p
+        |  ON s.event_type = p.event_type AND s.minute = p.minute
+        |ORDER BY s.event_type, s.minute""".stripMargin,
+    "q_rolling_sum" ->
+      """SELECT event_id, user_id, ts, value,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY user_id ORDER BY epoch_us(ts)
+        |         RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_10m
+        |FROM events ORDER BY event_id""".stripMargin,
+  )
+}

