@@ -66,6 +66,50 @@ object TimeSeries {
       .select(leftCols.map(col) ++ payload.map(col): _*)
   }
 
+  /** Interval (range) join: all (left, right) pairs of the same `key`
+    * with `right ts ∈ [left ts − window, left ts]`, both ends
+    * inclusive. A naive theta-join explodes into a per-key cross
+    * product; instead both sides are binned into window-width time
+    * buckets and the RIGHT side is replicated into its own bucket and
+    * the next one (every interval of length `window` spans at most two
+    * bins), turning the range predicate into an equi-join on
+    * (key, bucket) plus a residual filter. Two shuffles, candidate set
+    * bounded by bucket width — the canonical distributed range-join
+    * shape. Left rows with no match survive (LEFT semantics) because
+    * each left row sits in exactly one bucket (never replicated, so no
+    * duplicate unmatched rows).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, windowMicros: Long): DataFrame = {
+    def bucket(c: String) =
+      (unix_micros(col(c).cast("timestamp")) / windowMicros).cast("long")
+    val l = left.withColumn("__lbucket", bucket(leftTs))
+    val r = right.withColumnRenamed(key, "__rkey")
+      .withColumn("__rbucket", explode(array(bucket(rightTs), bucket(rightTs) + 1)))
+    l.join(r,
+        col(key) === col("__rkey") && col("__lbucket") === col("__rbucket") &&
+          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $windowMicros MICROSECONDS") &&
+          col(rightTs) <= col(leftTs),
+        "left_outer")
+      .drop("__lbucket", "__rbucket", "__rkey")
+  }
+
+  /** For each error event, how many clicks the same user made in the
+    * preceding 10 minutes (inclusive) — the interval-join aggregate.
+    */
+  def clicksBeforeError(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val errors = ev.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("cts"))
+    intervalJoin(errors, clicks, "user_id", "ts", "cts", RollingWindowMicros)
+      .groupBy($"event_id", $"user_id", $"ts")
+      .agg(count($"cts").as("n_clicks_10m"))
+      .orderBy($"event_id")
+  }
+
   /** For each error event, the user's most recent click at or before
     * it — the canonical attribution as-of.
     */
@@ -120,6 +164,7 @@ object TimeSeries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> asofLastClick _,
+    "q_interval_join" -> clicksBeforeError _,
     "q_gapfill" -> gapFillMinutes _,
     "q_rolling_sum" -> rollingSum _,
   )
@@ -135,6 +180,16 @@ object TimeSeries {
         |FROM err e ASOF LEFT JOIN clk c
         |  ON e.user_id = c.user_id AND e.ts >= c.last_click_ts
         |ORDER BY e.event_id""".stripMargin,
+    "q_interval_join" ->
+      """WITH err AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        |clk AS (
+        |  SELECT user_id, ts AS cts FROM events WHERE event_type = 'click')
+        |SELECT e.event_id, e.user_id, e.ts, count(c.cts) AS n_clicks_10m
+        |FROM err e LEFT JOIN clk c
+        |  ON e.user_id = c.user_id
+        | AND c.cts BETWEEN e.ts - INTERVAL 10 MINUTE AND e.ts
+        |GROUP BY 1, 2, 3 ORDER BY e.event_id""".stripMargin,
     "q_gapfill" ->
       """WITH per_min AS (
         |  SELECT event_type, date_trunc('minute', ts) AS minute, count(*) AS cnt

@@ -218,6 +218,28 @@ object EventStreams {
       }
   }
 
+  /** Watermarked stream-stream interval join: each left row picks up
+    * every right row of the same `key` with `right ts ∈
+    * [left ts − window, left ts]` (both ends inclusive — the streaming
+    * twin of `TimeSeries.intervalJoin`, same semantics batch or
+    * streamed). Both sides carry watermarks and the join condition
+    * time-bounds both event times, so Spark can derive state
+    * watermarks and EVICT matched state — without the bound the join
+    * state grows forever at 100 TB/day. LEFT-outer rows emit once the
+    * watermark proves no match can still arrive.
+    */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, windowMinutes: Int,
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withColumnRenamed(key, "__rkey").withWatermark(rightTs, watermark)
+    l.join(r,
+      col(key) === col("__rkey") &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col(rightTs) <= col(leftTs),
+      "leftOuter").drop("__rkey")
+  }
+
   /** Kafka-sink shaping: JSON value keyed by vote_id
     * (`src/data_generator.py:248`).
     */

@@ -87,6 +87,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(prices == prices.sorted.reverse, "rank order must follow price desc")
   }
 
+  test("interval join is an equi-join on (key, bucket), never a nested-loop range join") {
+    val plan = graft.operators.TimeSeries.clicksBeforeError(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"range predicate must ride an equi-join via time bucketing:\n$plan")
+  }
+
   test("batch packing windows per language, never a global single partition") {
     val plan = Corpus.packBatches(spark, dir).queryExecution.executedPlan.toString
     val windowSection = plan.split("Window").drop(1).headOption.getOrElse("")

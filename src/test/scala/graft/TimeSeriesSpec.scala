@@ -45,6 +45,56 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == 9L)
   }
 
+  test("intervalJoin: bucketed equi-join equals the naive range join, boundaries inclusive") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 01:00:00")),
+      (1L, 11L, ts("2024-01-01 02:00:00")),
+      (2L, 20L, ts("2024-01-01 01:00:00"))
+    ).toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 00:50:00")),  // 10 min before 01:00 -> inclusive edge
+      (1L, ts("2024-01-01 01:00:00")),  // exact -> inclusive
+      (1L, ts("2024-01-01 01:00:01")),  // 1s after -> out for 01:00
+      (2L, ts("2024-01-01 00:49:59"))   // just outside the window
+    ).toDF("user_id", "cts")
+    val out = TimeSeries.intervalJoin(left, right, "user_id", "ts", "cts",
+        TimeSeries.RollingWindowMicros)
+      .groupBy($"event_id").agg(count($"cts").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(10L -> 2L, 11L -> 0L, 20L -> 0L))
+  }
+
+  test("stream-stream interval join: in-window match plus watermark-released outer row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val errs = MemoryStream[(Long, Timestamp, Long)]
+    val clks = MemoryStream[(Long, Timestamp, Long)]
+    val e = errs.toDF().toDF("user_id", "ts", "event_id")
+    val c = clks.toDF().toDF("user_id", "cts", "click_id")
+    val joined = graft.streaming.EventStreams
+      .streamIntervalJoin(e, c, "user_id", "ts", "cts", 10)
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ssij").toString
+    errs.addData((1L, ts("2024-01-01 10:00:00"), 100L),
+      (2L, ts("2024-01-01 10:00:00"), 200L))
+    clks.addData((1L, ts("2024-01-01 09:55:00"), 900L))
+    val q = graft.streaming.EventStreams
+      .runToMemory(joined, "ssij", ckptDir, OutputMode.Append())
+    // push both watermarks far past 10:00 so the unmatched left row is
+    // provably final and the outer null emits
+    errs.addData((9L, ts("2024-01-01 12:00:00"), 999L))
+    clks.addData((9L, ts("2024-01-01 12:00:00"), 998L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssij")
+      .filter($"event_id".isin(100L, 200L))
+      .select($"event_id", $"click_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows == Map(100L -> Some(900L), 200L -> None))
+  }
+
   test("gapFillMinutes: dense spine, zeros on gaps, endpoints preserved") {
     import spark.implicits._
     val out = TimeSeries.gapFillMinutes(spark, dir)
