@@ -355,6 +355,58 @@ object CoreQueries {
       .orderBy($"event_type")
   }
 
+  /** Hierarchical totals via ROLLUP (priority → status → grand total)
+    * in ONE aggregation pass — grouping sets expand map-side, so the
+    * subtotal levels cost one shuffle together, not one scan each.
+    * `grouping_id` disambiguates subtotal rows from real NULL groups.
+    */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .rollup($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast(dec)).cast("double").as("revenue"),
+        grouping_id().cast("long").as("gid"))
+      .select($"o_orderpriority".as("priority"), $"o_orderstatus".as("status"),
+        $"n", $"revenue", $"gid")
+      .orderBy($"gid", $"priority", $"status")
+  }
+
+  /** Native pivot: order counts per priority, statuses as columns —
+    * the Spark-first form of the reference's manual 3-join pivot (Q7).
+    * Pivot values are EXPLICIT (`Seq("F","O","P")`) so the plan is one
+    * aggregation pass with no distinct-values pre-query and a stable
+    * output schema.
+    */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select($"o_orderpriority".as("priority"),
+        coalesce($"F", lit(0L)).as("f_cnt"),
+        coalesce($"O", lit(0L)).as("o_cnt"),
+        coalesce($"P", lit(0L)).as("p_cnt"))
+      .orderBy($"priority")
+  }
+
+  /** Fixed-width histogram of order value: bucket = floor(price / w) —
+    * a pure map-side projection + one aggregation on the bucket id.
+    * The at-scale histogram shape (never a sort, never a collect).
+    */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val width = 50000.0
+    t(spark, dir, "orders")
+      .select(floor($"o_totalprice" / width).cast("long").as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo", $"bucket" * width)
+      .select($"bucket", $"lo", $"n")
+      .orderBy($"bucket")
+  }
+
   /** Contiguous global rank over a data-scaled frame (every order,
     * by price): the Ranking.globalRowNumber path — quantile-bucketed
     * numbering plus offsets, never a single-partition sort. The
@@ -390,6 +442,9 @@ object CoreQueries {
     "q_distinct_users" -> distinctUsers _,
     "q_approx_distinct_users" -> approxDistinctUsers _,
     "q_global_rank" -> globalRank _,
+    "q_rollup_agg" -> rollupAgg _,
+    "q_pivot_status" -> pivotStatus _,
+    "q_histogram" -> histogram _,
   )
 
   /** DuckDB-equivalent SQL for the driver's oracle (column names and
@@ -513,5 +568,24 @@ object CoreQueries {
       """SELECT o_orderkey, o_totalprice,
         |       CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
         |FROM orders ORDER BY rank""".stripMargin,
+    "q_rollup_agg" ->
+      """SELECT o_orderpriority AS priority, o_orderstatus AS status,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        |ORDER BY gid, priority NULLS FIRST, status NULLS FIRST""".stripMargin,
+    "q_pivot_status" ->
+      """SELECT o_orderpriority AS priority,
+        |       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_cnt,
+        |       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_cnt,
+        |       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_cnt
+        |FROM orders GROUP BY o_orderpriority ORDER BY priority""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        |       CAST(floor(o_totalprice / 50000.0) AS BIGINT) * 50000.0 AS lo,
+        |       count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
   )
 }

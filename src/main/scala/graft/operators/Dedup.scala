@@ -334,6 +334,41 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Chunk width (words) for [[chunkDedup]]. */
+  val ChunkWords = 20
+
+  /** Cross-document chunk-level dedup (the CCNet/RefinedWeb line-dedup
+    * analog for newline-free corpora): every document is cut into
+    * fixed [[ChunkWords]]-word chunks, each chunk fingerprinted, and a
+    * chunk counts as duplicated when its fingerprint occurs in MORE
+    * THAN ONE document. Per-doc output: chunk count, duplicated-chunk
+    * count, and the ratio a repetition filter would threshold on.
+    *
+    * Scale shape: explode → two-stage count keyed by FINGERPRINT
+    * (cardinality grows with the corpus — never a bounded-domain key)
+    * → the >1-doc fingerprint set joins back by fingerprint. Three
+    * shuffles, all on the high-cardinality hash; no per-row O(n²)
+    * array work, no driver-side state.
+    */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ch = docs(spark, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .select($"doc_id", explode(expr(
+        s"""transform(sequence(0, CAST(ceil(size(t) / $ChunkWords.0) AS BIGINT) - 1),
+           |  i -> md5(array_join(slice(t, CAST(i * $ChunkWords + 1 AS INT), $ChunkWords), ' ')))"""
+          .stripMargin)).as("fp"))
+    val dup = ch.groupBy($"fp").agg(countDistinct($"doc_id").as("c"))
+      .filter($"c" > 1)
+      .select($"fp", lit(1).as("__m"))
+    ch.join(dup, Seq("fp"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count($"__m").as("n_dup_chunks"))
+      .withColumn("dup_chunk_ratio", $"n_dup_chunks" * lit(1.0) / $"n_chunks")
+      .orderBy($"doc_id")
+  }
+
   /** Exact n-gram Jaccard over an inverted shingle index: only pairs
     * sharing ≥1 shingle are materialised (never n²), then filtered to
     * the near-dup threshold.
@@ -453,6 +488,7 @@ object Dedup {
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "dedup_clusters" -> ((s: SparkSession, d: String) => clusters(s, d)),
+    "dedup_chunks" -> chunkDedup _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
   )
 
@@ -518,6 +554,18 @@ object Dedup {
       |        GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_chunks" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ch AS (SELECT doc_id,
+        |         unnest(list_transform(generate_series(0, CAST(ceil(len(t) / $ChunkWords.0) AS BIGINT) - 1),
+        |           i -> md5(array_to_string(t[i * $ChunkWords + 1 : i * $ChunkWords + $ChunkWords], ' ')))) AS fp
+        |       FROM w),
+        |dup AS (SELECT fp, 1 AS m FROM (
+        |          SELECT fp, count(DISTINCT doc_id) AS c FROM ch GROUP BY 1) WHERE c > 1)
+        |SELECT ch.doc_id, count(*) AS n_chunks, count(dup.m) AS n_dup_chunks,
+        |       count(dup.m) * 1.0 / count(*) AS dup_chunk_ratio
+        |FROM ch LEFT JOIN dup USING (fp)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH b AS (SELECT vec_id, embedding,
         |             array_to_string(list_transform(embedding[1:8],
