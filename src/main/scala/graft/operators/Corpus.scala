@@ -133,7 +133,27 @@ object Corpus {
       .orderBy($"doc_id")
   }
 
+  /** Mixture accounting per (source, lang): document and token counts
+    * plus each cell's share of total tokens — the table a data-mixing
+    * recipe (Pile/CC-style source weights) is computed from. One
+    * aggregation pass; the grand total rides the broadcast-join shape
+    * (exchange reused), never an unpartitioned window.
+    */
+  def mix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agged = docs(spark, dir)
+      .select($"source", $"lang", size(split($"text", " ")).cast("long").as("tok"))
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"tok").as("n_tokens"))
+    agged
+      .crossJoin(broadcast(agged.agg(sum($"n_tokens").as("__t"))))
+      .withColumn("token_share", $"n_tokens" * lit(1.0) / $"__t")
+      .drop("__t")
+      .orderBy($"source", $"lang")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_mix" -> mix _,
     "corpus_stratified" -> stratified _,
     "corpus_sample" -> ((s: SparkSession, d: String) => sample(s, d)),
     "corpus_split" -> splitAssign _,
@@ -150,6 +170,14 @@ object Corpus {
       .mkString(" + ") + ")"
 
   val oracle: Map[String, String] = Map(
+    "corpus_mix" ->
+      """WITH b AS (SELECT source, lang, len(string_split(text, ' ')) AS tok FROM documents),
+        |a AS (SELECT source, lang, count(*) AS n_docs,
+        |        CAST(sum(tok) AS BIGINT) AS n_tokens
+        |      FROM b GROUP BY 1, 2)
+        |SELECT source, lang, n_docs, n_tokens,
+        |       n_tokens * 1.0 / (SELECT CAST(sum(n_tokens) AS BIGINT) FROM a) AS token_share
+        |FROM a ORDER BY source, lang""".stripMargin,
     "corpus_stratified" ->
       s"""WITH d AS (SELECT doc_id, lang, $hbSql AS hb FROM documents),
         |c AS (SELECT lang, count(*) AS cnt FROM d GROUP BY 1),

@@ -334,6 +334,24 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Dedup APPLICATION: exact-duplicate keeper election (min doc_id
+    * per content fingerprint) compacted into per-language kept/dropped
+    * accounting — the report a pipeline emits after the dedup pass
+    * actually removes rows. Keeper election is an aggregate + join
+    * keyed by the fingerprint (data-scaled key), not a window.
+    */
+  def dedupApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = docs(spark, dir).select($"doc_id", $"lang", md5($"text").as("fp"))
+    val keepers = f.groupBy($"fp").agg(min($"doc_id").as("keeper"))
+    f.join(keepers, Seq("fp"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"doc_id" === $"keeper", 1)).as("n_kept"))
+      .withColumn("n_dropped", $"n_docs" - $"n_kept")
+      .orderBy($"lang")
+  }
+
   /** Chunk width (words) for [[chunkDedup]]. */
   val ChunkWords = 20
 
@@ -489,6 +507,7 @@ object Dedup {
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "dedup_clusters" -> ((s: SparkSession, d: String) => clusters(s, d)),
     "dedup_chunks" -> chunkDedup _,
+    "dedup_apply" -> dedupApply _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
   )
 
@@ -554,6 +573,14 @@ object Dedup {
       |        GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_apply" ->
+      """WITH f AS (SELECT doc_id, lang, md5(text) AS fp FROM documents),
+        |k AS (SELECT fp, min(doc_id) AS keeper FROM f GROUP BY 1)
+        |SELECT lang, count(*) AS n_docs,
+        |       count(CASE WHEN doc_id = keeper THEN 1 END) AS n_kept,
+        |       count(*) - count(CASE WHEN doc_id = keeper THEN 1 END) AS n_dropped
+        |FROM f JOIN k USING (fp)
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
     "dedup_chunks" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |ch AS (SELECT doc_id,

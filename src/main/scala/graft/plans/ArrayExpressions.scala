@@ -285,8 +285,10 @@ object GraftExtensions {
   /** Register into a live session (withExtensions only applies at
     * construction time).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     registrations.foreach { case (name, info, builder) =>
       Bridge.registerFunction(spark, name, info, builder)
     }
+    ScaleGuard.install(spark)
+  }
 }

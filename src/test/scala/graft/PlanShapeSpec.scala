@@ -87,6 +87,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(prices == prices.sorted.reverse, "rank order must follow price desc")
   }
 
+  test("scale guard rejects unpartitioned windows when enabled, passes explicit shapes") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.plans.ScaleGuard.install(spark)
+    spark.conf.set(graft.plans.ScaleGuard.FailOnGlobalWindow, "true")
+    try {
+      val df = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+      val bad = df.withColumn("rn", row_number().over(W.orderBy($"a")))
+      val e = intercept[Throwable] { bad.collect() }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("unpartitioned window")), s"got: $e")
+      // partitioned window passes
+      df.withColumn("rn", row_number().over(W.partitionBy($"b").orderBy($"a"))).collect()
+      // the explicit bounded-domain rank passes (it plans no window)
+      graft.operators.Ranking.boundedRowNumber(df, "rn", $"a").collect()
+      // and the guarded engine queries all still plan clean
+      CoreQueries.leaderboard(spark, dir).collect()
+    } finally spark.conf.set(graft.plans.ScaleGuard.FailOnGlobalWindow, "false")
+  }
+
   test("interval join is an equi-join on (key, bucket), never a nested-loop range join") {
     val plan = graft.operators.TimeSeries.clicksBeforeError(spark, dir)
       .queryExecution.executedPlan.toString
