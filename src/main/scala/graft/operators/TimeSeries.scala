@@ -81,8 +81,11 @@ object TimeSeries {
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, windowMicros: Long): DataFrame = {
+    // integer `div`, NOT Column./ — that one promotes to double, and a
+    // 53-bit mantissa can mis-bucket epoch values near a bin boundary
+    // for small window widths
     def bucket(c: String) =
-      (unix_micros(col(c).cast("timestamp")) / windowMicros).cast("long")
+      expr(s"unix_micros(CAST($c AS TIMESTAMP)) div ${windowMicros}L")
     val l = left.withColumn("__lbucket", bucket(leftTs))
     val r = right.withColumnRenamed(key, "__rkey")
       .withColumn("__rbucket", explode(array(bucket(rightTs), bucket(rightTs) + 1)))
