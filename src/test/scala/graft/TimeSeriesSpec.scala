@@ -157,4 +157,77 @@ class TimeSeriesSpec extends SparkSpec {
     }
     assert(full.keySet == kept.keySet, "no language may vanish")
   }
+
+  // ---- differential tests: operator vs naive reference on random frames ----
+
+  private def randomEvents(n: Int, seed: Long, users: Int): Seq[(Long, Long, Timestamp)] = {
+    val rng = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      (rng.nextInt(users).toLong, i.toLong,
+        new Timestamp(1704067200000L + rng.nextInt(3600 * 1000).toLong))
+    }
+  }
+
+  test("asofJoin equals the naive max-prior-right join on random frames") {
+    import spark.implicits._
+    for (seed <- Seq(1L, 7L, 99L)) {
+      val probes = randomEvents(80, seed, users = 5).toDF("user_id", "event_id", "ts")
+      val rights = randomEvents(60, seed + 1000, users = 5)
+        .toDF("user_id", "last_click_id", "last_click_ts")
+      val got = TimeSeries
+        .asofJoin(probes, rights, "user_id", "ts", "last_click_ts", "last_click_id")
+        .collect()
+        .map(r => r.getLong(1) -> (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      // naive: per probe, scan all rights of the key, keep the latest <= ts
+      // (ties on ts -> greatest id), computed driver-side
+      val rs = rights.collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+      val expect = probes.collect().map { p =>
+        val (u, id, t) = (p.getLong(0), p.getLong(1), p.getTimestamp(2))
+        val cand = rs.filter(x => x._1 == u && !x._3.after(t))
+        val best = if (cand.isEmpty) -1L
+          else cand.maxBy(x => (x._3.getTime, x._2))._2
+        id -> best
+      }.toMap
+      assert(got == expect, s"seed $seed")
+    }
+  }
+
+  test("intervalJoin equals the naive theta-join on random frames") {
+    import spark.implicits._
+    val W = 5L * 60L * 1000000L // 5 minutes in micros
+    for (seed <- Seq(3L, 42L)) {
+      val probes = randomEvents(60, seed, users = 4).toDF("user_id", "event_id", "ts")
+      val rights = randomEvents(80, seed + 500, users = 4)
+        .toDF("user_id", "cts", "ignore").select($"user_id", $"cts".cast("long").as("rid"),
+          $"ignore".as("cts")).select($"user_id", $"rid", $"cts")
+      val got = TimeSeries.intervalJoin(probes, rights, "user_id", "ts", "cts", W)
+        .groupBy($"event_id").agg(count($"rid").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val rs = rights.collect().map(r => (r.getLong(0), r.getTimestamp(2).getTime))
+      val expect = probes.collect().map { p =>
+        val (u, id, t) = (p.getLong(0), p.getLong(1), p.getTimestamp(2).getTime)
+        id -> rs.count(x => x._1 == u && x._2 >= t - W / 1000L && x._2 <= t).toLong
+      }.toMap
+      assert(got == expect, s"seed $seed")
+    }
+  }
+
+  test("globalRowNumber equals a single-window row_number on random frames") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- Seq(5L, 11L)) {
+      val rng = new scala.util.Random(seed)
+      // heavy ties on purpose: values from a small domain
+      val df = (0 until 500).map(i => (i.toLong, rng.nextInt(20) * 1.0))
+        .toDF("id", "v")
+      val got = graft.operators.Ranking
+        .globalRowNumber(df, "rank", buckets = 7, bucketCol = "v", ascending = true,
+          $"v", $"id")
+        .select($"id", $"rank").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expect = df.withColumn("rank",
+          row_number().over(Window.orderBy($"v", $"id")).cast("long"))
+        .select($"id", $"rank").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"seed $seed")
+    }
+  }
 }
