@@ -355,6 +355,53 @@ object CoreQueries {
       .orderBy($"event_type")
   }
 
+  /** Exact percentiles of event value per type (median/p90), plus an
+    * HLL-free spread summary. Exact `percentile` sorts per group — at
+    * 100 TB prefer `approx_percentile` (one-pass sketch, fixed state);
+    * both surfaces are exposed, the exact one because it has a
+    * cross-engine oracle (Spark and DuckDB share the linear-
+    * interpolation definition) and the approximate one in
+    * [[approxDistinctUsers]]'s rows-only regime.
+    */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        percentile($"value", lit(0.5)).as("p50"),
+        percentile($"value", lit(0.9)).as("p90"),
+        min($"value").as("vmin"),
+        max($"value").as("vmax"))
+      .orderBy($"event_type")
+  }
+
+  /** Exact distributed moments: mean/variance/stddev per event type
+    * computed from DECIMAL power sums (Σx, Σx²) — exact integers under
+    * the hood, so the result is identical under ANY partitioning and
+    * on any engine, unlike one-pass co-moment aggregates
+    * (`stddev_samp`) whose float merge order varies with the cluster.
+    * Each exact sum is cast to double ONCE (a single well-defined
+    * rounding, identical on both engines), then combined with the same
+    * float formula — `sx*sx` must not stay DECIMAL or its precision
+    * overflows 38 digits and the engines round differently. sqrt is
+    * IEEE-correctly-rounded, so it stays deterministic.
+    */
+  def valueStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = $"value".cast(dec)
+    t(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(x * x).cast("double").as("sxx"))
+      .select($"event_type", $"n",
+        ($"sx" / $"n").as("mean"),
+        (($"n" * $"sxx" - $"sx" * $"sx")
+          / ($"n" * ($"n" - 1)).cast("double")).as("variance"))
+      .withColumn("stddev", sqrt($"variance"))
+      .orderBy($"event_type")
+  }
+
   /** Hierarchical totals via ROLLUP (priority → status → grand total)
     * in ONE aggregation pass — grouping sets expand map-side, so the
     * subtotal levels cost one shuffle together, not one scan each.
@@ -443,6 +490,8 @@ object CoreQueries {
     "q_approx_distinct_users" -> approxDistinctUsers _,
     "q_global_rank" -> globalRank _,
     "q_rollup_agg" -> rollupAgg _,
+    "q_percentiles" -> valuePercentiles _,
+    "q_value_stats" -> valueStats _,
     "q_pivot_status" -> pivotStatus _,
     "q_histogram" -> histogram _,
   )
@@ -568,6 +617,24 @@ object CoreQueries {
       """SELECT o_orderkey, o_totalprice,
         |       CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
         |FROM orders ORDER BY rank""".stripMargin,
+    "q_value_stats" ->
+      """WITH s AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n,
+        |       sx / n AS mean,
+        |       (n * sxx - sx * sx) / CAST(n * (n - 1) AS DOUBLE) AS variance,
+        |       sqrt((n * sxx - sx * sx) / CAST(n * (n - 1) AS DOUBLE)) AS stddev
+        |FROM s ORDER BY event_type""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type,
+        |       quantile_cont(value, 0.5) AS p50,
+        |       quantile_cont(value, 0.9) AS p90,
+        |       min(value) AS vmin,
+        |       max(value) AS vmax
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_rollup_agg" ->
       """SELECT o_orderpriority AS priority, o_orderstatus AS status,
         |       count(*) AS n,

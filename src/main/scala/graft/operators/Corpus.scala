@@ -152,7 +152,25 @@ object Corpus {
       .orderBy($"source", $"lang")
   }
 
+  /** The decontamination APPLY step: the corpus with benchmark-
+    * colliding documents REMOVED — [[contamination]]'s complement, as
+    * a broadcast LEFT ANTI join on the same head fingerprint. Semi
+    * flags, anti cleans; a pipeline runs both.
+    */
+  def clean(spark: SparkSession, dir: String,
+      benchMod: Int = BenchMod): DataFrame = {
+    import spark.implicits._
+    val f = docs(spark, dir)
+      .select($"doc_id", TextAnalysis.headMd5(split($"text", " ")).as("head_md5"))
+    val bench = f.filter($"doc_id" % benchMod === 0).select($"head_md5")
+    f.filter($"doc_id" % benchMod =!= 0)
+      .join(broadcast(bench), Seq("head_md5"), "left_anti")
+      .select($"doc_id")
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_clean" -> ((s: SparkSession, d: String) => clean(s, d)),
     "corpus_mix" -> mix _,
     "corpus_stratified" -> stratified _,
     "corpus_sample" -> ((s: SparkSession, d: String) => sample(s, d)),
@@ -170,6 +188,15 @@ object Corpus {
       .mkString(" + ") + ")"
 
   val oracle: Map[String, String] = Map(
+    "corpus_clean" ->
+      s"""WITH f AS (SELECT doc_id,
+        |             md5(array_to_string((string_split(text, ' '))[1:5], ' ')) AS head_md5
+        |           FROM documents),
+        |bench AS (SELECT head_md5 FROM f WHERE doc_id % $BenchMod = 0)
+        |SELECT doc_id FROM f
+        |WHERE doc_id % $BenchMod <> 0
+        |  AND head_md5 NOT IN (SELECT head_md5 FROM bench)
+        |ORDER BY doc_id""".stripMargin,
     "corpus_mix" ->
       """WITH b AS (SELECT source, lang, len(string_split(text, ' ')) AS tok FROM documents),
         |a AS (SELECT source, lang, count(*) AS n_docs,
