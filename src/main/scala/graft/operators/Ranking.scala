@@ -74,16 +74,22 @@ object Ranking {
     // the bucket column. Any approximation error only unbalances
     // buckets; it cannot affect correctness because the boundaries are
     // fixed literals from here on.
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val probes = (1 until buckets).map(_.toDouble / buckets).toArray
     val bounds = df.stat.approxQuantile(bucketCol, probes, 0.001).distinct.sorted
-    val boundsArr = array(bounds.map(lit(_)): _*)
     // bucket id = number of boundaries strictly below (asc) / above
     // (desc) the value — a pure deterministic expression, identical in
-    // every pass
+    // every pass. buckets=1 (or a constant column) degenerates to one
+    // bucket; an empty array() literal would be ArrayType(NullType) and
+    // fail analysis, so that case is pinned to lit(0).
     val c = col(bucketCol)
     val bucketExpr =
-      if (ascending) size(filter(boundsArr, b => b < c))
-      else size(filter(boundsArr, b => b > c))
+      if (bounds.isEmpty) lit(0)
+      else {
+        val boundsArr = array(bounds.map(lit(_)): _*)
+        if (ascending) size(filter(boundsArr, b => b < c))
+        else size(filter(boundsArr, b => b > c))
+      }
     val bucketed = df.withColumn("__bucket", bucketExpr)
     // pass 2 (metadata-sized result): rows per bucket -> cumulative
     // offsets on the driver. At most `buckets` rows ever reach the

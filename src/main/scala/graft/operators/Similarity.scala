@@ -177,7 +177,35 @@ object Similarity {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** Per-dimension int8-style quantization of the embedding corpus —
+    * the storage-compression pass an ANN index runs before serving
+    * (scalar quantization: 4× smaller than float32, 8× than float64).
+    * Dimension ranges come from one tiny aggregate (posexplode →
+    * per-dim min/max → 64 rows) broadcast back; codes are
+    * `floor((x − mn) · 255 / (mx − mn))` clamped to 255 — floor, NOT
+    * round (round's half-up vs half-even differs across engines), all
+    * arithmetic in double after an exact float→double widening, so
+    * codes are bit-identical anywhere. Output is the unnested
+    * (vec_id, dim, code) relation.
+    */
+  def quantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dims = Tables.load(spark, dir, "embeddings")
+      .select(posexplode(Vectors.toDouble($"embedding")).as(Seq("dim", "x")))
+      .groupBy($"dim")
+      .agg(min($"x").as("mn"), max($"x").as("mx"))
+    Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", posexplode(Vectors.toDouble($"embedding")).as(Seq("dim", "x")))
+      .join(broadcast(dims), Seq("dim"))
+      .select($"vec_id", $"dim".cast("long").as("dim"),
+        when($"mx" === $"mn", lit(0L))
+          .otherwise(least(floor(($"x" - $"mn") * 255.0 / ($"mx" - $"mn")), lit(255.0))
+            .cast("long")).as("code"))
+      .orderBy($"vec_id", $"dim")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_quantize" -> quantize _,
     "ann_cosine_topk" -> cosineTopK _,
     "ann_lsh_topk" -> ((s: SparkSession, d: String) => lshTopK(s, d)),
     "ann_lsh_multiprobe" -> ((s: SparkSession, d: String) => lshTopKMultiProbe(s, d)),
@@ -185,6 +213,19 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "emb_quantize" ->
+      """WITH d AS (
+        |  SELECT i - 1 AS dim,
+        |         min(CAST(embedding[i] AS DOUBLE)) AS mn,
+        |         max(CAST(embedding[i] AS DOUBLE)) AS mx
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+        |  GROUP BY 1)
+        |SELECT vec_id, d.dim,
+        |       CASE WHEN mx = mn THEN 0
+        |            ELSE CAST(least(floor((CAST(embedding[d.dim + 1] AS DOUBLE) - mn) * 255.0
+        |                                  / (mx - mn)), 255.0) AS BIGINT) END AS code
+        |FROM embeddings CROSS JOIN d
+        |ORDER BY vec_id, dim""".stripMargin,
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
         |pairs AS (SELECT q_id, e.vec_id, qe, e.embedding AS ve

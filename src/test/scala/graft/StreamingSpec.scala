@@ -354,4 +354,27 @@ class StreamingSpec extends SparkSpec {
     // first session: 10:00-10:10 merged into one window ending 10:40, n=2
     assert(rows.head === ("2024-05-01 10:00:00.0", "2024-05-01 10:40:00.0", 2L))
   }
+
+  test("Trigger.AvailableNow drains the file backlog exactly and self-terminates (backfill)") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-avnow-src")
+    val msgs = (0 until 30).map { i =>
+      voteJson(s"a$i", s"v$i", s"c${i % 2}", s"Cand ${i % 2}", s"P${i % 2}",
+        "2024-05-01 10:00:00")
+    }
+    Files.write(srcDir.resolve("backlog.jsonl"),
+      msgs.mkString("\n").getBytes("UTF-8"))
+    val agg = EventStreams.votesPerCandidate(
+      EventStreams.fileVoteSource(spark, srcDir.toString))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName("avnow")
+      .option("checkpointLocation", ckpt())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow must terminate on its own")
+    val total = spark.table("avnow")
+      .agg(org.apache.spark.sql.functions.sum($"vote_count")).collect()(0).getLong(0)
+    assert(total == 30L, "every backlog row drained exactly once")
+  }
 }
