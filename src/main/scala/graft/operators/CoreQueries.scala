@@ -402,6 +402,25 @@ object CoreQueries {
       .orderBy($"event_type")
   }
 
+  /** Per-day order placements vs line shipments, FULL OUTER joined on
+    * the day — the reconciliation shape (neither side may drop rows).
+    * Both sides aggregate before the join, so the outer join runs on
+    * day-cardinality frames whatever the fact-table size.
+    */
+  def fullOuterDays(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val od = t(spark, dir, "orders")
+      .groupBy(date_trunc("day", $"o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val ld = t(spark, dir, "lineitem")
+      .groupBy(date_trunc("day", $"l_shipdate").as("day"))
+      .agg(count(lit(1)).as("n_ships"))
+    od.join(ld, Seq("day"), "full_outer")
+      .select($"day", coalesce($"n_orders", lit(0L)).as("n_orders"),
+        coalesce($"n_ships", lit(0L)).as("n_ships"))
+      .orderBy($"day")
+  }
+
   /** Hierarchical totals via ROLLUP (priority → status → grand total)
     * in ONE aggregation pass — grouping sets expand map-side, so the
     * subtotal levels cost one shuffle together, not one scan each.
@@ -492,6 +511,7 @@ object CoreQueries {
     "q_rollup_agg" -> rollupAgg _,
     "q_percentiles" -> valuePercentiles _,
     "q_value_stats" -> valueStats _,
+    "q_full_outer_days" -> fullOuterDays _,
     "q_pivot_status" -> pivotStatus _,
     "q_histogram" -> histogram _,
   )
@@ -617,6 +637,18 @@ object CoreQueries {
       """SELECT o_orderkey, o_totalprice,
         |       CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
         |FROM orders ORDER BY rank""".stripMargin,
+    "q_full_outer_days" ->
+      """WITH od AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |         count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |ld AS (
+        |  SELECT CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS day,
+        |         count(*) AS n_ships
+        |  FROM lineitem GROUP BY 1)
+        |SELECT day, coalesce(n_orders, 0) AS n_orders, coalesce(n_ships, 0) AS n_ships
+        |FROM od FULL OUTER JOIN ld USING (day)
+        |ORDER BY day""".stripMargin,
     "q_value_stats" ->
       """WITH s AS (
         |  SELECT event_type, count(*) AS n,
