@@ -148,6 +148,56 @@ object EventStreams {
       }
   }
 
+  /** [[runningTallies]] re-expressed on Spark 4's `transformWithState`
+    * — the successor arbitrary-state API (SPARK-40434): typed named
+    * state via a `StatefulProcessorHandle` instead of one opaque
+    * `GroupState` blob, optional per-state TTL, and timers decoupled
+    * from the input iterator. Semantics are identical to the
+    * mapGroupsWithState form (a parity spec pins it); requires the
+    * RocksDB state store provider at runtime.
+    */
+  class TallyProcessor extends org.apache.spark.sql.streaming
+      .StatefulProcessor[String, (String, java.sql.Timestamp), CandidateTally] {
+    @transient private var tally: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      tally = getHandle.getValueState[(Long, Long)]("tally",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(candidateId: String,
+        rows: Iterator[(String, java.sql.Timestamp)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[CandidateTally] = {
+      val (prevCount, prevTs) =
+        if (tally.exists()) tally.get() else (0L, 0L)
+      var count = prevCount
+      var maxTs = prevTs
+      rows.foreach { case (_, ts) =>
+        count += 1
+        if (ts.getTime > maxTs) maxTs = ts.getTime
+      }
+      tally.update((count, maxTs))
+      Iterator.single(CandidateTally(candidateId, count, new java.sql.Timestamp(maxTs)))
+    }
+  }
+
+  /** [[runningTallies]] on the transformWithState API. */
+  def runningTalliesTws(votes: DataFrame): Dataset[CandidateTally] = {
+    val spark = votes.sparkSession
+    import spark.implicits._
+    votes
+      .select($"candidate_id", $"voted_at")
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new TallyProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** One closed voter session emitted by [[voterSessions]]. */
   final case class VoterSession(voter_id: String, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, n_events: Long)

@@ -377,4 +377,49 @@ class StreamingSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum($"vote_count")).collect()(0).getLong(0)
     assert(total == 30L, "every backlog row drained exactly once")
   }
+
+  test("transformWithState tally equals the mapGroupsWithState tally (API parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val msgs = (0 until 40).map { i =>
+        voteJson(s"w$i", s"v$i", s"c${i % 3}", s"Cand ${i % 3}", s"P${i % 3}",
+          f"2024-05-01 10:${i % 60}%02d:00")
+      }
+      def runTally(name: String,
+          f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[
+            graft.streaming.EventStreams.CandidateTally]): Map[String, (Long, java.sql.Timestamp)] = {
+        val stream = MemoryStream[String]
+        stream.addData(msgs.take(25))
+        val q = f(EventStreams.parseVotes(stream.toDF())).toDF()
+          .writeStream.outputMode(OutputMode.Update())
+          .format("memory").queryName(name)
+          .option("checkpointLocation", ckpt()).start()
+        q.processAllAvailable()
+        stream.addData(msgs.drop(25))   // second micro-batch exercises state reuse
+        q.processAllAvailable()
+        q.stop()
+        // update mode appends a row per touched key per batch: last wins
+        spark.table(name).collect()
+          .groupBy(_.getAs[String]("candidate_id"))
+          .map { case (k, rs) =>
+            val last = rs.maxBy(_.getAs[Long]("total_votes"))
+            k -> (last.getAs[Long]("total_votes"), last.getAs[java.sql.Timestamp]("last_voted_at"))
+          }.toMap
+      }
+      val mgws = runTally("tally_mgws", EventStreams.runningTallies)
+      val tws = runTally("tally_tws", EventStreams.runningTalliesTws)
+      assert(tws == mgws)
+      assert(mgws.values.map(_._1).sum == 40L)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
