@@ -490,6 +490,22 @@ object CoreQueries {
       .orderBy($"rank")
   }
 
+  /** The DSv2 generator source surfaced as a query: per-candidate vote
+    * totals over the distributed generator. Engine-side synthesis —
+    * like the HLL sketch, there is no cross-engine oracle (the RNG is
+    * JVM-specific), so the driver records the rows-only check; the
+    * spec suite pins determinism, constraints, and pruning.
+    */
+  def votesFromSource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("graft.sources.VoteSource")
+      .option("nVoters", 5000).option("seed", 42).option("slices", 8)
+      .load()
+      .groupBy($"candidate_id")
+      .agg(count(lit(1)).as("votes"))
+      .orderBy($"votes".desc, $"candidate_id")
+  }
+
   /** All core queries, keyed as exposed through SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_hourly_latest" -> hourlyLatest _,
@@ -512,6 +528,7 @@ object CoreQueries {
     "q_percentiles" -> valuePercentiles _,
     "q_value_stats" -> valueStats _,
     "q_full_outer_days" -> fullOuterDays _,
+    "src_votes_dsv2" -> votesFromSource _,
     "q_pivot_status" -> pivotStatus _,
     "q_histogram" -> histogram _,
   )
