@@ -189,7 +189,48 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Filter thresholds for [[filterDocs]] — fixed rule constants, kept
+    * in one place because the oracle SQL mirrors them literally.
+    */
+  val MinWords = 15
+  val MaxDupRatio = 0.6
+  val MaxTopBigramRatio = 0.10
+
+  /** Quality-filter APPLICATION (the Gopher-rule verdict pass): every
+    * document gets a keep/drop verdict with the FIRST failing rule as
+    * the reason — too_short, repetitive (duplicate-word fraction), or
+    * boilerplate (top-bigram fraction). The signals are
+    * [[repetition]]'s, recomputed in the same shapes; rule comparisons
+    * run on engine-identical doubles so the verdict set is exact
+    * cross-engine.
+    */
+  def filterDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ws = docs(spark, dir).select($"doc_id", tok.as("t"))
+    val base = ws.select($"doc_id",
+      size($"t").cast("long").as("n_words"),
+      size(array_distinct($"t")).cast("long").as("n_distinct"))
+    val top = ws.filter(size($"t") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"))
+        .as("bigram"))
+      .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top_c"))
+    base.join(top, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_words",
+        (($"n_words" - $"n_distinct") * lit(1.0) / $"n_words").as("dup_ratio"),
+        ($"top_c" * lit(1.0) / ($"n_words" - 1)).as("bigram_ratio"))
+      .withColumn("verdict",
+        when($"n_words" < MinWords, "too_short")
+          .when($"dup_ratio" >= MaxDupRatio, "repetitive")
+          .when($"bigram_ratio" >= MaxTopBigramRatio, "boilerplate")
+          .otherwise("keep"))
+      .withColumn("keep", $"verdict" === "keep")
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_filter" -> filterDocs _,
     "text_repetition" -> repetition _,
     "text_winnow" -> winnowFingerprint _,
     "text_top_terms" -> topTerms _,
@@ -200,6 +241,28 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_filter" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |base AS (SELECT doc_id, len(t) AS n_words, len(list_distinct(t)) AS n_distinct FROM w),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i + 1])) AS bigram
+        |       FROM w WHERE len(t) >= 2),
+        |bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+        |tops AS (SELECT doc_id, max(c) AS top_c FROM bc GROUP BY 1),
+        |sig AS (
+        |  SELECT b.doc_id, b.n_words,
+        |         (b.n_words - b.n_distinct) * 1.0 / b.n_words AS dup_ratio,
+        |         t.top_c * 1.0 / (b.n_words - 1) AS bigram_ratio
+        |  FROM base b LEFT JOIN tops t USING (doc_id)),
+        |v AS (
+        |  SELECT *, CASE WHEN n_words < $MinWords THEN 'too_short'
+        |                 WHEN dup_ratio >= $MaxDupRatio THEN 'repetitive'
+        |                 WHEN bigram_ratio >= $MaxTopBigramRatio THEN 'boilerplate'
+        |                 ELSE 'keep' END AS verdict
+        |  FROM sig)
+        |SELECT doc_id, n_words, dup_ratio, bigram_ratio, verdict,
+        |       verdict = 'keep' AS keep
+        |FROM v ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |base AS (SELECT doc_id, len(t) AS n_words, len(list_distinct(t)) AS n_distinct FROM w),
