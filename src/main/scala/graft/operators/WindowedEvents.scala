@@ -129,7 +129,45 @@ object WindowedEvents {
       .withColumn("conversion_pct", $"n_converted" * lit(100.0) / $"n_signup_users")
   }
 
+  /** Per-user journey endpoints via argmin/argmax aggregates
+    * (min_by/max_by): first and last event type plus active span — one
+    * aggregation pass, no window, no self-join. Ties are impossible
+    * (event timestamps are globally unique), so the arg-aggregates are
+    * deterministic.
+    */
+  def userFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        min_by($"event_type", $"ts").as("first_type"),
+        max_by($"event_type", $"ts").as("last_type"),
+        (unix_micros(max($"ts").cast("timestamp"))
+          - unix_micros(min($"ts").cast("timestamp"))).as("span_micros"))
+      .orderBy($"user_id")
+  }
+
+  /** Per-user ordered event-type path (the sequence-modeling /
+    * user-journey prep op): events collected per user, sorted by
+    * (ts, event_id) INSIDE the aggregated array — the sort is array-
+    * local and distributed, never a global orderBy — then rendered as
+    * a '>'-joined string.
+    */
+  def eventPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(collect_list(struct($"ts", $"event_id", $"event_type")).as("evs"))
+      .select($"user_id",
+        size($"evs").cast("long").as("n_events"),
+        array_join(expr("transform(array_sort(evs), x -> x.event_type)"), ">")
+          .as("path"))
+      .orderBy($"user_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_user_first_last" -> userFirstLast _,
+    "q_event_paths" -> eventPaths _,
     "q_sessionize" -> sessionize _,
     "s_session_window" -> sessionWindow _,
     "q_funnel" -> funnel _,
@@ -151,6 +189,16 @@ object WindowedEvents {
       |      FROM w)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_user_first_last" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       arg_min(event_type, ts) AS first_type,
+        |       arg_max(event_type, ts) AS last_type,
+        |       epoch_us(max(ts)) - epoch_us(min(ts)) AS span_micros
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_event_paths" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_sessionize" ->
       s"""WITH $sessionCte
         |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n_events,
