@@ -94,7 +94,7 @@ object Dedup {
   private[graft] def signaturesHof(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val seeded = shingles(spark, dir).select($"doc_id" +:
-      (0 until NumHashes / 4).map(s => md5(concat(lit(s + "|"), $"shingle")).as(s"m$s")): _*)
+      (0 until NumHashes / 4).map(s => md5(concat(lit(s"$s|"), $"shingle")).as(s"m$s")): _*)
     val hs = array((0 until NumHashes).map(k =>
       substring(col(s"m${k / 4}"), (k % 4) * 8 + 1, 8)): _*)
     seeded

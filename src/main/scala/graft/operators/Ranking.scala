@@ -86,7 +86,7 @@ object Ranking {
     val bucketExpr =
       if (bounds.isEmpty) lit(0)
       else {
-        val boundsArr = array(bounds.map(lit(_)): _*)
+        val boundsArr = array(bounds.toIndexedSeq.map(lit(_)): _*)
         if (ascending) size(filter(boundsArr, b => b < c))
         else size(filter(boundsArr, b => b > c))
       }
