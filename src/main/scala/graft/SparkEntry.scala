@@ -20,11 +20,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.all ++ WindowedEvents.all ++ TextAnalysis.all ++ Dedup.all ++
-      Similarity.all ++ Multimodal.all ++ Corpus.all ++ TimeSeries.all
+      Similarity.all ++ Multimodal.all ++ Corpus.all ++ TimeSeries.all ++ Pipeline.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ WindowedEvents.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++
-      Similarity.oracle ++ Multimodal.oracle ++ Corpus.oracle ++ TimeSeries.oracle
+      Similarity.oracle ++ Multimodal.oracle ++ Corpus.oracle ++ TimeSeries.oracle ++
+      Pipeline.oracle
 }

@@ -58,10 +58,17 @@ object Corpus {
     * — no train/test leakage from dups), stable across reruns and
     * corpus growth.
     */
-  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    docs(spark, dir)
-      .select($"doc_id", (hashBucket % 100).as("bucket"))
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    splitAssignOf(docs(spark, dir))
+
+  /** [[splitAssign]] over an arbitrary frame with `doc_id, text` —
+    * per-doc the assignment is a pure content function, so running it
+    * on a pipeline's survivor set gives each doc the same split it
+    * would get from the full corpus (no leakage when stages reorder).
+    */
+  def splitAssignOf(d: DataFrame): DataFrame = {
+    import d.sparkSession.implicits._
+    d.select($"doc_id", (hashBucket % 100).as("bucket"))
       .withColumn("split",
         when($"bucket" < TrainPct, "train")
           .when($"bucket" < ValPct, "val")
@@ -73,23 +80,69 @@ object Corpus {
     * doc_id order, batch = exclusive-prefix-tokens div budget (a doc
     * may straddle a boundary — the deterministic approximation of
     * greedy packing; exact bin-packing is order-dependent anyway).
-    *
-    * The cumulative window is PARTITIONED BY lang, so no task ever
-    * sorts more than one language's documents. For a single global
-    * stream at 100 TB the same op runs as the classic two-pass prefix
-    * sum: per-partition totals, broadcast prefix offsets, map-side
-    * batch ids.
     */
   def packBatches(spark: SparkSession, dir: String,
       budget: Int = PackBudget): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"lang").orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs(spark, dir)
+    packBatchesOf(docs(spark, dir)
       .select($"doc_id", $"lang",
-        size(split($"text", " ")).cast("long").as("n_tokens"))
-      .withColumn("batch",
-        (coalesce(sum($"n_tokens").over(w), lit(0L)) / budget).cast("long"))
+        size(split($"text", " ")).cast("long").as("n_tokens")), budget)
+  }
+
+  /** [[packBatches]] over an arbitrary `(doc_id, lang, n_tokens)`
+    * frame — the form a pipeline calls on its SURVIVOR set, so batch
+    * ids count only documents that are actually packed.
+    *
+    * `lang` has a handful of distinct values, so a cumulative window
+    * partitioned by lang alone would sort an entire language's corpus
+    * in one task. This is instead the classic two-pass distributed
+    * prefix sum (the `Ranking.globalRowNumber` scheme):
+    *
+    *  1. bucket rows by fixed doc_id quantile literals (approximation
+    *     error only unbalances buckets — the boundaries are the same
+    *     pure expression in every pass, so correctness is unaffected);
+    *  2. per-(lang, bucket) token totals → cumulative offsets. That
+    *     aggregate is `langs × buckets` rows — metadata, not data — so
+    *     its lang-partitioned window is bounded by configuration;
+    *  3. broadcast the offsets back; each task prefix-sums only its
+    *     own (lang, bucket) slice and shifts by the bucket offset.
+    *
+    * No window ever consumes raw document rows partitioned by lang
+    * alone; the per-task sort is one bucket of one language.
+    */
+  def packBatchesOf(d: DataFrame, budget: Int = PackBudget,
+      buckets: Int = 32): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds =
+      if (probes.isEmpty) Array.empty[Double]
+      else d.stat.approxQuantile("doc_id", probes, 0.001).distinct.sorted
+    val id = $"doc_id".cast("double")
+    val bucketExpr =
+      if (bounds.isEmpty) lit(0)
+      else {
+        val boundsArr = array(bounds.toIndexedSeq.map(lit(_)): _*)
+        size(filter(boundsArr, b => b < id))
+      }
+    val bucketed = d.withColumn("__bucket", bucketExpr)
+    // pass 2: per-(lang, bucket) totals, then each bucket's exclusive
+    // prefix within its language — a window over the tiny aggregate
+    val offW = Window.partitionBy($"lang").orderBy($"__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy($"lang", $"__bucket")
+      .agg(sum($"n_tokens").as("__tot"))
+      .withColumn("__off", coalesce(sum($"__tot").over(offW), lit(0L)))
+      .select($"lang", $"__bucket", $"__off")
+    // pass 3: bucket-local exclusive prefix + broadcast offset; `div`
+    // keeps the batch id exact integer arithmetic at any token total
+    val localW = Window.partitionBy($"lang", $"__bucket").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .withColumn("__local", coalesce(sum($"n_tokens").over(localW), lit(0L)))
+      .join(broadcast(offsets), Seq("lang", "__bucket"))
+      .withColumn("batch", expr(s"(__off + __local) div ${budget}L"))
+      .select($"doc_id", $"lang", $"n_tokens", $"batch")
       .orderBy($"doc_id")
   }
 

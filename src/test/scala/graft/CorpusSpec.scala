@@ -49,6 +49,46 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("two-pass packBatchesOf equals the single-window prefix sum on a seeded frame") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val langs = Seq("en", "de", "es", "fr")
+    val rows = (1L to 4000L).map(i => (i * 7 % 9973, langs(rnd.nextInt(4)), 1L + rnd.nextInt(300)))
+      .distinctBy(_._1)
+    val df = rows.toDF("doc_id", "lang", "n_tokens")
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = df.withColumn("batch",
+      expr(s"coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) div ${Corpus.PackBudget}L"))
+      .select($"doc_id", $"batch").as[(Long, Long)].collect().toMap
+    Seq(1, 4, 32, 200).foreach { buckets =>
+      val got = Corpus.packBatchesOf(df, Corpus.PackBudget, buckets)
+        .select($"doc_id", $"batch").as[(Long, Long)].collect().toMap
+      assert(got === naive, s"buckets=$buckets diverged from single-window prefix sum")
+    }
+  }
+
+  test("packBatches plan: no window consumes raw document rows partitioned only by lang") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = Corpus.packBatches(spark, dir).queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, "unpartitioned window in packBatches plan")
+      if (w.partitionSpec.size == 1) {
+        // a single-key (lang-only) window is allowed only over the
+        // metadata-sized per-(lang, bucket) aggregate, never raw docs
+        val overAggregate = w.child.collectFirst { case a: Aggregate => a }.isDefined
+        assert(overAggregate,
+          s"lang-only window over non-aggregated input: ${w.windowExpressions.mkString(", ")}")
+      }
+    }
+    assert(windows.exists(_.partitionSpec.size >= 2),
+      "expected the bucket-local prefix window partitioned by (lang, bucket)")
+  }
+
   test("contamination never flags benchmark docs and only flags true head collisions") {
     val heads = graft.engine.Tables.load(spark, dir, "documents")
       .selectExpr("doc_id", "md5(array_join(slice(split(text, ' '), 1, 5), ' ')) AS h")
