@@ -12,8 +12,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config(graft.plans.ScaleGuard.FailOnGlobalWindow, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the benched surface is gated by the no-global-window rule, not
+    // just by PlanShapeSpec: an accidental Window.orderBy fails the run
+    graft.plans.ScaleGuard.install(spark)
     // the noop sink materialises every output column AND the final
     // sort/projection — .count() let Catalyst prune both, so a query
     // whose cost lives in its signature columns benched as a row scan

@@ -14,8 +14,11 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config(graft.plans.ScaleGuard.FailOnGlobalWindow, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fail-fast on any unpartitioned window in the verified surface
+    graft.plans.ScaleGuard.install(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

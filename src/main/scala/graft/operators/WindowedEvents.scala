@@ -147,19 +147,41 @@ object WindowedEvents {
       .orderBy($"user_id")
   }
 
-  /** Per-user ordered event-type path (the sequence-modeling /
-    * user-journey prep op): events collected per user, sorted by
-    * (ts, event_id) INSIDE the aggregated array — the sort is array-
-    * local and distributed, never a global orderBy — then rendered as
-    * a '>'-joined string.
+  /** Per-user journey cap: a degenerate power-user key must not
+    * materialise an unbounded array in one task, so [[eventPaths]]
+    * only ever collects the first MaxPathEvents events of a user (the
+    * true event count is still reported).
     */
-  def eventPaths(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.load(spark, dir, "events")
+  val MaxPathEvents = 1000
+
+  /** Per-user ordered event-type path (the sequence-modeling /
+    * user-journey prep op), rendered as a '>'-joined string.
+    *
+    * The per-user rank filter runs BEFORE the collect: the window sort
+    * is a spillable (user, ts) sort shared across users in a task, and
+    * the collected array is bounded at [[MaxPathEvents]] structs per
+    * user — collecting everything and slicing afterwards would still
+    * hold the whole journey of a hot key in one row. `n_events` keeps
+    * the uncapped count from a same-partition window (no extra
+    * shuffle — both windows ride one exchange on user_id).
+    */
+  def eventPaths(spark: SparkSession, dir: String): DataFrame =
+    eventPathsOf(Tables.load(spark, dir, "events"), MaxPathEvents)
+
+  /** [[eventPaths]] over an arbitrary events frame with an explicit
+    * cap (spec seam).
+    */
+  def eventPathsOf(events: DataFrame, cap: Int): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"user_id").orderBy($"ts", $"event_id")))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"user_id")))
+      .filter($"rn" <= cap)
       .groupBy($"user_id")
-      .agg(collect_list(struct($"ts", $"event_id", $"event_type")).as("evs"))
-      .select($"user_id",
-        size($"evs").cast("long").as("n_events"),
+      .agg(max($"cnt").cast("long").as("n_events"),
+        collect_list(struct($"rn", $"event_type")).as("evs"))
+      .select($"user_id", $"n_events",
         array_join(expr("transform(array_sort(evs), x -> x.event_type)"), ">")
           .as("path"))
       .orderBy($"user_id")
@@ -196,9 +218,14 @@ object WindowedEvents {
         |       epoch_us(max(ts)) - epoch_us(min(ts)) AS span_micros
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_event_paths" ->
-      """SELECT user_id, count(*) AS n_events,
+      s"""WITH r AS (SELECT user_id, event_type, ts, event_id,
+        |             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |             count(*) OVER (PARTITION BY user_id) AS n_events
+        |           FROM events)
+        |SELECT user_id, n_events,
         |       string_agg(event_type, '>' ORDER BY ts, event_id) AS path
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+        |FROM r WHERE rn <= $MaxPathEvents
+        |GROUP BY user_id, n_events ORDER BY user_id""".stripMargin,
     "q_sessionize" ->
       s"""WITH $sessionCte
         |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n_events,

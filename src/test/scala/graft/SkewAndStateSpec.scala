@@ -27,6 +27,27 @@ class SkewAndStateSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("eventPaths caps a hot user's journey but reports the true count") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val events = (1 to 50).map { i =>
+      (Timestamp.valueOf(f"2024-01-01 00:${i % 60}%02d:00"), i.toLong, "hot", s"t${i % 3}")
+    } ++ Seq(
+      (Timestamp.valueOf("2024-01-01 01:00:00"), 100L, "cold", "t0"),
+      (Timestamp.valueOf("2024-01-01 01:01:00"), 101L, "cold", "t1"))
+    val df = events.toDF("ts", "event_id", "user_id", "event_type")
+    val rows = graft.operators.WindowedEvents.eventPathsOf(df, cap = 10)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val (hotN, hotPath) = rows("hot")
+    assert(hotN === 50L, "n_events must report the uncapped count")
+    assert(hotPath.split(">").length === 10, "path must hold only the first cap events")
+    // first 10 events by (ts, event_id): ts ordering is i%60 minutes
+    val expected = (1 to 50).map(i => (i % 60, i)).sorted.take(10)
+      .map { case (_, i) => s"t${i % 3}" }.mkString(">")
+    assert(hotPath === expected)
+    assert(rows("cold") === ((2L, "t0>t1")))
+  }
+
   test("salted count equals plain groupBy count") {
     import spark.implicits._
     val df = (1 to 5000).map(i => if (i % 10 == 0) s"k${i % 50}" else "hot")
