@@ -131,27 +131,166 @@ object Similarity {
       .orderBy($"q_id", $"rnk")
   }
 
-  /** IVF list count / probe fan-out. Centroids here are a deterministic
-    * sample (the first `IvfNumCentroids` vectors) so the oracle can
-    * reproduce the assignment; a production deployment trains them
-    * (k-means) offline and broadcasts the same way.
-    */
+  /** IVF list count / probe fan-out / k-means training rounds. */
   val IvfNumCentroids = 8
   val IvfNProbe = 2
+  val IvfKmeansIters = 3
 
-  /** IVF-style ANN: assign every vector to its nearest centroid
-    * (broadcast centroid table, map-side argmax — an embarrassingly
-    * parallel projection), then each query scores only the `nProbe`
-    * inverted lists nearest to it. This is the second scale path next
-    * to sign-LSH: candidate volume ≈ nProbe/numCentroids of the corpus,
-    * and the candidate join distributes on cent_id — list-partitioned,
-    * exactly how a 1000-executor IVF shards. Ties and floats are pinned
-    * the usual way (cosines rounded to 6 dp, ranks break on id).
+  /** Fixed-point NORMALIZED embedding components for centroid
+    * training: `floor((x/‖v‖)·10⁴) + 10⁶`. Normalizing first makes
+    * Euclidean distance monotone in cosine (‖â−b̂‖² = 2−2cosθ), so the
+    * k-means lists agree with the cosine scoring metric — spherical
+    * k-means, which is what an IVF index over cosine similarity
+    * trains. floor is exact cross-engine (emb_quantize precedent); the
+    * shift keeps every value (hence every cluster sum) non-negative so
+    * integer division truncates identically in the JVM (toward zero)
+    * and DuckDB (floor). Distances are shift-invariant and far below
+    * BIGINT range. The double division before floor sits ~1e-12 from
+    * any boundary only with probability ~1e-12 per component —
+    * accumulation shapes mirror each other (sequential folds) anyway.
+    */
+  private val IvfScale = 10000
+  private val IvfShift = 1000000L
+  private def ivCol =
+    expr(s"transform(emb, x -> CAST(floor(x / nrm * $IvfScale) AS BIGINT) + $IvfShift)")
+
+  /** Squared integer distance from the `iv` column to a literal
+    * centroid — a pure codegen'd projection (the collection argument
+    * of the fold is the zip, computed once — not re-evaluated per
+    * element).
+    */
+  private def sqDistTo(c: Seq[Long]): org.apache.spark.sql.Column =
+    expr(s"aggregate(zip_with(iv, array(${c.mkString(", ")}), " +
+      "(a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (s, t) -> s + t)")
+
+  /** Deterministic k-means over the fixed-point vectors: init = the
+    * first `k` vectors (content-seeded, oracle-replayable), then
+    * `iters` rounds of nearest-centroid assignment (ties → lowest
+    * cent_id) and integer-mean update (empty cluster keeps its
+    * centroid). All arithmetic is exact integer math, so the DuckDB
+    * oracle replays training bit-for-bit.
+    *
+    * Each round collects only k × dims component means — metadata
+    * bounded by configuration, like Ranking's bucket offsets, never
+    * data. Assignment against driver-literal centroids stays a pure
+    * projection: the corpus is never multiplied by k in a join.
+    */
+  private[graft] def trainIvfCentroids(spark: SparkSession, dir: String,
+      k: Int = IvfNumCentroids, iters: Int = IvfKmeansIters): IndexedSeq[IndexedSeq[Long]] = {
+    import spark.implicits._
+    trainIvfCentroidsOver(emb(spark, dir).select($"vec_id", ivCol.as("iv")), k, iters)
+  }
+
+  /** [[trainIvfCentroids]] over an arbitrary `(vec_id, iv)` frame. */
+  private[graft] def trainIvfCentroidsOver(e: DataFrame,
+      k: Int, iters: Int): IndexedSeq[IndexedSeq[Long]] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    var cents: IndexedSeq[IndexedSeq[Long]] = e.filter($"vec_id" < k)
+      .orderBy($"vec_id").collect()
+      .map(_.getSeq[Long](1).toIndexedSeq).toIndexedSeq
+    val dims = cents.head.length
+    for (_ <- 1 to iters) {
+      val dists = cents.zipWithIndex.map { case (c, i) => sqDistTo(c).as(s"d$i") }
+      val m = least(cents.indices.map(i => col(s"d$i")): _*)
+      val cid = coalesce(cents.indices.map(i => when(col(s"d$i") === m, i)): _*)
+      val comp = e.select(($"iv" +: dists): _*)
+        .withColumn("cid", cid)
+        .select($"cid", posexplode($"iv").as(Seq("dim", "v")))
+        .groupBy($"cid", $"dim")
+        .agg(sum($"v").as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2) / r.getLong(3))
+        .toMap
+      cents = cents.indices.map(i =>
+        (0 until dims).map(d => comp.getOrElse((i, d), cents(i)(d))).toIndexedSeq)
+    }
+    cents
+  }
+
+  /** IVF-style ANN with TRAINED centroids: deterministic k-means
+    * ([[trainIvfCentroids]]), then every vector map-side-assigned to
+    * its nearest list (distances to driver-literal centroids — an
+    * embarrassingly parallel projection, no corpus × k join, no window
+    * over the corpus), and each query scores only its `nProbe` nearest
+    * inverted lists. The candidate join distributes on cent_id —
+    * list-partitioned, exactly how a 1000-executor IVF shards. Ties
+    * and floats are pinned the usual way (cosines rounded to 6 dp,
+    * ranks break on id).
     */
   def ivfTopK(spark: SparkSession, dir: String,
+      numCentroids: Int = IvfNumCentroids, nProbe: Int = IvfNProbe,
+      iters: Int = IvfKmeansIters): DataFrame = {
+    import spark.implicits._
+    ivfTopKOver(
+      Tables.load(spark, dir, "embeddings")
+        .select($"vec_id", Vectors.toDouble($"embedding").as("emb")),
+      "vec_id", "emb", numCentroids, nProbe, iters)
+  }
+
+  /** [[ivfTopK]] over ANY (id, array<double>) frame (spec seam and
+    * media-feature path, mirroring [[cosineTopKOver]]).
+    */
+  def ivfTopKOver(e0: DataFrame, idCol: String, embCol: String,
+      numCentroids: Int = IvfNumCentroids, nProbe: Int = IvfNProbe,
+      iters: Int = IvfKmeansIters, numQueries: Int = NumQueries,
+      topK: Int = TopK): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    val e = e0.select(col(idCol).as("vec_id"), col(embCol).as("emb"))
+      .withColumn("nrm", Vectors.norm($"emb"))
+      .withColumn("iv", ivCol)
+    val cents = trainIvfCentroidsOver(e.select($"vec_id", $"iv"), numCentroids, iters)
+    val dists = cents.zipWithIndex.map { case (c, i) => sqDistTo(c).as(s"d$i") }
+    val withD = e.select(($"vec_id" +: $"emb" +: $"nrm" +: $"iv" +: dists): _*)
+    val m = least(cents.indices.map(i => col(s"d$i")): _*)
+    val cid = coalesce(cents.indices.map(i => when(col(s"d$i") === m, i)): _*)
+    val assign = withD.withColumn("cent_id", cid)
+      .select($"vec_id", $"emb", $"nrm", $"cent_id")
+    // probe ranking runs over queries × k rows only — the full corpus
+    // never sees a window here
+    val centDf = broadcast(cents.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toDF("cent_id", "civ"))
+    val probes = e.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("q_id"), $"emb".as("qe"), $"nrm".as("nq"), $"iv")
+      .crossJoin(centDf)
+      .withColumn("d", expr("aggregate(zip_with(iv, civ, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (s, t) -> s + t)"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"d", $"cent_id")))
+      .filter($"crnk" <= nProbe)
+      .select($"q_id", $"qe", $"nq", $"cent_id")
+    broadcast(probes).join(assign, Seq("cent_id"))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("cos", round(ArrayExpressions.dot($"qe", $"emb") / ($"nq" * $"nrm"), 6))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id"))
+          .cast("long"))
+      .filter($"rnk" <= topK)
+      .select($"q_id", $"vec_id", $"cos", $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
+  /** The untrained baseline: centroids are just the first `k` vectors
+    * (round-3's variant, kept as the recall comparison point for the
+    * ExtensionSpec assertion that training helps).
+    */
+  def ivfTopKSampled(spark: SparkSession, dir: String,
       numCentroids: Int = IvfNumCentroids, nProbe: Int = IvfNProbe): DataFrame = {
     import spark.implicits._
-    val e = emb(spark, dir)
+    ivfTopKSampledOver(
+      Tables.load(spark, dir, "embeddings")
+        .select($"vec_id", Vectors.toDouble($"embedding").as("emb")),
+      "vec_id", "emb", numCentroids, nProbe)
+  }
+
+  /** [[ivfTopKSampled]] over ANY (id, array<double>) frame. */
+  def ivfTopKSampledOver(e0: DataFrame, idCol: String, embCol: String,
+      numCentroids: Int = IvfNumCentroids, nProbe: Int = IvfNProbe,
+      numQueries: Int = NumQueries, topK: Int = TopK): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    val e = e0.select(col(idCol).as("vec_id"), col(embCol).as("emb"))
+      .withColumn("nrm", Vectors.norm($"emb"))
     val cents = e.filter($"vec_id" < numCentroids)
       .select($"vec_id".as("cent_id"), $"emb".as("cemb"), $"nrm".as("cnrm"))
     val ranked = e.crossJoin(broadcast(cents))
@@ -162,17 +301,15 @@ object Similarity {
           .cast("long"))
     val assign = ranked.filter($"crnk" === 1)
       .select($"vec_id", $"emb", $"nrm", $"cent_id")
-    val probes = ranked.filter($"vec_id" < NumQueries && $"crnk" <= nProbe)
+    val probes = ranked.filter($"vec_id" < numQueries && $"crnk" <= nProbe)
       .select($"vec_id".as("q_id"), $"emb".as("qe"), $"nrm".as("nq"), $"cent_id")
-    // ≤ queries × nProbe rows — broadcast, or Catalyst sort-merges the
-    // whole assignment relation against it
     broadcast(probes).join(assign, Seq("cent_id"))
       .filter($"vec_id" =!= $"q_id")
       .withColumn("cos", round(ArrayExpressions.dot($"qe", $"emb") / ($"nq" * $"nrm"), 6))
       .withColumn("rnk",
         row_number().over(Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id"))
           .cast("long"))
-      .filter($"rnk" <= TopK)
+      .filter($"rnk" <= topK)
       .select($"q_id", $"vec_id", $"cos", $"rnk")
       .orderBy($"q_id", $"rnk")
   }
@@ -285,33 +422,69 @@ object Similarity {
         |           FROM dots)
         |SELECT q_id, vec_id, cos, rnk FROM scored WHERE rnk <= 5
         |ORDER BY q_id, rnk""".stripMargin,
-    "ann_ivf_topk" ->
-      """WITH c AS (SELECT vec_id AS cent_id, embedding AS cemb FROM embeddings WHERE vec_id < 8),
-        |cf AS (SELECT e.vec_id, c.cent_id, CAST(unnest(e.embedding) AS DOUBLE) AS x,
-        |              CAST(unnest(c.cemb) AS DOUBLE) AS y FROM embeddings e, c),
-        |cd AS (SELECT vec_id, cent_id,
-        |              round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS csim
-        |       FROM cf GROUP BY 1, 2),
-        |ranked AS (SELECT vec_id, cent_id,
-        |                  CAST(row_number() OVER (PARTITION BY vec_id
-        |                       ORDER BY csim DESC, cent_id) AS BIGINT) AS crnk
-        |           FROM cd),
-        |assign AS (SELECT vec_id, cent_id FROM ranked WHERE crnk = 1),
-        |probes AS (SELECT vec_id AS q_id, cent_id FROM ranked WHERE vec_id < 5 AND crnk <= 2),
-        |cand AS (SELECT p.q_id, a.vec_id FROM probes p
-        |         JOIN assign a ON p.cent_id = a.cent_id AND a.vec_id <> p.q_id),
-        |pf AS (SELECT cand.q_id, cand.vec_id, CAST(unnest(q.embedding) AS DOUBLE) AS x,
-        |              CAST(unnest(v.embedding) AS DOUBLE) AS y
-        |       FROM cand JOIN embeddings q ON q.vec_id = cand.q_id
-        |                 JOIN embeddings v ON v.vec_id = cand.vec_id),
-        |pd AS (SELECT q_id, vec_id,
-        |              round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
-        |       FROM pf GROUP BY 1, 2),
-        |scored AS (SELECT q_id, vec_id, cos,
-        |                  CAST(row_number() OVER (PARTITION BY q_id
-        |                       ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
-        |           FROM pd)
-        |SELECT q_id, vec_id, cos, rnk FROM scored WHERE rnk <= 5
-        |ORDER BY q_id, rnk""".stripMargin,
+    "ann_ivf_topk" -> ivfOracle,
   )
+
+  /** DuckDB replay of the trained IVF: the k-means iterations are
+    * generated as CTE rounds over the same fixed-point integers —
+    * every operation (floor quantize, squared distance, min-id
+    * tie-break, integer-mean update) is exact integer arithmetic, so
+    * both engines train identical centroids.
+    */
+  private def ivfOracle: String = {
+    val k = IvfNumCentroids
+    val dims = 64
+    def distCte(name: String, cents: String, filter: String = "") =
+      s"""$name AS (SELECT v.vec_id, c.cent_id,
+        |  list_aggregate(list_transform(generate_series(1, $dims),
+        |    i -> (v.iv[i] - c.civ[i]) * (v.iv[i] - c.civ[i])), 'sum') AS d
+        |  FROM iv v CROSS JOIN $cents c$filter)""".stripMargin
+    val iterations = (1 to IvfKmeansIters).map { t =>
+      s"""${distCte(s"dist$t", s"cents${t - 1}")},
+        |asg$t AS (SELECT vec_id, cent_id FROM (SELECT vec_id, cent_id,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+        |  FROM dist$t) WHERE rn = 1),
+        |upd$t AS (SELECT a.cent_id, i AS dim, CAST(sum(v.iv[i]) AS BIGINT) AS s,
+        |    count(*) AS cnt
+        |  FROM asg$t a JOIN iv v USING (vec_id)
+        |  CROSS JOIN generate_series(1, $dims) AS g(i)
+        |  GROUP BY 1, 2),
+        |new$t AS (SELECT cent_id, list(s // cnt ORDER BY dim) AS civ
+        |  FROM upd$t GROUP BY cent_id),
+        |cents$t AS (SELECT c.cent_id, coalesce(nw.civ, c.civ) AS civ
+        |  FROM cents${t - 1} c LEFT JOIN new$t nw USING (cent_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nrm AS (SELECT vec_id, embedding,
+      |    sqrt(list_aggregate(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+      |  FROM embeddings),
+      |iv AS (SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) / nrm * $IvfScale) AS BIGINT) + $IvfShift) AS iv
+      |  FROM nrm),
+      |cents0 AS (SELECT vec_id AS cent_id, iv AS civ FROM iv WHERE vec_id < $k),
+      |$iterations,
+      |${distCte("fdist", s"cents$IvfKmeansIters")},
+      |assign AS (SELECT vec_id, cent_id FROM (SELECT vec_id, cent_id,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+      |  FROM fdist) WHERE rn = 1),
+      |probes AS (SELECT vec_id AS q_id, cent_id FROM (SELECT vec_id, cent_id,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+      |  FROM fdist WHERE vec_id < $NumQueries) WHERE rn <= $IvfNProbe),
+      |cand AS (SELECT p.q_id, a.vec_id FROM probes p
+      |  JOIN assign a ON p.cent_id = a.cent_id AND a.vec_id <> p.q_id),
+      |pf AS (SELECT cand.q_id, cand.vec_id, CAST(unnest(q.embedding) AS DOUBLE) AS x,
+      |    CAST(unnest(v.embedding) AS DOUBLE) AS y
+      |  FROM cand JOIN embeddings q ON q.vec_id = cand.q_id
+      |            JOIN embeddings v ON v.vec_id = cand.vec_id),
+      |pd AS (SELECT q_id, vec_id,
+      |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+      |  FROM pf GROUP BY 1, 2),
+      |scored AS (SELECT q_id, vec_id, cos,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |         ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+      |  FROM pd)
+      |SELECT q_id, vec_id, cos, rnk FROM scored WHERE rnk <= $TopK
+      |ORDER BY q_id, rnk""".stripMargin
+  }
 }

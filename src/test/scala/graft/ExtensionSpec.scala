@@ -134,6 +134,48 @@ class ExtensionSpec extends SparkSpec {
     assert(ivf.map(_.getLong(0)).distinct.length === 5)
   }
 
+  test("trained IVF recall beats sampled centroids on clustered data") {
+    // The testdata embeddings are structureless (uniform random), so
+    // recall differences there are noise. This frame has real cluster
+    // structure with the seed pathology k-means exists to fix: the
+    // first 8 vectors (the sampled variant's centroids) sit in only
+    // TWO of the 8 true clusters, so sampled lists shred clusters into
+    // arbitrary micro-lists while training redistributes centroids to
+    // the true clusters.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val centers = IndexedSeq.fill(8)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = (0 until 400).map { id =>
+      val cl = if (id < 8) id % 2 else id % 8
+      (id.toLong, centers(cl).map(x => x + rnd.nextGaussian() * 0.3).toSeq)
+    }
+    val df = rows.toDF("vec_id", "emb")
+    val brute = Similarity.cosineTopKOver(df, "vec_id", "emb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(got: Set[(Long, Long)]) = (got intersect brute).size
+    val trained1 = Similarity.ivfTopKOver(df, "vec_id", "emb", nProbe = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sampled1 = Similarity.ivfTopKSampledOver(df, "vec_id", "emb", nProbe = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(recall(trained1) === brute.size, "trained nProbe=1 should recover every neighbor")
+    assert(recall(trained1) > recall(sampled1),
+      s"training didn't help: trained=${recall(trained1)} sampled=${recall(sampled1)}")
+    val trained2 = Similarity.ivfTopKOver(df, "vec_id", "emb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sampled2 = Similarity.ivfTopKSampledOver(df, "vec_id", "emb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(recall(trained2) >= recall(sampled2))
+  }
+
+  test("k-means training is deterministic and moves centroids off the seed vectors") {
+    val c1 = Similarity.trainIvfCentroids(spark, dir)
+    val c2 = Similarity.trainIvfCentroids(spark, dir)
+    assert(c1 === c2)
+    val seeds = Similarity.trainIvfCentroids(spark, dir, iters = 0)
+    assert(c1 !== seeds, "3 rounds of k-means left every centroid exactly on its seed")
+    assert(c1.length === Similarity.IvfNumCentroids)
+  }
+
   test("narrower LSH buckets (bits=4) still score shared pairs identically to brute force") {
     val brute = Similarity.cosineTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
