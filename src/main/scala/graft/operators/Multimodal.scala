@@ -49,27 +49,96 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** ??? in spirit — the decode step a real deployment would replace
-    * with an image/audio codec. Deterministic fake: an 8-dim feature
-    * vector derived from the payload's MD5, so tests and downstream
-    * operators (ANN over media features) run end-to-end.
-    *
-    * Runs partition-wise over the typed Dataset: one iterator per
-    * partition, records streamed — the exact batch shape a vectorized
-    * decoder needs (decode N items per partition without
-    * per-row overhead).
+  /** The deterministic fallback features (payload-MD5-derived dyadic
+    * rationals) — used for kinds with no in-container codec (audio,
+    * video) and payloads that fail to parse.
     */
-  def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+  private def stubFeatures(md5: Array[Byte]): Array[Double] =
+    Array.tabulate(8)(i => ((md5(i) & 0xff) - 128) / 128.0)
+
+  /** REAL image decode: `javax.imageio` ships in the JDK, so PNG/BMP/
+    * GIF/JPEG payloads decode to pixels with no external library. The
+    * 8-dim feature vector is exact integer-sum arithmetic over the
+    * pixel grid (channel means, gray extremes, normalized dims), so it
+    * is deterministic across partitionings and reruns. Returns None
+    * when the payload is not a parseable image.
+    */
+  private[operators] def imageFeatures(bytes: Array[Byte]): Option[Array[Double]] = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth == 0 || img.getHeight == 0) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var mnGray = 255; var mxGray = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            sr += r; sg += g; sb += b
+            val gray = (r + g + b) / 3
+            if (gray < mnGray) mnGray = gray
+            if (gray > mxGray) mxGray = gray
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        Some(Array(
+          sr.toDouble / (n * 255.0),
+          sg.toDouble / (n * 255.0),
+          sb.toDouble / (n * 255.0),
+          (sr + sg + sb).toDouble / (n * 3.0 * 255.0),
+          mnGray / 255.0,
+          mxGray / 255.0,
+          w / 4096.0,
+          h / 4096.0))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The decode seam: partition-wise over the typed Dataset — one
+    * iterator per partition, records streamed, per-partition codec
+    * init — the exact batch shape a vectorized decoder needs. `image`
+    * payloads decode for REAL ([[imageFeatures]]); audio/video kinds
+    * (no codec in this container) and unparseable payloads fall back
+    * to the deterministic stub features so the pipeline is total.
+    */
+  def decode(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition init (a real decoder would open its codec here once)
+      // per-partition init (a real deployment opens its codecs here once)
       val digest = java.security.MessageDigest.getInstance("MD5")
       it.map { m =>
         digest.reset()
         val h = digest.digest(m.bytes)
-        val feats = Array.tabulate(8)(i => ((h(i) & 0xff) - 128) / 128.0)
+        val feats =
+          (if (m.kind == "image") imageFeatures(m.bytes) else None)
+            .getOrElse(stubFeatures(h))
         MediaFeatures(m.media_id, m.kind, m.bytes.length.toLong,
           h.map("%02x".format(_)).mkString, feats)
+      }
+    }
+  }
+
+  /** The always-stub variant (every kind gets MD5 features) — kept as
+    * the deterministic cross-engine surface the mm_feature_topk oracle
+    * replays from md5(text).
+    */
+  def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.map { m =>
+        digest.reset()
+        val h = digest.digest(m.bytes)
+        MediaFeatures(m.media_id, m.kind, m.bytes.length.toLong,
+          h.map("%02x".format(_)).mkString, stubFeatures(h))
       }
     }
   }
@@ -133,8 +202,12 @@ object Multimodal {
     */
   def mediaFeatureTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the REAL seam: image payloads would decode to pixel features
+    // here; the synthesized text payloads never parse as images, so
+    // every record takes the stub fallback and the md5(text) oracle
+    // replays the result exactly (MultimodalSpec pins that equality)
     Similarity.cosineTopKOver(
-      decodeStub(fromDocuments(spark, dir)).toDF(), "media_id", "features")
+      decode(fromDocuments(spark, dir)).toDF(), "media_id", "features")
       .select($"q_id", $"vec_id".as("media_id"), $"cos", $"rnk")
   }
 

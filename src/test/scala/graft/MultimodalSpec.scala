@@ -79,6 +79,66 @@ class MultimodalSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  private def pngBytes(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("image payloads REALLY decode: features come from pixel data, not the payload hash") {
+    import spark.implicits._
+    // 2x2 solid red; 4x1 black-to-white gray ramp
+    val red = pngBytes(2, 2)((_, _) => 0xff0000)
+    val ramp = pngBytes(4, 1)((x, _) => { val g = x * 85; (g << 16) | (g << 8) | g })
+    val media = Seq(
+      graft.operators.Multimodal.MediaRecord(1L, "image", red, 2, 2, 0L),
+      graft.operators.Multimodal.MediaRecord(2L, "image", ramp, 4, 1, 0L),
+      graft.operators.Multimodal.MediaRecord(3L, "audio", red, 0, 0, 10L),
+      graft.operators.Multimodal.MediaRecord(4L, "image", "not an image".getBytes, 0, 0, 0L))
+      .toDS()
+    val got = graft.operators.Multimodal.decode(media).collect()
+      .map(f => f.media_id -> f).toMap
+    // solid red: meanR=1, meanG=meanB=0, gray=(255+0+0)/3=85 everywhere
+    val r = got(1L).features
+    assert(r(0) === 1.0 && r(1) === 0.0 && r(2) === 0.0)
+    assert(r(3) === 255.0 / (3.0 * 255.0))
+    assert(r(4) === 85.0 / 255.0 && r(5) === 85.0 / 255.0)
+    assert(r(6) === 2.0 / 4096.0 && r(7) === 2.0 / 4096.0)
+    // gray ramp: channel means = (0+85+170+255)/(4*255), extremes 0 and 255
+    val g = got(2L).features
+    val mean = (0.0 + 85 + 170 + 255) / (4.0 * 255.0)
+    assert(g(0) === mean && g(1) === mean && g(2) === mean && g(3) === mean)
+    assert(g(4) === 0.0 && g(5) === 1.0)
+    assert(g(6) === 4.0 / 4096.0 && g(7) === 1.0 / 4096.0)
+    // audio kind and unparseable image both fall back to the MD5 stub
+    val stub = graft.operators.Multimodal.decodeStub(media).collect()
+      .map(f => f.media_id -> f.features.toSeq).toMap
+    assert(got(3L).features.toSeq === stub(3L))
+    assert(got(4L).features.toSeq === stub(4L))
+    // and the real-decoded ones must NOT equal their stub features
+    assert(got(1L).features.toSeq !== stub(1L))
+  }
+
+  test("decoded image features flow into the generic ANN path") {
+    import spark.implicits._
+    // 8 images: 4 reddish + 4 bluish clusters; neighbors of a red query
+    // must all be reddish
+    val media = (0 until 8).map { i =>
+      val c = if (i % 2 == 0) 0xd00000 + i * 8 else 0x0000d0 + (i << 16 & 0x0f0000)
+      graft.operators.Multimodal.MediaRecord(i.toLong, "image", pngBytes(3, 3)((_, _) => c), 3, 3, 0L)
+    }.toDS()
+    val feats = graft.operators.Multimodal.decode(media).toDF()
+    val top = graft.operators.Similarity
+      .cosineTopKOver(feats, "media_id", "features", numQueries = 1, k = 3)
+      .collect()
+    assert(top.length === 3)
+    // query 0 is reddish — its top-3 by cosine must be the other reds
+    assert(top.map(_.getLong(1)).toSet === Set(2L, 4L, 6L))
+  }
+
   test("frame sampler emits zero frames for empty payloads") {
     import spark.implicits._
     val m = Seq((1L, "image", Array.empty[Byte], 0, 0, 0L),
