@@ -244,6 +244,62 @@ class StreamingSpec extends SparkSpec {
     assert(served.map(_(2).asInstanceOf[Long]).sum === 30L)
   }
 
+  test("rollup serving survives a crash between batches: restart, upsert, serve") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft-rollup-restart").toString + "/rollup"
+    val checkpoint = ckpt()
+    def msg(i: Int, cand: Int, hour: Int) =
+      voteJson(s"t$i", s"v$i", s"c$cand", s"Cand $cand", s"P$cand",
+        f"2024-05-01 $hour%02d:${i % 60}%02d:00")
+    val batch1 = (0 until 24).map { i =>
+      val cand = if (i < 9) 0 else if (i < 17) 1 else 2
+      msg(i, cand, 10 + i % 2)
+    }
+    // batch2 revises existing (hour, candidate) rollup keys, so serving
+    // correctness after restart depends on BOTH the restored aggregation
+    // state and the idempotent upsert merge
+    val batch2 = (24 until 28).map(i => msg(i, 1, 12)) ++
+      (28 until 30).map(i => msg(i, 0, 11))
+    def upsert(stream: MemoryStream[String]) = {
+      val agg = EventStreams.votesPerCandidate(EventStreams.parseVotes(stream.toDF()))
+        .withColumn("rollup_key", concat_ws("|", col("window_start"), col("candidate_id")))
+      EventStreams.foreachBatchUpsert(agg, out,
+        key = "rollup_key", versionCol = "vote_count", checkpointDir = checkpoint)
+    }
+    val stream1 = MemoryStream[String]
+    val q1 = upsert(stream1)
+    stream1.addData(batch1)
+    q1.processAllAvailable()
+    q1.stop() // crash between batches
+    // the partial rollup already serves a consistent leaderboard
+    val mid = graft.engine.VotingQueries
+      .leaderboardFromRollup(spark.read.parquet(out).drop("rollup_key"))
+    assert(mid.agg(sum("vote_count")).collect()(0).getLong(0) === 24L)
+    // restart from the same checkpoint: a fresh source recreates the
+    // committed offset, then continues with batch2
+    val stream2 = MemoryStream[String]
+    stream2.addData(batch1)
+    val q2 = upsert(stream2)
+    stream2.addData(batch2)
+    q2.processAllAvailable()
+    q2.stop()
+    val served = graft.engine.VotingQueries
+      .leaderboardFromRollup(spark.read.parquet(out).drop("rollup_key"))
+      .collect().toSeq.map(_.toSeq)
+    val all = EventStreams.parseVotes((batch1 ++ batch2).toDF("value"))
+    val candidates = (0 until 3).map(k => (s"c$k", "Cand", s"$k", s"P$k"))
+      .toDF("candidate_id", "first_name", "last_name", "party")
+    val tables = graft.engine.VotingTables(candidates,
+      spark.emptyDataFrame, all.select("vote_id", "voter_id", "candidate_id", "voted_at", "vote"))
+    val reference = graft.engine.VotingQueries.votesByCandidate(tables)
+      .select(concat_ws(" ", col("first_name"), col("last_name")).as("candidate_name"),
+        col("party"), col("vote_count"), col("percentage"), col("rank"), col("hourly_change"))
+      .collect().toSeq.map(_.toSeq)
+    assert(served === reference)
+    assert(served.map(_(2).asInstanceOf[Long]).sum === 30L)
+  }
+
   test("flatMapGroupsWithState sessionizer emits each closed session exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
