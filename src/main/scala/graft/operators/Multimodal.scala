@@ -63,7 +63,21 @@ object Multimodal {
     * is deterministic across partitionings and reruns. Returns None
     * when the payload is not a parseable image.
     */
+  /** Container-format magic bytes for the decoders the JDK ships
+    * (PNG, JPEG, GIF, BMP) — a 4-byte sniff that lets non-image
+    * payloads skip ImageIO's reader-registry scan entirely (it costs
+    * a stream + SPI lookup per call, which is pure waste on a mostly-
+    * text corpus).
+    */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xff.toByte && b(1) == 0xd8.toByte && b(2) == 0xff.toByte) ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+      (b(0) == 'B' && b(1) == 'M'))
+
   private[operators] def imageFeatures(bytes: Array[Byte]): Option[Array[Double]] = {
+    if (!looksLikeImage(bytes)) return None
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null || img.getWidth == 0 || img.getHeight == 0) None

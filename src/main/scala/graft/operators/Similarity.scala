@@ -237,9 +237,17 @@ object Similarity {
       topK: Int = TopK): DataFrame = {
     val spark = e0.sparkSession
     import spark.implicits._
+    // cache = a projection-collapse BARRIER, not just reuse: without
+    // it Catalyst inlines `iv` (which itself inlines `nrm`'s 64-term
+    // fold) into every per-centroid distance lambda — a 64×64×k
+    // expression blowup per row (the r2 HOF-inlining trap, ~10× wall
+    // clock here). Materialized once, each distance is a 2×64-op fold
+    // over the stored array. At cluster scale, persist the quantized
+    // column the same way (or write it — an IVF index stores codes).
     val e = e0.select(col(idCol).as("vec_id"), col(embCol).as("emb"))
       .withColumn("nrm", Vectors.norm($"emb"))
       .withColumn("iv", ivCol)
+      .cache()
     val cents = trainIvfCentroidsOver(e.select($"vec_id", $"iv"), numCentroids, iters)
     val dists = cents.zipWithIndex.map { case (c, i) => sqDistTo(c).as(s"d$i") }
     val withD = e.select(($"vec_id" +: $"emb" +: $"nrm" +: $"iv" +: dists): _*)
