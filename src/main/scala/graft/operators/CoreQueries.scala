@@ -438,6 +438,52 @@ object CoreQueries {
       .orderBy($"gid", $"priority", $"status")
   }
 
+  /** Full CUBE over (priority, status) — every subtotal combination
+    * (cell, per-priority, per-status, grand total) from ONE grouping-
+    * sets aggregation pass, `grouping_id` tagging the level. The
+    * complement of [[rollupAgg]]'s hierarchy: a cube is what a
+    * dashboard's two-dimensional drill-down precomputes.
+    */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .cube($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast(dec)).cast("double").as("revenue"),
+        grouping_id().cast("long").as("gid"))
+      .select($"o_orderpriority".as("priority"), $"o_orderstatus".as("status"),
+        $"n", $"revenue", $"gid")
+      .orderBy($"gid", $"priority", $"status")
+  }
+
+  /** Per-nation account-balance quartile assignment — NTILE semantics
+    * WITHOUT ntile's per-group sort: a window partitioned by nation
+    * would sort a whole nation's customers in one task (the bounded-
+    * domain-key scale killer). Instead the three quartile boundaries
+    * come from one tiny per-nation aggregate (Spark `percentile` ==
+    * DuckDB `quantile_cont`, bit-for-bit) broadcast back, and the
+    * bucket is a map-side comparison. Boundary rows: `<=` puts an
+    * exact-boundary balance in the lower bucket in both engines.
+    */
+  def quartileBucket(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("nation"), $"c_acctbal".cast("double").as("acctbal"))
+    val bounds = cust.groupBy($"nation").agg(
+      percentile($"acctbal", lit(0.25)).as("q1"),
+      percentile($"acctbal", lit(0.5)).as("q2"),
+      percentile($"acctbal", lit(0.75)).as("q3"))
+    cust.join(broadcast(bounds), "nation")
+      .withColumn("quartile",
+        when($"acctbal" <= $"q1", 1L)
+          .when($"acctbal" <= $"q2", 2L)
+          .when($"acctbal" <= $"q3", 3L)
+          .otherwise(4L))
+      .select($"c_custkey", $"nation", $"acctbal", $"quartile")
+      .orderBy($"c_custkey")
+  }
+
   /** Native pivot: order counts per priority, statuses as columns —
     * the Spark-first form of the reference's manual 3-join pivot (Q7).
     * Pivot values are EXPLICIT (`Seq("F","O","P")`) so the plan is one
@@ -525,6 +571,8 @@ object CoreQueries {
     "q_approx_distinct_users" -> approxDistinctUsers _,
     "q_global_rank" -> globalRank _,
     "q_rollup_agg" -> rollupAgg _,
+    "q_cube_agg" -> cubeAgg _,
+    "q_quartile_bucket" -> quartileBucket _,
     "q_percentiles" -> valuePercentiles _,
     "q_value_stats" -> valueStats _,
     "q_full_outer_days" -> fullOuterDays _,
@@ -692,6 +740,30 @@ object CoreQueries {
         |FROM orders
         |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         |ORDER BY gid, priority NULLS FIRST, status NULLS FIRST""".stripMargin,
+    "q_cube_agg" ->
+      """SELECT o_orderpriority AS priority, o_orderstatus AS status,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY gid, priority NULLS FIRST, status NULLS FIRST""".stripMargin,
+    "q_quartile_bucket" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, n_name AS nation, CAST(c_acctbal AS DOUBLE) AS acctbal
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |b AS (SELECT nation,
+        |        quantile_cont(acctbal, 0.25) AS q1,
+        |        quantile_cont(acctbal, 0.5) AS q2,
+        |        quantile_cont(acctbal, 0.75) AS q3
+        |      FROM cust GROUP BY 1)
+        |SELECT c_custkey, nation, acctbal,
+        |       CAST(CASE WHEN acctbal <= q1 THEN 1
+        |            WHEN acctbal <= q2 THEN 2
+        |            WHEN acctbal <= q3 THEN 3
+        |            ELSE 4 END AS BIGINT) AS quartile
+        |FROM cust JOIN b USING (nation)
+        |ORDER BY c_custkey""".stripMargin,
     "q_pivot_status" ->
       """SELECT o_orderpriority AS priority,
         |       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_cnt,

@@ -160,6 +160,33 @@ object TextAnalysis {
       .orderBy($"doc_id", $"rnk")
   }
 
+  /** Vocabulary size cap for [[vocab]] (mirrored in the oracle SQL). */
+  val VocabTopV = 200
+
+  /** Corpus vocabulary building (the tokenizer-training prep step):
+    * global term counts + document frequency, truncated to the top
+    * [[VocabTopV]] terms by (count desc, term) with each term's share
+    * of all corpus tokens. The top-V runs as a distributed
+    * TakeOrdered (per-partition heaps merged on the driver — never a
+    * global sort, never a window), ranks come from
+    * `Ranking.boundedRowNumber` on the V-row result, and the token
+    * total rides a broadcast (one extra metadata-sized job, no second
+    * corpus scan at the join).
+    */
+  def vocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = docs(spark, dir).select($"doc_id", explode(tok).as("term"))
+    val agged = terms.groupBy($"term")
+      .agg(count(lit(1)).as("cnt"), countDistinct($"doc_id").as("df"))
+    val total = terms.agg(count(lit(1)).as("__t"))
+    val top = agged.orderBy($"cnt".desc, $"term").limit(VocabTopV)
+    Ranking.boundedRowNumber(top, "rank", $"cnt".desc, $"term")
+      .crossJoin(broadcast(total))
+      .withColumn("share", $"cnt" * lit(1.0) / $"__t")
+      .select($"rank", $"term", $"cnt", $"df", $"share")
+      .orderBy($"rank")
+  }
+
   /** Intra-document repetition signals (the Gopher/RefinedWeb-style
     * repetition rules a pretraining filter applies): duplicate-word
     * fraction as a pure projection, and the most-frequent-bigram
@@ -234,6 +261,7 @@ object TextAnalysis {
     "text_repetition" -> repetition _,
     "text_winnow" -> winnowFingerprint _,
     "text_top_terms" -> topTerms _,
+    "text_vocab" -> vocab _,
     "text_token_stats" -> tokenStats _,
     "text_quality" -> quality _,
     "text_lang_id" -> langId _,
@@ -304,6 +332,15 @@ object TextAnalysis {
         |      FROM f JOIN d USING (term))
         |SELECT doc_id, term, tf, df, rnk FROM r WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin,
+    "text_vocab" ->
+      s"""WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |a AS (SELECT term, count(*) AS cnt, count(DISTINCT doc_id) AS df
+        |      FROM terms GROUP BY 1),
+        |tot AS (SELECT count(*) AS t FROM terms),
+        |top AS (SELECT * FROM a ORDER BY cnt DESC, term LIMIT $VocabTopV)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank,
+        |       term, cnt, df, cnt * 1.0 / (SELECT t FROM tot) AS share
+        |FROM top ORDER BY rank""".stripMargin,
     "text_token_stats" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents)
         |SELECT doc_id,
