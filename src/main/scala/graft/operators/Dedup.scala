@@ -387,6 +387,49 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** The chunk-dedup APPLY pass (what RefinedWeb actually ships):
+    * every corpus-duplicated chunk survives ONLY at its first
+    * occurrence (min doc_id, then min idx within that doc — a
+    * deterministic keeper election mirroring [[dedupApply]]), and each
+    * document is rebuilt from its surviving chunks in order. Output is
+    * the per-doc compaction record: total chunks, kept chunks, and the
+    * MD5 of the rebuilt text (a doc whose every chunk went elsewhere
+    * rebuilds to the empty string).
+    *
+    * Scale shape: two keeper aggregations and the join back all key on
+    * the chunk FINGERPRINT (corpus-scaled); the rebuild sorts only
+    * each doc's own ≤(len/ChunkWords) chunks inside its aggregated
+    * array — no window, no bounded-domain key anywhere.
+    */
+  def chunkDedupApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val occ = docs(spark, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .select($"doc_id", posexplode(expr(
+        s"""transform(sequence(0, CAST(ceil(size(t) / $ChunkWords.0) AS BIGINT) - 1),
+           |  i -> array_join(slice(t, CAST(i * $ChunkWords + 1 AS INT), $ChunkWords), ' '))"""
+          .stripMargin)).as(Seq("idx", "chunk")))
+      .withColumn("fp", md5($"chunk"))
+    val kd = occ.groupBy($"fp").agg(min($"doc_id").as("kd"))
+      .withColumnRenamed("fp", "kfp")
+    val ki = occ.join(kd, $"fp" === $"kfp" && $"doc_id" === $"kd")
+      .groupBy($"fp", $"doc_id").agg(min($"idx").as("ki"))
+      .select($"fp".as("ifp"), $"doc_id".as("ido"), $"ki")
+    val kept = occ.join(ki, $"fp" === $"ifp" && $"doc_id" === $"ido" && $"idx" === $"ki")
+      .select($"doc_id", $"idx", $"chunk")
+    val tot = occ.groupBy($"doc_id").agg(count(lit(1)).as("n_chunks"))
+    val rebuilt = kept.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(
+          expr("transform(array_sort(collect_list(struct(idx, chunk))), x -> x.chunk)"),
+          " ")).as("clean_md5"))
+    tot.join(rebuilt, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_chunks",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"clean_md5", md5(lit(""))).as("clean_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** Exact n-gram Jaccard over an inverted shingle index: only pairs
     * sharing ≥1 shingle are materialised (never n²), then filtered to
     * the near-dup threshold.
@@ -507,6 +550,7 @@ object Dedup {
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "dedup_clusters" -> ((s: SparkSession, d: String) => clusters(s, d)),
     "dedup_chunks" -> chunkDedup _,
+    "dedup_chunk_apply" -> chunkDedupApply _,
     "dedup_apply" -> dedupApply _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
   )
@@ -581,6 +625,29 @@ object Dedup {
         |       count(*) - count(CASE WHEN doc_id = keeper THEN 1 END) AS n_dropped
         |FROM f JOIN k USING (fp)
         |GROUP BY 1 ORDER BY lang""".stripMargin,
+    "dedup_chunk_apply" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |wi AS (SELECT doc_id, t,
+        |         unnest(generate_series(0, CAST(ceil(len(t) / $ChunkWords.0) AS BIGINT) - 1)) AS i
+        |       FROM w),
+        |occ AS (SELECT doc_id, CAST(i AS INT) AS idx,
+        |          array_to_string(t[i * $ChunkWords + 1 : i * $ChunkWords + $ChunkWords], ' ') AS chunk,
+        |          md5(array_to_string(t[i * $ChunkWords + 1 : i * $ChunkWords + $ChunkWords], ' ')) AS fp
+        |        FROM wi),
+        |kd AS (SELECT fp, min(doc_id) AS kd FROM occ GROUP BY 1),
+        |ki AS (SELECT o.fp, o.doc_id, min(o.idx) AS ki FROM occ o
+        |       JOIN kd ON o.fp = kd.fp AND o.doc_id = kd.kd GROUP BY 1, 2),
+        |kept AS (SELECT o.doc_id, o.idx, o.chunk FROM occ o
+        |         JOIN ki ON o.fp = ki.fp AND o.doc_id = ki.doc_id AND o.idx = ki.ki),
+        |tot AS (SELECT doc_id, count(*) AS n_chunks FROM occ GROUP BY 1),
+        |reb AS (SELECT doc_id, count(*) AS n_kept,
+        |          md5(string_agg(chunk, ' ' ORDER BY idx)) AS clean_md5
+        |        FROM kept GROUP BY 1)
+        |SELECT t.doc_id, t.n_chunks,
+        |       coalesce(r.n_kept, 0) AS n_kept,
+        |       coalesce(r.clean_md5, md5('')) AS clean_md5
+        |FROM tot t LEFT JOIN reb r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_chunks" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |ch AS (SELECT doc_id,

@@ -16,6 +16,30 @@ class DedupDifferentialSpec extends SparkSpec {
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  test("chunkDedupApply keeps exactly one occurrence per fingerprint and rebuilds intact docs") {
+    import spark.implicits._
+    val texts = graft.engine.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val w = Dedup.ChunkWords
+    val distinctFps = texts.values
+      .flatMap(_.split(" ", -1).toSeq.grouped(w).map(g => md5hex(g.mkString(" "))))
+      .toSet
+    val rows = Dedup.chunkDedupApply(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    rows.foreach { case (_, nChunks, nKept, _) => assert(nKept <= nChunks) }
+    // every distinct chunk fingerprint has exactly one keeper corpus-wide
+    assert(rows.map(_._3).sum === distinctFps.size.toLong)
+    // a doc that kept all its chunks rebuilds to its original text
+    val intact = rows.filter(r => r._2 === r._3)
+    assert(intact.nonEmpty)
+    intact.foreach { case (id, _, _, cleanMd5) =>
+      assert(cleanMd5 === md5hex(texts(id)), s"doc $id rebuilt differently")
+    }
+    // and at least one doc lost a chunk (the corpus has cross-doc dups)
+    assert(rows.exists(r => r._3 < r._2))
+  }
+
   test("chunkDedup equals a plain-Scala recompute on the corpus") {
     import spark.implicits._
     val texts = graft.engine.Tables.load(spark, dir, "documents")
