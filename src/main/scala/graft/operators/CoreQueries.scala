@@ -438,6 +438,28 @@ object CoreQueries {
       .orderBy($"gid", $"priority", $"status")
   }
 
+  /** The salted-join operator surfaced as an oracle-checked query:
+    * events ⋈ customer on the (skew-prone) user key runs through
+    * `Skew.saltedJoin` — the hot key spread over 8 salt slices — and
+    * the per-nation aggregate must equal the plain join's, because
+    * salting only reroutes rows. The aggregate is count/countDistinct
+    * (pure integers), so the equality is exact whatever the salt
+    * routing, and the DuckDB oracle is simply the UNSALTED join.
+    */
+  def saltedTurnout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = t(spark, dir, "events").select($"user_id", $"event_type")
+    val cust = t(spark, dir, "customer")
+      .select($"c_custkey".as("user_id"), $"c_nationkey")
+    Skew.saltedJoin(events, cust, "user_id", buckets = 8)
+      .join(broadcast(t(spark, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        countDistinct($"event_type").as("n_types"))
+      .orderBy($"nation")
+  }
+
   /** Full CUBE over (priority, status) — every subtotal combination
     * (cell, per-priority, per-status, grand total) from ONE grouping-
     * sets aggregation pass, `grouping_id` tagging the level. The
@@ -572,6 +594,7 @@ object CoreQueries {
     "q_global_rank" -> globalRank _,
     "q_rollup_agg" -> rollupAgg _,
     "q_cube_agg" -> cubeAgg _,
+    "q_salted_turnout" -> saltedTurnout _,
     "q_quartile_bucket" -> quartileBucket _,
     "q_percentiles" -> valuePercentiles _,
     "q_value_stats" -> valueStats _,
@@ -740,6 +763,14 @@ object CoreQueries {
         |FROM orders
         |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         |ORDER BY gid, priority NULLS FIRST, status NULLS FIRST""".stripMargin,
+    "q_salted_turnout" ->
+      """SELECT n_name AS nation, count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users,
+        |       count(DISTINCT event_type) AS n_types
+        |FROM events
+        |JOIN customer ON user_id = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
     "q_cube_agg" ->
       """SELECT o_orderpriority AS priority, o_orderstatus AS status,
         |       count(*) AS n,
