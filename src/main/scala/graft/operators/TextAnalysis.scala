@@ -187,6 +187,32 @@ object TextAnalysis {
       .orderBy($"rank")
   }
 
+  /** Character-diversity scoring — the cheap entropy proxy a quality
+    * filter uses to catch low-diversity garbage (aaaaa…, base64 walls,
+    * single-char floods). True Shannon entropy needs log(), whose libm
+    * vs JVM ulp differences would break the cross-engine oracle; Gini
+    * impurity `1 − Σ(cᵢ/n)²` ranks the same degenerate docs and is a
+    * SINGLE division of exact integers — bit-identical anywhere.
+    * Shape: explode to chars, two keyed aggregations; the sequence
+    * guard (`greatest` + `slice`) keeps Spark's descending
+    * `sequence(1, 0)` from fabricating rows on an empty text.
+    */
+  def charDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val chars = docs(spark, dir).select($"doc_id", explode(expr(
+      "slice(transform(sequence(1, greatest(length(text), 1)), i -> substr(text, i, 1)), 1, length(text))"))
+      .as("ch"))
+    chars.groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum($"c" * $"c").as("ss"))
+      .withColumn("gini",
+        ($"n_chars" * $"n_chars" - $"ss") * lit(1.0) / ($"n_chars" * $"n_chars"))
+      .select($"doc_id", $"n_chars", $"n_distinct_chars", $"gini")
+      .orderBy($"doc_id")
+  }
+
   /** Intra-document repetition signals (the Gopher/RefinedWeb-style
     * repetition rules a pretraining filter applies): duplicate-word
     * fraction as a pure projection, and the most-frequent-bigram
@@ -262,6 +288,7 @@ object TextAnalysis {
     "text_winnow" -> winnowFingerprint _,
     "text_top_terms" -> topTerms _,
     "text_vocab" -> vocab _,
+    "text_char_diversity" -> charDiversity _,
     "text_token_stats" -> tokenStats _,
     "text_quality" -> quality _,
     "text_lang_id" -> langId _,
@@ -332,6 +359,19 @@ object TextAnalysis {
         |      FROM f JOIN d USING (term))
         |SELECT doc_id, term, tf, df, rnk FROM r WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin,
+    "text_char_diversity" ->
+      """WITH ch AS (SELECT doc_id,
+        |       unnest(list_transform(generate_series(1, length(text)),
+        |         i -> substr(text, i, 1))) AS ch
+        |     FROM documents),
+        |c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+        |        count(*) AS n_distinct_chars,
+        |        CAST(sum(c * c) AS BIGINT) AS ss
+        |      FROM c GROUP BY 1)
+        |SELECT doc_id, n_chars, n_distinct_chars,
+        |       (n_chars * n_chars - ss) * 1.0 / (n_chars * n_chars) AS gini
+        |FROM a ORDER BY doc_id""".stripMargin,
     "text_vocab" ->
       s"""WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |a AS (SELECT term, count(*) AS cnt, count(DISTINCT doc_id) AS df
