@@ -193,35 +193,27 @@ object TextAnalysis {
     * vs JVM ulp differences would break the cross-engine oracle; Gini
     * impurity `1 − Σ(cᵢ/n)²` ranks the same degenerate docs and is a
     * SINGLE division of exact integers — bit-identical anywhere.
-    * Shape: a pure per-row projection — sort the char array and
-    * run-length-fold it for Σcᵢ² and the distinct count (no explode,
-    * no shuffle; the exploded groupBy form moved ~10M rows for the
-    * same integers). The sequence guard (`greatest` + `slice`) keeps
-    * Spark's descending `sequence(1, 0)` from fabricating rows on an
-    * empty text; empty docs are filtered like the relational form
-    * drops them. The oracle keeps the unnest+groupBy formulation —
-    * same values, independently derived.
+    * Shape: explode to chars, two keyed aggregations. A shuffle-free
+    * array_sort + run-length aggregate fold was tried and MEASURED
+    * SLOWER (≈2×, sf0.1): the fold's per-element named_struct state
+    * defeats codegen, while the exploded ints ride hash aggregates
+    * end to end — HOF folds with struct state are not free. The
+    * sequence guard (`greatest` + `slice`) keeps Spark's descending
+    * `sequence(1, 0)` from fabricating rows on an empty text.
     */
   def charDiversity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    docs(spark, dir)
-      .filter(length($"text") > 0)
-      .select($"doc_id", length($"text").cast("long").as("n_chars"),
-        expr("""aggregate(
-          |  array_sort(slice(transform(sequence(1, greatest(length(text), 1)),
-          |    i -> substr(text, i, 1)), 1, length(text))),
-          |  named_struct('prev', '', 'run', CAST(0 AS BIGINT),
-          |               'ss', CAST(0 AS BIGINT), 'd', CAST(0 AS BIGINT)),
-          |  (s, x) -> IF(x = s.prev,
-          |    named_struct('prev', x, 'run', s.run + CAST(1 AS BIGINT), 'ss', s.ss, 'd', s.d),
-          |    named_struct('prev', x, 'run', CAST(1 AS BIGINT),
-          |                 'ss', s.ss + s.run * s.run, 'd', s.d + CAST(1 AS BIGINT))),
-          |  s -> named_struct('ss', s.ss + s.run * s.run, 'd', s.d))""".stripMargin)
-          .as("st"))
-      .select($"doc_id", $"n_chars",
-        $"st.d".as("n_distinct_chars"),
-        (($"n_chars" * $"n_chars" - $"st.ss") * lit(1.0)
-          / ($"n_chars" * $"n_chars")).as("gini"))
+    val chars = docs(spark, dir).select($"doc_id", explode(expr(
+      "slice(transform(sequence(1, greatest(length(text), 1)), i -> substr(text, i, 1)), 1, length(text))"))
+      .as("ch"))
+    chars.groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum($"c" * $"c").as("ss"))
+      .withColumn("gini",
+        ($"n_chars" * $"n_chars" - $"ss") * lit(1.0) / ($"n_chars" * $"n_chars"))
+      .select($"doc_id", $"n_chars", $"n_distinct_chars", $"gini")
       .orderBy($"doc_id")
   }
 
