@@ -186,6 +186,32 @@ object Corpus {
       .orderBy($"doc_id")
   }
 
+  /** Near-dup similarity floor for the [[leakage]] audit. */
+  val LeakJaccard = 0.5
+
+  /** Train/test LEAKAGE audit — the check an eval-honest pipeline runs
+    * before shipping a split: near-duplicate document pairs (MinHash
+    * estimate ≥ [[LeakJaccard]]) whose members landed in DIFFERENT
+    * splits, counted per split pair. Content-hash splitting pins exact
+    * duplicates to one split by construction, but near-dups hash apart
+    * — this query measures exactly that residue (and motivates running
+    * dedup BEFORE splitting). Composes the LSH candidate machinery
+    * with the split assignment: two id-keyed joins over the pair list,
+    * nothing new to shuffle at scale.
+    */
+  def leakage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val split = splitAssign(spark, dir).select($"doc_id", $"split")
+    Dedup.minhashLsh(spark, dir)
+      .filter($"est_jaccard" >= LeakJaccard)
+      .join(split.select($"doc_id".as("doc_a"), $"split".as("split_a")), Seq("doc_a"))
+      .join(split.select($"doc_id".as("doc_b"), $"split".as("split_b")), Seq("doc_b"))
+      .filter($"split_a" =!= $"split_b")
+      .groupBy($"split_a", $"split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"split_a", $"split_b")
+  }
+
   /** Mixture accounting per (source, lang): document and token counts
     * plus each cell's share of total tokens — the table a data-mixing
     * recipe (Pile/CC-style source weights) is computed from. One
@@ -230,6 +256,7 @@ object Corpus {
     "corpus_split" -> splitAssign _,
     "corpus_pack_batches" -> ((s: SparkSession, d: String) => packBatches(s, d)),
     "corpus_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
+    "corpus_leakage" -> leakage _,
   )
 
   /** DuckDB equivalent of [[hashBucket]]: nibble arithmetic over the
@@ -283,6 +310,20 @@ object Corpus {
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
         |            // $PackBudget AS BIGINT) AS batch
         |FROM t ORDER BY doc_id""".stripMargin,
+    "corpus_leakage" ->
+      s"""WITH ${Dedup.minhashPairsCte},
+        |sp AS (SELECT doc_id,
+        |         CASE WHEN $hbSql % 100 < $TrainPct THEN 'train'
+        |              WHEN $hbSql % 100 < $ValPct THEN 'val'
+        |              ELSE 'test' END AS split
+        |       FROM documents),
+        |lk AS (SELECT a.split AS split_a, b.split AS split_b
+        |       FROM est e
+        |       JOIN sp a ON e.doc_a = a.doc_id
+        |       JOIN sp b ON e.doc_b = b.doc_id
+        |       WHERE e.est_jaccard >= $LeakJaccard AND a.split <> b.split)
+        |SELECT split_a, split_b, count(*) AS n_pairs
+        |FROM lk GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin,
     "corpus_contamination" ->
       s"""WITH f AS (SELECT doc_id,
         |             md5(array_to_string((string_split(text, ' '))[1:5], ' ')) AS head_md5

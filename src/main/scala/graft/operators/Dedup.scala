@@ -595,7 +595,7 @@ object Dedup {
   /** Shared candidate-pair + estimated-jaccard CTE for the minhash
     * oracles (ends in `est(doc_a, doc_b, est_jaccard)`).
     */
-  private val minhashPairsCte =
+  private[operators] val minhashPairsCte =
     s"""$shingleCte,
       |ks AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS k FROM sh),
       |hashes AS (SELECT doc_id, k,
