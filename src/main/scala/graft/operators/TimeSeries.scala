@@ -116,6 +116,55 @@ object TimeSeries {
   /** For each error event, the user's most recent click at or before
     * it — the canonical attribution as-of.
     */
+  /** FORWARD as-of join: each left row picks the EARLIEST right row
+    * with `rightTs >= leftTs` (next-event semantics — time-to-
+    * resolution, next-heartbeat, next-fill). Mirror of [[asofJoin]]:
+    * same tagged union and ONE shuffle on the key, but left sorts
+    * BEFORE right at equal times (inclusive match) and the payload
+    * fill is `first(ignoreNulls)` over the FOLLOWING frame; ties among
+    * equal right times break on ascending `tieBreak`.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, tieBreak: String): DataFrame = {
+    val payload = right.columns.filter(_ != key).toSeq
+    val leftCols = left.columns.toSeq
+    val nullOf: (DataFrame, String) => Column =
+      (df, c) => lit(null).cast(df.schema(c).dataType)
+    val l = left.select(
+      col(key) +: col(leftTs).as("__ts") +: lit(0).as("__side") +:
+        nullOf(right, tieBreak).as("__tb") +:
+        (leftCols.filter(_ != key).map(col) ++
+          payload.map(c => nullOf(right, c).as(c))): _*)
+    val r = right.select(
+      col(key) +: col(rightTs).as("__ts") +: lit(1).as("__side") +:
+        col(tieBreak).as("__tb") +:
+        (leftCols.filter(_ != key).map(c => nullOf(left, c).as(c)) ++
+          payload.map(col)): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"), col("__tb").asc_nulls_last)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = l.unionByName(r)
+      .select(col(key) +: col("__side") +: leftCols.filter(_ != key).map(col) ++:
+        payload.map(c => first(col(c), ignoreNulls = true).over(w).as(c)): _*)
+    filled.filter(col("__side") === 0).drop("__side")
+      .select(leftCols.map(col) ++ payload.map(col): _*)
+  }
+
+  /** Forward as-of surfaced on events: every error's NEXT click at or
+    * after it (the "did the user recover" probe).
+    */
+  def asofNextClick(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val errors = ev.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("next_click_id"),
+        $"ts".as("next_click_ts"))
+    asofJoinForward(errors, clicks, "user_id", "ts", "next_click_ts", "next_click_id")
+      .orderBy($"event_id")
+  }
+
   def asofLastClick(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.load(spark, dir, "events")
@@ -167,12 +216,23 @@ object TimeSeries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> asofLastClick _,
+    "q_asof_forward" -> asofNextClick _,
     "q_interval_join" -> clicksBeforeError _,
     "q_gapfill" -> gapFillMinutes _,
     "q_rolling_sum" -> rollingSum _,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_asof_forward" ->
+      """WITH err AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        |clk AS (
+        |  SELECT user_id, event_id AS next_click_id, ts AS next_click_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT e.event_id, e.user_id, e.ts, c.next_click_id, c.next_click_ts
+        |FROM err e ASOF LEFT JOIN clk c
+        |  ON e.user_id = c.user_id AND e.ts <= c.next_click_ts
+        |ORDER BY e.event_id""".stripMargin,
     "q_asof_join" ->
       """WITH err AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),

@@ -192,6 +192,30 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinForward equals the naive min-following-right join on random frames") {
+    import spark.implicits._
+    for (seed <- Seq(2L, 13L, 77L)) {
+      val probes = randomEvents(80, seed, users = 5).toDF("user_id", "event_id", "ts")
+      val rights = randomEvents(60, seed + 2000, users = 5)
+        .toDF("user_id", "next_click_id", "next_click_ts")
+      val got = TimeSeries
+        .asofJoinForward(probes, rights, "user_id", "ts", "next_click_ts", "next_click_id")
+        .collect()
+        .map(r => r.getLong(1) -> (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      // naive: per probe, scan all rights of the key, keep the earliest
+      // >= ts (ties on ts -> smallest id), computed driver-side
+      val rs = rights.collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+      val expect = probes.collect().map { p =>
+        val (u, id, t) = (p.getLong(0), p.getLong(1), p.getTimestamp(2))
+        val cand = rs.filter(x => x._1 == u && !x._3.before(t))
+        val best = if (cand.isEmpty) -1L
+          else cand.minBy(x => (x._3.getTime, x._2))._2
+        id -> best
+      }.toMap
+      assert(got == expect, s"seed $seed")
+    }
+  }
+
   test("intervalJoin equals the naive theta-join on random frames") {
     import spark.implicits._
     val W = 5L * 60L * 1000000L // 5 minutes in micros
