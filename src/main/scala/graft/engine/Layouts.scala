@@ -50,6 +50,26 @@ object Layouts {
       .saveAsTable("lineitem_bucketed")
   }
 
+  /** Write `df` Z-ORDERED on two integer dimensions: rows are range-
+    * partitioned and sorted by the Morton interleave of (xCol, yCol),
+    * so each output file covers a compact REGION of the 2-D space and
+    * parquet min/max statistics prune scans filtered on EITHER
+    * dimension — the multi-column data-skipping layout
+    * (Delta/Iceberg OPTIMIZE ZORDER BY) for when two columns share
+    * the filter load. The Morton key is a pure codegen'd bit
+    * expression ([[graft.plans.ZOrder]]); `repartitionByRange` keeps
+    * files balanced by key density (its per-job sampling only moves
+    * file BOUNDARIES, which the layout's guarantees don't depend on).
+    */
+  def zorderWrite(df: DataFrame, out: String, xCol: String, yCol: String,
+      files: Int): Unit =
+    df.withColumn("__z", graft.plans.ZOrder.morton(xCol, yCol))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite")
+      .parquet(out)
+
   /** Revenue per order over the bucketed tables — shuffle-free join. */
   def bucketedOrderRevenue(spark: SparkSession): DataFrame = {
     import spark.implicits._

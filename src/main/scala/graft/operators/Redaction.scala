@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** PII detection/redaction and URL→domain governance — the compliance
+  * passes a training-data pipeline runs before anything ships: find
+  * and mask emails / IPv4s / phone numbers, and aggregate the URL
+  * surface to domains against a blocklist.
+  *
+  * The operators ([[piiScan]], [[domainStats]]) are generic over any
+  * (id, text) frame and are pure row-local regex projections — no
+  * shuffle for the scan, one keyed aggregate for the domain rollup —
+  * so they ride whole-stage codegen and scale as map-only work.
+  * Patterns stay inside the Java-regex ∩ RE2 common dialect (no
+  * backrefs, no lookaround) so the DuckDB oracle runs the very same
+  * expressions.
+  *
+  * The testdata's `documents.text` is synthetic word soup with no PII
+  * in it, so the surfaced queries scan deterministic log LINES built
+  * from `events` columns (ids → addresses); the operator under test is
+  * the generic scan, the synthesis is just oracle-replayable fixture.
+  */
+object Redaction {
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d-\\d{3}-\\d{4}"
+  val UrlHostRe = "https://([a-z0-9.-]+)/"
+
+  /** Domains quarantined by [[domainStats]]. */
+  val Blocklist = Seq("cdn7.example.org", "cdn8.example.org")
+
+  /** Deterministic per-event log line carrying one email, one IPv4,
+    * one phone and one URL, every character derived from integer
+    * columns — both engines synthesize byte-identical strings.
+    */
+  private val lineSql =
+    """concat('ts=', CAST(event_id AS STRING),
+      |  ' user u', CAST(user_id AS STRING), '@example.com',
+      |  ' ip=10.', CAST(user_id % 200 AS STRING),
+      |  '.', CAST(event_id % 250 AS STRING),
+      |  '.', CAST((user_id + event_id) % 250 AS STRING),
+      |  ' phone +1-555-', lpad(CAST(event_id % 10000 AS STRING), 4, '0'),
+      |  ' url https://cdn', CAST(user_id % 10 AS STRING),
+      |  '.example.org/p/', CAST(event_id AS STRING))""".stripMargin
+
+  /** The same synthesis in DuckDB syntax (CAST ... AS STRING is Spark
+    * spelling; VARCHAR is DuckDB's).
+    */
+  private val duckLineSql = lineSql.replace("AS STRING", "AS VARCHAR")
+
+  def logLines(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), expr(lineSql).as("msg"))
+
+  /** Per-row PII inventory + redaction fingerprint: match counts per
+    * category and the md5 of the text after masking (emails, then
+    * IPv4s, then phones — fixed order, so the hash is well-defined).
+    */
+  def piiScan(df: DataFrame, idCols: Seq[String], textCol: String): DataFrame = {
+    val t = col(textCol)
+    def n(re: String) = size(regexp_extract_all(t, lit(re), lit(0))).cast("long")
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, lit(EmailRe), lit("[EMAIL]")),
+          lit(Ipv4Re), lit("[IP]")),
+        lit(PhoneRe), lit("[PHONE]"))
+    df.select(idCols.map(col) ++ Seq[Column](
+      n(EmailRe).as("n_emails"),
+      n(Ipv4Re).as("n_ips"),
+      n(PhoneRe).as("n_phones"),
+      md5(redacted).as("redacted_md5")): _*)
+  }
+
+  /** Domain rollup: extract each line's URL host, aggregate to
+    * (domain, events, distinct users), flag blocklisted domains. The
+    * blocklist is a literal predicate (broadcast-sized governance
+    * metadata); the aggregate is keyed by domain — corpus-scaled.
+    */
+  def domainStats(df: DataFrame, userCol: String, textCol: String): DataFrame = {
+    val domain = regexp_extract(col(textCol), UrlHostRe, 1)
+    df.select(domain.as("domain"), col(userCol))
+      .groupBy(col("domain"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col(userCol)).as("n_users"))
+      .withColumn("blocked", col("domain").isin(Blocklist: _*))
+      .orderBy(col("domain"))
+  }
+
+  def piiEvents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    piiScan(logLines(spark, dir), Seq("event_id"), "msg").orderBy($"event_id")
+  }
+
+  def domainEvents(spark: SparkSession, dir: String): DataFrame =
+    domainStats(logLines(spark, dir), "user_id", "msg")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii" -> piiEvents _,
+    "text_domains" -> domainEvents _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_pii" ->
+      s"""WITH lines AS (
+        |  SELECT event_id, $duckLineSql AS msg FROM events)
+        |SELECT event_id,
+        |  CAST(len(regexp_extract_all(msg, '$EmailRe', 0)) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(msg, '$Ipv4Re', 0)) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(msg, '$PhoneRe', 0)) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(msg,
+        |    '$EmailRe', '[EMAIL]', 'g'),
+        |    '$Ipv4Re', '[IP]', 'g'),
+        |    '$PhoneRe', '[PHONE]', 'g')) AS redacted_md5
+        |FROM lines ORDER BY event_id""".stripMargin,
+    "text_domains" ->
+      s"""WITH lines AS (
+        |  SELECT user_id, $duckLineSql AS msg FROM events),
+        |doms AS (
+        |  SELECT regexp_extract(msg, '$UrlHostRe', 1) AS domain, user_id
+        |  FROM lines)
+        |SELECT domain, count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users,
+        |       domain IN (${Blocklist.map(d => s"'$d'").mkString(", ")}) AS blocked
+        |FROM doms GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.plans.ZOrder
+
+/** Distribution analytics over `events` the reference's dashboard
+  * family implies but never names: per-group trend detection, robust
+  * outlier flagging, deterministic mode — plus the Z-order layout key
+  * surfaced as a query so the oracle pins the interleave formula.
+  *
+  * Everything here is engine-exact by construction: trend runs the OLS
+  * closed form over INTEGER sums (minutes × cents) so no per-engine
+  * float summation order exists; MAD reuses the proven
+  * percentile == quantile_cont parity; mode breaks ties by minimum
+  * value. Each is one or two keyed hash aggregates on a data-scaled
+  * key — the 100 TB shape is partial aggregation, no windows.
+  */
+object Stats {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+
+  /** Minutes from epoch to 2024-01-01T00:00Z — recenters x so the
+    * closed-form products stay far inside DECIMAL(38) / HUGEINT range
+    * at any realistic corpus span.
+    */
+  val TrendEpochMinutes = 28401120L
+
+  /** Per-type linear trend (OLS slope) of `value` over event time.
+    * x = whole minutes since 2024-01-01, y = value in cents — both
+    * exact integers, so every aggregate below is order-independent
+    * and the closed form
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx·Σx)
+    * is emitted as exact DECIMAL(38,0) numerator/denominator; the
+    * `slope` double is the single IEEE division of those two exact
+    * integers. One shuffle (the groupBy) with map-side partials; the
+    * driver never sees a row.
+    */
+  def trendSlope(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .select($"event_type",
+        expr(s"unix_micros(CAST(ts AS TIMESTAMP)) div 60000000 - $TrendEpochMinutes").as("x"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("y"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x").as("sx"),
+        sum($"y").as("sy"),
+        sum(expr("CAST(x * y AS DECIMAL(38,0))")).as("sxy"),
+        sum(expr("CAST(x * x AS DECIMAL(38,0))")).as("sxx"))
+      .select($"event_type", $"n",
+        expr("CAST(CAST(n AS DECIMAL(20,0)) * sxy - CAST(sx AS DECIMAL(20,0)) * CAST(sy AS DECIMAL(20,0)) AS DECIMAL(38,0))").as("slope_num"),
+        expr("CAST(CAST(n AS DECIMAL(20,0)) * sxx - CAST(sx AS DECIMAL(20,0)) * CAST(sx AS DECIMAL(20,0)) AS DECIMAL(38,0))").as("slope_den"))
+      .withColumn("slope",
+        $"slope_num".cast("double") / $"slope_den".cast("double"))
+      .orderBy($"event_type")
+  }
+
+  /** Robust outlier counts per type via median absolute deviation:
+    * med = p50(value), mad = p50(|value − med|), outlier ⇔
+    * |value − med| > 3·mad. Two tiny per-type aggregates broadcast
+    * back between three scans — never a per-group sort, never a
+    * window; the modified-z-score recipe (Iglewicz–Hoaglin) that
+    * survives the heavy tails plain σ-clipping does not.
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).select($"event_type", $"value")
+    val med = ev.groupBy($"event_type")
+      .agg(percentile($"value", lit(0.5)).as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs($"value" - $"med"))
+    val mad = dev.groupBy($"event_type")
+      .agg(percentile($"dev", lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy($"event_type", $"med", $"mad")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when($"dev" > $"mad" * 3.0, 1L).otherwise(0L)).as("n_outliers"))
+      .select($"event_type", $"med", $"mad", $"n", $"n_outliers")
+      .orderBy($"event_type")
+  }
+
+  /** Deterministic mode of `value` per type: the most frequent value,
+    * ties broken by minimum (native `mode()` tie order is
+    * engine-defined in both Spark and DuckDB — useless for an exact
+    * oracle). Two hash aggregates + a broadcast of the 5-row max.
+    */
+  def modeValue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = events(spark, dir)
+      .groupBy($"event_type", $"value")
+      .agg(count(lit(1)).as("cnt"))
+    val top = counts.groupBy($"event_type").agg(max($"cnt").as("mode_count"))
+    counts.join(broadcast(top), "event_type")
+      .filter($"cnt" === $"mode_count")
+      .groupBy($"event_type", $"mode_count")
+      .agg(min($"value").as("mode_value"))
+      .select($"event_type", $"mode_value", $"mode_count")
+      .orderBy($"event_type")
+  }
+
+  /** The Z-order clustering key surfaced as a query: Morton interleave
+    * of (p_size, p_partkey % 64) over `part`, emitted in key order.
+    * The oracle replays the identical mask-ladder formula, pinning the
+    * layout key [[graft.engine.Layouts.zorderWrite]] sorts by.
+    */
+  def zorderParts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "part")
+      .select($"p_partkey", $"p_size".cast("long").as("p_size"),
+        expr("p_partkey % 64").as("pk_mod"))
+      .withColumn("z", ZOrder.morton("p_size", "pk_mod"))
+      .select($"p_partkey", $"p_size", $"pk_mod", $"z")
+      .orderBy($"z", $"p_partkey")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_trend_slope" -> trendSlope _,
+    "q_mad_outliers" -> madOutliers _,
+    "q_mode_value" -> modeValue _,
+    "q_zorder_key" -> zorderParts _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_trend_slope" ->
+      s"""WITH base AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) // 60000000 - $TrendEpochMinutes AS x,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM events),
+        |agg AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |         sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM base GROUP BY 1)
+        |SELECT event_type, n,
+        |       CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DECIMAL(38,0)) AS slope_num,
+        |       CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DECIMAL(38,0)) AS slope_den,
+        |       CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |         / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS slope
+        |FROM agg ORDER BY event_type""".stripMargin,
+    "q_mad_outliers" ->
+      """WITH ev AS (SELECT event_type, value FROM events),
+        |med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM ev GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+        |  FROM ev e JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type, d.med, a.mad, count(*) AS n,
+        |       CAST(sum(CASE WHEN d.dev > a.mad * 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad a USING (event_type)
+        |GROUP BY 1, 2, 3 ORDER BY d.event_type""".stripMargin,
+    "q_mode_value" ->
+      """WITH counts AS (
+        |  SELECT event_type, value, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |top AS (
+        |  SELECT event_type, max(cnt) AS mode_count
+        |  FROM counts GROUP BY 1)
+        |SELECT c.event_type, min(c.value) AS mode_value, t.mode_count
+        |FROM counts c JOIN top t
+        |  ON c.event_type = t.event_type AND c.cnt = t.mode_count
+        |GROUP BY 1, 3 ORDER BY c.event_type""".stripMargin,
+    "q_zorder_key" ->
+      s"""SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+        |       p_partkey % 64 AS pk_mod,
+        |       ${ZOrder.duckFragment("CAST(p_size AS BIGINT)", "p_partkey % 64")} AS z
+        |FROM part ORDER BY z, p_partkey""".stripMargin,
+  )
+}

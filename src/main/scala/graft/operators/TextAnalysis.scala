@@ -160,6 +160,39 @@ object TextAnalysis {
       .orderBy($"doc_id", $"rnk")
   }
 
+  /** IDF scaling for [[tfidf]] (mirrored in the oracle SQL). */
+  val IdfScale = 1000000L
+
+  /** TF-IDF ranked terms: the weighting [[topTerms]] leaves out,
+    * made oracle-exact by replacing `log(N/df)` with the integer
+    * surrogate `(IdfScale·N) div df` — monotone in N/df, so the
+    * RANKING it induces per document is the tf-idf ranking for terms
+    * of equal tf, with none of log()'s cross-engine ulp drift. Top-5
+    * per document by (score desc, term). Shapes: two corpus-keyed
+    * hash aggregates (tf, then df), a term-keyed join, the scalar
+    * doc count broadcast, and a per-doc bounded rank window that
+    * compiles to WindowGroupLimit.
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = docs(spark, dir)
+      .select($"doc_id", explode(tok).as("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"))
+    // tf is one row per (doc, term): plain count IS document frequency
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val nDocs = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", expr(s"tf * (($IdfScale * n_docs) div df)"))
+      .withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"score".desc, $"term")).cast("long"))
+      .filter($"rn" <= 5)
+      .select($"doc_id", $"term", $"tf", $"df", $"score", $"rn")
+      .orderBy($"doc_id", $"rn")
+  }
+
   /** Vocabulary size cap for [[vocab]] (mirrored in the oracle SQL). */
   val VocabTopV = 200
 
@@ -291,6 +324,7 @@ object TextAnalysis {
     "text_repetition" -> repetition _,
     "text_winnow" -> winnowFingerprint _,
     "text_top_terms" -> topTerms _,
+    "text_tfidf" -> tfidf _,
     "text_vocab" -> vocab _,
     "text_char_diversity" -> charDiversity _,
     "text_token_stats" -> tokenStats _,
@@ -363,6 +397,18 @@ object TextAnalysis {
         |      FROM f JOIN d USING (term))
         |SELECT doc_id, term, tf, df, rnk FROM r WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin,
+    "text_tfidf" ->
+      s"""WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |f AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |d AS (SELECT term, count(*) AS df FROM f GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |r AS (SELECT f.doc_id, f.term, f.tf, d.df,
+        |        f.tf * (($IdfScale * (SELECT n_docs FROM n)) // d.df) AS score
+        |      FROM f JOIN d USING (term)),
+        |k AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, term) AS BIGINT) AS rn FROM r)
+        |SELECT doc_id, term, tf, df, score, rn FROM k WHERE rn <= 5
+        |ORDER BY doc_id, rn""".stripMargin,
     "text_char_diversity" ->
       """WITH ch AS (SELECT doc_id,
         |       unnest(list_transform(generate_series(1, length(text)),

@@ -97,6 +97,68 @@ object TimeSeries {
       .drop("__lbucket", "__rbucket", "__rkey")
   }
 
+  /** Per-cell candidate cap for [[intervalJoinCapped]] as surfaced by
+    * the cohort query (small enough to BIND at sf0.01, so the oracle
+    * actually checks the cap semantics, not just the join).
+    */
+  val IntervalCellCap: Int = 5
+
+  /** Saturation-capped interval join — [[intervalJoin]] with its one
+    * residual quadratic hazard bounded. The bucketed equi-join caps
+    * the candidate set per (key, bucket) CELL, but a hot key over a
+    * dense right side inside one cell is still |L∩cell|×|R∩cell|; at
+    * 100 TB one degenerate cell can own a task. This variant keeps at
+    * most `cap` right rows per cell — deterministically the LATEST by
+    * (rightTs, tieBreak) descending, i.e. the rows closest to the
+    * probes that can see them — before joining. The rank window is
+    * partitioned by the (key, bucket) cell itself, so its input is
+    * exactly the cell being bounded (same guard class as Dedup's
+    * `MaxBandBucket`). Results are EXACT whenever no cell exceeds
+    * `cap`; a saturated cell under-counts by construction, never
+    * over-counts, and never blows a task.
+    */
+  def intervalJoinCapped(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, tieBreak: String,
+      windowMicros: Long, cap: Int): DataFrame = {
+    def bucket(c: String) =
+      expr(s"unix_micros(CAST($c AS TIMESTAMP)) div ${windowMicros}L")
+    val l = left.withColumn("__lbucket", bucket(leftTs))
+    val r = right.withColumnRenamed(key, "__rkey")
+      .withColumn("__rbucket", explode(array(bucket(rightTs), bucket(rightTs) + 1)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__rkey"), col("__rbucket"))
+          .orderBy(col(rightTs).desc, col(tieBreak).desc)))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+    l.join(r,
+        col(key) === col("__rkey") && col("__lbucket") === col("__rbucket") &&
+          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $windowMicros MICROSECONDS") &&
+          col(rightTs) <= col(leftTs),
+        "left_outer")
+      .drop("__lbucket", "__rbucket", "__rkey")
+  }
+
+  /** Capped interval join surfaced at COHORT grain (user_id % 10):
+    * clicks by anyone in an error's cohort in the preceding 10
+    * minutes, with each (cohort, bucket) cell saturation-capped at
+    * [[IntervalCellCap]]. The coarse key makes cells dense enough
+    * that the cap bites at sf0.01 — the oracle replays the identical
+    * per-cell latest-N election, so the guard itself is checked.
+    */
+  def cohortClicksBeforeError(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val errors = ev.filter($"event_type" === "error")
+      .select($"event_id", ($"user_id" % 10).as("cohort"), $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select(($"user_id" % 10).as("cohort"), $"event_id".as("cid"), $"ts".as("cts"))
+    intervalJoinCapped(errors, clicks, "cohort", "ts", "cts", "cid",
+        RollingWindowMicros, IntervalCellCap)
+      .groupBy($"event_id", $"cohort", $"ts")
+      .agg(count($"cts").as("n_clicks_10m_capped"))
+      .orderBy($"event_id")
+  }
+
   /** For each error event, how many clicks the same user made in the
     * preceding 10 minutes (inclusive) — the interval-join aggregate.
     */
@@ -218,6 +280,7 @@ object TimeSeries {
     "q_asof_join" -> asofLastClick _,
     "q_asof_forward" -> asofNextClick _,
     "q_interval_join" -> clicksBeforeError _,
+    "q_interval_capped" -> cohortClicksBeforeError _,
     "q_gapfill" -> gapFillMinutes _,
     "q_rolling_sum" -> rollingSum _,
   )
@@ -243,6 +306,29 @@ object TimeSeries {
         |FROM err e ASOF LEFT JOIN clk c
         |  ON e.user_id = c.user_id AND e.ts >= c.last_click_ts
         |ORDER BY e.event_id""".stripMargin,
+    "q_interval_capped" ->
+      """WITH err AS (
+        |  SELECT event_id, user_id % 10 AS cohort, ts,
+        |         epoch_us(ts) // 600000000 AS lb
+        |  FROM events WHERE event_type = 'error'),
+        |clk AS (
+        |  SELECT user_id % 10 AS cohort, event_id AS cid, ts AS cts,
+        |         epoch_us(ts) // 600000000 AS b
+        |  FROM events WHERE event_type = 'click'),
+        |repl AS (
+        |  SELECT cohort, cid, cts, unnest([b, b + 1]) AS rb FROM clk),
+        |capped AS (
+        |  SELECT cohort, cid, cts, rb FROM (
+        |    SELECT cohort, cid, cts, rb,
+        |           row_number() OVER (PARTITION BY cohort, rb
+        |                              ORDER BY cts DESC, cid DESC) AS rn
+        |    FROM repl) WHERE rn <= 5)
+        |SELECT e.event_id, e.cohort, e.ts,
+        |       count(c.cts) AS n_clicks_10m_capped
+        |FROM err e LEFT JOIN capped c
+        |  ON e.cohort = c.cohort AND e.lb = c.rb
+        | AND c.cts BETWEEN e.ts - INTERVAL 10 MINUTE AND e.ts
+        |GROUP BY 1, 2, 3 ORDER BY e.event_id""".stripMargin,
     "q_interval_join" ->
       """WITH err AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),

@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Redaction, Stats, TextAnalysis}
+import graft.plans.ZOrder
+
+/** Driver-side recomputation checks for the Stats / Redaction / tfidf
+  * surface (the oracle is the main gate; these pin the semantics
+  * against an independent in-process reference and the edge cases the
+  * oracle data never hits).
+  */
+class StatsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ZOrder.morton matches a bit-by-bit Scala interleave on a grid") {
+    import spark.implicits._
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val grid = for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)
+    val got = grid.toDF("x", "y")
+      .withColumn("z", ZOrder.morton("x", "y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    grid.foreach { case (x, y) =>
+      assert(got((x, y)) == ref(x, y), s"morton($x, $y)")
+    }
+    // and the high end of the 16-bit domain
+    val hi = Seq((65535L, 0L), (0L, 65535L), (65535L, 65535L), (40000L, 123L))
+    val gotHi = hi.toDF("x", "y").withColumn("z", ZOrder.morton("x", "y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    hi.foreach { case (x, y) => assert(gotHi((x, y)) == ref(x, y)) }
+  }
+
+  test("trendSlope matches an exact BigInt recompute of the closed form") {
+    import spark.implicits._
+    val rows = graft.engine.Tables.load(spark, dir, "events")
+      .select($"event_type", $"ts", $"value").collect()
+    val byType = rows.groupBy(_.getString(0)).map { case (t, rs) =>
+      val xy = rs.map { r =>
+        val micros = r.getAs[java.time.LocalDateTime](1)
+          .toInstant(java.time.ZoneOffset.UTC)
+        val x = BigInt(micros.getEpochSecond * 1000000L + micros.getNano / 1000L) /
+          60000000L - Stats.TrendEpochMinutes
+        val y = BigInt(java.math.BigDecimal.valueOf(r.getDouble(2))
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .movePointRight(2).longValueExact())
+        (x, y)
+      }
+      val n = BigInt(xy.length)
+      val sx = xy.map(_._1).sum
+      val sy = xy.map(_._2).sum
+      val sxy = xy.map { case (x, y) => x * y }.sum
+      val sxx = xy.map { case (x, _) => x * x }.sum
+      t -> ((n, n * sxy - sx * sy, n * sxx - sx * sx))
+    }
+    val got = Stats.trendSlope(spark, dir).collect()
+    assert(got.length == byType.size)
+    got.foreach { r =>
+      val (n, num, den) = byType(r.getString(0))
+      assert(BigInt(r.getLong(1)) == n)
+      assert(BigInt(r.getDecimal(2).toBigInteger) == num, r.getString(0))
+      assert(BigInt(r.getDecimal(3).toBigInteger) == den, r.getString(0))
+      assert(den > 0, "time spread means a positive denominator")
+      assert(math.abs(r.getDouble(4) - num.toDouble / den.toDouble) < 1e-12)
+    }
+  }
+
+  test("madOutliers matches a driver-side median/MAD recompute") {
+    import spark.implicits._
+    // same interpolation formula as Spark's percentile: lo + (hi-lo)*0.5
+    def p50(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else {
+        val lo = s(s.length / 2 - 1); val hi = s(s.length / 2)
+        lo + (hi - lo) * 0.5
+      }
+    }
+    val rows = graft.engine.Tables.load(spark, dir, "events")
+      .select($"event_type", $"value").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).toSeq).toMap
+    val got = Stats.madOutliers(spark, dir).collect()
+    got.foreach { r =>
+      val vs = rows(r.getString(0))
+      val med = p50(vs)
+      val devs = vs.map(v => math.abs(v - med))
+      val mad = p50(devs)
+      assert(r.getDouble(1) == med, s"${r.getString(0)} median")
+      assert(r.getDouble(2) == mad, s"${r.getString(0)} mad")
+      assert(r.getLong(3) == vs.length.toLong)
+      assert(r.getLong(4) == devs.count(_ > mad * 3.0).toLong)
+    }
+  }
+
+  test("modeValue picks the max-count value with min-value tiebreak") {
+    import spark.implicits._
+    val rows = graft.engine.Tables.load(spark, dir, "events")
+      .select($"event_type", $"value").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).toSeq).toMap
+    val got = Stats.modeValue(spark, dir).collect()
+    got.foreach { r =>
+      val counts = rows(r.getString(0)).groupBy(identity).view.mapValues(_.size).toMap
+      val mx = counts.values.max
+      val expectVal = counts.filter(_._2 == mx).keys.min
+      assert(r.getDouble(1) == expectVal, s"${r.getString(0)} mode value")
+      assert(r.getLong(2) == mx.toLong, s"${r.getString(0)} mode count")
+    }
+  }
+
+  test("piiScan finds exactly the planted PII and redacts to the Java-regex reference") {
+    import spark.implicits._
+    val lines = Redaction.logLines(spark, dir).orderBy($"event_id").limit(50).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val scan = Redaction.piiEvents(spark, dir).limit(50).collect()
+    assert(scan.length == 50)
+    scan.foreach { r =>
+      assert(r.getLong(1) == 1L, "one email per line")
+      assert(r.getLong(2) == 1L, "one IPv4 per line")
+      assert(r.getLong(3) == 1L, "one phone per line")
+      val msg = lines(r.getLong(0))
+      val redacted = msg
+        .replaceAll(Redaction.EmailRe, "[EMAIL]")
+        .replaceAll(Redaction.Ipv4Re, "[IP]")
+        .replaceAll(Redaction.PhoneRe, "[PHONE]")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(redacted.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getString(4) == md, s"redaction fingerprint for event ${r.getLong(0)}")
+      assert(!redacted.contains("@example.com") && !redacted.contains("ip=10."),
+        "no PII survives redaction")
+    }
+  }
+
+  test("domainStats rolls up to the ten synthesized domains with the blocklist flagged") {
+    import spark.implicits._
+    val got = Redaction.domainEvents(spark, dir).collect()
+    val expectDomains = graft.engine.Tables.load(spark, dir, "events")
+      .select(($"user_id" % 10).as("d")).distinct().collect()
+      .map(r => s"cdn${r.getLong(0)}.example.org").sorted.toSeq
+    assert(got.map(_.getString(0)).toSeq == expectDomains)
+    val blocked = got.filter(_.getBoolean(3)).map(_.getString(0)).toSet
+    assert(blocked == Redaction.Blocklist.toSet.intersect(expectDomains.toSet))
+    val total = got.map(_.getLong(1)).sum
+    assert(total == graft.engine.Tables.load(spark, dir, "events").count())
+  }
+
+  test("tfidf scores follow the integer-idf formula and rank at most 5 per doc") {
+    import spark.implicits._
+    val out = TextAnalysis.tfidf(spark, dir)
+    val nDocs = graft.engine.Tables.load(spark, dir, "documents").count()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tf, df, score, rn) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(rn >= 1 && rn <= 5)
+      assert(score == tf * ((TextAnalysis.IdfScale * nDocs) / df), "integer idf formula")
+    }
+    val perDoc = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perDoc.values.forall(_ <= 5))
+    // ranks are dense from 1 within each doc
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(5)).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+  }
+
+  test("zorderParts key order groups both dimensions (locality smoke)") {
+    import spark.implicits._
+    val out = Stats.zorderParts(spark, dir).collect()
+    assert(out.nonEmpty)
+    // z recomputes from the dims by the reference interleave
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    out.foreach { r =>
+      assert(r.getLong(3) == ref(r.getLong(1), r.getLong(2)))
+    }
+    // and the output really is sorted by (z, key)
+    val zs = out.map(r => (r.getLong(3), r.getLong(0))).toSeq
+    assert(zs == zs.sorted)
+  }
+}

@@ -236,6 +236,61 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("intervalJoinCapped equals intervalJoin when the cap exceeds every cell") {
+    import spark.implicits._
+    val W = 5L * 60L * 1000000L
+    val probes = randomEvents(60, 21L, users = 4).toDF("user_id", "event_id", "ts")
+    val rights = randomEvents(80, 22L, users = 4).toDF("user_id", "rid", "cts")
+    val uncapped = TimeSeries.intervalJoin(probes, rights, "user_id", "ts", "cts", W)
+      .groupBy($"event_id").agg(count($"rid").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val capped = TimeSeries.intervalJoinCapped(probes, rights, "user_id", "ts", "cts",
+        "rid", W, cap = 1000000)
+      .groupBy($"event_id").agg(count($"rid").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == uncapped)
+  }
+
+  test("intervalJoinCapped with a binding cap matches the per-cell latest-N reference") {
+    import spark.implicits._
+    val W = 5L * 60L * 1000000L
+    for (seed <- Seq(31L, 57L)) {
+      // few users + short horizon -> cells hold well over `cap` rows
+      val probes = randomEvents(40, seed, users = 2).toDF("user_id", "event_id", "ts")
+      val rights = randomEvents(120, seed + 9000, users = 2).toDF("user_id", "rid", "cts")
+      val cap = 3
+      val got = TimeSeries.intervalJoinCapped(probes, rights, "user_id", "ts", "cts",
+          "rid", W, cap)
+        .groupBy($"event_id").agg(count($"rid").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: replicate each right row into its two window-width
+      // cells, keep the latest `cap` per (key, cell) by (cts, rid)
+      // descending, then count survivors inside each probe's window
+      val rs = rights.collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime))
+      val surviving = rs.flatMap { case (u, rid, t) =>
+        val b = (t * 1000L) / W
+        Seq(((u, b), (rid, t)), ((u, b + 1), (rid, t)))
+      }.groupBy(_._1).toSeq.flatMap { case ((u, cell), rows) =>
+        rows.map(_._2).sortBy { case (rid, t) => (-t, -rid) }.take(cap)
+          .map { case (rid, t) => (u, cell, rid, t) }.toSeq
+      }
+      val expect = probes.collect().map { p =>
+        val (u, id, t) = (p.getLong(0), p.getLong(1), p.getTimestamp(2).getTime)
+        val lb = (t * 1000L) / W
+        id -> surviving.count { case (ru, cell, _, rt) =>
+          ru == u && cell == lb && rt * 1000L >= t * 1000L - W && rt <= t
+        }.toLong
+      }.toMap
+      assert(got == expect, s"seed $seed")
+      // the cap must actually bind somewhere or this test is vacuous
+      val uncapped = TimeSeries.intervalJoin(probes, rights, "user_id", "ts", "cts", W)
+        .groupBy($"event_id").agg(count($"rid").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.exists { case (k, v) => uncapped(k) > v }, s"seed $seed: cap never bound")
+      assert(got.forall { case (k, v) => v <= uncapped(k) }, "capped may only under-count")
+    }
+  }
+
   test("globalRowNumber equals a single-window row_number on random frames") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
