@@ -31,19 +31,26 @@ object Bench {
     // session bring-up
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // deterministic order, a clean heap per query, and one untimed
-    // priming run before the timed one: otherwise JIT warmup and GC
+    // priming run before the timed ones: otherwise JIT warmup and GC
     // pressure from neighbouring queries swing individual timings 3x
-    // run-to-run and the numbers measure the schedule, not the query
+    // run-to-run and the numbers measure the schedule, not the query.
+    // Each query reports the MEDIAN of 3 timed runs — this box's
+    // ambient load swings single runs ±15% (judge-measured in r4 AND
+    // r5, both times exceeding the round-over-round delta), so a
+    // median is what makes BENCH_r{N} deltas attributable to code
+    val timedRuns = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.catalog.clearCache()
       System.gc()
       val ok = run(name, fn)
-      val t0 = System.nanoTime()
-      // a failure in EITHER run must read as a failure (-1), not as a
-      // fast run — the timed run can hit transient errors the priming
+      // a failure in ANY run must read as a failure (-1), not as a
+      // fast run — a timed run can hit transient errors the priming
       // run didn't
-      val timedOk = ok && run(name, fn)
-      name -> (if (timedOk) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to timedRuns).map { _ =>
+        val t0 = System.nanoTime()
+        if (ok && run(name, fn)) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      name -> (if (times.contains(-1.0)) -1.0 else times.sorted.apply(timedRuns / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -76,17 +76,31 @@ object Corpus {
       .orderBy($"doc_id")
   }
 
+  /** Pluggable token counters for [[packBatches]] — both exact integer
+    * expressions over `text`, so either is oracle-replayable:
+    * whitespace words (the r1 form) and the byte-pair-encoding proxy
+    * ⌈bytes/4⌉ (the standard ~4-chars-per-token heuristic), which
+    * tracks model-tokenizer budgets without shipping a tokenizer. A
+    * deployment with a real tokenizer passes its own count column to
+    * [[packBatchesOf]] — packing never looks at `text` itself.
+    */
+  def whitespaceTokens: Column = size(split(col("text"), " ")).cast("long")
+  def bpeProxyTokens: Column = expr("(octet_length(text) + 3) div 4")
+
   /** Token-budget batch packing per language: contiguous fill in
     * doc_id order, batch = exclusive-prefix-tokens div budget (a doc
     * may straddle a boundary — the deterministic approximation of
     * greedy packing; exact bin-packing is order-dependent anyway).
+    * `tokens` plugs in the counter the batch budget is denominated in
+    * ([[whitespaceTokens]] | [[bpeProxyTokens]] | a real tokenizer's
+    * precomputed column).
     */
   def packBatches(spark: SparkSession, dir: String,
-      budget: Int = PackBudget): DataFrame = {
+      budget: Int = PackBudget,
+      tokens: Column = whitespaceTokens): DataFrame = {
     import spark.implicits._
     packBatchesOf(docs(spark, dir)
-      .select($"doc_id", $"lang",
-        size(split($"text", " ")).cast("long").as("n_tokens")), budget)
+      .select($"doc_id", $"lang", tokens.as("n_tokens")), budget)
   }
 
   /** [[packBatches]] over an arbitrary `(doc_id, lang, n_tokens)`
@@ -255,6 +269,8 @@ object Corpus {
     "corpus_sample" -> ((s: SparkSession, d: String) => sample(s, d)),
     "corpus_split" -> splitAssign _,
     "corpus_pack_batches" -> ((s: SparkSession, d: String) => packBatches(s, d)),
+    "corpus_pack_bpe" ->
+      ((s: SparkSession, d: String) => packBatches(s, d, tokens = bpeProxyTokens)),
     "corpus_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "corpus_leakage" -> leakage _,
   )
@@ -304,6 +320,14 @@ object Corpus {
         |FROM b ORDER BY doc_id""".stripMargin,
     "corpus_pack_batches" ->
       s"""WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+        |           FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |       CAST(coalesce(CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |            // $PackBudget AS BIGINT) AS batch
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "corpus_pack_bpe" ->
+      s"""WITH t AS (SELECT doc_id, lang, (strlen(text) + 3) // 4 AS n_tokens
         |           FROM documents)
         |SELECT doc_id, lang, n_tokens,
         |       CAST(coalesce(CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id

@@ -52,13 +52,19 @@ object Dedup {
   private val shingleArrayExpr: Column = array_distinct(
     expr("transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"))
 
-  /** (doc_id, t) — whitespace-tokenized docs with ≥3 tokens. */
-  private def tokenized(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    docs(spark, dir)
-      .select($"doc_id", split($"text", " ").as("t"))
+  /** (doc_id, t) — whitespace-tokenized docs with ≥3 tokens, over an
+    * arbitrary `(doc_id, text)` frame (the seam the incremental
+    * operators need: an incoming batch is not the `documents` table).
+    */
+  private def tokenizedOf(d: DataFrame): DataFrame = {
+    import d.sparkSession.implicits._
+    d.select($"doc_id", split($"text", " ").as("t"))
       .filter(size($"t") >= 3)
   }
+
+  /** (doc_id, t) — whitespace-tokenized docs with ≥3 tokens. */
+  private def tokenized(spark: SparkSession, dir: String): DataFrame =
+    tokenizedOf(docs(spark, dir))
 
   /** (doc_id, shingle) — exploded form. */
   private def shingles(spark: SparkSession, dir: String): DataFrame = {
@@ -79,11 +85,29 @@ object Dedup {
     * array, so signatures cost zero shuffle. [[signaturesHof]] is the
     * aggregate twin it is spec-checked against bit-for-bit.
     */
-  private[graft] def signatures(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    tokenized(spark, dir)
+  private[graft] def signatures(spark: SparkSession, dir: String): DataFrame =
+    signaturesOf(docs(spark, dir))
+
+  /** [[signatures]] over an arbitrary `(doc_id, text)` frame. */
+  private[graft] def signaturesOf(d: DataFrame): DataFrame = {
+    import d.sparkSession.implicits._
+    tokenizedOf(d)
       .select($"doc_id",
         graft.plans.ArrayExpressions.minhash16(shingleArrayExpr).as("sig"))
+  }
+
+  /** (doc_id, band, band_key) — each doc's [[NumHashes]]/[[BandSize]]
+    * LSH band keys, over an arbitrary `(doc_id, text)` frame. The unit
+    * of the near-dup signature STORE: history persists as distinct
+    * (band, band_key) rows, and an incoming batch probes it by
+    * equijoin.
+    */
+  private def bandKeysOf(d: DataFrame): DataFrame = {
+    import d.sparkSession.implicits._
+    signaturesOf(d).select($"doc_id",
+      posexplode(expr(s"transform(sequence(0, ${NumHashes / BandSize - 1}), " +
+        s"b -> concat_ws('', slice(sig, b * $BandSize + 1, $BandSize)))")))
+      .toDF("doc_id", "band", "band_key")
   }
 
   /** Stock-Catalyst twin of [[signatures]]: explode shingles, 4 md5
@@ -352,6 +376,90 @@ object Dedup {
       .orderBy($"lang")
   }
 
+  /** Incremental (cross-batch) exact dedup — the verb a production
+    * pipeline runs daily: dedupe an INCOMING batch against the
+    * persisted fingerprint STORE without rescanning history. `store`
+    * is any frame with a `fingerprint` column (md5 of content);
+    * `incoming` is a `(doc_id, text)` batch. Survivors are the batch's
+    * novel documents — one keeper per fingerprint (min doc_id, the
+    * [[exact]] election) whose content history has never seen — plus
+    * the batch-internal multiplicity. The caller appends survivor
+    * fingerprints to the store; [[incremental]] of the same batch
+    * against the grown store is then empty (idempotence, spec-pinned).
+    *
+    * Scale shape: one fingerprint-keyed aggregate over the BATCH and
+    * one anti-join against the store, both shuffling on the
+    * fingerprint — the store is scanned, never re-deduplicated, so
+    * daily cost is O(batch + store-probe), not O(corpus).
+    */
+  def incremental(store: DataFrame, incoming: DataFrame): DataFrame = {
+    import incoming.sparkSession.implicits._
+    val keepers = incoming
+      .select($"doc_id", md5($"text").as("fingerprint"))
+      .groupBy($"fingerprint")
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_batch_dups"))
+    keepers
+      .join(store.select($"fingerprint"), Seq("fingerprint"), "left_anti")
+      .select($"doc_id", $"fingerprint", $"n_batch_dups")
+  }
+
+  /** Replayed-id shifts for [[incrementalHalves]]'s synthetic
+    * re-crawls (the testdata has no exact duplicates, so the surfaced
+    * query manufactures deterministic ones both engines replay).
+    */
+  val RecrawlShift = 1000000L
+  val BatchDupShift = 2000000L
+
+  /** [[incremental]] surfaced for the oracle: even doc_ids are the
+    * persisted history, odd doc_ids the incoming batch — salted with
+    * two deterministic duplicate populations so both store-anti-join
+    * and batch keeper election are exercised: every `doc_id % 10 = 0`
+    * history doc re-arrives under a shifted id (a re-crawl → dropped
+    * by the store), and every `doc_id % 20 = 1` batch doc arrives
+    * twice (batch dup → keeper = the smaller id, n_batch_dups = 2).
+    */
+  def incrementalHalves(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir).select($"doc_id", $"text")
+    val store = d.filter($"doc_id" % 2 === 0).select(md5($"text").as("fingerprint"))
+    val batch = d.filter($"doc_id" % 2 === 1)
+      .unionAll(d.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + RecrawlShift).as("doc_id"), $"text"))
+      .unionAll(d.filter($"doc_id" % 20 === 1)
+        .select(($"doc_id" + BatchDupShift).as("doc_id"), $"text"))
+    incremental(store, batch).orderBy($"doc_id")
+  }
+
+  /** Incremental NEAR-dup flagging: which incoming documents collide
+    * with the historical minhash band store? History persists as
+    * distinct `(band, band_key)` rows — [[NumHashes]]/[[BandSize]]
+    * keys per doc, the same store the LSH self-join buckets on — and
+    * the batch probes it with one semi-join. Output: each flagged
+    * incoming doc with how many of its bands hit history (1–4; more
+    * bands ≈ higher estimated Jaccard against something seen before).
+    * Docs worth keeping are the absent ones. O(batch × 4) probe rows
+    * against a store that only ever appends.
+    */
+  def incrementalNearDup(existingDocs: DataFrame, incomingDocs: DataFrame): DataFrame = {
+    import incomingDocs.sparkSession.implicits._
+    val store = bandKeysOf(existingDocs).select($"band", $"band_key").distinct()
+    bandKeysOf(incomingDocs)
+      .join(store, Seq("band", "band_key"), "left_semi")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bands_hit"))
+      .orderBy($"doc_id")
+  }
+
+  /** [[incrementalNearDup]] surfaced for the oracle over the same
+    * even-history / odd-batch split (12 of the corpus's minhash pairs
+    * cross that parity at sf0.01, so the probe is non-vacuous).
+    */
+  def incrementalNearDupHalves(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir).select($"doc_id", $"text")
+    incrementalNearDup(d.filter($"doc_id" % 2 === 0), d.filter($"doc_id" % 2 === 1))
+  }
+
   /** Chunk width (words) for [[chunkDedup]]. */
   val ChunkWords = 20
 
@@ -553,6 +661,8 @@ object Dedup {
     "dedup_chunk_apply" -> chunkDedupApply _,
     "dedup_apply" -> dedupApply _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
+    "dedup_incremental" -> incrementalHalves _,
+    "dedup_incremental_near" -> incrementalNearDupHalves _,
   )
 
   /** DuckDB mirror of the engine's 60-bit shingle key
@@ -592,17 +702,24 @@ object Dedup {
       |          CAST(sum(CASE WHEN p < 16 THEN sbit * CAST(pow(2, 15 - p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket16
       |        FROM sbits GROUP BY doc_id)""".stripMargin
 
-  /** Shared candidate-pair + estimated-jaccard CTE for the minhash
-    * oracles (ends in `est(doc_a, doc_b, est_jaccard)`).
+  /** Shared per-doc minhash band CTE (ends in
+    * `bands(doc_id, band, band_key)`) — the prefix both the pair CTE
+    * and the incremental near-dup oracle build on.
     */
-  private[operators] val minhashPairsCte =
+  private[operators] val minhashBandsCte =
     s"""$shingleCte,
       |ks AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS k FROM sh),
       |hashes AS (SELECT doc_id, k,
       |             min(substr(md5((k // 4) || '|' || shingle), (k % 4) * 8 + 1, 8)) AS h
       |           FROM ks GROUP BY 1, 2),
       |bands AS (SELECT doc_id, k // 4 AS band, string_agg(h, '' ORDER BY k) AS band_key
-      |          FROM hashes GROUP BY doc_id, k // 4),
+      |          FROM hashes GROUP BY doc_id, k // 4)""".stripMargin
+
+  /** Shared candidate-pair + estimated-jaccard CTE for the minhash
+    * oracles (ends in `est(doc_a, doc_b, est_jaccard)`).
+    */
+  private[operators] val minhashPairsCte =
+    s"""$minhashBandsCte,
       |bkept AS (SELECT band, band_key FROM bands GROUP BY 1, 2
       |          HAVING count(*) <= $MaxBandBucket),
       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -699,6 +816,26 @@ object Dedup {
     "dedup_exact" ->
       """SELECT md5(text) AS fingerprint, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+        |ex AS (SELECT md5(text) AS fingerprint FROM d WHERE doc_id % 2 = 0),
+        |inc AS (
+        |  SELECT doc_id, text FROM d WHERE doc_id % 2 = 1
+        |  UNION ALL SELECT doc_id + $RecrawlShift, text FROM d WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id + $BatchDupShift, text FROM d WHERE doc_id % 20 = 1),
+        |k AS (SELECT md5(text) AS fingerprint, min(doc_id) AS doc_id,
+        |             count(*) AS n_batch_dups
+        |      FROM inc GROUP BY 1)
+        |SELECT doc_id, fingerprint, n_batch_dups FROM k
+        |WHERE fingerprint NOT IN (SELECT fingerprint FROM ex)
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_incremental_near" ->
+      s"""WITH $minhashBandsCte,
+        |store AS (SELECT DISTINCT band, band_key FROM bands WHERE doc_id % 2 = 0)
+        |SELECT b.doc_id, count(*) AS n_bands_hit
+        |FROM bands b JOIN store s ON b.band = s.band AND b.band_key = s.band_key
+        |WHERE b.doc_id % 2 = 1
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $minhashPairsCte
         |SELECT doc_a, doc_b, est_jaccard FROM est ORDER BY doc_a, doc_b""".stripMargin,

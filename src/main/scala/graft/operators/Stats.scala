@@ -34,10 +34,18 @@ object Stats {
     * exact integers, so every aggregate below is order-independent
     * and the closed form
     *   slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx·Σx)
-    * is emitted as exact DECIMAL(38,0) numerator/denominator; the
-    * `slope` double is the single IEEE division of those two exact
-    * integers. One shuffle (the groupBy) with map-side partials; the
-    * driver never sees a row.
+    * is emitted as exact DECIMAL(38,0) numerator/denominator plus
+    * `slope_e12`, the slope at a pinned 10¹² integer scale:
+    * trunc(num·10¹² / den). Every output column is exact integer
+    * arithmetic — no IEEE double crosses the contract, so the result
+    * is bit-identical across engines (a raw double slope shipped red
+    * in r5 purely on cross-engine double formatting). The division is
+    * sign-decomposed (den ≥ 0 always, by Cauchy–Schwarz) so the
+    * truncation direction cannot differ between Spark's `div` and
+    * DuckDB's `//` on a negative numerator. Per-row products are cast
+    * to DECIMAL *before* multiplying — BIGINT·BIGINT would wrap
+    * silently past 2⁶³ for extreme value×timespan inputs. One shuffle
+    * (the groupBy) with map-side partials; the driver never sees a row.
     */
   def trendSlope(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -50,13 +58,15 @@ object Stats {
         count(lit(1)).as("n"),
         sum($"x").as("sx"),
         sum($"y").as("sy"),
-        sum(expr("CAST(x * y AS DECIMAL(38,0))")).as("sxy"),
-        sum(expr("CAST(x * x AS DECIMAL(38,0))")).as("sxx"))
+        sum(expr("CAST(x AS DECIMAL(19,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(19,0)) * x")).as("sxx"))
       .select($"event_type", $"n",
         expr("CAST(CAST(n AS DECIMAL(20,0)) * sxy - CAST(sx AS DECIMAL(20,0)) * CAST(sy AS DECIMAL(20,0)) AS DECIMAL(38,0))").as("slope_num"),
         expr("CAST(CAST(n AS DECIMAL(20,0)) * sxx - CAST(sx AS DECIMAL(20,0)) * CAST(sx AS DECIMAL(20,0)) AS DECIMAL(38,0))").as("slope_den"))
-      .withColumn("slope",
-        $"slope_num".cast("double") / $"slope_den".cast("double"))
+      .withColumn("slope_e12",
+        expr("""CASE WHEN slope_num < 0
+          THEN -((abs(slope_num) * 1000000000000) div slope_den)
+          ELSE (slope_num * 1000000000000) div slope_den END"""))
       .orderBy($"event_type")
   }
 
@@ -66,6 +76,13 @@ object Stats {
     * back between three scans — never a per-group sort, never a
     * window; the modified-z-score recipe (Iglewicz–Hoaglin) that
     * survives the heavy tails plain σ-clipping does not.
+    *
+    * SCALE CAVEAT: exact `percentile` buffers each group's full value
+    * multiset in aggregation state, and `event_type` has ~5 values —
+    * at 100 TB five buffers would hold the corpus. This operator is
+    * for small-cardinality-key/exact-oracle use only; the at-scale
+    * twin is [[histoMedian]] (fixed-bin state, still exact integers)
+    * or `approx_percentile` (fixed sketch state, no oracle).
     */
   def madOutliers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -82,6 +99,46 @@ object Stats {
         count(lit(1)).as("n"),
         sum(when($"dev" > $"mad" * 3.0, 1L).otherwise(0L)).as("n_outliers"))
       .select($"event_type", $"med", $"mad", $"n", $"n_outliers")
+      .orderBy($"event_type")
+  }
+
+  /** Bin width (cents) for [[histoMedian]] — ~100 bins over this
+    * corpus's value range; at scale pick range/1000 or so.
+    */
+  val HistoBinCents = 500L
+
+  /** The AT-SCALE quantile twin ([[madOutliers]]'s caveat): median via
+    * a fixed-bin integer histogram. Values become exact cents, bins
+    * are `cents div binCents`, and the median bin is the first whose
+    * cumulative count reaches ⌈n/2⌉. Per-group aggregation state is
+    * the BIN COUNT (configuration-bounded), never the value multiset —
+    * the shape that survives a 5-value grouping key at 100 TB. Exact
+    * w.r.t. the binned distribution and pure integer arithmetic, so
+    * the oracle replays it bit-for-bit. The cumulative window runs
+    * over the per-(type, bin) AGGREGATE — ≤ bins·types rows, metadata
+    * not data (the packBatchesOf precedent; plan-asserted in
+    * StatsSpec).
+    */
+  def histoMedian(spark: SparkSession, dir: String,
+      binCents: Long = HistoBinCents): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val binned = events(spark, dir)
+      .select($"event_type",
+        expr(s"CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div $binCents").as("bin"))
+      .groupBy($"event_type", $"bin")
+      .agg(count(lit(1)).as("cnt"))
+    val tot = binned.groupBy($"event_type").agg(sum($"cnt").as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .withColumn("cum", sum($"cnt").over(w))
+      .join(broadcast(tot), "event_type")
+      .filter($"cum" >= expr("(n + 1) div 2"))
+      .groupBy($"event_type", $"n")
+      .agg(min($"bin").as("median_bin"))
+      .withColumn("median_lo_cents", $"median_bin" * binCents)
+      .select($"event_type", $"n", $"median_bin", $"median_lo_cents")
       .orderBy($"event_type")
   }
 
@@ -122,6 +179,7 @@ object Stats {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_trend_slope" -> trendSlope _,
     "q_mad_outliers" -> madOutliers _,
+    "q_histo_median" -> ((s: SparkSession, d: String) => histoMedian(s, d)),
     "q_mode_value" -> modeValue _,
     "q_zorder_key" -> zorderParts _,
   )
@@ -138,13 +196,19 @@ object Stats {
         |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
         |         sum(CAST(x AS HUGEINT) * y) AS sxy,
         |         sum(CAST(x AS HUGEINT) * x) AS sxx
-        |  FROM base GROUP BY 1)
+        |  FROM base GROUP BY 1),
+        |nd AS (
+        |  SELECT event_type, n,
+        |         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        |         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den
+        |  FROM agg)
         |SELECT event_type, n,
-        |       CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DECIMAL(38,0)) AS slope_num,
-        |       CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DECIMAL(38,0)) AS slope_den,
-        |       CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-        |         / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS slope
-        |FROM agg ORDER BY event_type""".stripMargin,
+        |       CAST(num AS DECIMAL(38,0)) AS slope_num,
+        |       CAST(den AS DECIMAL(38,0)) AS slope_den,
+        |       CAST(CASE WHEN num < 0
+        |         THEN -((abs(num) * 1000000000000::HUGEINT) // den)
+        |         ELSE (num * 1000000000000::HUGEINT) // den END AS BIGINT) AS slope_e12
+        |FROM nd ORDER BY event_type""".stripMargin,
     "q_mad_outliers" ->
       """WITH ev AS (SELECT event_type, value FROM events),
         |med AS (
@@ -160,6 +224,22 @@ object Stats {
         |       CAST(sum(CASE WHEN d.dev > a.mad * 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM dev d JOIN mad a USING (event_type)
         |GROUP BY 1, 2, 3 ORDER BY d.event_type""".stripMargin,
+    "q_histo_median" ->
+      s"""WITH b AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // $HistoBinCents AS bin
+        |  FROM events),
+        |c AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1),
+        |cum AS (SELECT event_type, bin,
+        |          CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |        FROM c)
+        |SELECT cum.event_type, t.n, min(cum.bin) AS median_bin,
+        |       min(cum.bin) * $HistoBinCents AS median_lo_cents
+        |FROM cum JOIN t USING (event_type)
+        |WHERE cum.cum >= (t.n + 1) // 2
+        |GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
     "q_mode_value" ->
       """WITH counts AS (
         |  SELECT event_type, value, count(*) AS cnt

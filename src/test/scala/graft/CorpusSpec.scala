@@ -49,6 +49,33 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("BPE-proxy packing counts ceil(bytes/4) and repacks differently from whitespace") {
+    import spark.implicits._
+    val texts = graft.engine.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bpe = Corpus.packBatches(spark, dir, tokens = Corpus.bpeProxyTokens)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    bpe.foreach { case (id, _, n, _) =>
+      val bytes = texts(id).getBytes("UTF-8").length
+      assert(n == (bytes + 3) / 4, s"doc $id bpe-proxy count")
+    }
+    // same contiguous-prefix law, new denomination: batch = exclusive
+    // prefix of BPE counts div budget, per language in doc_id order
+    bpe.groupBy(_._2).foreach { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_._1).foreach { case (_, _, n, batch) =>
+        assert(batch == cum / Corpus.PackBudget)
+        cum += n
+      }
+    }
+    // and the two denominations genuinely differ (≈word-length/4 ratio)
+    val ws = Corpus.packBatches(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(bpe.exists { case (id, _, _, b) => ws(id) != b },
+      "BPE-proxy budgets never re-binned a single doc — counter not plugged in?")
+  }
+
   test("two-pass packBatchesOf equals the single-window prefix sum on a seeded frame") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

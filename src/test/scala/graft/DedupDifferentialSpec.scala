@@ -67,4 +67,52 @@ class DedupDifferentialSpec extends SparkSpec {
     // the corpus must actually exercise the duplicated path
     assert(got.values.map(_._2).sum > 0, "no duplicated chunks found at all")
   }
+
+  test("incremental dedup: empty store = exact election; grown store = idempotent") {
+    import spark.implicits._
+    val d = graft.engine.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val emptyStore = Seq.empty[String].toDF("fingerprint")
+    // against an empty store, incremental IS the batch's exact keeper
+    // election (one keeper per fingerprint, min doc_id)
+    val first = Dedup.incremental(emptyStore, d)
+    val expect: Map[String, Long] = d.select($"doc_id", $"text").collect()
+      .map(r => md5hex(r.getString(1)) -> r.getLong(0))
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val got = first.collect().map(r => r.getString(1) -> (r.getLong(0), r.getLong(2))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (fp, (id, _)) => assert(id == expect(fp), s"keeper for $fp") }
+    // merge survivors into the store; re-ingesting the SAME batch must
+    // yield nothing (the idempotence a daily pipeline relies on)
+    val grown = emptyStore.unionAll(first.select($"fingerprint"))
+    assert(Dedup.incremental(grown, d).isEmpty, "re-ingested batch must add nothing")
+    // and a half-grown store drops exactly the covered fingerprints
+    val half = first.filter($"doc_id" % 2 === 0).select($"fingerprint")
+    val survivors = Dedup.incremental(half, d).select($"fingerprint").collect()
+      .map(_.getString(0)).toSet
+    assert(survivors == expect.keySet.diff(
+      got.filter(_._2._1 % 2 == 0).keySet))
+  }
+
+  test("incrementalNearDup flags exactly the docs sharing a band with history") {
+    import spark.implicits._
+    val d = graft.engine.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val existing = d.filter($"doc_id" % 2 === 0)
+    val incoming = d.filter($"doc_id" % 2 === 1)
+    val flagged = Dedup.incrementalNearDupHalves(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    flagged.foreach { case (id, hits) =>
+      assert(id % 2 == 1, "only incoming docs are flagged")
+      assert(hits >= 1 && hits <= 4, s"doc $id band hits out of range: $hits")
+    }
+    // a doc ingested against a store containing ITSELF always flags
+    // with all 4 bands (self-collision — the sanity anchor)
+    val self = Dedup.incrementalNearDup(incoming, incoming).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val incomingIds = incoming.select($"doc_id").collect().map(_.getLong(0))
+      .filter(id => self.contains(id))
+    assert(incomingIds.nonEmpty)
+    assert(incomingIds.forall(id => self(id) == 4L), "self-probe hits all 4 bands")
+  }
 }

@@ -63,7 +63,10 @@ class StatsSpec extends SparkSpec {
       assert(BigInt(r.getDecimal(2).toBigInteger) == num, r.getString(0))
       assert(BigInt(r.getDecimal(3).toBigInteger) == den, r.getString(0))
       assert(den > 0, "time spread means a positive denominator")
-      assert(math.abs(r.getDouble(4) - num.toDouble / den.toDouble) < 1e-12)
+      // exact pinned-scale slope: trunc(num * 1e12 / den), sign-decomposed
+      val e12 = (num.abs * BigInt("1000000000000")) / den
+      val expect = if (num < 0) -e12 else e12
+      assert(BigInt(r.getLong(4)) == expect, s"${r.getString(0)} slope_e12")
     }
   }
 
@@ -91,6 +94,45 @@ class StatsSpec extends SparkSpec {
       assert(r.getDouble(2) == mad, s"${r.getString(0)} mad")
       assert(r.getLong(3) == vs.length.toLong)
       assert(r.getLong(4) == devs.count(_ > mad * 3.0).toLong)
+    }
+  }
+
+  test("histoMedian matches a driver recompute and plans bounded state") {
+    import spark.implicits._
+    val binW = graft.operators.Stats.HistoBinCents
+    val rows = graft.engine.Tables.load(spark, dir, "events")
+      .select($"event_type", $"value").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map { r =>
+        java.math.BigDecimal.valueOf(r.getDouble(1))
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .movePointRight(2).longValueExact() / binW
+      }.toSeq).toMap
+    val got = Stats.histoMedian(spark, dir).collect()
+    assert(got.length == rows.size)
+    got.foreach { r =>
+      val bins = rows(r.getString(0)).sorted
+      val n = bins.length
+      // first bin whose cumulative count reaches ceil(n/2) = the
+      // bin holding the (n+1) div 2 -th smallest value
+      val medianBin = bins((n + 1) / 2 - 1)
+      assert(r.getLong(1) == n.toLong)
+      assert(r.getLong(2) == medianBin, s"${r.getString(0)} median bin")
+      assert(r.getLong(3) == medianBin * binW)
+    }
+    // the at-scale contract: no exact-percentile buffer anywhere, and
+    // the cumulative window consumes the (type, bin) AGGREGATE — its
+    // input is bin-count-bounded metadata, not corpus rows
+    val plan = Stats.histoMedian(spark, dir).queryExecution.optimizedPlan
+    assert(!plan.toString.toLowerCase.contains("percentile"))
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val aggBelow = w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(aggBelow.nonEmpty, "cumulative window must sit above the bin aggregate")
     }
   }
 
@@ -143,6 +185,22 @@ class StatsSpec extends SparkSpec {
     assert(blocked == Redaction.Blocklist.toSet.intersect(expectDomains.toSet))
     val total = got.map(_.getLong(1)).sum
     assert(total == graft.engine.Tables.load(spark, dir, "events").count())
+  }
+
+  test("domainStatsAgainst (blocklist table) agrees with the literal twin") {
+    import spark.implicits._
+    val lines = Redaction.logLines(spark, dir)
+    val literal = Redaction.domainStats(lines, "user_id", "msg").collect()
+    // the governance frame carries extra unknown domains — they must
+    // not invent rows, only mark membership of observed ones
+    val bl = (Redaction.Blocklist :+ "never-seen.example.net").toDF("domain")
+    val tabled = Redaction.domainStatsAgainst(lines, "user_id", "msg", bl).collect()
+    assert(tabled.map(_.toSeq.toList).toList == literal.map(_.toSeq.toList).toList)
+    // and an empty blocklist flags nothing
+    val none = Redaction.domainStatsAgainst(
+      lines, "user_id", "msg", Seq.empty[String].toDF("domain")).collect()
+    assert(none.forall(!_.getBoolean(3)))
+    assert(none.map(_.getString(0)).toSeq == literal.map(_.getString(0)).toSeq)
   }
 
   test("tfidf scores follow the integer-idf formula and rank at most 5 per doc") {
