@@ -538,32 +538,33 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  /** Exact n-gram Jaccard over an inverted shingle index: only pairs
-    * sharing ≥1 shingle are materialised (never n²), then filtered to
-    * the near-dup threshold.
+  /** (doc_a, doc_b, intersection, na, nb) for every ordered doc pair
+    * sharing ≥1 kept shingle, over an arbitrary `(doc_id, text)`
+    * frame — the posting-list pair core both [[ngramJaccard]] and
+    * [[containment]] score.
     *
     * Pair generation goes through posting lists (shingle → sorted doc
-    * ids → in-memory pair expansion) rather than a self-join: one
+    * ids → in-row pair expansion) rather than a self-join: one
     * shuffle on shingle instead of two, and single-document shingles
     * (the vast majority) are dropped before any pair exists. Skewed
     * postings (boilerplate shingles) are the quadratic hazard at
     * scale — [[MaxShingleDf]] caps them; AQE splits what remains.
     */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  private def shinglePairCounts(d: DataFrame): DataFrame = {
+    import d.sparkSession.implicits._
+    val toks = tokenizedOf(d)
     // posting key = the shingle's md5 prefix as a 60-bit integer: an
     // 8-byte shuffle/agg key instead of a 20-40 byte string. A key
     // collision would merge two shingles' postings — deterministically
     // and IDENTICALLY in the DuckDB oracle (same md5 arithmetic), so
     // results still hash-match; at 2^60 key space the corpus-level
     // collision odds are ~10^-5.
-    val sh = shingles(spark, dir)
+    val sh = toks.select($"doc_id", explode(shingleArrayExpr).as("shingle"))
       .select($"doc_id",
         expr("CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT)").as("sk"))
     // per-doc shingle counts as a pure projection (no second explode +
     // shuffle over the shingle relation), from the same definition
-    val sizes = tokenized(spark, dir)
-      .select($"doc_id", size(shingleArrayExpr).cast("long").as("n"))
+    val sizes = toks.select($"doc_id", size(shingleArrayExpr).cast("long").as("n"))
     val pairs = sh
       .groupBy($"sk")
       .agg(sort_array(collect_list($"doc_id")).as("ds"))
@@ -573,17 +574,107 @@ object Dedup {
           |  i -> transform(slice(ds, i + 2, size(ds) - i - 1),
           |       x -> struct(ds[i] AS doc_a, x AS doc_b))))""".stripMargin)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
-    val inter = pairs
+    pairs
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("intersection"))
-    inter
       .join(sizes.as("sa"), $"doc_a" === col("sa.doc_id"))
       .join(sizes.as("sb"), $"doc_b" === col("sb.doc_id"))
       .select($"doc_a", $"doc_b", $"intersection",
-        ($"intersection" * lit(1.0) / (col("sa.n") + col("sb.n") - $"intersection"))
-          .as("jaccard"))
+        col("sa.n").as("na"), col("sb.n").as("nb"))
+  }
+
+  /** Exact n-gram Jaccard over the inverted shingle index: only pairs
+    * sharing ≥1 shingle are materialised (never n²), then filtered to
+    * the near-dup threshold. Scale shape: [[shinglePairCounts]].
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    shinglePairCounts(docs(spark, dir))
+      .select($"doc_a", $"doc_b", $"intersection",
+        ($"intersection" * lit(1.0) / ($"na" + $"nb" - $"intersection")).as("jaccard"))
       .filter($"jaccard" >= 0.5)
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Id shift and width for [[containmentExcerpts]]'s synthetic
+    * quote docs.
+    */
+  val ExcerptShift = 3000000L
+  val ExcerptWords = 12
+
+  /** Id shifts for [[normalizedDedup]]'s two synthetic noise
+    * populations (case/punctuation noise, whitespace noise).
+    */
+  val CaseNoiseShift = 4000000L
+  val SpaceNoiseShift = 5000000L
+
+  /** Exact dedup keyed on the NORMALIZED text
+    * ([[TextAnalysis.normalizedText]]): case, punctuation, and
+    * whitespace noise collapse onto one fingerprint — what raw-md5
+    * dedup ([[exact]]) structurally misses (scrapes of the same page
+    * differ in exactly this way). Per normalized fingerprint: member
+    * count, how many DISTINCT raw forms merged, and the keeper.
+    * Same scale shape as [[exact]] — one fingerprint-keyed aggregate,
+    * the normalizer is a pure projection.
+    *
+    * The corpus is already lowercase word soup, so the surfaced query
+    * plants deterministic noise both engines replay: every 20th doc
+    * (mod 3) re-arrives uppercased with trailing punctuation, every
+    * 20th (mod 5) with doubled spaces.
+    */
+  def normalizedDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir).select($"doc_id", $"text")
+    val cased = d.filter($"doc_id" % 20 === 3)
+      .select(($"doc_id" + CaseNoiseShift).as("doc_id"),
+        expr("concat(upper(text), ' !!')").as("text"))
+    val spaced = d.filter($"doc_id" % 20 === 5)
+      .select(($"doc_id" + SpaceNoiseShift).as("doc_id"),
+        expr("replace(text, ' ', '  ')").as("text"))
+    d.unionAll(cased).unionAll(spaced)
+      .select($"doc_id", md5($"text").as("raw_fp"),
+        md5(TextAnalysis.normalizedText($"text")).as("fingerprint"))
+      .groupBy($"fingerprint")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"raw_fp").as("n_raw_forms"),
+        min($"doc_id").as("keeper_doc_id"))
+      .orderBy($"fingerprint")
+  }
+
+  /** Containment threshold shared with the oracle. */
+  val ContainmentThreshold = 0.8
+
+  /** ASYMMETRIC n-gram containment — |A∩B| / min(|A|,|B|) — the quote/
+    * excerpt detector Jaccard structurally misses: a 12-word excerpt
+    * inside a 60-word source has containment 1.0 but Jaccard ≈ 0.2,
+    * far below any near-dup threshold. Emits both scores per pair so
+    * the asymmetry is visible. Same posting-list scale shape as
+    * [[ngramJaccard]] ([[shinglePairCounts]] — never n², df-capped).
+    */
+  def containment(d: DataFrame, threshold: Double = ContainmentThreshold): DataFrame = {
+    import d.sparkSession.implicits._
+    shinglePairCounts(d)
+      .select($"doc_a", $"doc_b", $"intersection",
+        ($"intersection" * lit(1.0) / least($"na", $"nb")).as("containment"),
+        ($"intersection" * lit(1.0) / ($"na" + $"nb" - $"intersection")).as("jaccard"))
+      .filter($"containment" >= threshold)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** [[containment]] surfaced for the oracle: the corpus plus a
+    * synthetic [[ExcerptWords]]-word prefix excerpt of every 25th
+    * document (the testdata's planted near-dups are FULL duplicates,
+    * so containment alone would re-find the Jaccard pairs — the
+    * excerpts manufacture the contained-but-not-similar population
+    * both engines replay).
+    */
+  def containmentExcerpts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir).select($"doc_id", $"text")
+    val excerpts = d.filter($"doc_id" % 25 === 0)
+      .select(($"doc_id" + ExcerptShift).as("doc_id"),
+        expr(s"array_join(slice(split(text, ' '), 1, $ExcerptWords), ' ')").as("text"))
+    containment(d.unionAll(excerpts))
   }
 
   /** Embedding-cosine near-dup: candidate pairs from the sign-bucket
@@ -661,6 +752,8 @@ object Dedup {
     "dedup_chunk_apply" -> chunkDedupApply _,
     "dedup_apply" -> dedupApply _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
+    "dedup_containment" -> containmentExcerpts _,
+    "dedup_normalized" -> normalizedDedup _,
     "dedup_incremental" -> incrementalHalves _,
     "dedup_incremental_near" -> incrementalNearDupHalves _,
   )
@@ -676,10 +769,12 @@ object Dedup {
       s"(strpos('0123456789abcdef', substr(md5(shingle), ${i + 1}, 1)) - 1) * ${math.pow(16, 14 - i).toLong}")
       .mkString(" + ") + ")"
 
-  private val shingleCte =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  private def shingleCteOver(src: String) =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
       |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks WHERE len(t) >= 3),
       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx)""".stripMargin
+
+  private val shingleCte = shingleCteOver("documents")
 
   /** Shared signature CTE for the two simhash oracles, over the same
     * shingle features as the engine. The sums are CAST back to BIGINT
@@ -881,6 +976,44 @@ object Dedup {
         |WHERE bit_count(xor(sa.simhash_hi, sb.simhash_hi))
         |    + bit_count(xor(sa.simhash_lo, sb.simhash_lo)) <= $SimhashMaxHamming
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + $ExcerptShift AS doc_id,
+        |         array_to_string(string_split(text, ' ')[1:$ExcerptWords], ' ') AS text
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |${shingleCteOver("corpus")},
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |skeys AS (SELECT doc_id, $shingleKeySql AS sk FROM sh),
+        |kept AS (SELECT sk FROM skeys GROUP BY sk
+        |         HAVING count(*) BETWEEN 2 AND $MaxShingleDf),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS intersection
+        |          FROM skeys a JOIN skeys b ON a.sk = b.sk AND a.doc_id < b.doc_id
+        |          JOIN kept k ON k.sk = a.sk
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, intersection,
+        |       intersection * 1.0 / least(sa.n, sb.n) AS containment,
+        |       intersection * 1.0 / (sa.n + sb.n - intersection) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE intersection * 1.0 / least(sa.n, sb.n) >= $ContainmentThreshold
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_normalized" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + $CaseNoiseShift, upper(text) || ' !!'
+        |  FROM documents WHERE doc_id % 20 = 3
+        |  UNION ALL
+        |  SELECT doc_id + $SpaceNoiseShift, replace(text, ' ', '  ')
+        |  FROM documents WHERE doc_id % 20 = 5)
+        |SELECT md5(${TextAnalysis.normalizeDuckSql("text")}) AS fingerprint,
+        |       count(*) AS n_docs,
+        |       count(DISTINCT md5(text)) AS n_raw_forms,
+        |       min(doc_id) AS keeper_doc_id
+        |FROM corpus GROUP BY 1 ORDER BY fingerprint""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCte,
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

@@ -116,6 +116,65 @@ object Redaction {
       .select(col("domain"), col("n_events"), col("n_users"), col("blocked"))
       .orderBy(col("domain"))
 
+  /** Scheme prefix recognised by [[canonicalUrl]] (shared with the
+    * oracle SQL).
+    */
+  val UrlSchemeRe = "^[A-Za-z][A-Za-z0-9+.-]*://"
+
+  /** Deterministic MESSY url per event — scheme case, www., host
+    * case, trailing slash, query string and fragment all vary by
+    * integer columns, so both engines synthesize byte-identical
+    * strings and the canonicalizer has real noise to collapse.
+    */
+  private val urlSql =
+    """concat(
+      |  CASE WHEN event_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END,
+      |  CASE WHEN event_id % 3 = 0 THEN 'www.' ELSE '' END,
+      |  CASE WHEN event_id % 5 = 0 THEN 'CDN' ELSE 'cdn' END,
+      |  CAST(user_id % 10 AS STRING), '.Example.org/p/',
+      |  CAST(event_id % 100 AS STRING),
+      |  CASE WHEN event_id % 7 = 0 THEN '/' ELSE '' END,
+      |  CASE WHEN event_id % 4 = 0 THEN concat('?utm=x&sid=', CAST(event_id AS STRING)) ELSE '' END,
+      |  CASE WHEN event_id % 11 = 0 THEN '#f' ELSE '' END)""".stripMargin
+
+  private val duckUrlSql = urlSql.replace("AS STRING", "AS VARCHAR")
+
+  /** Canonical form of a URL column: scheme dropped, query string and
+    * fragment dropped, host lowercased and `www.`-stripped, trailing
+    * slashes trimmed, path case preserved — the identity a crawl
+    * pipeline deduplicates and rolls up on (the same page arrives as
+    * `HTTP://www.Host.org/p/1?utm=...` and `https://host.org/p/1`).
+    * A pure regex projection in the shared Java ∩ RE2 dialect.
+    */
+  def canonicalUrl(u: Column): Column = {
+    val hostPath = regexp_replace(regexp_replace(u, UrlSchemeRe, ""), "[?#].*$", "")
+    val host = regexp_replace(lower(regexp_extract(hostPath, "^([^/]*)", 1)), "^www\\.", "")
+    val path = regexp_replace(regexp_extract(hostPath, "^[^/]*(.*)", 1), "/+$", "")
+    concat(host, path)
+  }
+
+  /** Rollup on the canonical identity: events, distinct RAW spellings
+    * collapsed, distinct users — keyed by canonical URL
+    * (corpus-scaled), canonicalization itself map-only.
+    */
+  def urlCanonStats(df: DataFrame, urlCol: String, userCol: String): DataFrame =
+    df.select(canonicalUrl(col(urlCol)).as("canonical_url"),
+        col(urlCol).as("__raw"), col(userCol).as("__user"))
+      .groupBy(col("canonical_url"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("__raw")).as("n_raw_forms"),
+        countDistinct(col("__user")).as("n_users"))
+      .orderBy(col("canonical_url"))
+
+  def urlEvents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    urlCanonStats(
+      Tables.load(spark, dir, "events")
+        .select($"event_id", $"user_id", expr(urlSql).as("url")),
+      "url", "user_id")
+  }
+
   def piiEvents(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // Sort the two cheap integer columns FIRST, then synthesize and
@@ -137,6 +196,7 @@ object Redaction {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pii" -> piiEvents _,
     "text_domains" -> domainEvents _,
+    "text_url_canon" -> urlEvents _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -152,6 +212,22 @@ object Redaction {
         |    '$Ipv4Re', '[IP]', 'g'),
         |    '$PhoneRe', '[PHONE]', 'g')) AS redacted_md5
         |FROM lines ORDER BY event_id""".stripMargin,
+    "text_url_canon" ->
+      s"""WITH urls AS (
+        |  SELECT event_id, user_id, $duckUrlSql AS url FROM events),
+        |hp AS (
+        |  SELECT event_id, user_id, url,
+        |         regexp_replace(regexp_replace(url, '$UrlSchemeRe', ''), '[?#].*$$', '') AS host_path
+        |  FROM urls),
+        |c AS (
+        |  SELECT event_id, user_id, url,
+        |         regexp_replace(lower(regexp_extract(host_path, '^([^/]*)', 1)), '^www\\.', '')
+        |           || regexp_replace(regexp_extract(host_path, '^[^/]*(.*)', 1), '/+$$', '') AS canonical_url
+        |  FROM hp)
+        |SELECT canonical_url, count(*) AS n_events,
+        |       count(DISTINCT url) AS n_raw_forms,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM c GROUP BY 1 ORDER BY canonical_url""".stripMargin,
     "text_domains" ->
       s"""WITH lines AS (
         |  SELECT user_id, $duckLineSql AS msg FROM events),

@@ -28,6 +28,23 @@ object TextAnalysis {
   private[operators] def headMd5(tokens: org.apache.spark.sql.Column) =
     md5(array_join(slice(tokens, 1, 5), " "))
 
+  /** Canonical text normalization — lowercase, non-alphanumerics to
+    * spaces, runs of spaces collapsed, trimmed — the pre-pass that
+    * makes exact dedup robust to case/punctuation/whitespace noise
+    * (`Dedup.normalizedDedup` keys on its md5). A pure codegen'd
+    * projection; patterns stay in the Java-regex ∩ RE2 dialect so the
+    * DuckDB oracle runs the same expressions ([[normalizeDuckSql]] —
+    * DuckDB needs the explicit 'g' flag Java implies).
+    */
+  def normalizedText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** [[normalizedText]] rendered for DuckDB, over a column named by
+    * the caller.
+    */
+  def normalizeDuckSql(col: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($col), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
   /** Token statistics: whitespace tokens, distinct types, exact summed
     * token length (integer arithmetic → deterministic double on the
     * single final division), and a BPE-ish regex token count.

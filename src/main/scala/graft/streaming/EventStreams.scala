@@ -69,6 +69,25 @@ object EventStreams {
     else withinWm.dropDuplicatesWithinWatermark("voter_id")
   }
 
+  /** Streaming INCREMENTAL dedup — the streaming twin of
+    * `Dedup.incremental`: an incoming `(doc_id, ingest_ts, text)`
+    * document stream is fingerprinted, deduped within the stream by
+    * within-watermark state (bounded — the store-backed history makes
+    * all-time stream state redundant), then anti-joined against the
+    * STATIC fingerprint store of everything already ingested. The
+    * static side is re-read per micro-batch, so the nightly compaction
+    * that appends yesterday's survivors to the store takes effect
+    * without a restart. Survivors are exactly the rows the daily
+    * pipeline appends to both corpus and store.
+    */
+  def dedupDocsAgainstStore(docs: DataFrame, store: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fingerprint", md5(col("text")))
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .join(store.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
+
   /** `aggregated_votes_per_candidate`: tumbling 1-hour window per
     * candidate. Map-side partial aggregation + shuffle on
     * (window, candidate) — the state store keys stay bounded by

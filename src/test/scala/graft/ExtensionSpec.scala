@@ -209,4 +209,61 @@ class ExtensionSpec extends SparkSpec {
     assert(ts.filter("n_types > n_tokens").count() === 0)
     assert(ts.filter("n_tokens <= 0").count() === 0)
   }
+
+  test("containment finds prefix excerpts Jaccard misses, at containment 1.0") {
+    val rows = Dedup.containmentExcerpts(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    // every planted excerpt is re-found against its source doc...
+    val sources = graft.engine.Tables.load(spark, dir, "documents")
+      .filter(s"doc_id % 25 = 0").select("doc_id").collect().map(_.getLong(0))
+    assert(sources.nonEmpty)
+    sources.foreach { s =>
+      val hit = rows.find { case (a, b, _, _) => a == s && b == s + Dedup.ExcerptShift }
+      assert(hit.nonEmpty, s"excerpt of doc $s not re-found")
+      assert(hit.get._3 === 1.0, s"prefix excerpt of doc $s not fully contained")
+    }
+    // ...and the typical excerpt pair sits BELOW the Jaccard near-dup
+    // threshold: the population only this operator can see
+    assert(rows.exists { case (_, b, c, j) =>
+      b >= Dedup.ExcerptShift && c >= Dedup.ContainmentThreshold && j < 0.5
+    }, "no contained-but-not-similar pair — the synthesis lost its point")
+  }
+
+  test("normalized dedup merges exactly the planted case/whitespace noise") {
+    val d = graft.engine.Tables.load(spark, dir, "documents")
+    val planted = d.filter("doc_id % 20 = 3").count() + d.filter("doc_id % 20 = 5").count()
+    val rows = Dedup.normalizedDedup(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // corpus texts are unique (dedup_exact: one group per doc), so the
+    // only multi-member groups are the planted noisy twins
+    val merged = rows.filter(_._2 > 1)
+    assert(merged.length.toLong === planted)
+    merged.foreach { case (fp, n, raws, keeper) =>
+      assert(n === 2L && raws === 2L, s"group $fp merged unexpectedly: n=$n raws=$raws")
+      assert(keeper < Dedup.CaseNoiseShift, s"group $fp kept a noisy variant")
+    }
+    // total membership accounts for every input doc exactly once
+    assert(rows.map(_._2).sum === d.count() + planted)
+  }
+
+  test("url canonicalization collapses every raw spelling onto scheme-less lowercase form") {
+    import spark.implicits._
+    val stats = graft.operators.Redaction.urlEvents(spark, dir)
+    val rows = stats.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (canon, _, _, _) =>
+      assert(canon.matches("cdn[0-9]\\.example\\.org/p/[0-9]+"),
+        s"non-canonical survivor: $canon")
+    }
+    // every event lands in exactly one canonical group
+    val total = graft.engine.Tables.load(spark, dir, "events").count()
+    assert(rows.map(_._2).sum === total)
+    // and the synthesis's spelling noise actually collapsed: a solid
+    // share of canonical urls were reached by several distinct raw
+    // strings (sf0.001 has ~3 events per canonical, so "most" would
+    // overfit the fixture density)
+    assert(rows.count(_._3 > 1) * 5 > rows.length,
+      "canonicalization collapsed almost nothing — synthesis too clean")
+  }
 }

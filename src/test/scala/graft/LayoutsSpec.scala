@@ -2,6 +2,11 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
 import graft.engine.Layouts
 
 /** Plan-shape assertions for the layout choices standing in for the
@@ -22,6 +27,51 @@ class LayoutsSpec extends SparkSpec {
     val expected = graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "events")
       .filter("to_date(ts) = date'2024-01-05'").count()
     assert(df.count() === expected && expected > 0)
+  }
+
+  /** Rows the parquet reader actually emitted (i.e. rows in row groups
+    * that SURVIVED min/max skipping) — the payoff metric for a layout.
+    */
+  private def scannedRows(df: DataFrame): Long = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, s"no file scan in:\n$plan")
+    scans.map(_.metrics("numOutputRows").value).sum
+  }
+
+  test("z-ordered layout skips row groups on BOTH filter dimensions") {
+    import spark.implicits._
+    // two independent dimensions of EQUAL bit width over lineitem
+    // (~60k rows) — Morton order degrades to a plain sort on the wider
+    // dimension when widths differ (a 6-bit x against an 8-bit y
+    // measured near-zero skipping on x here), so equal spans are part
+    // of the layout's contract, not a test convenience
+    val src = graft.engine.Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+      .select(($"l_partkey" % 256).as("x"), ($"l_orderkey" % 256).as("y"))
+    val total = src.count()
+    val base = Files.createTempDirectory("graft-zorder").toString
+    Layouts.zorderWrite(src, s"$base/zordered", "x", "y", files = 16)
+    // control: same rows, same file count, random (hash) placement
+    src.repartition(16).write.mode("overwrite").parquet(s"$base/shuffled")
+
+    for ((dim, value) <- Seq(("x", 7L), ("y", 3L))) {
+      val zScan = scannedRows(spark.read.parquet(s"$base/zordered").filter(col(dim) === value))
+      val cScan = scannedRows(spark.read.parquet(s"$base/shuffled").filter(col(dim) === value))
+      // random placement puts every value in every file: ~zero skipping
+      assert(cScan >= total * 9 / 10, s"control unexpectedly skipped on $dim")
+      // the z-layout must actually prune — not just "sometimes helps"
+      assert(zScan < total / 2,
+        s"z-order skipped too little on $dim: scanned $zScan of $total")
+      // and the filter must reach the reader for the stats to apply
+      val pushed = spark.read.parquet(s"$base/zordered").filter(col(dim) === value)
+        .queryExecution.executedPlan.toString
+      assert(pushed.contains("PushedFilters") && pushed.contains(s"EqualTo($dim,"),
+        s"filter on $dim not pushed:\n$pushed")
+    }
   }
 
   test("bucketed orders x lineitem join has no shuffle exchange") {

@@ -105,6 +105,30 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq === Seq("v1", "v2"))
   }
 
+  test("streaming incremental dedup drops store hits and in-stream redeliveries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = Seq("seen before").toDF("text").select(md5($"text").as("fingerprint"))
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val docs = stream.toDF().toDF("doc_id", "ingest_ts", "text")
+    val q = EventStreams.dedupDocsAgainstStore(docs, store)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("incdedup")
+      .option("checkpointLocation", ckpt()).start()
+    stream.addData(Seq(
+      (1L, Timestamp.valueOf("2024-05-01 10:00:00"), "fresh one"),
+      (2L, Timestamp.valueOf("2024-05-01 10:00:10"), "seen before"),  // in store → dropped
+      (3L, Timestamp.valueOf("2024-05-01 10:00:20"), "fresh two")))
+    q.processAllAvailable()
+    stream.addData(Seq(
+      (4L, Timestamp.valueOf("2024-05-01 10:01:00"), "fresh one"),   // in-stream dup → dropped
+      (5L, Timestamp.valueOf("2024-05-01 10:01:10"), "fresh three")))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("incdedup").select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 3L, 5L))
+  }
+
   test("late rows beyond the watermark are dropped from append-mode windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
