@@ -142,6 +142,43 @@ object Stats {
       .orderBy($"event_type")
   }
 
+  /** Exact-integer spike detection over each type's per-minute total
+    * series: flag minutes whose total (cents) deviates from the
+    * type's mean by more than 3σ — decided WITHOUT sqrt or doubles by
+    * squaring both sides: (n·x − Σx)² > 9·(n·Σx² − (Σx)²). Operands
+    * are cast to DECIMAL *before* multiplying (the [[trendSlope]]
+    * wrap lesson), so every comparison is exact DECIMAL(38,0) against
+    * the oracle's HUGEINT — bit-identical, no epsilon. Headroom: at
+    * 10¹² cents/minute over 10⁶ minutes dev² ≈ 10³⁶ < 10³⁸.
+    *
+    * Scale shape: two keyed hash aggregates (minute buckets, then the
+    * per-type moment triple) + a ~5-row broadcast back over the
+    * BUCKETED series — the corpus is touched once, the quadratic
+    * terms live on the pre-aggregated minutes. Minutes with no events
+    * are absent, not zero: the contract is the active-minute series.
+    */
+  def spikeMinutes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = events(spark, dir)
+      .select($"event_type",
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 60000000").as("minute"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("y"))
+      .groupBy($"event_type", $"minute")
+      .agg(sum($"y").as("total_cents"))
+    val st = per.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"total_cents").as("s1"),
+        sum(expr("CAST(total_cents AS DECIMAL(19,0)) * total_cents")).as("s2"))
+    per.join(broadcast(st), "event_type")
+      .withColumn("dev",
+        expr("CAST(CAST(n AS DECIMAL(20,0)) * total_cents - s1 AS DECIMAL(38,0))"))
+      .withColumn("bound",
+        expr("CAST(9 AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(20,0)) * s2 - CAST(s1 AS DECIMAL(20,0)) * s1)"))
+      .filter(expr("dev * dev > bound"))
+      .select($"event_type", $"minute", $"total_cents")
+      .orderBy($"event_type", $"minute")
+  }
+
   /** Deterministic mode of `value` per type: the most frequent value,
     * ties broken by minimum (native `mode()` tie order is
     * engine-defined in both Spark and DuckDB — useless for an exact
@@ -181,6 +218,7 @@ object Stats {
     "q_mad_outliers" -> madOutliers _,
     "q_histo_median" -> ((s: SparkSession, d: String) => histoMedian(s, d)),
     "q_mode_value" -> modeValue _,
+    "q_spike_minutes" -> spikeMinutes _,
     "q_zorder_key" -> zorderParts _,
   )
 
@@ -251,6 +289,21 @@ object Stats {
         |FROM counts c JOIN top t
         |  ON c.event_type = t.event_type AND c.cnt = t.mode_count
         |GROUP BY 1, 3 ORDER BY c.event_type""".stripMargin,
+    "q_spike_minutes" ->
+      """WITH per AS (
+        |  SELECT event_type, epoch_us(ts) // 60000000 AS minute,
+        |         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(total_cents) AS HUGEINT) AS s1,
+        |         sum(CAST(total_cents AS HUGEINT) * total_cents) AS s2
+        |  FROM per GROUP BY 1)
+        |SELECT p.event_type, p.minute, p.total_cents
+        |FROM per p JOIN st USING (event_type)
+        |WHERE (st.n * p.total_cents - st.s1) * (st.n * p.total_cents - st.s1)
+        |      > 9 * (st.n * st.s2 - st.s1 * st.s1)
+        |ORDER BY p.event_type, p.minute""".stripMargin,
     "q_zorder_key" ->
       s"""SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
         |       p_partkey % 64 AS pk_mod,

@@ -33,6 +33,30 @@ class StatsSpec extends SparkSpec {
     hi.foreach { case (x, y) => assert(gotHi((x, y)) == ref(x, y)) }
   }
 
+  test("spikeMinutes equals a BigInt recompute of the squared 3-sigma rule") {
+    import spark.implicits._
+    val per = graft.engine.Tables.load(spark, dir, "events")
+      .select($"event_type",
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 60000000").as("minute"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("y"))
+      .groupBy($"event_type", $"minute")
+      .agg(sum($"y").as("total")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = per.groupBy(_._1).toSeq.flatMap { case (t, rs) =>
+      val n = BigInt(rs.length)
+      val s1 = rs.map(r => BigInt(r._3)).sum
+      val s2 = rs.map(r => BigInt(r._3) * r._3).sum
+      rs.filter { r =>
+        val dev = n * r._3 - s1
+        dev * dev > 9 * (n * s2 - s1 * s1)
+      }.map(r => (t, r._2, r._3)).toSeq
+    }.toSet
+    assert(expect.nonEmpty, "fixture has no spike minutes — test is vacuous")
+    val got = Stats.spikeMinutes(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expect)
+  }
+
   test("trendSlope matches an exact BigInt recompute of the closed form") {
     import spark.implicits._
     val rows = graft.engine.Tables.load(spark, dir, "events")
