@@ -325,12 +325,26 @@ object Dedup {
       threshold: Double = ClusterThreshold,
       maxHops: Int = ClusterMaxHops): DataFrame = {
     import spark.implicits._
-    val sel = minhashLsh(spark, dir)
-      .filter($"est_jaccard" >= threshold)
-      .select($"doc_a".as("src"), $"doc_b".as("dst"))
-    val sym = sel.union(sel.select($"dst", $"src")).toDF("src", "dst")
+    clustersOver(
+      tokenized(spark, dir).select($"doc_id"),
+      minhashLsh(spark, dir)
+        .filter($"est_jaccard" >= threshold)
+        .select($"doc_a".as("src"), $"doc_b".as("dst")),
+      maxHops)
+  }
+
+  /** The min-label-propagation core of [[clusters]] over an arbitrary
+    * graph: `nodes` is a single-column `doc_id` frame, `edges` an
+    * UNDIRECTED `(src, dst)` pair frame (symmetrised here). Shared by
+    * the text (minhash) and embedding (cosine-LSH) dedup pipelines.
+    */
+  private def clustersOver(nodes: DataFrame, edges: DataFrame,
+      maxHops: Int): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val sym = edges.union(edges.select($"dst", $"src")).toDF("src", "dst")
       .localCheckpoint()
-    var labels = tokenized(spark, dir).select($"doc_id")
+    var labels = nodes
       .withColumn("cluster_id", $"doc_id")
       .localCheckpoint()
     // early exit: label propagation is monotone (labels only decrease),
@@ -740,10 +754,28 @@ object Dedup {
     bucketScoredPairs(probed, e, threshold)
   }
 
+  /** Connected components over the embedding near-dup graph — the
+    * clustering step of the EMBEDDING dedup pipeline, [[clusters]]'
+    * text twin: [[embeddingCosine]] pairs become edges, labels
+    * propagate through the shared [[clustersOver]] core, cluster_id =
+    * min vec_id in the component, keeper = the minimum. Same scale
+    * shape: control-only hop loop over the post-LSH edge relation.
+    */
+  def embeddingClusters(spark: SparkSession, dir: String,
+      maxHops: Int = ClusterMaxHops): DataFrame = {
+    import spark.implicits._
+    clustersOver(
+      Tables.load(spark, dir, "embeddings").select($"vec_id".as("doc_id")),
+      embeddingCosine(spark, dir).select($"vec_a".as("src"), $"vec_b".as("dst")),
+      maxHops)
+      .withColumnRenamed("doc_id", "vec_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exact _,
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => embeddingCosine(s, d)),
     "dedup_embedding_mp" -> ((s: SparkSession, d: String) => embeddingCosineMultiProbe(s, d)),
+    "dedup_embedding_clusters" -> ((s: SparkSession, d: String) => embeddingClusters(s, d)),
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
@@ -828,6 +860,23 @@ object Dedup {
       |        JOIN hashes hb ON hb.doc_id = c.doc_b AND hb.k = ha.k
       |        GROUP BY 1, 2)""".stripMargin
 
+  /** Shared sign-LSH bucket + cosine pair CTE (ends in
+    * `dots(vec_a, vec_b, cos)`) for the embedding near-dup oracles.
+    */
+  private val embCosinePairsCte =
+    """b AS (SELECT vec_id, embedding,
+      |             array_to_string(list_transform(embedding[1:8],
+      |               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      |           FROM embeddings),
+      |pairs AS (SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+      |                 a.embedding AS ea, b2.embedding AS eb
+      |          FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+      |flat AS (SELECT vec_a, vec_b, CAST(unnest(ea) AS DOUBLE) AS x,
+      |                CAST(unnest(eb) AS DOUBLE) AS y FROM pairs),
+      |dots AS (SELECT vec_a, vec_b,
+      |                round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+      |         FROM flat GROUP BY 1, 2)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_apply" ->
       """WITH f AS (SELECT doc_id, lang, md5(text) AS fp FROM documents),
@@ -873,20 +922,23 @@ object Dedup {
         |FROM ch LEFT JOIN dup USING (fp)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "dedup_embedding_cosine" ->
-      s"""WITH b AS (SELECT vec_id, embedding,
-        |             array_to_string(list_transform(embedding[1:8],
-        |               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
-        |           FROM embeddings),
-        |pairs AS (SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
-        |                 a.embedding AS ea, b2.embedding AS eb
-        |          FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
-        |flat AS (SELECT vec_a, vec_b, CAST(unnest(ea) AS DOUBLE) AS x,
-        |                CAST(unnest(eb) AS DOUBLE) AS y FROM pairs),
-        |dots AS (SELECT vec_a, vec_b,
-        |                round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
-        |         FROM flat GROUP BY 1, 2)
+      s"""WITH $embCosinePairsCte
         |SELECT vec_a, vec_b, cos FROM dots WHERE cos >= $EmbeddingCosineThreshold
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "dedup_embedding_clusters" ->
+      s"""WITH RECURSIVE $embCosinePairsCte,
+        |sel AS (SELECT vec_a, vec_b FROM dots WHERE cos >= $EmbeddingCosineThreshold),
+        |edges AS (SELECT vec_a AS src, vec_b AS dst FROM sel
+        |          UNION ALL SELECT vec_b, vec_a FROM sel),
+        |nodes AS (SELECT vec_id FROM embeddings),
+        |walk(vec_id, label, depth) AS (
+        |  SELECT vec_id, vec_id, 0 FROM nodes
+        |  UNION
+        |  SELECT e.dst, w.label, w.depth + 1
+        |  FROM walk w JOIN edges e ON e.src = w.vec_id WHERE w.depth < $ClusterMaxHops),
+        |labels AS (SELECT vec_id, min(label) AS cluster_id FROM walk GROUP BY 1)
+        |SELECT vec_id, cluster_id, vec_id = cluster_id AS is_keeper
+        |FROM labels ORDER BY vec_id""".stripMargin,
     "dedup_embedding_mp" ->
       s"""WITH b AS (SELECT vec_id, embedding,
         |             array_to_string(list_transform(embedding[1:8],

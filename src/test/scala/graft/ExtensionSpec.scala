@@ -210,6 +210,21 @@ class ExtensionSpec extends SparkSpec {
     assert(ts.filter("n_tokens <= 0").count() === 0)
   }
 
+  test("embedding clusters: cosine-pair endpoints share a cluster, keepers are minima") {
+    val pairs = Dedup.embeddingCosine(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val cl = Dedup.embeddingClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    pairs.foreach { case (a, b) =>
+      assert(cl(a)._1 === cl(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    cl.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.keys.min === cid, s"cluster $cid not labelled by its minimum")
+      members.foreach { case (id, (_, keeper)) => assert(keeper === (id == cid)) }
+    }
+  }
+
   test("containment finds prefix excerpts Jaccard misses, at containment 1.0") {
     val rows = Dedup.containmentExcerpts(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
