@@ -200,6 +200,36 @@ object Corpus {
       .orderBy($"doc_id")
   }
 
+  /** Weight cap and base rate for [[weightedSample]], shared with the
+    * oracle.
+    */
+  val WeightCap = 100L
+  val WeightRateNum = 1L
+  val WeightRateDen = 4L
+
+  /** IMPORTANCE-weighted deterministic sampling — the data-mixing verb
+    * quality-upsampling pipelines run: each document survives with
+    * probability `(rate) · weight/cap`, where the weight here is its
+    * token count capped at [[WeightCap]] (longer docs carry more
+    * training signal; any integer quality score plugs into the same
+    * inequality). The decision is pure integer arithmetic on the
+    * content hash — keep ⇔ h·cap·rate_den < 2¹⁶·w·rate_num — so the
+    * kept set is rerun-stable, engine-exact, unbiased for
+    * hash-uniform content, and needs no rand() and no doubles
+    * (the [[stratified]] inequality with a per-ROW numerator).
+    * Map-only: a projection and a filter, no shuffle at any scale.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id",
+        least(size(split($"text", " ")).cast("long"), lit(WeightCap)).as("weight"),
+        hashBucket.as("hb"))
+      .filter($"hb" * WeightCap * WeightRateDen < lit(65536L) * $"weight" * WeightRateNum)
+      .select($"doc_id", $"weight")
+      .orderBy($"doc_id")
+  }
+
   /** Near-dup similarity floor for the [[leakage]] audit. */
   val LeakJaccard = 0.5
 
@@ -267,6 +297,7 @@ object Corpus {
     "corpus_mix" -> mix _,
     "corpus_stratified" -> stratified _,
     "corpus_sample" -> ((s: SparkSession, d: String) => sample(s, d)),
+    "corpus_weighted_sample" -> weightedSample _,
     "corpus_split" -> splitAssign _,
     "corpus_pack_batches" -> ((s: SparkSession, d: String) => packBatches(s, d)),
     "corpus_pack_bpe" ->
@@ -311,6 +342,15 @@ object Corpus {
     "corpus_sample" ->
       s"""SELECT doc_id, md5(text) AS fingerprint FROM documents
         |WHERE $hbSql % $SampleK = 0 ORDER BY doc_id""".stripMargin,
+    "corpus_weighted_sample" ->
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |         least(len(string_split(text, ' ')), $WeightCap) AS weight,
+        |         $hbSql AS hb
+        |  FROM documents)
+        |SELECT doc_id, CAST(weight AS BIGINT) AS weight FROM d
+        |WHERE hb * $WeightCap * $WeightRateDen < 65536 * weight * $WeightRateNum
+        |ORDER BY doc_id""".stripMargin,
     "corpus_split" ->
       s"""WITH b AS (SELECT doc_id, CAST($hbSql % 100 AS BIGINT) AS bucket FROM documents)
         |SELECT doc_id, bucket,

@@ -19,6 +19,28 @@ class CorpusSpec extends SparkSpec {
     assert(frac > 0.03 && frac < 0.25, s"sample fraction $frac far from 1/10")
   }
 
+  test("weighted sample equals a Scala recompute and upsamples heavier docs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = graft.engine.Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        least(size(split($"text", " ")).cast("long"), lit(Corpus.WeightCap)).as("w"),
+        expr("CAST(conv(substr(md5(text), 1, 4), 16, 10) AS BIGINT)").as("hb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = base.filter { case (_, w, hb) =>
+      hb * Corpus.WeightCap * Corpus.WeightRateDen < 65536L * w * Corpus.WeightRateNum
+    }.map(d => d._1 -> d._2).toMap
+    assert(expect.nonEmpty, "weighted sample kept nothing — fixture weights too low")
+    val got = Corpus.weightedSample(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+    // keep-rate monotonicity in aggregate: the kept set's mean weight
+    // exceeds the corpus mean (that is the point of importance sampling)
+    val meanAll = base.map(_._2).sum.toDouble / base.length
+    val meanKept = got.values.sum.toDouble / got.size
+    assert(meanKept > meanAll, s"kept mean $meanKept <= corpus mean $meanAll")
+  }
+
   test("split assignment partitions the corpus with content-stable buckets") {
     val rows = Corpus.splitAssign(spark, dir).collect()
     assert(rows.length === total)
