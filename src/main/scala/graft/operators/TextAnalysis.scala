@@ -210,6 +210,44 @@ object TextAnalysis {
       .orderBy($"doc_id", $"rn")
   }
 
+  /** Surprise scaling for [[lmSurprise]] (mirrored in the oracle). */
+  val SurpriseScale = 1000000L
+
+  /** Bigram "surprise" score — the perplexity proxy a quality filter
+    * runs without shipping a language model: each bigram occurrence
+    * scores the integer surrogate of its inverse corpus probability,
+    * `(SurpriseScale·N) div f` (N = total bigram occurrences, f =
+    * this bigram's count — monotone in 1/p with none of log()'s
+    * cross-engine ulp drift, the [[tfidf]] trick), and each document
+    * reports the exact sum and integer mean over its occurrences.
+    * Repetitive/templated text scores LOW (common transitions),
+    * shuffled or unnatural text scores HIGH (rare transitions) — the
+    * two tails a filter clips.
+    *
+    * Scale shape: explode → bigram-keyed count (data-scaled key) →
+    * join back on the bigram → per-doc aggregate, corpus total on a
+    * broadcast scalar. At 10¹² bigrams the per-occurrence product
+    * SurpriseScale·N ≈ 10¹⁸ still fits BIGINT.
+    */
+  def lmSurprise(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bg = docs(spark, dir)
+      .select($"doc_id", tok.as("t"))
+      .filter(size($"t") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))")).as("bigram"))
+    val freq = bg.groupBy($"bigram").agg(count(lit(1)).as("f"))
+    val tot = bg.agg(count(lit(1)).as("n"))
+    bg.join(freq, "bigram")
+      .crossJoin(broadcast(tot))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr(s"($SurpriseScale * n) div f")).as("surprise_sum"))
+      .withColumn("surprise_e6", expr("surprise_sum div n_bigrams"))
+      .select($"doc_id", $"n_bigrams", $"surprise_sum", $"surprise_e6")
+      .orderBy($"doc_id")
+  }
+
   /** Vocabulary size cap for [[vocab]] (mirrored in the oracle SQL). */
   val VocabTopV = 200
 
@@ -342,6 +380,7 @@ object TextAnalysis {
     "text_winnow" -> winnowFingerprint _,
     "text_top_terms" -> topTerms _,
     "text_tfidf" -> tfidf _,
+    "text_lm_surprise" -> lmSurprise _,
     "text_vocab" -> vocab _,
     "text_char_diversity" -> charDiversity _,
     "text_token_stats" -> tokenStats _,
@@ -351,6 +390,18 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_lm_surprise" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i + 1])) AS bigram
+        |       FROM toks WHERE len(t) >= 2),
+        |freq AS (SELECT bigram, count(*) AS f FROM bg GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM bg)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       CAST(sum(($SurpriseScale * tot.n) // f) AS BIGINT) AS surprise_sum,
+        |       CAST(CAST(sum(($SurpriseScale * tot.n) // f) AS HUGEINT) // count(*) AS BIGINT) AS surprise_e6
+        |FROM bg JOIN freq USING (bigram) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_filter" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |base AS (SELECT doc_id, len(t) AS n_words, len(list_distinct(t)) AS n_distinct FROM w),
