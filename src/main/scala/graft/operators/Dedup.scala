@@ -771,11 +771,30 @@ object Dedup {
       .withColumnRenamed("doc_id", "vec_id")
   }
 
+  /** The embedding pipeline's APPLY step ([[dedupApply]]'s twin):
+    * keeper election from [[embeddingClusters]] compacted into
+    * per-label kept/dropped accounting — detect ([[embeddingCosine]])
+    * → cluster → apply, the same three-verb contract as the text
+    * side. The label dimension joins in by vec_id; the rollup key is
+    * tiny, the join data-scaled.
+    */
+  def embeddingDedupApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "embeddings").select($"vec_id", $"label")
+      .join(embeddingClusters(spark, dir), Seq("vec_id"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        count(when($"is_keeper", 1)).as("n_kept"))
+      .withColumn("n_dropped", $"n_vecs" - $"n_kept")
+      .orderBy($"label")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exact _,
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => embeddingCosine(s, d)),
     "dedup_embedding_mp" -> ((s: SparkSession, d: String) => embeddingCosineMultiProbe(s, d)),
     "dedup_embedding_clusters" -> ((s: SparkSession, d: String) => embeddingClusters(s, d)),
+    "dedup_embedding_apply" -> embeddingDedupApply _,
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
@@ -925,6 +944,23 @@ object Dedup {
       s"""WITH $embCosinePairsCte
         |SELECT vec_a, vec_b, cos FROM dots WHERE cos >= $EmbeddingCosineThreshold
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "dedup_embedding_apply" ->
+      s"""WITH RECURSIVE $embCosinePairsCte,
+        |sel AS (SELECT vec_a, vec_b FROM dots WHERE cos >= $EmbeddingCosineThreshold),
+        |edges AS (SELECT vec_a AS src, vec_b AS dst FROM sel
+        |          UNION ALL SELECT vec_b, vec_a FROM sel),
+        |nodes AS (SELECT vec_id FROM embeddings),
+        |walk(vec_id, label_w, depth) AS (
+        |  SELECT vec_id, vec_id, 0 FROM nodes
+        |  UNION
+        |  SELECT e.dst, w.label_w, w.depth + 1
+        |  FROM walk w JOIN edges e ON e.src = w.vec_id WHERE w.depth < $ClusterMaxHops),
+        |cl AS (SELECT vec_id, min(label_w) AS cluster_id FROM walk GROUP BY 1)
+        |SELECT e.label, count(*) AS n_vecs,
+        |       count(CASE WHEN cl.vec_id = cl.cluster_id THEN 1 END) AS n_kept,
+        |       count(*) - count(CASE WHEN cl.vec_id = cl.cluster_id THEN 1 END) AS n_dropped
+        |FROM embeddings e JOIN cl ON e.vec_id = cl.vec_id
+        |GROUP BY 1 ORDER BY e.label""".stripMargin,
     "dedup_embedding_clusters" ->
       s"""WITH RECURSIVE $embCosinePairsCte,
         |sel AS (SELECT vec_a, vec_b FROM dots WHERE cos >= $EmbeddingCosineThreshold),
