@@ -225,6 +225,23 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("lm surprise covers every multi-token doc with exact integer relations") {
+    import spark.implicits._
+    val toks = graft.engine.Tables.load(spark, dir, "documents")
+      .select($"doc_id", org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split($"text", " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = TextAnalysis.lmSurprise(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === toks.count(_._2 >= 2))
+    rows.foreach { case (id, nb, sum, mean) =>
+      // every token transition is scored exactly once
+      assert(nb === toks(id) - 1L, s"doc $id bigram count")
+      // the reported mean is the exact integer division of the sum
+      assert(mean === sum / nb && sum > 0, s"doc $id mean/sum relation")
+    }
+  }
+
   test("containment finds prefix excerpts Jaccard misses, at containment 1.0") {
     val rows = Dedup.containmentExcerpts(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
