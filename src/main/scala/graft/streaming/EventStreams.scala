@@ -88,6 +88,21 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("fingerprint")
       .join(store.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
 
+  /** Streaming document INGEST pipeline — the streaming twin of
+    * `graft.Pipeline`'s front half: quality-gate incoming docs by
+    * token count (the batch filter's cheap core — a map-only
+    * predicate, evaluated before any state exists), then
+    * [[dedupDocsAgainstStore]]. Survivors carry fingerprint and token
+    * count — exactly what the appender writes to corpus and store.
+    */
+  def ingestDocs(docs: DataFrame, store: DataFrame,
+      minTokens: Int = 3, maxTokens: Int = 100000,
+      watermark: String = "10 minutes"): DataFrame =
+    dedupDocsAgainstStore(
+      docs.withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .filter(col("n_tokens").between(minTokens, maxTokens)),
+      store, watermark)
+
   /** `aggregated_votes_per_candidate`: tumbling 1-hour window per
     * candidate. Map-side partial aggregation + shuffle on
     * (window, candidate) — the state store keys stay bounded by

@@ -129,6 +129,30 @@ class StreamingSpec extends SparkSpec {
     assert(kept.toSeq === Seq(1L, 3L, 5L))
   }
 
+  test("streaming ingest pipeline gates quality before dedup state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = Seq("already ingested doc").toDF("text")
+      .select(md5($"text").as("fingerprint"))
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val docs = stream.toDF().toDF("doc_id", "ingest_ts", "text")
+    val q = EventStreams.ingestDocs(docs, store, minTokens = 3)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ingest")
+      .option("checkpointLocation", ckpt()).start()
+    stream.addData(Seq(
+      (1L, Timestamp.valueOf("2024-05-01 10:00:00"), "a good fresh document"),
+      (2L, Timestamp.valueOf("2024-05-01 10:00:05"), "too short"),           // quality-gated
+      (3L, Timestamp.valueOf("2024-05-01 10:00:10"), "already ingested doc"), // store hit
+      (4L, Timestamp.valueOf("2024-05-01 10:00:15"), "a good fresh document"))) // stream dup
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("ingest")
+      .select("doc_id", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(kept.toSeq === Seq((1L, 4L)))
+  }
+
   test("late rows beyond the watermark are dropped from append-mode windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
