@@ -66,4 +66,39 @@ class PropertySpec extends SparkSpec {
       assert(once.groupBy(col("voter_id")).count().filter("count > 1").count() === 0)
     }
   }
+
+  test("text normalization is idempotent with a closed output alphabet") {
+    import spark.implicits._
+    val noisy = Gen.listOfN(60, Gen.listOfN(12,
+        Gen.frequency(8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '!', '.', '\t', 'Ü', '@'))
+      ).map(_.mkString))
+      .apply(Gen.Parameters.default, Seed(7L)).get
+    val out = noisy.toDF("text")
+      .select(graft.operators.TextAnalysis.normalizedText($"text").as("n1"))
+      .withColumn("n2", graft.operators.TextAnalysis.normalizedText($"n1"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    out.foreach { case (n1, n2) =>
+      assert(n1 === n2, s"not idempotent: '$n1' -> '$n2'")
+      assert(n1.matches("[a-z0-9 ]*") && !n1.contains("  ") &&
+        n1 == n1.trim, s"alphabet/spacing violated: '$n1'")
+    }
+  }
+
+  test("url canonicalization is idempotent and drops scheme/www/query/fragment") {
+    import spark.implicits._
+    val urls = for {
+      scheme <- Seq("https://", "HTTP://", "")
+      www <- Seq("www.", "")
+      q <- Seq("?a=1&b=2", "#frag", "")
+      slash <- Seq("/", "")
+    } yield s"${scheme}${www}Example.ORG/Path/7$slash$q"
+    val out = urls.toDF("url")
+      .select(graft.operators.Redaction.canonicalUrl($"url").as("c1"))
+      .withColumn("c2", graft.operators.Redaction.canonicalUrl($"c1"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    out.foreach { case (c1, c2) =>
+      assert(c1 === "example.org/Path/7", s"unexpected canonical: '$c1'")
+      assert(c1 === c2, s"not idempotent: '$c1' -> '$c2'")
+    }
+  }
 }
