@@ -74,6 +74,34 @@ class LayoutsSpec extends SparkSpec {
     }
   }
 
+  test("selective dim filter injects a runtime bloom filter into the fact scan") {
+    import spark.implicits._
+    // thresholds sized for the fixture: production defaults (10MB/10GB)
+    // target exactly this shape at real scale — a selective dimension
+    // filter pre-filters the fact side's shuffle instead of shipping
+    // every row to the join
+    val prior = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // keep the join a shuffle join
+    try {
+      val part = graft.engine.Tables.load(spark, "/root/testdata/sf0.01", "part")
+        .filter($"p_size" === 7) // selective: ~2% of the dimension
+      val li = graft.engine.Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+      val joined = li.join(part, $"l_partkey" === $"p_partkey")
+        .groupBy($"p_size").agg(org.apache.spark.sql.functions.sum($"l_quantity").as("qty"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.toLowerCase.contains("bloomfilter"),
+        s"no runtime bloom filter injected:\n$plan")
+      assert(joined.count() === 1)
+    } finally prior.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("bucketed orders x lineitem join has no shuffle exchange") {
     // the session is shared across suites — restore the PRIOR values,
     // not hardcoded defaults, or later suites run misconfigured
