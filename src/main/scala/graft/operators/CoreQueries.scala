@@ -460,6 +460,18 @@ object CoreQueries {
       .orderBy($"nation")
   }
 
+  /** Top keys reported by [[keySkew]]. */
+  val SkewTopN = 20
+
+  /** The skew DIAGNOSTIC surfaced as a query ([[saltedTurnout]]'s
+    * prerequisite in a real pipeline): `Skew.keyProfile` over the
+    * events join key — the 20 hottest user_ids with exact-ppm corpus
+    * share and multiple-of-mean, the two numbers that decide between
+    * broadcast, salting and AQE-as-is.
+    */
+  def keySkew(spark: SparkSession, dir: String): DataFrame =
+    Skew.keyProfile(t(spark, dir, "events"), "user_id", SkewTopN)
+
   /** Full CUBE over (priority, status) — every subtotal combination
     * (cell, per-priority, per-status, grand total) from ONE grouping-
     * sets aggregation pass, `grouping_id` tagging the level. The
@@ -595,6 +607,7 @@ object CoreQueries {
     "q_rollup_agg" -> rollupAgg _,
     "q_cube_agg" -> cubeAgg _,
     "q_salted_turnout" -> saltedTurnout _,
+    "q_key_skew" -> keySkew _,
     "q_quartile_bucket" -> quartileBucket _,
     "q_percentiles" -> valuePercentiles _,
     "q_value_stats" -> valueStats _,
@@ -763,6 +776,15 @@ object CoreQueries {
         |FROM orders
         |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         |ORDER BY gid, priority NULLS FIRST, status NULLS FIRST""".stripMargin,
+    "q_key_skew" ->
+      s"""WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM c),
+        |top AS (SELECT * FROM c ORDER BY cnt DESC, user_id LIMIT $SkewTopN)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS BIGINT) AS rank,
+        |       user_id, cnt,
+        |       CAST((CAST(cnt AS HUGEINT) * 1000000) // total AS BIGINT) AS share_ppm,
+        |       CAST((CAST(cnt AS HUGEINT) * n_keys * 1000000) // total AS BIGINT) AS x_mean_ppm
+        |FROM top CROSS JOIN t ORDER BY rank""".stripMargin,
     "q_salted_turnout" ->
       """SELECT n_name AS nation, count(*) AS n_events,
         |       count(DISTINCT user_id) AS n_users,

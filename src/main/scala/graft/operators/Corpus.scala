@@ -230,6 +230,45 @@ object Corpus {
       .orderBy($"doc_id")
   }
 
+  /** Snapshot diff — the audit verb between two corpus versions (the
+    * companion to incremental dedup: what changed since the last crawl
+    * / pipeline run?): every doc_id is classified `added` (new only),
+    * `removed` (old only) or `changed` (present in both, content hash
+    * differs); unchanged documents are dropped. Content identity is
+    * md5(text) computed map-side; the classification is ONE
+    * doc_id-keyed full outer join — co-partitioned sort-merge at any
+    * scale, no window, no driver state.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    val o = oldDf.select(col("doc_id"), md5(col("text")).as("__old_md5"))
+    val n = newDf.select(col("doc_id"), md5(col("text")).as("__new_md5"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("__old_md5").isNull, "added")
+          .when(col("__new_md5").isNull, "removed")
+          .when(col("__old_md5") =!= col("__new_md5"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col("doc_id"), col("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Replayable snapshot pair for the surfaced [[snapshotDiff]] query:
+    * "old" is the corpus minus every 11th doc (those become `added`),
+    * "new" is the corpus minus every 13th (`removed`) with every 7th
+    * doc's text amended (`changed`) — pure doc_id arithmetic, so the
+    * oracle rebuilds both snapshots exactly.
+    */
+  def snapshotDiffHalves(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir).select($"doc_id", $"text")
+    snapshotDiff(
+      d.filter($"doc_id" % 11 =!= 0),
+      d.filter($"doc_id" % 13 =!= 0)
+        .select($"doc_id",
+          when($"doc_id" % 7 === 0, concat($"text", lit(" v2")))
+            .otherwise($"text").as("text")))
+  }
+
   /** Near-dup similarity floor for the [[leakage]] audit. */
   val LeakJaccard = 0.5
 
@@ -304,6 +343,7 @@ object Corpus {
       ((s: SparkSession, d: String) => packBatches(s, d, tokens = bpeProxyTokens)),
     "corpus_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "corpus_leakage" -> leakage _,
+    "corpus_diff" -> snapshotDiffHalves _,
   )
 
   /** DuckDB equivalent of [[hashBucket]]: nibble arithmetic over the
@@ -388,6 +428,19 @@ object Corpus {
         |       WHERE e.est_jaccard >= $LeakJaccard AND a.split <> b.split)
         |SELECT split_a, split_b, count(*) AS n_pairs
         |FROM lk GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin,
+    "corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents
+        |           WHERE doc_id % 11 <> 0),
+        |n AS (SELECT doc_id,
+        |        md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS new_md5
+        |      FROM documents WHERE doc_id % 13 <> 0),
+        |j AS (SELECT doc_id,
+        |        CASE WHEN old_md5 IS NULL THEN 'added'
+        |             WHEN new_md5 IS NULL THEN 'removed'
+        |             WHEN old_md5 <> new_md5 THEN 'changed' END AS status
+        |      FROM o FULL OUTER JOIN n USING (doc_id))
+        |SELECT doc_id, status FROM j WHERE status IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     "corpus_contamination" ->
       s"""WITH f AS (SELECT doc_id,
         |             md5(array_to_string((string_split(text, ' '))[1:5], ' ')) AS head_md5

@@ -552,6 +552,56 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Documents that must share a chunk before it counts as boilerplate
+    * for [[boilerplateStrip]].
+    */
+  val BoilerplateDf = 3
+
+  /** Cross-document BOILERPLATE removal — the CCNet/RefinedWeb pass
+    * that [[chunkDedupApply]] is not: chunk-dedup keeps a duplicated
+    * chunk's FIRST occurrence (content worth one copy), while
+    * boilerplate (headers, footers, cookie banners) appearing in
+    * ≥ [[BoilerplateDf]] distinct documents should survive NOWHERE.
+    * Every chunk whose fingerprint reaches the document-frequency
+    * threshold is dropped from all documents; each document is rebuilt
+    * from its surviving chunks in order. Per-doc output: total chunks,
+    * kept chunks, and the rebuilt text's md5.
+    *
+    * Scale shape: the df aggregate and the anti-join back both key on
+    * the chunk FINGERPRINT (corpus-scaled); the common set is the df
+    * tail (tiny relative to the corpus) but the anti-join stays keyed,
+    * not broadcast, so a pathological corpus that is all boilerplate
+    * still executes. The rebuild sorts only each doc's own chunks
+    * inside its aggregated array — no window anywhere.
+    */
+  def boilerplateStrip(spark: SparkSession, dir: String,
+      minDf: Int = BoilerplateDf): DataFrame = {
+    import spark.implicits._
+    val occ = docs(spark, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .select($"doc_id", posexplode(expr(
+        s"""transform(sequence(0, CAST(ceil(size(t) / $ChunkWords.0) AS BIGINT) - 1),
+           |  i -> array_join(slice(t, CAST(i * $ChunkWords + 1 AS INT), $ChunkWords), ' '))"""
+          .stripMargin)).as(Seq("idx", "chunk")))
+      .withColumn("fp", md5($"chunk"))
+    val common = occ.groupBy($"fp")
+      .agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" >= minDf)
+      .select($"fp")
+    val kept = occ.join(common, Seq("fp"), "left_anti")
+    val tot = occ.groupBy($"doc_id").agg(count(lit(1)).as("n_chunks"))
+    val rebuilt = kept.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(
+          expr("transform(array_sort(collect_list(struct(idx, chunk))), x -> x.chunk)"),
+          " ")).as("clean_md5"))
+    tot.join(rebuilt, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_chunks",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"clean_md5", md5(lit(""))).as("clean_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** (doc_a, doc_b, intersection, na, nb) for every ordered doc pair
     * sharing ≥1 kept shingle, over an arbitrary `(doc_id, text)`
     * frame — the posting-list pair core both [[ngramJaccard]] and
@@ -801,6 +851,7 @@ object Dedup {
     "dedup_clusters" -> ((s: SparkSession, d: String) => clusters(s, d)),
     "dedup_chunks" -> chunkDedup _,
     "dedup_chunk_apply" -> chunkDedupApply _,
+    "dedup_boilerplate" -> ((s: SparkSession, d: String) => boilerplateStrip(s, d)),
     "dedup_apply" -> dedupApply _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
     "dedup_containment" -> containmentExcerpts _,
@@ -919,6 +970,28 @@ object Dedup {
         |       JOIN kd ON o.fp = kd.fp AND o.doc_id = kd.kd GROUP BY 1, 2),
         |kept AS (SELECT o.doc_id, o.idx, o.chunk FROM occ o
         |         JOIN ki ON o.fp = ki.fp AND o.doc_id = ki.doc_id AND o.idx = ki.ki),
+        |tot AS (SELECT doc_id, count(*) AS n_chunks FROM occ GROUP BY 1),
+        |reb AS (SELECT doc_id, count(*) AS n_kept,
+        |          md5(string_agg(chunk, ' ' ORDER BY idx)) AS clean_md5
+        |        FROM kept GROUP BY 1)
+        |SELECT t.doc_id, t.n_chunks,
+        |       coalesce(r.n_kept, 0) AS n_kept,
+        |       coalesce(r.clean_md5, md5('')) AS clean_md5
+        |FROM tot t LEFT JOIN reb r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_boilerplate" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |wi AS (SELECT doc_id, t,
+        |         unnest(generate_series(0, CAST(ceil(len(t) / $ChunkWords.0) AS BIGINT) - 1)) AS i
+        |       FROM w),
+        |occ AS (SELECT doc_id, CAST(i AS INT) AS idx,
+        |          array_to_string(t[i * $ChunkWords + 1 : i * $ChunkWords + $ChunkWords], ' ') AS chunk,
+        |          md5(array_to_string(t[i * $ChunkWords + 1 : i * $ChunkWords + $ChunkWords], ' ')) AS fp
+        |        FROM wi),
+        |common AS (SELECT fp FROM (
+        |             SELECT fp, count(DISTINCT doc_id) AS df FROM occ GROUP BY 1)
+        |           WHERE df >= $BoilerplateDf),
+        |kept AS (SELECT * FROM occ WHERE fp NOT IN (SELECT fp FROM common)),
         |tot AS (SELECT doc_id, count(*) AS n_chunks FROM occ GROUP BY 1),
         |reb AS (SELECT doc_id, count(*) AS n_kept,
         |          md5(string_agg(chunk, ' ' ORDER BY idx)) AS clean_md5

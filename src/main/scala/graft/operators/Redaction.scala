@@ -116,6 +116,72 @@ object Redaction {
       .select(col("domain"), col("n_events"), col("n_users"), col("blocked"))
       .orderBy(col("domain"))
 
+  /** 16-digit card-number candidate pattern (Java ∩ RE2 dialect). */
+  val CardRe = "\\b\\d{16}\\b"
+
+  /** Per-digit Luhn weighting for position `i` (1-based from the LEFT
+    * of a 16-digit string): doubled at odd `i` (even position from the
+    * right), with the >9 fold — shared fragment rendered into both
+    * engines' lambda dialects.
+    */
+  private def luhnDigitSql(cc: String): String = {
+    val d = s"CAST(substr($cc, i, 1) AS INT)"
+    s"CASE WHEN i % 2 = 1 THEN (CASE WHEN $d * 2 > 9 THEN $d * 2 - 9 ELSE $d * 2 END) ELSE $d END"
+  }
+
+  /** Luhn checksum of the first `len` digits of `cc`, Spark spelling. */
+  private def luhnSumSpark(cc: String, len: Int): String =
+    s"aggregate(transform(sequence(1, $len), i -> ${luhnDigitSql(cc)}), 0, (a, x) -> a + x)"
+
+  /** Same checksum in DuckDB spelling (list_aggregate over
+    * generate_series).
+    */
+  private def luhnSumDuck(cc: String, len: Int): String =
+    s"CAST(list_aggregate(list_transform(generate_series(1, $len), i -> ${luhnDigitSql(cc)}), 'sum') AS INT)"
+
+  /** Card-number scan with Luhn validation — the PII category where a
+    * bare regex drowns in false positives (any 16-digit id matches), so
+    * production scanners gate on the checksum. Candidates come from
+    * [[CardRe]]; validity is the exact-integer Luhn rule (digits doubled
+    * at every second position from the right, >9 folded by −9, sum ≡ 0
+    * mod 10) evaluated as a codegen'd higher-order expression — no UDF,
+    * map-only, and pure integer arithmetic so the oracle replays the
+    * verdict bit-for-bit. Output: one row per candidate with its last-4
+    * masked form (`mask_last4`) and the verdict.
+    */
+  def luhnScan(df: DataFrame, idCols: Seq[String], textCol: String): DataFrame =
+    df.select(idCols.map(col) :+
+        explode(regexp_extract_all(col(textCol), lit(CardRe), lit(0))).as("cc"): _*)
+      .select(idCols.map(col) ++ Seq[Column](
+        concat(lit("XXXX-XXXX-XXXX-"), expr("substr(cc, 13, 4)")).as("mask_last4"),
+        expr(s"${luhnSumSpark("cc", 16)} % 10 = 0").as("luhn_valid")): _*)
+
+  /** Deterministic 16-digit card per event: a 15-digit base from the id
+    * columns plus a COMPUTED Luhn check digit, corrupted (+5 mod 10)
+    * for every third event — so ~⅔ of candidates validate and ⅓ fail,
+    * exercising both verdict paths. The check-digit arithmetic is the
+    * same shared fragment, so both engines synthesize byte-identical
+    * strings.
+    */
+  private def ccSql(luhnSum: (String, Int) => String): String = {
+    val base = "concat('4', lpad(CAST(user_id % 1000 AS STRING), 3, '0'), " +
+      "lpad(CAST(event_id % 100000000000 AS STRING), 11, '0'))"
+    val check = s"(10 - ${luhnSum(base, 15)} % 10) % 10"
+    s"""concat($base,
+       |  CAST(CASE WHEN event_id % 3 = 0 THEN ($check + 5) % 10 ELSE $check END AS STRING))""".stripMargin
+  }
+
+  def ccEvents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lines = Tables.load(spark, dir, "events")
+      .select($"event_id", $"user_id")
+      .orderBy($"event_id")
+      .select($"event_id",
+        expr(s"concat('ts=', CAST(event_id AS STRING), ' card ', ${ccSql(luhnSumSpark)}, ' end')")
+          .as("msg"))
+    luhnScan(lines, Seq("event_id"), "msg")
+  }
+
   /** Scheme prefix recognised by [[canonicalUrl]] (shared with the
     * oracle SQL).
     */
@@ -195,6 +261,7 @@ object Redaction {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pii" -> piiEvents _,
+    "text_cc_luhn" -> ccEvents _,
     "text_domains" -> domainEvents _,
     "text_url_canon" -> urlEvents _,
   )
@@ -212,6 +279,19 @@ object Redaction {
         |    '$Ipv4Re', '[IP]', 'g'),
         |    '$PhoneRe', '[PHONE]', 'g')) AS redacted_md5
         |FROM lines ORDER BY event_id""".stripMargin,
+    "text_cc_luhn" ->
+      s"""WITH lines AS (
+        |  SELECT event_id,
+        |         concat('ts=', CAST(event_id AS VARCHAR), ' card ',
+        |           ${ccSql(luhnSumDuck).replace("AS STRING", "AS VARCHAR")}, ' end') AS msg
+        |  FROM events),
+        |cand AS (
+        |  SELECT event_id, unnest(regexp_extract_all(msg, '$CardRe', 0)) AS cc
+        |  FROM lines)
+        |SELECT event_id,
+        |       'XXXX-XXXX-XXXX-' || substr(cc, 13, 4) AS mask_last4,
+        |       ${luhnSumDuck("cc", 16)} % 10 = 0 AS luhn_valid
+        |FROM cand ORDER BY event_id""".stripMargin,
     "text_url_canon" ->
       s"""WITH urls AS (
         |  SELECT event_id, user_id, $duckUrlSql AS url FROM events),

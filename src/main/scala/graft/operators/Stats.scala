@@ -142,6 +142,48 @@ object Stats {
       .orderBy($"event_type")
   }
 
+  /** Quantile points (percent) reported by [[histoQuantiles]] — shared
+    * with the oracle SQL.
+    */
+  val HistoQuantilePcts = Seq(25, 50, 75, 95)
+
+  /** [[histoMedian]] generalized to the full quantile vector — the
+    * at-scale percentile family in one pass: for each percent p the
+    * reported bin is the first whose cumulative count reaches
+    * ⌈p·n/100⌉. One binned aggregate feeds every quantile (the
+    * conditional-min trick: `min(CASE WHEN cum ≥ threshold THEN bin
+    * END)` per p), so adding quantile points costs aggregate columns,
+    * not passes. Per-group state stays the BIN COUNT — configuration-
+    * bounded, never the value multiset — and everything is exact
+    * integer arithmetic, so the oracle replays it bit-for-bit. The
+    * cumulative window runs over the per-(type, bin) aggregate
+    * (≤ bins·types rows, metadata not data).
+    */
+  def histoQuantiles(spark: SparkSession, dir: String,
+      binCents: Long = HistoBinCents): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val binned = events(spark, dir)
+      .select($"event_type",
+        expr(s"CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div $binCents").as("bin"))
+      .groupBy($"event_type", $"bin")
+      .agg(count(lit(1)).as("cnt"))
+    val tot = binned.groupBy($"event_type").agg(sum($"cnt").as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qCols = HistoQuantilePcts.map { p =>
+      expr(s"min(CASE WHEN cum >= ($p * n + 99) div 100 THEN bin END)").as(s"p${p}_bin")
+    }
+    binned
+      .withColumn("cum", sum($"cnt").over(w))
+      .join(broadcast(tot), "event_type")
+      .groupBy($"event_type", $"n")
+      .agg(qCols.head, qCols.tail: _*)
+      .select(($"event_type" +: $"n" +:
+        HistoQuantilePcts.map(p => col(s"p${p}_bin"))): _*)
+      .orderBy($"event_type")
+  }
+
   /** Exact-integer spike detection over each type's per-minute total
     * series: flag minutes whose total (cents) deviates from the
     * type's mean by more than 3σ — decided WITHOUT sqrt or doubles by
@@ -217,6 +259,7 @@ object Stats {
     "q_trend_slope" -> trendSlope _,
     "q_mad_outliers" -> madOutliers _,
     "q_histo_median" -> ((s: SparkSession, d: String) => histoMedian(s, d)),
+    "q_histo_quantiles" -> ((s: SparkSession, d: String) => histoQuantiles(s, d)),
     "q_mode_value" -> modeValue _,
     "q_spike_minutes" -> spikeMinutes _,
     "q_zorder_key" -> zorderParts _,
@@ -277,6 +320,23 @@ object Stats {
         |       min(cum.bin) * $HistoBinCents AS median_lo_cents
         |FROM cum JOIN t USING (event_type)
         |WHERE cum.cum >= (t.n + 1) // 2
+        |GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
+    "q_histo_quantiles" ->
+      s"""WITH b AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // $HistoBinCents AS bin
+        |  FROM events),
+        |c AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1),
+        |cum AS (SELECT event_type, bin,
+        |          CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |        FROM c)
+        |SELECT cum.event_type, t.n,
+        |       ${HistoQuantilePcts.map(p =>
+            s"min(CASE WHEN cum.cum >= ($p * t.n + 99) // 100 THEN cum.bin END) AS p${p}_bin")
+            .mkString(",\n       ")}
+        |FROM cum JOIN t USING (event_type)
         |GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
     "q_mode_value" ->
       """WITH counts AS (

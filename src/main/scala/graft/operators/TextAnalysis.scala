@@ -374,8 +374,51 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Hash-bucket count for the [[classify]] model (mirrored in the
+    * oracle SQL).
+    */
+  val ClassifierBuckets = 256L
+
+  /** Deterministic stand-in weight table for the surfaced
+    * [[classify]] query: bucket → (bucket % 21) − 10, integer weights
+    * in [−10, 10]. A real deployment passes its trained table to
+    * [[classify]]; this one exists so the oracle can rebuild the model
+    * from pure arithmetic.
+    */
+  def classifierWeights(spark: SparkSession): DataFrame =
+    spark.range(ClassifierBuckets)
+      .select(col("id").as("bucket"), expr("id % 21 - 10").as("weight"))
+
+  /** Linear-model scoring over a hashed bag of words — the
+    * fastText-style quality-classifier APPLY step, distributed the way
+    * a 100 TB pipeline actually runs one: the model is a (bucket,
+    * weight) TABLE broadcast to every task (weights are trained
+    * elsewhere and change without redeploys — the
+    * `Redaction.domainStatsAgainst` governance shape), features are
+    * the hashed-bucket token counts, and the document score is the
+    * exact integer dot product via one broadcast join + one doc-keyed
+    * aggregate. No UDF, no driver loop; `label` is the sign
+    * threshold a filter keeps/drops on.
+    */
+  def classify(d: DataFrame, weights: DataFrame): DataFrame = {
+    import d.sparkSession.implicits._
+    d.select($"doc_id", explode(split($"text", " ")).as("term"))
+      .select($"doc_id",
+        expr("CAST(conv(substr(md5(term), 1, 2), 16, 10) AS BIGINT)").as("bucket"))
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum($"weight").as("score"))
+      .withColumn("label", $"score" >= 0)
+      .select($"doc_id", $"n_terms", $"score", $"label")
+      .orderBy($"doc_id")
+  }
+
+  def classifyDocs(spark: SparkSession, dir: String): DataFrame =
+    classify(docs(spark, dir), classifierWeights(spark))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_filter" -> filterDocs _,
+    "text_classifier" -> classifyDocs _,
     "text_repetition" -> repetition _,
     "text_winnow" -> winnowFingerprint _,
     "text_top_terms" -> topTerms _,
@@ -390,6 +433,19 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_classifier" ->
+      s"""WITH w AS (SELECT i AS bucket, i % 21 - 10 AS weight
+        |           FROM generate_series(0, ${ClassifierBuckets - 1}) t(i)),
+        |terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |b AS (SELECT doc_id,
+        |        CAST((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
+        |           + (strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) AS BIGINT) AS bucket
+        |      FROM terms)
+        |SELECT doc_id, count(*) AS n_terms,
+        |       CAST(sum(weight) AS BIGINT) AS score,
+        |       sum(weight) >= 0 AS label
+        |FROM b JOIN w USING (bucket)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "text_lm_surprise" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),

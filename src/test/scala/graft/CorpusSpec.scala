@@ -138,6 +138,26 @@ class CorpusSpec extends SparkSpec {
       "expected the bucket-local prefix window partitioned by (lang, bucket)")
   }
 
+  test("snapshotDiff classifies by doc_id arithmetic and is empty on identical snapshots") {
+    val ids = graft.engine.Tables.load(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = Corpus.snapshotDiffHalves(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    ids.foreach { id =>
+      val expected =
+        if (id % 11 == 0 && id % 13 != 0) Some("added")
+        else if (id % 13 == 0 && id % 11 != 0) Some("removed")
+        else if (id % 7 == 0 && id % 11 != 0 && id % 13 != 0) Some("changed")
+        else None
+      assert(got.get(id) == expected, s"doc $id")
+    }
+    // unchanged docs never leak into the diff
+    assert(got.keySet.subsetOf(ids))
+    // identity diff is empty
+    val d = graft.engine.Tables.load(spark, dir, "documents").select("doc_id", "text")
+    assert(Corpus.snapshotDiff(d, d).count() === 0L)
+  }
+
   test("contamination never flags benchmark docs and only flags true head collisions") {
     val heads = graft.engine.Tables.load(spark, dir, "documents")
       .selectExpr("doc_id", "md5(array_join(slice(split(text, ' '), 1, 5), ' ')) AS h")

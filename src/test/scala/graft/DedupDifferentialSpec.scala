@@ -40,6 +40,34 @@ class DedupDifferentialSpec extends SparkSpec {
     assert(rows.exists(r => r._3 < r._2))
   }
 
+  test("boilerplateStrip equals a plain-Scala recompute and drops EVERY common chunk") {
+    import spark.implicits._
+    val texts = graft.engine.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val w = Dedup.ChunkWords
+    def chunksOf(t: String): Seq[String] =
+      t.split(" ", -1).toSeq.grouped(w).map(_.mkString(" ")).toSeq
+    val df = texts.toSeq
+      .flatMap { case (id, t) => chunksOf(t).map(c => (md5hex(c), id)) }
+      .distinct.groupBy(_._1).view.mapValues(_.size).toMap
+    val common = df.collect { case (fp, n) if n >= Dedup.BoilerplateDf => fp }.toSet
+    assert(common.nonEmpty, "fixture should contain cross-doc boilerplate")
+    val rows = Dedup.boilerplateStrip(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.length === texts.size)
+    rows.foreach { case (id, nChunks, nKept, cleanMd5) =>
+      val cs = chunksOf(texts(id))
+      val kept = cs.filterNot(c => common.contains(md5hex(c)))
+      assert(nChunks === cs.length.toLong, s"doc $id chunk count")
+      assert(nKept === kept.length.toLong, s"doc $id kept count")
+      assert(cleanMd5 === md5hex(kept.mkString(" ")), s"doc $id rebuild")
+    }
+    // unlike chunkDedupApply, no occurrence of a common chunk survives anywhere
+    assert(rows.map(_._3).sum ===
+      texts.toSeq.flatMap(t => chunksOf(t._2)).count(c => !common.contains(md5hex(c))).toLong)
+  }
+
   test("chunkDedup equals a plain-Scala recompute on the corpus") {
     import spark.implicits._
     val texts = graft.engine.Tables.load(spark, dir, "documents")

@@ -298,4 +298,29 @@ class ExtensionSpec extends SparkSpec {
     assert(rows.count(_._3 > 1) * 5 > rows.length,
       "canonicalization collapsed almost nothing — synthesis too clean")
   }
+
+  test("classify equals a driver-side dot product over the hashed bag of words") {
+    import org.apache.spark.sql.functions._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def weight(term: String): Long = {
+      val bucket = java.lang.Long.parseLong(md5hex(term).substring(0, 2), 16)
+      bucket % 21 - 10
+    }
+    val texts = graft.engine.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextAnalysis.classifyDocs(spark, dir).collect()
+    assert(rows.length === texts.size, "weight table covers every bucket — no doc drops out")
+    rows.foreach { r =>
+      val terms = texts(r.getLong(0)).split(" ", -1).toSeq
+      val score = terms.map(weight).sum
+      assert(r.getLong(1) === terms.length.toLong, s"doc ${r.getLong(0)} n_terms")
+      assert(r.getLong(2) === score, s"doc ${r.getLong(0)} score")
+      assert(r.getBoolean(3) === (score >= 0))
+    }
+    // both labels occur — the threshold actually separates the corpus
+    assert(rows.exists(_.getBoolean(3)) && rows.exists(!_.getBoolean(3)))
+  }
 }

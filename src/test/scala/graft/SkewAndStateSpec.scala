@@ -48,6 +48,23 @@ class SkewAndStateSpec extends SparkSpec {
     assert(rows("cold") === ((2L, "t0>t1")))
   }
 
+  test("keyProfile ranks the true top keys with exact integer shares") {
+    val events = graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val counts = events.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val nKeys = counts.size.toLong
+    val expectedTop = counts.toSeq.sortBy { case (k, c) => (-c, k) }.take(20)
+    val got = Skew.keyProfile(events, "user_id", 20).collect()
+    assert(got.length == math.min(20, nKeys.toInt))
+    got.zip(expectedTop).zipWithIndex.foreach { case ((r, (k, c)), i) =>
+      assert(r.getLong(0) == i + 1, "rank is dense from 1")
+      assert(r.getLong(1) == k && r.getLong(2) == c, s"rank ${i + 1} key")
+      assert(r.getLong(3) == c * 1000000L / total, "share_ppm")
+      assert(r.getLong(4) == c * nKeys * 1000000L / total, "x_mean_ppm")
+    }
+  }
+
   test("salted count equals plain groupBy count") {
     import spark.implicits._
     val df = (1 to 5000).map(i => if (i % 10 == 0) s"k${i % 50}" else "hot")

@@ -246,6 +246,69 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("histoQuantiles: p50 equals histoMedian, vector is monotone, bins are exact") {
+    val med = Stats.histoMedian(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val rows = Stats.histoQuantiles(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t, p25, p50, p75, p95) =
+        (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(p50 == med(t), s"p50 bin for $t must equal histoMedian's")
+      assert(p25 <= p50 && p50 <= p75 && p75 <= p95, s"quantile vector monotone for $t")
+    }
+    // each reported bin is the FIRST whose cumulative count reaches
+    // ceil(p*n/100) — recomputed from the raw values on the driver
+    val cents = graft.engine.Tables.load(spark, dir, "events")
+      .selectExpr("event_type",
+        s"CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div ${Stats.HistoBinCents} AS bin")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { r =>
+      val bins = cents.filter(_._1 == r.getString(0)).map(_._2).sorted
+      val n = bins.length
+      Stats.HistoQuantilePcts.zipWithIndex.foreach { case (p, i) =>
+        val need = (p * n + 99) / 100
+        assert(r.getLong(2 + i) == bins(need.toInt - 1),
+          s"p$p bin for ${r.getString(0)}")
+      }
+    }
+  }
+
+  test("luhnScan validates against a reference Scala Luhn; synthesis flips every third event") {
+    import spark.implicits._
+    def refLuhn(cc: String): Boolean = {
+      val s = cc.zipWithIndex.map { case (ch, idx) =>
+        val d = ch - '0'
+        if ((idx + 1) % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum
+      s % 10 == 0
+    }
+    // hand-built candidates: a crafted valid number and its corruptions
+    val base = "453957876362148"
+    val check = (10 - base.zipWithIndex.map { case (ch, idx) =>
+      val d = ch - '0'
+      if ((idx + 1) % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+    }.sum % 10) % 10
+    val cards = (0 to 9).map(d => base + d.toString)
+    val df = cards.zipWithIndex
+      .map { case (cc, i) => (i.toLong, s"x card $cc y") }
+      .toDF("event_id", "msg")
+    val got = Redaction.luhnScan(df, Seq("event_id"), "msg").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    cards.zipWithIndex.foreach { case (cc, i) =>
+      assert(got(i.toLong) == refLuhn(cc), s"card $cc")
+      assert(got(i.toLong) == (cc.last - '0' == check), "exactly the computed check digit validates")
+    }
+    // the surfaced synthesis: corrupted check digit ⇔ event_id % 3 = 0
+    val ev = Redaction.ccEvents(spark, dir).collect()
+    assert(ev.nonEmpty)
+    ev.foreach { r =>
+      assert(r.getBoolean(2) == (r.getLong(0) % 3 != 0),
+        s"event ${r.getLong(0)} validity")
+      assert(r.getString(1).matches("XXXX-XXXX-XXXX-\\d{4}"))
+    }
+  }
+
   test("zorderParts key order groups both dimensions (locality smoke)") {
     import spark.implicits._
     val out = Stats.zorderParts(spark, dir).collect()
