@@ -269,6 +269,56 @@ object Corpus {
             .otherwise($"text").as("text")))
   }
 
+  /** Per-cell corpus MANIFEST — the reproducibility digest two
+    * pipeline runs (or two replicas) compare instead of diffing 100 TB
+    * row-by-row: per (source, lang) the doc count, token count, and an
+    * ORDER-INDEPENDENT content digest (the sum of each doc's 60-bit
+    * content key — any added, removed or changed document flips the
+    * cell's digest; commutative, so partitioning and arrival order
+    * never matter). One keyed aggregate with map-side partials; the
+    * digest sums 60-bit keys as DECIMAL so 10¹² docs per cell stay
+    * exact. [[snapshotDiff]] is the row-level drill-down once a cell's
+    * digest disagrees.
+    */
+  def manifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"source", $"lang",
+        size(split($"text", " ")).cast("long").as("tok"),
+        expr("CAST(conv(substr(md5(text), 1, 15), 16, 10) AS DECIMAL(19,0))").as("k"))
+      .groupBy($"source", $"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"tok").as("n_tokens"),
+        expr("CAST(sum(k) AS DECIMAL(38,0))").as("digest"))
+      .orderBy($"source", $"lang")
+  }
+
+  /** Rows kept per (source, lang) cell by [[groupSample]]. */
+  val GroupSampleK = 5
+
+  /** Deterministic k-per-cell sampling — the "show me 5 examples from
+    * every (source, language) cell" verb audits and eval-set seeding
+    * run: rank within the cell by (content hash, doc_id) — a total
+    * order that is rerun-stable and content-keyed, no rand() — and
+    * keep rank ≤ k. The rank filter compiles to WindowGroupLimit:
+    * every map task pre-prunes to k rows per cell before the exchange,
+    * so the bounded-domain partition key never sorts a whole cell's
+    * corpus in one task (the NTILE trap) — post-prune window input is
+    * ≤ k·partitions·cells, configuration not data.
+    */
+  def groupSample(spark: SparkSession, dir: String,
+      k: Int = GroupSampleK): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id", $"source", $"lang", md5($"text").as("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"source", $"lang").orderBy($"h", $"doc_id")).cast("long"))
+      .filter($"rn" <= k)
+      .select($"doc_id", $"source", $"lang", $"rn")
+      .orderBy($"source", $"lang", $"rn")
+  }
+
   /** Near-dup similarity floor for the [[leakage]] audit. */
   val LeakJaccard = 0.5
 
@@ -344,6 +394,8 @@ object Corpus {
     "corpus_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "corpus_leakage" -> leakage _,
     "corpus_diff" -> snapshotDiffHalves _,
+    "corpus_manifest" -> manifest _,
+    "corpus_group_sample" -> ((s: SparkSession, d: String) => groupSample(s, d)),
   )
 
   /** DuckDB equivalent of [[hashBucket]]: nibble arithmetic over the
@@ -354,7 +406,33 @@ object Corpus {
       s"(strpos('0123456789abcdef', substr(md5(text), ${i + 1}, 1)) - 1) * ${1 << (4 * (3 - i))}")
       .mkString(" + ") + ")"
 
+  /** DuckDB mirror of the 60-bit content key (15 hex chars of
+    * md5(text) — no conv() in DuckDB, so nibble arithmetic; all 15
+    * terms are static multiplications, total stays BIGINT).
+    */
+  private val contentKeySql =
+    "(" + (0 until 15).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5(text), ${i + 1}, 1)) - 1) * ${math.pow(16, 14 - i).toLong}")
+      .mkString(" + ") + ")"
+
   val oracle: Map[String, String] = Map(
+    "corpus_manifest" ->
+      s"""WITH d AS (SELECT source, lang,
+        |             len(string_split(text, ' ')) AS tok,
+        |             $contentKeySql AS k
+        |           FROM documents)
+        |SELECT source, lang, count(*) AS n_docs,
+        |       CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CAST(k AS HUGEINT)) AS DECIMAL(38,0)) AS digest
+        |FROM d GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
+    "corpus_group_sample" ->
+      s"""WITH h AS (SELECT doc_id, source, lang, md5(text) AS h FROM documents),
+        |r AS (SELECT doc_id, source, lang,
+        |        CAST(row_number() OVER (PARTITION BY source, lang
+        |             ORDER BY h, doc_id) AS BIGINT) AS rn
+        |      FROM h)
+        |SELECT doc_id, source, lang, rn FROM r WHERE rn <= $GroupSampleK
+        |ORDER BY source, lang, rn""".stripMargin,
     "corpus_clean" ->
       s"""WITH f AS (SELECT doc_id,
         |             md5(array_to_string((string_split(text, ' '))[1:5], ' ')) AS head_md5

@@ -56,11 +56,13 @@ object Redaction {
     Tables.load(spark, dir, "events")
       .select(col("event_id"), col("user_id"), expr(lineSql).as("msg"))
 
-  /** Per-row PII inventory + redaction fingerprint: match counts per
-    * category and the md5 of the text after masking (emails, then
-    * IPv4s, then phones — fixed order, so the hash is well-defined).
+  /** The scan columns (per-category match counts + redaction
+    * fingerprint) over `textCol` — shared by [[piiScan]], which
+    * projects a frame down to them, and the streaming ingest twin
+    * (`EventStreams.scanDocs`), which APPENDS them: both stay pure
+    * row-local projections.
     */
-  def piiScan(df: DataFrame, idCols: Seq[String], textCol: String): DataFrame = {
+  def piiColumns(textCol: String): Seq[Column] = {
     val t = col(textCol)
     def n(re: String) = size(regexp_extract_all(t, lit(re), lit(0))).cast("long")
     val redacted =
@@ -69,12 +71,19 @@ object Redaction {
           regexp_replace(t, lit(EmailRe), lit("[EMAIL]")),
           lit(Ipv4Re), lit("[IP]")),
         lit(PhoneRe), lit("[PHONE]"))
-    df.select(idCols.map(col) ++ Seq[Column](
+    Seq(
       n(EmailRe).as("n_emails"),
       n(Ipv4Re).as("n_ips"),
       n(PhoneRe).as("n_phones"),
-      md5(redacted).as("redacted_md5")): _*)
+      md5(redacted).as("redacted_md5"))
   }
+
+  /** Per-row PII inventory + redaction fingerprint: match counts per
+    * category and the md5 of the text after masking (emails, then
+    * IPv4s, then phones — fixed order, so the hash is well-defined).
+    */
+  def piiScan(df: DataFrame, idCols: Seq[String], textCol: String): DataFrame =
+    df.select(idCols.map(col) ++ piiColumns(textCol): _*)
 
   /** Domain rollup: extract each line's URL host, aggregate to
     * (domain, events, distinct users), flag blocklisted domains. The

@@ -103,6 +103,20 @@ object EventStreams {
         .filter(col("n_tokens").between(minTokens, maxTokens)),
       store, watermark)
 
+  /** Streaming COMPLIANCE scan — the redaction pass applied at ingest
+    * time instead of in the nightly batch: `Redaction.piiScan` and the
+    * Luhn card check are pure row-local projections, so the SAME
+    * operator instances run unchanged on a streaming frame — no state,
+    * no watermark, exactly-once for free under any sink that is. The
+    * scan columns are APPENDED to the document columns (never a
+    * stream-self-join) so the downstream appender can quarantine rows
+    * where anything matched.
+    */
+  def scanDocs(docs: DataFrame): DataFrame =
+    docs.select(col("*") +: graft.operators.Redaction.piiColumns("text"): _*)
+      .withColumn("has_pii",
+        col("n_emails") + col("n_ips") + col("n_phones") > 0)
+
   /** `aggregated_votes_per_candidate`: tumbling 1-hour window per
     * candidate. Map-side partial aggregation + shuffle on
     * (window, candidate) — the state store keys stay bounded by

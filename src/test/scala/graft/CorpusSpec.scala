@@ -158,6 +158,52 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.snapshotDiff(d, d).count() === 0L)
   }
 
+  test("manifest digest equals a BigInt recompute and is order-independent by construction") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rows = graft.engine.Tables.load(spark, dir, "documents")
+      .select("source", "lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val expected = rows.groupBy(t => (t._1, t._2)).map { case (cell, ts) =>
+      cell -> (
+        ts.length.toLong,
+        ts.map(_._3.split(" ", -1).length.toLong).sum,
+        ts.map(t => BigInt(md5hex(t._3).substring(0, 15), 16)).sum)
+    }
+    val got = Corpus.manifest(spark, dir).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (n, tok, dig) = expected((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) === n)
+      assert(r.getLong(3) === tok)
+      assert(BigInt(r.getDecimal(4).toBigInteger) === dig,
+        s"digest for (${r.getString(0)}, ${r.getString(1)})")
+    }
+  }
+
+  test("groupSample keeps the k hash-smallest docs per cell via WindowGroupLimit") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val k = Corpus.GroupSampleK
+    val rows = graft.engine.Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val expected = rows.groupBy(t => (t._2, t._3)).toSeq.flatMap { case (cell, ts) =>
+      ts.toSeq.sortBy(t => (md5hex(t._4), t._1)).take(k).zipWithIndex
+        .map { case (t, i) => (t._1, cell._1, cell._2, i + 1L) }
+    }.toSet
+    val sampled = Corpus.groupSample(spark, dir)
+    assert(sampled.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet === expected)
+    // the rank filter must compile to WindowGroupLimit (map-side k-heap
+    // pre-prune), or the bounded-domain cell key sorts whole cells
+    assert(sampled.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "expected the rn <= k filter to push a WindowGroupLimit below the window")
+  }
+
   test("contamination never flags benchmark docs and only flags true head collisions") {
     val heads = graft.engine.Tables.load(spark, dir, "documents")
       .selectExpr("doc_id", "md5(array_join(slice(split(text, ' '), 1, 5), ' ')) AS h")

@@ -153,6 +153,39 @@ class StreamingSpec extends SparkSpec {
     assert(kept.toSeq === Seq((1L, 4L)))
   }
 
+  test("streaming compliance scan matches the batch piiScan row for row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "contact bob@example.com at 10.1.2.3"),
+      (2L, "phone +1-555-0199 twice +1-555-0200"),
+      (3L, "nothing sensitive here"))
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val q = EventStreams.scanDocs(docs)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ccscan")
+      .option("checkpointLocation", ckpt()).start()
+    stream.addData(rows)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ccscan")
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted_md5", "has_pii")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getBoolean(5)))
+      .sortBy(_._1)
+    val batch = graft.operators.Redaction
+      .piiScan(rows.toDF("doc_id", "text"), Seq("doc_id"), "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._1)
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5)).toSeq === batch.toSeq)
+    assert(got.map(t => (t._1, t._6)).toSeq ===
+      Seq((1L, true), (2L, true), (3L, false)))
+    // the streaming output keeps the original document columns too
+    assert(spark.table("ccscan").columns.contains("text"))
+  }
+
   test("late rows beyond the watermark are dropped from append-mode windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
