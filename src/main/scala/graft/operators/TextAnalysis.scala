@@ -374,6 +374,46 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Count-min sketch geometry (mirrored in the oracle SQL): d hash
+    * rows × w buckets.
+    */
+  val CmsRows = 4
+  val CmsWidth = 1024L
+
+  /** Count-min sketch build + probe — the BOUNDED-MEMORY frequency
+    * estimator a 100 TB pipeline uses where the exact term aggregate
+    * ([[vocab]]) is unaffordable as a pre-pass: the whole sketch is
+    * d·w = 4096 counters whatever the corpus, built in ONE pass whose
+    * map-side partial aggregation collapses every task to ≤ d·w rows
+    * before the shuffle (the entire point of the sketch shape). The d
+    * hash rows are disjoint 16-bit slices of each term's md5 —
+    * deterministic, so the DuckDB oracle rebuilds the identical sketch
+    * with nibble arithmetic. The surfaced query probes the top-20
+    * exact terms and reports estimate vs truth; `overcount ≥ 0` is the
+    * CMS guarantee (never underestimates) and is spec-pinned.
+    */
+  def cmsEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = docs(spark, dir).select(explode(tok).as("term"))
+    val bucketsExpr =
+      s"""transform(sequence(0, ${CmsRows - 1}),
+         |  i -> CAST(conv(substr(md5(term), 1 + 4 * i, 4), 16, 10) AS BIGINT) % $CmsWidth)""".stripMargin
+    val sketch = terms
+      .select(posexplode(expr(bucketsExpr)).as(Seq("row", "bucket")))
+      .groupBy($"row", $"bucket")
+      .agg(count(lit(1)).as("c"))
+    val top = terms.groupBy($"term").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy($"exact_cnt".desc, $"term").limit(20)
+    top
+      .select($"term", $"exact_cnt", posexplode(expr(bucketsExpr)).as(Seq("row", "bucket")))
+      .join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy($"term", $"exact_cnt")
+      .agg(min($"c").as("cms_est"))
+      .withColumn("overcount", $"cms_est" - $"exact_cnt")
+      .select($"term", $"exact_cnt", $"cms_est", $"overcount")
+      .orderBy($"term")
+  }
+
   /** Hash-bucket count for the [[classify]] model (mirrored in the
     * oracle SQL).
     */
@@ -419,6 +459,7 @@ object TextAnalysis {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_filter" -> filterDocs _,
     "text_classifier" -> classifyDocs _,
+    "text_cms" -> cmsEstimate _,
     "text_repetition" -> repetition _,
     "text_winnow" -> winnowFingerprint _,
     "text_top_terms" -> topTerms _,
@@ -432,7 +473,30 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprint _,
   )
 
+  /** DuckDB mirror of one CMS hash row: the 16-bit md5 slice at
+    * character offset `row·4`, as nibble arithmetic (no conv()).
+    */
+  private def cmsBucketDuck(term: String, row: String): String =
+    "((" + (0 until 4).map(j =>
+      s"(strpos('0123456789abcdef', substr(md5($term), $row * 4 + ${j + 1}, 1)) - 1) * ${1 << (4 * (3 - j))}")
+      .mkString(" + ") + s") % $CmsWidth)"
+
   val oracle: Map[String, String] = Map(
+    "text_cms" ->
+      s"""WITH terms AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |cells AS (SELECT term, unnest(generate_series(0, ${CmsRows - 1})) AS row FROM terms),
+        |cb AS (SELECT row, ${cmsBucketDuck("term", "row")} AS bucket FROM cells),
+        |sketch AS (SELECT row, bucket, count(*) AS c FROM cb GROUP BY 1, 2),
+        |exact AS (SELECT term, count(*) AS exact_cnt FROM terms GROUP BY 1),
+        |top AS (SELECT * FROM exact ORDER BY exact_cnt DESC, term LIMIT 20),
+        |probes AS (SELECT term, exact_cnt, unnest(generate_series(0, ${CmsRows - 1})) AS row
+        |           FROM top),
+        |pb AS (SELECT term, exact_cnt, row, ${cmsBucketDuck("term", "row")} AS bucket
+        |       FROM probes),
+        |est AS (SELECT term, exact_cnt, min(c) AS cms_est
+        |        FROM pb JOIN sketch USING (row, bucket) GROUP BY 1, 2)
+        |SELECT term, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
+        |FROM est ORDER BY term""".stripMargin,
     "text_classifier" ->
       s"""WITH w AS (SELECT i AS bucket, i % 21 - 10 AS weight
         |           FROM generate_series(0, ${ClassifierBuckets - 1}) t(i)),

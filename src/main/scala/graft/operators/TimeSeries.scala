@@ -276,7 +276,39 @@ object TimeSeries {
       .orderBy($"event_id")
   }
 
+  /** OHLC resampling — the downsampling verb every time-series store
+    * ships (candles for dashboards, minute→hour compaction for
+    * retention): per (event_type, hour) the opening / highest / lowest
+    * / closing value plus volume and total. One keyed hash aggregate
+    * with map-side partials — never a per-group sort. Open/close are
+    * `min_by`/`max_by` over a TOTALLY ORDERED string key
+    * (zero-padded micros ++ event_id), because a bare ts order key
+    * ties on simultaneous events and both engines would then pick
+    * arbitrarily — the key makes the election deterministic and
+    * DuckDB's `min_by`/`max_by` replay it exactly. Values are exact
+    * cents so every column is integer.
+    */
+  def ohlcHourly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .select($"event_type",
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("hour"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+        expr("""concat(lpad(CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS STRING), 20, '0'),
+               |  lpad(CAST(event_id AS STRING), 12, '0'))""".stripMargin).as("ok"))
+      .groupBy($"event_type", $"hour")
+      .agg(
+        min_by($"cents", $"ok").as("open_cents"),
+        max($"cents").as("high_cents"),
+        min($"cents").as("low_cents"),
+        max_by($"cents", $"ok").as("close_cents"),
+        count(lit(1)).as("volume"),
+        sum($"cents").as("total_cents"))
+      .orderBy($"event_type", $"hour")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ohlc" -> ohlcHourly _,
     "q_asof_join" -> asofLastClick _,
     "q_asof_forward" -> asofNextClick _,
     "q_interval_join" -> clicksBeforeError _,
@@ -286,6 +318,22 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ohlc" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) // 3600000000 AS hour,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok
+        |  FROM events)
+        |SELECT event_type, hour,
+        |       min_by(cents, ok) AS open_cents,
+        |       max(cents) AS high_cents,
+        |       min(cents) AS low_cents,
+        |       max_by(cents, ok) AS close_cents,
+        |       count(*) AS volume,
+        |       CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM b GROUP BY 1, 2 ORDER BY event_type, hour""".stripMargin,
     "q_asof_forward" ->
       """WITH err AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),

@@ -323,4 +323,31 @@ class ExtensionSpec extends SparkSpec {
     // both labels occur — the threshold actually separates the corpus
     assert(rows.exists(_.getBoolean(3)) && rows.exists(!_.getBoolean(3)))
   }
+
+  test("cms estimate equals a driver-rebuilt sketch and never underestimates") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def buckets(term: String): Seq[(Int, Long)] = {
+      val h = md5hex(term)
+      (0 until TextAnalysis.CmsRows).map { i =>
+        i -> (java.lang.Long.parseLong(h.substring(4 * i, 4 * i + 4), 16) % TextAnalysis.CmsWidth)
+      }
+    }
+    val terms = graft.engine.Tables.load(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1))
+    val sketch = terms.flatMap(buckets).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val exact = terms.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = TextAnalysis.cmsEstimate(spark, dir).collect()
+    assert(rows.length === math.min(20, exact.size))
+    rows.foreach { r =>
+      val term = r.getString(0)
+      assert(r.getLong(1) === exact(term), s"exact count for $term")
+      val est = buckets(term).map(sketch).min
+      assert(r.getLong(2) === est, s"cms estimate for $term")
+      assert(r.getLong(3) === est - exact(term))
+      assert(r.getLong(3) >= 0L, "CMS never underestimates")
+    }
+  }
 }

@@ -309,4 +309,27 @@ class TimeSeriesSpec extends SparkSpec {
       assert(got == expect, s"seed $seed")
     }
   }
+
+  test("ohlcHourly equals a driver recompute with deterministic open/close election") {
+    import spark.implicits._
+    val ev = graft.engine.Tables.load(spark, dir, "events")
+      .select($"event_type", $"event_id",
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byCell = ev.groupBy(t => (t._1, Math.floorDiv(t._3, 3600000000L)))
+    val got = TimeSeries.ohlcHourly(spark, dir).collect()
+    assert(got.length === byCell.size)
+    got.foreach { r =>
+      val cell = byCell((r.getString(0), r.getLong(1)))
+      val ordered = cell.sortBy(t => (t._3, t._2)) // (micros, event_id) total order
+      assert(r.getLong(2) === ordered.head._4, "open")
+      assert(r.getLong(3) === cell.map(_._4).max, "high")
+      assert(r.getLong(4) === cell.map(_._4).min, "low")
+      assert(r.getLong(5) === ordered.last._4, "close")
+      assert(r.getLong(6) === cell.length.toLong, "volume")
+      assert(r.getLong(7) === cell.map(_._4).sum, "total")
+    }
+  }
 }
