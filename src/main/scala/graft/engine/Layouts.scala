@@ -70,6 +70,24 @@ object Layouts {
       .write.mode("overwrite")
       .parquet(out)
 
+  /** Write `df` RANGE-CLUSTERED on one sort column: range-partitioned
+    * into `files` parquet files, sorted within each — every file
+    * covers a disjoint key interval, so parquet min/max statistics
+    * prune point/range filters on that column to ~one file. The
+    * single-dimension complement of [[zorderWrite]]: when ONE column
+    * carries the filter load, a plain range layout skips strictly
+    * better than Morton (which pays interleave dilution for the second
+    * dimension); when two columns share it, Z-order wins. Both are
+    * spec-PROVEN via scanned-rows metrics, not claimed
+    * (LayoutsSpec).
+    */
+  def rangeWrite(df: DataFrame, out: String, sortCol: String,
+      files: Int): Unit =
+    df.repartitionByRange(files, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode("overwrite")
+      .parquet(out)
+
   /** Revenue per order over the bucketed tables — shuffle-free join. */
   def bucketedOrderRevenue(spark: SparkSession): DataFrame = {
     import spark.implicits._

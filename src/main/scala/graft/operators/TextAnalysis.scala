@@ -374,6 +374,32 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Trigrams kept by [[trigramTable]] (mirrored in the oracle SQL). */
+  val TrigramTopN = 50
+
+  /** Corpus trigram count table — the n-gram LM building block
+    * ([[lmSurprise]] consumes bigram counts inline; this SURFACES the
+    * table a Kneser-Ney/KenLM-style pipeline materializes): top-N word
+    * trigrams by count. Same scale shape as [[vocab]]: explode → one
+    * corpus-keyed hash aggregate → distributed TakeOrdered (per-
+    * partition heaps, never a global sort) → bounded rank on the N-row
+    * result.
+    */
+  def trigramTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tg = docs(spark, dir)
+      .select(tok.as("t"))
+      .filter(size($"t") >= 3)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"))
+        .as("trigram"))
+    val top = tg.groupBy($"trigram").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"trigram").limit(TrigramTopN)
+    Ranking.boundedRowNumber(top, "rank", $"cnt".desc, $"trigram")
+      .select($"rank", $"trigram", $"cnt")
+      .orderBy($"rank")
+  }
+
   /** Count-min sketch geometry (mirrored in the oracle SQL): d hash
     * rows × w buckets.
     */
@@ -460,6 +486,7 @@ object TextAnalysis {
     "text_filter" -> filterDocs _,
     "text_classifier" -> classifyDocs _,
     "text_cms" -> cmsEstimate _,
+    "text_trigrams" -> trigramTable _,
     "text_repetition" -> repetition _,
     "text_winnow" -> winnowFingerprint _,
     "text_top_terms" -> topTerms _,
@@ -482,6 +509,16 @@ object TextAnalysis {
       .mkString(" + ") + s") % $CmsWidth)"
 
   val oracle: Map[String, String] = Map(
+    "text_trigrams" ->
+      s"""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |tg AS (SELECT unnest(list_transform(generate_series(1, len(t) - 2),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS trigram
+        |       FROM toks WHERE len(t) >= 3),
+        |a AS (SELECT trigram, count(*) AS cnt FROM tg GROUP BY 1),
+        |top AS (SELECT * FROM a ORDER BY cnt DESC, trigram LIMIT $TrigramTopN)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, trigram) AS BIGINT) AS rank,
+        |       trigram, cnt
+        |FROM top ORDER BY rank""".stripMargin,
     "text_cms" ->
       s"""WITH terms AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
         |cells AS (SELECT term, unnest(generate_series(0, ${CmsRows - 1})) AS row FROM terms),

@@ -117,6 +117,31 @@ object EventStreams {
       .withColumn("has_pii",
         col("n_emails") + col("n_ips") + col("n_phones") > 0)
 
+  /** Streaming OHLC candles — the streaming twin of
+    * `TimeSeries.ohlcHourly`: watermarked tumbling-hour windows per
+    * event type, open/close elected by `min_by`/`max_by` over the same
+    * zero-padded (micros, event_id) key as the batch form, so a
+    * backfill through the batch operator and the live stream produce
+    * IDENTICAL candles (the tie-at-same-timestamp case included —
+    * spec-pinned). State per open window is one candle row, evicted at
+    * watermark expiry.
+    */
+  def ohlcCandles(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .withColumn("ok", expr(
+        """concat(lpad(CAST(unix_micros(ts) AS STRING), 20, '0'),
+          |  lpad(CAST(event_id AS STRING), 12, '0'))""".stripMargin))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("cents"), col("ok")).as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max_by(col("cents"), col("ok")).as("close_cents"),
+        count(lit(1)).as("volume"),
+        sum(col("cents")).as("total_cents"))
+
   /** `aggregated_votes_per_candidate`: tumbling 1-hour window per
     * candidate. Map-side partial aggregation + shuffle on
     * (window, candidate) — the state store keys stay bounded by

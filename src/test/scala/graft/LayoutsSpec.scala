@@ -74,6 +74,26 @@ class LayoutsSpec extends SparkSpec {
     }
   }
 
+  test("range-clustered layout prunes a point filter to ~one file and beats z-order on its own dim") {
+    import spark.implicits._
+    val src = graft.engine.Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+      .select(($"l_partkey" % 256).as("x"), ($"l_orderkey" % 256).as("y"))
+    val total = src.count()
+    val base = Files.createTempDirectory("graft-range").toString
+    Layouts.rangeWrite(src, s"$base/ranged", "x", files = 16)
+    Layouts.zorderWrite(src, s"$base/zordered", "x", "y", files = 16)
+    val rScan = scannedRows(spark.read.parquet(s"$base/ranged").filter($"x" === 7L))
+    val zScan = scannedRows(spark.read.parquet(s"$base/zordered").filter($"x" === 7L))
+    // disjoint key intervals: a point filter lands in ~1 of 16 files
+    assert(rScan <= total / 8,
+      s"range layout pruned too little: scanned $rScan of $total")
+    // single-dimension range beats Morton on its own dimension (the
+    // interleave pays dilution for carrying y) — the documented
+    // pick-your-layout contract, held by measurement
+    assert(rScan <= zScan,
+      s"range layout ($rScan) should scan no more than z-order ($zScan) on x")
+  }
+
   test("selective dim filter injects a runtime bloom filter into the fact scan") {
     import spark.implicits._
     // thresholds sized for the fixture: production defaults (10MB/10GB)

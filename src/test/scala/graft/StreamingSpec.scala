@@ -186,6 +186,38 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("ccscan").columns.contains("text"))
   }
 
+  test("streaming OHLC candles elect open/close deterministically, ties included") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = stream.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventStreams.ohlcCandles(events, watermark = "0 seconds")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("candles")
+      .option("checkpointLocation", ckpt()).start()
+    stream.addData(Seq(
+      // two events at the SAME timestamp open the hour: the lower
+      // event_id must win the open election in both engines
+      (2L, Timestamp.valueOf("2024-05-01 10:00:00"), "click", 5.00),
+      (1L, Timestamp.valueOf("2024-05-01 10:00:00"), "click", 7.00),
+      (3L, Timestamp.valueOf("2024-05-01 10:30:00"), "click", 1.00),
+      (4L, Timestamp.valueOf("2024-05-01 10:59:59"), "click", 3.00)))
+    stream.addData(Seq((5L, Timestamp.valueOf("2024-05-01 12:30:00"), "click", 9.00)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("candles")
+      .selectExpr("event_type", "open_cents", "high_cents", "low_cents",
+        "close_cents", "volume", "total_cents", "window.start AS ws")
+      .collect()
+    val hour10 = rows.find(_.getTimestamp(7) == Timestamp.valueOf("2024-05-01 10:00:00"))
+    assert(hour10.isDefined, "10:00 window must be closed by the 12:30 watermark advance")
+    val r = hour10.get
+    assert(r.getLong(1) === 700L, "open = event_id 1 (tie broken by id), not event_id 2")
+    assert(r.getLong(2) === 700L && r.getLong(3) === 100L)
+    assert(r.getLong(4) === 300L, "close = 10:59:59 event")
+    assert(r.getLong(5) === 4L && r.getLong(6) === 1600L)
+  }
+
   test("late rows beyond the watermark are dropped from append-mode windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
