@@ -552,6 +552,23 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Cluster-size distribution over the near-dup graph — the shape
+    * report a dedup run is judged by (a giant component means the
+    * threshold is too loose; all-singletons means it found nothing):
+    * per cluster size, how many clusters and how many documents. Two
+    * tiny aggregates over [[clusters]]' labels; the iterative CC pass
+    * dominates, the histogram is free.
+    */
+  def clusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    clusters(spark, dir)
+      .groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy($"cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum($"cluster_size").as("n_docs"))
+      .orderBy($"cluster_size")
+  }
+
   /** Documents that must share a chunk before it counts as boilerplate
     * for [[boilerplateStrip]].
     */
@@ -849,6 +866,7 @@ object Dedup {
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "dedup_clusters" -> ((s: SparkSession, d: String) => clusters(s, d)),
+    "dedup_cluster_sizes" -> clusterSizes _,
     "dedup_chunks" -> chunkDedup _,
     "dedup_chunk_apply" -> chunkDedupApply _,
     "dedup_boilerplate" -> ((s: SparkSession, d: String) => boilerplateStrip(s, d)),
@@ -877,6 +895,23 @@ object Dedup {
       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx)""".stripMargin
 
   private val shingleCte = shingleCteOver("documents")
+
+  /** Min-label walk from the minhash candidate pairs to per-doc
+    * cluster labels — shared by the `dedup_clusters` and
+    * `dedup_cluster_sizes` oracles (must follow `minhashPairsCte`
+    * under WITH RECURSIVE).
+    */
+  private val clusterLabelsCte =
+    s"""sel AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= $ClusterThreshold),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM sel
+      |          UNION ALL SELECT doc_b, doc_a FROM sel),
+      |docs0 AS (SELECT doc_id FROM toks WHERE len(t) >= 3),
+      |walk(doc_id, label, depth) AS (
+      |  SELECT doc_id, doc_id, 0 FROM docs0
+      |  UNION
+      |  SELECT e.dst, w.label, w.depth + 1
+      |  FROM walk w JOIN edges e ON e.src = w.doc_id WHERE w.depth < $ClusterMaxHops),
+      |labels AS (SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY 1)""".stripMargin
 
   /** Shared signature CTE for the two simhash oracles, over the same
     * shingle features as the engine. The sums are CAST back to BIGINT
@@ -1097,18 +1132,16 @@ object Dedup {
         |SELECT doc_a, doc_b, est_jaccard FROM est ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $minhashPairsCte,
-        |sel AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= $ClusterThreshold),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM sel
-        |          UNION ALL SELECT doc_b, doc_a FROM sel),
-        |docs0 AS (SELECT doc_id FROM toks WHERE len(t) >= 3),
-        |walk(doc_id, label, depth) AS (
-        |  SELECT doc_id, doc_id, 0 FROM docs0
-        |  UNION
-        |  SELECT e.dst, w.label, w.depth + 1
-        |  FROM walk w JOIN edges e ON e.src = w.doc_id WHERE w.depth < $ClusterMaxHops),
-        |labels AS (SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY 1)
+        |$clusterLabelsCte
         |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_keeper
         |FROM labels ORDER BY doc_id""".stripMargin,
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+        |$clusterLabelsCte,
+        |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |       CAST(sum(cluster_size) AS BIGINT) AS n_docs
+        |FROM sizes GROUP BY 1 ORDER BY cluster_size""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $simhashCte
         |SELECT doc_id, simhash_hi, simhash_lo, bucket16

@@ -276,6 +276,35 @@ object TimeSeries {
       .orderBy($"event_id")
   }
 
+  /** SCD2 (slowly-changing-dimension) enrichment — the warehouse verb
+    * behind "join each fact to the dimension VERSION that was valid at
+    * event time": customer versions carry a `valid_from`, and each
+    * event picks the latest version with `valid_from <= ts` via the
+    * SAME one-shuffle as-of machinery as [[asofJoin]] (an SCD2 validity
+    * table partitions time per key, so as-of ≡ between-validity). The
+    * version table is synthesized deterministically (3 versions per
+    * customer, spacing and segment derived from c_custkey) so the
+    * DuckDB oracle rebuilds it and replays the join with its native
+    * ASOF LEFT JOIN — cross-checking our union+last(ignoreNulls)
+    * implementation against an independent engine's as-of semantics.
+    */
+  def scd2Enrich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val versions = Tables.load(spark, dir, "customer")
+      .select($"c_custkey".as("user_id"),
+        explode(expr("sequence(0, 2)")).as("version"))
+      .select($"user_id", $"version".cast("long").as("version"))
+      .withColumn("valid_from", expr(
+        """CAST('2024-01-01 00:00:00' AS TIMESTAMP_NTZ)
+          |  + make_interval(0, 0, 0, CAST(version * (user_id % 30 + 10) AS INT), 0, 0, 0)""".stripMargin))
+      .withColumn("segment", expr("concat('seg', CAST((user_id + version) % 5 AS STRING))"))
+    val events = Tables.load(spark, dir, "events")
+      .select($"event_id", $"user_id", $"ts")
+    asofJoin(events, versions, "user_id", "ts", "valid_from", "version")
+      .select($"event_id", $"user_id", $"segment", $"version")
+      .orderBy($"event_id")
+  }
+
   /** OHLC resampling — the downsampling verb every time-series store
     * ships (candles for dashboards, minute→hour compaction for
     * retention): per (event_type, hour) the opening / highest / lowest
@@ -308,6 +337,7 @@ object TimeSeries {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2_join" -> scd2Enrich _,
     "q_ohlc" -> ohlcHourly _,
     "q_asof_join" -> asofLastClick _,
     "q_asof_forward" -> asofNextClick _,
@@ -318,6 +348,19 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scd2_join" ->
+      """WITH v AS (
+        |  SELECT c_custkey AS user_id,
+        |         CAST(ver AS BIGINT) AS version,
+        |         TIMESTAMP '2024-01-01 00:00:00'
+        |           + to_days(CAST(ver * (c_custkey % 30 + 10) AS INT)) AS valid_from,
+        |         'seg' || CAST((c_custkey + ver) % 5 AS VARCHAR) AS segment
+        |  FROM customer
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS ver) t)
+        |SELECT e.event_id, e.user_id, v.segment, v.version
+        |FROM events e ASOF LEFT JOIN v
+        |  ON e.user_id = v.user_id AND v.valid_from <= e.ts
+        |ORDER BY e.event_id""".stripMargin,
     "q_ohlc" ->
       """WITH b AS (
         |  SELECT event_type,

@@ -324,6 +324,17 @@ class ExtensionSpec extends SparkSpec {
     assert(rows.exists(_.getBoolean(3)) && rows.exists(!_.getBoolean(3)))
   }
 
+  test("cluster size distribution partitions the corpus and matches the labels") {
+    val labels = Dedup.clusters(spark, dir).collect().map(_.getLong(1))
+    val expected = labels.groupBy(identity).values.map(_.length)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = Dedup.clusterSizes(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(t => t._1 -> t._2).toMap === expected.map { case (k, v) => k.toLong -> v })
+    rows.foreach { case (size, n, docs) => assert(docs === size * n) }
+    assert(rows.map(_._3).sum === labels.length.toLong, "distribution partitions the corpus")
+  }
+
   test("cms estimate equals a driver-rebuilt sketch and never underestimates") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))

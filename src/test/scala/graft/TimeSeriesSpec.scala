@@ -310,6 +310,30 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("scd2Enrich picks the version valid at event time for every event") {
+    import spark.implicits._
+    val base = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    val dayUs = 86400000000L
+    val got = TimeSeries.scd2Enrich(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val events = graft.engine.Tables.load(spark, dir, "events")
+      .select($"event_id", $"user_id",
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === events.length, "LEFT semantics: every event survives")
+    val byId = got.map(t => t._1 -> t).toMap
+    events.foreach { case (id, user, tsMs) =>
+      val spacing = (user % 30 + 10) * dayUs
+      val elapsed = tsMs - base
+      val version = math.min(2L, math.max(0L, elapsed / spacing))
+      if (elapsed >= 0) {
+        assert(byId(id)._4 === version, s"event $id version")
+        assert(byId(id)._3 === s"seg${(user + version) % 5}", s"event $id segment")
+      }
+    }
+  }
+
   test("ohlcHourly equals a driver recompute with deterministic open/close election") {
     import spark.implicits._
     val ev = graft.engine.Tables.load(spark, dir, "events")
