@@ -112,8 +112,40 @@ object Pipeline {
     counts.reduce(_ unionAll _).orderBy($"stage_id")
   }
 
+  /** The DAILY-INGEST twin of [[funnel]] — what actually runs once a
+    * corpus exists: only the incoming batch (odd doc_ids stand in for
+    * "today's crawl") flows through the stages, and exact dedup
+    * becomes `Dedup.incremental` against the persisted fingerprint
+    * store (even doc_ids) — history is never rescanned. Quality
+    * verdicts and the benchmark fingerprint set are per-doc /
+    * corpus-global respectively, so batch semi-joins reuse them
+    * unchanged. Output is the batch funnel: how much of today's crawl
+    * survived each gate.
+    */
+  def incrementalFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val d = graft.engine.Tables.load(spark, dir, "documents")
+    val batch = d.filter($"doc_id" % 2 === 1).cache()
+    val q = TextAnalysis.filterDocs(spark, dir).filter($"keep").select($"doc_id")
+    val s1 = batch.join(q, Seq("doc_id"), "left_semi").cache()
+    val store = d.filter($"doc_id" % 2 === 0).select(md5($"text").as("fingerprint"))
+    val novel = Dedup.incremental(store, s1.select($"doc_id", $"text")).select($"doc_id")
+    val s2 = s1.join(novel, Seq("doc_id"), "left_semi").cache()
+    val s3 = s2.join(Corpus.clean(spark, dir).select($"doc_id"),
+      Seq("doc_id"), "left_semi").cache()
+    val st = Seq("batch" -> batch, "quality_filter" -> s1,
+      "incremental_dedup" -> s2, "decontaminate" -> s3)
+    val counts = st.zipWithIndex.map { case ((name, df), i) =>
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(i.toLong).as("stage_id"), lit(name).as("stage"), $"n_docs")
+    }
+    counts.reduce(_ unionAll _).orderBy($"stage_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_funnel" -> funnel _,
+    "pipeline_incremental" -> incrementalFunnel _,
     "pipeline_packed" -> ((s: SparkSession, d: String) => packed(stages(s, d).last._2)),
   )
 
@@ -121,14 +153,11 @@ object Pipeline {
     * stages in DuckDB SQL (quality rules, min-doc_id keeper election,
     * head-fingerprint decontam, content-hash stratification).
     */
-  private val stageCtes = {
-    import TextAnalysis.{MinWords, MaxDupRatio, MaxTopBigramRatio}
-    import Corpus.BenchMod
-    // 16-bit content-hash bucket, nibble arithmetic (no conv() in DuckDB)
-    val hb = "(" + (0 until 4).map(i =>
-      s"(strpos('0123456789abcdef', substr(md5(text), ${i + 1}, 1)) - 1) * ${1 << (4 * (3 - i))}")
-      .mkString(" + ") + ")"
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  /** Quality-signal CTE chain (w → sig) shared by every pipeline
+    * oracle.
+    */
+  private val qualitySigCtes =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |base AS (SELECT doc_id, len(t) AS n_words, len(list_distinct(t)) AS n_distinct FROM w),
       |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
       |         i -> t[i] || ' ' || t[i + 1])) AS bigram
@@ -139,7 +168,16 @@ object Pipeline {
       |  SELECT b.doc_id, b.n_words,
       |         (b.n_words - b.n_distinct) * 1.0 / b.n_words AS dup_ratio,
       |         t.top_c * 1.0 / (b.n_words - 1) AS bigram_ratio
-      |  FROM base b LEFT JOIN tops t USING (doc_id)),
+      |  FROM base b LEFT JOIN tops t USING (doc_id))""".stripMargin
+
+  private val stageCtes = {
+    import TextAnalysis.{MinWords, MaxDupRatio, MaxTopBigramRatio}
+    import Corpus.BenchMod
+    // 16-bit content-hash bucket, nibble arithmetic (no conv() in DuckDB)
+    val hb = "(" + (0 until 4).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5(text), ${i + 1}, 1)) - 1) * ${1 << (4 * (3 - i))}")
+      .mkString(" + ") + ")"
+    s"""WITH $qualitySigCtes,
       |s1 AS (SELECT d.* FROM documents d JOIN sig USING (doc_id)
       |       WHERE sig.n_words >= $MinWords AND sig.dup_ratio < $MaxDupRatio
       |         AND sig.bigram_ratio < $MaxTopBigramRatio),
@@ -178,6 +216,34 @@ object Pipeline {
           |  UNION ALL SELECT 4, 'stratify', count(*) FROM s4
           |  UNION ALL SELECT 5, 'packed', count(*) FROM s4
           |) ORDER BY stage_id""".stripMargin,
+      "pipeline_incremental" -> {
+        import TextAnalysis.{MinWords, MaxDupRatio, MaxTopBigramRatio}
+        import Corpus.BenchMod
+        s"""WITH $qualitySigCtes,
+          |batch AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+          |s1 AS (SELECT b.* FROM batch b JOIN sig USING (doc_id)
+          |       WHERE sig.n_words >= $MinWords AND sig.dup_ratio < $MaxDupRatio
+          |         AND sig.bigram_ratio < $MaxTopBigramRatio),
+          |store AS (SELECT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
+          |novel AS (SELECT min(doc_id) AS doc_id FROM
+          |            (SELECT doc_id, md5(text) AS fp FROM s1) k
+          |          WHERE fp NOT IN (SELECT fp FROM store) GROUP BY fp),
+          |s2 AS (SELECT * FROM s1 WHERE doc_id IN (SELECT doc_id FROM novel)),
+          |heads AS (SELECT doc_id,
+          |            md5(array_to_string((string_split(text, ' '))[1:5], ' ')) AS head_md5
+          |          FROM documents),
+          |bench AS (SELECT head_md5 FROM heads WHERE doc_id % $BenchMod = 0),
+          |cleanset AS (SELECT doc_id FROM heads
+          |             WHERE doc_id % $BenchMod <> 0
+          |               AND head_md5 NOT IN (SELECT head_md5 FROM bench)),
+          |s3 AS (SELECT * FROM s2 WHERE doc_id IN (SELECT doc_id FROM cleanset))
+          |SELECT * FROM (
+          |  SELECT CAST(0 AS BIGINT) AS stage_id, 'batch' AS stage, count(*) AS n_docs FROM batch
+          |  UNION ALL SELECT 1, 'quality_filter', count(*) FROM s1
+          |  UNION ALL SELECT 2, 'incremental_dedup', count(*) FROM s2
+          |  UNION ALL SELECT 3, 'decontaminate', count(*) FROM s3
+          |) ORDER BY stage_id""".stripMargin
+      },
       "pipeline_packed" ->
         s"""$stageCtes,
           |toks AS (SELECT doc_id, lang, source, text,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -349,7 +349,54 @@ object Similarity {
       .orderBy($"vec_id", $"dim")
   }
 
+  /** Asymmetric search over QUANTIZED codes — the memory-bandwidth
+    * shape a billion-vector scan actually runs (scalar-quantization
+    * analog of a PQ/ADC pass): every vector is reduced to its int8
+    * codes ([[quantize]]'s exact formula) and ranking is the INTEGER
+    * dot product of code arrays — ¼ the bytes of float64 per scanned
+    * vector and a cross-engine-exact score (no float summation order
+    * anywhere). The per-dim (min, max) quantization model is collected
+    * to the driver — 2×64 doubles, model metadata exactly like the IVF
+    * centroid literals — and re-enters the plan as array literals, so
+    * code computation is a pure codegen'd map-side projection; the
+    * q×n loop is a tiny-query-side broadcast join. The ranking lives
+    * in the per-dim min-max-normalized space (the quantizer's
+    * codomain); the spec pins every score to a driver-side recompute.
+    */
+  def sqTopK(spark: SparkSession, dir: String,
+      numQueries: Int = NumQueries, k: Int = TopK): DataFrame = {
+    import spark.implicits._
+    val e0 = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", Vectors.toDouble($"embedding").as("emb"))
+    val stats = e0.select(posexplode($"emb").as(Seq("dim", "x")))
+      .groupBy($"dim").agg(min($"x").as("mn"), max($"x").as("mx"))
+      .collect().sortBy(_.getInt(0))
+    val mns = lit(stats.map(_.getDouble(1)))
+    val mxs = lit(stats.map(_.getDouble(2)))
+    def codes(embC: Column): Column =
+      transform(sequence(lit(0), lit(stats.length - 1)), i => {
+        val x = element_at(embC, i + 1)
+        val mn = element_at(mns, i + 1)
+        val mx = element_at(mxs, i + 1)
+        when(mx === mn, lit(0L))
+          .otherwise(least(floor((x - mn) * 255.0 / (mx - mn)), lit(255.0)).cast("long"))
+      })
+    val e = e0.select($"vec_id", codes($"emb").as("vc"))
+    val q = e.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("q_id"), $"vc".as("qc"))
+    q.join(e, $"vec_id" =!= $"q_id")
+      .withColumn("score", expr(
+        "aggregate(zip_with(qc, vc, (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x)"))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id"))
+          .cast("long"))
+      .filter($"rnk" <= k)
+      .select($"q_id", $"vec_id", $"score", $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_sq_topk" -> ((s: SparkSession, d: String) => sqTopK(s, d)),
     "emb_quantize" -> quantize _,
     "ann_cosine_topk" -> cosineTopK _,
     "ann_lsh_topk" -> ((s: SparkSession, d: String) => lshTopK(s, d)),
@@ -358,6 +405,30 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "ann_sq_topk" ->
+      """WITH d AS (
+        |  SELECT i - 1 AS dim,
+        |         min(CAST(embedding[i] AS DOUBLE)) AS mn,
+        |         max(CAST(embedding[i] AS DOUBLE)) AS mx
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+        |  GROUP BY 1),
+        |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |pairs AS (SELECT q_id, e.vec_id, qe, e.embedding AS ve
+        |          FROM q, embeddings e WHERE e.vec_id <> q_id),
+        |flat AS (SELECT p.q_id, p.vec_id,
+        |           CASE WHEN mx = mn THEN 0
+        |                ELSE CAST(least(floor((CAST(qe[d.dim + 1] AS DOUBLE) - mn) * 255.0
+        |                                      / (mx - mn)), 255.0) AS BIGINT) END AS cq,
+        |           CASE WHEN mx = mn THEN 0
+        |                ELSE CAST(least(floor((CAST(ve[d.dim + 1] AS DOUBLE) - mn) * 255.0
+        |                                      / (mx - mn)), 255.0) AS BIGINT) END AS cv
+        |         FROM pairs p CROSS JOIN d),
+        |s AS (SELECT q_id, vec_id, CAST(sum(cq * cv) AS BIGINT) AS score
+        |      FROM flat GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |        ORDER BY score DESC, vec_id) AS BIGINT) AS rnk FROM s)
+        |SELECT q_id, vec_id, score, rnk FROM r WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin,
     "emb_quantize" ->
       """WITH d AS (
         |  SELECT i - 1 AS dim,

@@ -324,6 +324,33 @@ class ExtensionSpec extends SparkSpec {
     assert(rows.exists(_.getBoolean(3)) && rows.exists(!_.getBoolean(3)))
   }
 
+  test("quantized ANN scores equal a driver recompute of the integer code dot") {
+    val vecs = graft.engine.Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val dims = vecs.values.head.length
+    val mns = (0 until dims).map(i => vecs.values.map(_(i)).min)
+    val mxs = (0 until dims).map(i => vecs.values.map(_(i)).max)
+    def codes(v: Array[Double]): Array[Long] =
+      (0 until dims).map { i =>
+        if (mxs(i) == mns(i)) 0L
+        else math.min(math.floor((v(i) - mns(i)) * 255.0 / (mxs(i) - mns(i))), 255.0).toLong
+      }.toArray
+    val coded = vecs.view.mapValues(codes).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val expected = (0L until 5L).flatMap { q =>
+      coded.keys.filter(_ != q).toSeq
+        .map(v => (q, v, dot(coded(q), coded(v))))
+        .sortBy { case (_, v, s) => (-s, v) }.take(5).zipWithIndex
+        .map { case ((_, v, s), i) => (q, v, s, i + 1L) }
+    }.toSet
+    val got = Similarity.sqTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+  }
+
   test("cluster size distribution partitions the corpus and matches the labels") {
     val labels = Dedup.clusters(spark, dir).collect().map(_.getLong(1))
     val expected = labels.groupBy(identity).values.map(_.length)

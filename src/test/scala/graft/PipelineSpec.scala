@@ -70,4 +70,30 @@ class PipelineSpec extends SparkSpec {
     assert(packed.exists { case (id, b) => b < full(id) },
       "expected at least one batch id to compact after upstream drops")
   }
+
+  test("incremental funnel composes the oracle-checked stage operators exactly") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val d = graft.engine.Tables.load(spark, dir, "documents")
+    val rows = Pipeline.incrementalFunnel(spark, dir).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(rows.keySet === Set("batch", "quality_filter", "incremental_dedup", "decontaminate"))
+    // stage 0: the incoming batch is exactly the odd half
+    assert(rows("batch") === d.filter($"doc_id" % 2 === 1).count())
+    // stage 1: batch ∩ quality keepers
+    val keep = graft.operators.TextAnalysis.filterDocs(spark, dir)
+      .filter($"keep").select($"doc_id")
+    val s1 = d.filter($"doc_id" % 2 === 1).join(keep, Seq("doc_id"), "left_semi")
+    assert(rows("quality_filter") === s1.count())
+    // stage 2: survivors novel vs the even-half store (same counts as
+    // the independently-tested Dedup.incremental)
+    val store = d.filter($"doc_id" % 2 === 0).select(md5($"text").as("fingerprint"))
+    val novel = graft.operators.Dedup.incremental(store, s1.select($"doc_id", $"text"))
+    assert(rows("incremental_dedup") === novel.count())
+    // monotone funnel
+    assert(rows("batch") >= rows("quality_filter") &&
+      rows("quality_filter") >= rows("incremental_dedup") &&
+      rows("incremental_dedup") >= rows("decontaminate"))
+    assert(rows("decontaminate") > 0)
+  }
 }
