@@ -147,6 +147,30 @@ object WindowedEvents {
       .orderBy($"user_id")
   }
 
+  /** Weekly cohort retention — the classic product-analytics matrix
+    * (cohort = the week of a user's FIRST event; cell (cohort, k) =
+    * distinct users of that cohort active k weeks later). Weeks are
+    * exact integer indices (`unix_micros div µs-per-week`), so every
+    * cell is engine-exact. Shapes: user-keyed min for the cohort, the
+    * distinct (user, week) activity set, one user-keyed join
+    * (co-partitioned with the first aggregate's exchange), and the
+    * final (cohort, offset)-keyed countDistinct — nothing bounded-key,
+    * no window, no driver state.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weeks = Tables.load(spark, dir, "events")
+      .select($"user_id",
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 604800000000").as("week"))
+    val first = weeks.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+    weeks.distinct()
+      .join(first, "user_id")
+      .withColumn("week_offset", $"week" - $"cohort_week")
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
   /** Per-user journey cap: a degenerate power-user key must not
     * materialise an unbounded array in one task, so [[eventPaths]]
     * only ever collects the first MaxPathEvents events of a user (the
@@ -189,6 +213,7 @@ object WindowedEvents {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_user_first_last" -> userFirstLast _,
+    "q_retention" -> retentionCohorts _,
     "q_event_paths" -> eventPaths _,
     "q_sessionize" -> sessionize _,
     "s_session_window" -> sessionWindow _,
@@ -211,6 +236,14 @@ object WindowedEvents {
       |      FROM w)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_retention" ->
+      """WITH w AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, week FROM w)
+        |SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+        |       count(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
     "q_user_first_last" ->
       """SELECT user_id, count(*) AS n_events,
         |       arg_min(event_type, ts) AS first_type,

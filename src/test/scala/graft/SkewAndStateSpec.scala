@@ -65,6 +65,20 @@ class SkewAndStateSpec extends SparkSpec {
     }
   }
 
+  test("retention cohorts equal a driver recompute over (user, week)") {
+    val pairs = graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .selectExpr("user_id", "unix_micros(CAST(ts AS TIMESTAMP)) div 604800000000 AS week")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val cohort = pairs.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expected = pairs.groupBy { case (u, w) => (cohort(u), w - cohort(u)) }
+      .view.mapValues(_.map(_._1).distinct.size.toLong).toMap
+    val got = graft.operators.WindowedEvents.retentionCohorts(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+    // offset 0 exists for every cohort (the cohort's own first week)
+    got.keys.map(_._1).foreach(c => assert(got.contains((c, 0L))))
+  }
+
   test("salted count equals plain groupBy count") {
     import spark.implicits._
     val df = (1 to 5000).map(i => if (i % 10 == 0) s"k${i % 50}" else "hot")
