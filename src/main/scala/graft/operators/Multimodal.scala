@@ -206,6 +206,55 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Blocks in the [[aHash]] signature (mirrored in the oracle SQL). */
+  val AHashBlocks = 16
+
+  /** Blockwise average-hash — PERCEPTUAL dedup for opaque media
+    * columns WITHOUT any decode (the aHash idea applied to raw bytes):
+    * the payload is cut into [[AHashBlocks]] balanced byte blocks,
+    * each block's mean is compared to the payload mean, and the 16
+    * above/below bits form the signature; payloads sharing a signature
+    * are near-dup candidates (robust to localized byte edits in ways
+    * md5 structurally is not). The comparison is cross-multiplied
+    * integer sums (`blocksum·n > total·blockcnt`) — no division, no
+    * doubles, so the oracle replays it bit-for-bit.
+    *
+    * Shape: one byte explode (the charDiversity precedent — exploded
+    * ints ride vectorized hash aggregates; HOF folds with struct state
+    * measured 2× slower), then doc-keyed aggregates and a
+    * signature-keyed count join — every shuffle keys on doc_id or the
+    * signature, both data-scaled.
+    */
+  def aHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bytes = Tables.load(spark, dir, "documents")
+      .select($"doc_id", octet_length($"text").cast("long").as("n"),
+        posexplode(expr(
+          "slice(transform(sequence(1, greatest(length(text), 1)), i -> ascii(substr(text, i, 1))), 1, length(text))"))
+          .as(Seq("idx", "byte")))
+    val blocks = bytes
+      .withColumn("block", expr(s"(idx * $AHashBlocks) div n"))
+      .groupBy($"doc_id", $"n", $"block")
+      .agg(sum($"byte").as("bsum"), count(lit(1)).as("bcnt"))
+    val sig = blocks
+      .groupBy($"doc_id", $"n")
+      .agg(sum($"bsum").as("total"),
+        collect_list(struct($"block", $"bsum", $"bcnt")).as("bs"))
+      // DECIMAL before multiplying (the trendSlope wrap lesson):
+      // bsum·n ≈ 127·len² passes 2⁶³ near gigabyte payloads
+      .withColumn("ahash", expr(
+        """aggregate(bs, CAST(0 AS BIGINT),
+          |  (acc, x) -> acc + CASE WHEN CAST(x.bsum AS DECIMAL(19,0)) * n
+          |                              > CAST(total AS DECIMAL(19,0)) * x.bcnt
+          |                         THEN shiftleft(CAST(1 AS BIGINT), CAST(x.block AS INT))
+          |                         ELSE CAST(0 AS BIGINT) END)""".stripMargin))
+      .select($"doc_id", $"ahash")
+    val groups = sig.groupBy($"ahash").agg(count(lit(1)).as("n_sharing"))
+    sig.join(groups, "ahash")
+      .select($"doc_id", $"ahash", $"n_sharing")
+      .orderBy($"doc_id")
+  }
+
   /** Media-feature ANN: the decode seam's 8-dim feature vectors fed
     * straight into the generic exact cosine top-k — the end-to-end
     * multimodal story (binary payload → partition-wise decode →
@@ -227,10 +276,32 @@ object Multimodal {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_stats" -> binaryStats _,
+    "mm_ahash" -> aHash _,
     "mm_feature_topk" -> mediaFeatureTopK _,
   )
 
   val oracle: Map[String, String] = Map(
+    "mm_ahash" ->
+      s"""WITH b AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n,
+        |         unnest(generate_series(0, length(text) - 1)) AS idx,
+        |         unnest(list_transform(generate_series(1, length(text)),
+        |           i -> ord(substr(text, i, 1)))) AS byte
+        |  FROM documents),
+        |blk AS (SELECT doc_id, n, (idx * $AHashBlocks) // n AS block,
+        |          CAST(sum(byte) AS BIGINT) AS bsum, count(*) AS bcnt
+        |        FROM b GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, CAST(sum(bsum) AS BIGINT) AS total FROM blk GROUP BY 1),
+        |sig AS (SELECT blk.doc_id,
+        |          CAST(sum(CASE WHEN CAST(bsum AS HUGEINT) * blk.n
+        |                             > CAST(total AS HUGEINT) * bcnt
+        |                        THEN (CAST(1 AS BIGINT) << CAST(block AS INT))
+        |                        ELSE 0 END) AS BIGINT) AS ahash
+        |        FROM blk JOIN tot USING (doc_id) GROUP BY 1),
+        |g AS (SELECT ahash, count(*) AS n_sharing FROM sig GROUP BY 1)
+        |SELECT doc_id, ahash, n_sharing
+        |FROM sig JOIN g USING (ahash)
+        |ORDER BY doc_id""".stripMargin,
     "mm_binary_stats" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -148,4 +148,31 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter("media_id = 1").count() === 0)
     assert(frames.filter("media_id = 2").count() === 2)
   }
+
+  test("blockwise aHash equals a driver recompute over the raw bytes") {
+    val texts = graft.engine.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ref(t: String): Long = {
+      val bytes = t.getBytes("UTF-8").map(_.toLong & 0xff)
+      val n = bytes.length.toLong
+      val blocks = bytes.zipWithIndex
+        .groupBy { case (_, i) => i.toLong * Multimodal.AHashBlocks / n }
+      val total = bytes.sum
+      blocks.collect {
+        case (b, bs) if BigInt(bs.map(_._1).sum) * n > BigInt(total) * bs.length => 1L << b.toInt
+      }.sum
+    }
+    val expected = texts.view.mapValues(ref).toMap
+    val sharing = expected.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Multimodal.aHash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === texts.size)
+    got.foreach { case (id, h, ns) =>
+      assert(h === expected(id), s"ahash for doc $id")
+      assert(ns === sharing(h), s"sharing count for doc $id")
+    }
+    // the signature is 16-bit-bounded
+    got.foreach { case (_, h, _) => assert(h >= 0L && h < 65536L) }
+  }
 }
