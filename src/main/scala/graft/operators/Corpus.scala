@@ -319,6 +319,27 @@ object Corpus {
       .orderBy($"source", $"lang", $"rn")
   }
 
+  /** Deterministic global SHUFFLE order — the "randomize the corpus
+    * for training" verb, reproducibly: the order key is the 16-bit
+    * content-hash bucket (then doc_id), so the permutation is
+    * rerun-stable, engine-replayable, content-keyed (a rerun after an
+    * upstream fix shuffles identically), and hash-uniform — the
+    * statistical shuffle quality SGD needs without any rand(). The
+    * contiguous 1-based position comes from `Ranking.globalRowNumber`
+    * (quantile buckets + broadcast offsets — never an unpartitioned
+    * window over the corpus).
+    */
+  def shuffleOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = docs(spark, dir)
+      .select($"doc_id", hashBucket.as("hb"))
+    Ranking.globalRowNumber(keyed, "shuffle_pos", buckets = 32,
+      bucketCol = "hb", ascending = true,
+      $"hb", $"doc_id")
+      .select($"doc_id", $"hb", $"shuffle_pos")
+      .orderBy($"shuffle_pos")
+  }
+
   /** Near-dup similarity floor for the [[leakage]] audit. */
   val LeakJaccard = 0.5
 
@@ -395,6 +416,7 @@ object Corpus {
     "corpus_leakage" -> leakage _,
     "corpus_diff" -> snapshotDiffHalves _,
     "corpus_manifest" -> manifest _,
+    "corpus_shuffle" -> shuffleOrder _,
     "corpus_group_sample" -> ((s: SparkSession, d: String) => groupSample(s, d)),
   )
 
@@ -416,6 +438,11 @@ object Corpus {
       .mkString(" + ") + ")"
 
   val oracle: Map[String, String] = Map(
+    "corpus_shuffle" ->
+      s"""WITH k AS (SELECT doc_id, $hbSql AS hb FROM documents)
+        |SELECT doc_id, hb,
+        |       CAST(row_number() OVER (ORDER BY hb, doc_id) AS BIGINT) AS shuffle_pos
+        |FROM k ORDER BY shuffle_pos""".stripMargin,
     "corpus_manifest" ->
       s"""WITH d AS (SELECT source, lang,
         |             len(string_split(text, ' ')) AS tok,

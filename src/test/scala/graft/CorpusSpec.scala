@@ -204,6 +204,20 @@ class CorpusSpec extends SparkSpec {
       "expected the rn <= k filter to push a WindowGroupLimit below the window")
   }
 
+  test("shuffle order is the exact (hash, doc_id) permutation with contiguous positions") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = graft.engine.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), java.lang.Long.parseLong(md5hex(r.getString(1)).substring(0, 4), 16)))
+    val expected = docs.sortBy { case (id, hb) => (hb, id) }.map(_._1).toSeq
+    val got = Corpus.shuffleOrder(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.map(_._2).toSeq === (1L to docs.length).toSeq, "positions are contiguous from 1")
+    assert(got.sortBy(_._2).map(_._1).toSeq === expected, "permutation matches (hash, id) order")
+  }
+
   test("contamination never flags benchmark docs and only flags true head collisions") {
     val heads = graft.engine.Tables.load(spark, dir, "documents")
       .selectExpr("doc_id", "md5(array_join(slice(split(text, ' '), 1, 5), ' ')) AS h")
