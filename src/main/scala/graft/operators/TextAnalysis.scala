@@ -86,6 +86,27 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Marker sets for the language-ID heuristic (shared with the
+    * oracle SQL and the mixed-language detector).
+    */
+  val EnMarkers = Seq("the", "a", "of", "and")
+  val DeMarkers = Seq("der", "die", "das", "und")
+  val EsMarkers = Seq("el", "la", "los", "y")
+
+  /** Marker-overlap score of the token-array expression `tExpr`. */
+  private def markerScore(tExpr: String, markers: Seq[String]): org.apache.spark.sql.Column = {
+    val arr = markers.map(m => s"'$m'").mkString(", ")
+    expr(s"CAST(size(filter(array_distinct($tExpr), x -> array_contains(array($arr), x))) AS BIGINT)")
+  }
+
+  /** Fixed-precedence argmax over three score columns. */
+  private def predictLang(en: org.apache.spark.sql.Column, de: org.apache.spark.sql.Column,
+      es: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(en >= de && en >= es && en > 0, "en")
+      .when(de >= es && de > 0, "de")
+      .when(es > 0, "es")
+      .otherwise("und")
+
   /** Language-ID heuristic: distinct-token overlap against per-language
     * marker sets, argmax with a fixed precedence order. (The testdata's
     * `lang` column is random relative to its synthetic text, so this is
@@ -93,21 +114,37 @@ object TextAnalysis {
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def score(markers: Seq[String]): org.apache.spark.sql.Column = {
-      val arr = markers.map(m => s"'$m'").mkString(", ")
-      expr(s"CAST(size(filter(array_distinct(t), x -> array_contains(array($arr), x))) AS BIGINT)")
-    }
     docs(spark, dir)
       .select($"doc_id", tok.as("t"))
       .select($"doc_id",
-        score(Seq("the", "a", "of", "and")).as("s_en"),
-        score(Seq("der", "die", "das", "und")).as("s_de"),
-        score(Seq("el", "la", "los", "y")).as("s_es"))
-      .withColumn("predicted_lang",
-        when($"s_en" >= $"s_de" && $"s_en" >= $"s_es" && $"s_en" > 0, "en")
-          .when($"s_de" >= $"s_es" && $"s_de" > 0, "de")
-          .when($"s_es" > 0, "es")
-          .otherwise("und"))
+        markerScore("t", EnMarkers).as("s_en"),
+        markerScore("t", DeMarkers).as("s_de"),
+        markerScore("t", EsMarkers).as("s_es"))
+      .withColumn("predicted_lang", predictLang($"s_en", $"s_de", $"s_es"))
+      .orderBy($"doc_id")
+  }
+
+  /** Mixed-language detection — the segmentation pre-check a
+    * multilingual pipeline runs before per-language routing: language
+    * is predicted INDEPENDENTLY for each half of the document, and a
+    * document whose halves disagree (both confidently non-und) is
+    * flagged for splitting rather than routed whole. Same marker
+    * scoring as [[langId]] over sliced token arrays — a pure
+    * projection, no shuffle.
+    */
+  def langMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id", tok.as("t"))
+      .withColumn("h1", expr("slice(t, 1, size(t) div 2)"))
+      .withColumn("h2", expr("slice(t, size(t) div 2 + 1, size(t) - size(t) div 2)"))
+      .select($"doc_id",
+        predictLang(markerScore("h1", EnMarkers), markerScore("h1", DeMarkers),
+          markerScore("h1", EsMarkers)).as("lang_a"),
+        predictLang(markerScore("h2", EnMarkers), markerScore("h2", DeMarkers),
+          markerScore("h2", EsMarkers)).as("lang_b"))
+      .withColumn("mixed",
+        $"lang_a" =!= $"lang_b" && $"lang_a" =!= "und" && $"lang_b" =!= "und")
       .orderBy($"doc_id")
   }
 
@@ -497,6 +534,7 @@ object TextAnalysis {
     "text_token_stats" -> tokenStats _,
     "text_quality" -> quality _,
     "text_lang_id" -> langId _,
+    "text_lang_mix" -> langMix _,
     "text_fingerprint" -> fingerprint _,
   )
 
@@ -508,7 +546,29 @@ object TextAnalysis {
       s"(strpos('0123456789abcdef', substr(md5($term), $row * 4 + ${j + 1}, 1)) - 1) * ${1 << (4 * (3 - j))}")
       .mkString(" + ") + s") % $CmsWidth)"
 
+  /** DuckDB spellings of the marker score and the precedence argmax. */
+  private def duckScore(tExpr: String, markers: Seq[String]): String =
+    s"CAST(len(list_filter(list_distinct($tExpr), x -> list_contains([${markers.map(m => s"'$m'").mkString(",")}], x))) AS BIGINT)"
+  private def duckPredict(tExpr: String): String = {
+    val (en, de, es) =
+      (duckScore(tExpr, EnMarkers), duckScore(tExpr, DeMarkers), duckScore(tExpr, EsMarkers))
+    s"""CASE WHEN $en >= $de AND $en >= $es AND $en > 0 THEN 'en'
+       |     WHEN $de >= $es AND $de > 0 THEN 'de'
+       |     WHEN $es > 0 THEN 'es'
+       |     ELSE 'und' END""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "text_lang_mix" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |h AS (SELECT doc_id, t[1:len(t)//2] AS h1, t[len(t)//2+1:len(t)] AS h2 FROM toks),
+        |p AS (SELECT doc_id,
+        |        ${duckPredict("h1")} AS lang_a,
+        |        ${duckPredict("h2")} AS lang_b
+        |      FROM h)
+        |SELECT doc_id, lang_a, lang_b,
+        |       (lang_a <> lang_b AND lang_a <> 'und' AND lang_b <> 'und') AS mixed
+        |FROM p ORDER BY doc_id""".stripMargin,
     "text_trigrams" ->
       s"""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
         |tg AS (SELECT unnest(list_transform(generate_series(1, len(t) - 2),

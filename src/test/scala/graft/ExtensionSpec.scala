@@ -324,6 +324,33 @@ class ExtensionSpec extends SparkSpec {
     assert(rows.exists(_.getBoolean(3)) && rows.exists(!_.getBoolean(3)))
   }
 
+  test("langMix equals a driver recompute of per-half marker argmax") {
+    def score(toks: Seq[String], markers: Seq[String]) =
+      toks.distinct.count(markers.contains)
+    def predict(toks: Seq[String]): String = {
+      val (en, de, es) = (score(toks, TextAnalysis.EnMarkers),
+        score(toks, TextAnalysis.DeMarkers), score(toks, TextAnalysis.EsMarkers))
+      if (en >= de && en >= es && en > 0) "en"
+      else if (de >= es && de > 0) "de"
+      else if (es > 0) "es"
+      else "und"
+    }
+    val texts = graft.engine.Tables.load(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextAnalysis.langMix(spark, dir).collect()
+    assert(rows.length === texts.size)
+    rows.foreach { r =>
+      val t = texts(r.getLong(0)).split(" ", -1).toSeq
+      val (h1, h2) = t.splitAt(t.length / 2)
+      assert(r.getString(1) === predict(h1), s"doc ${r.getLong(0)} first half")
+      assert(r.getString(2) === predict(h2), s"doc ${r.getLong(0)} second half")
+      assert(r.getBoolean(3) ===
+        (r.getString(1) != r.getString(2) && r.getString(1) != "und" && r.getString(2) != "und"))
+    }
+  }
+
   test("quantized ANN scores equal a driver recompute of the integer code dot") {
     val vecs = graft.engine.Tables.load(spark, dir, "embeddings")
       .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
