@@ -340,6 +340,27 @@ object Corpus {
       .orderBy($"shuffle_pos")
   }
 
+  /** MODEL-RANKED per-cell selection — [[groupSample]]'s quality twin
+    * (best-of-cell instead of uniform): keep the k highest classifier
+    * scores per (source, lang), tie-broken by doc_id — the "take the
+    * best N documents from every source" curation verb, with the model
+    * applied exactly as `TextAnalysis.classify` (broadcast weight
+    * table, integer dot product). The rank filter compiles to
+    * WindowGroupLimit like groupSample's, so cells pre-prune map-side.
+    */
+  def bestOfCell(spark: SparkSession, dir: String,
+      k: Int = GroupSampleK): DataFrame = {
+    import spark.implicits._
+    val scores = TextAnalysis.classifyDocs(spark, dir).select($"doc_id", $"score")
+    docs(spark, dir).select($"doc_id", $"source", $"lang")
+      .join(scores, "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"source", $"lang").orderBy($"score".desc, $"doc_id")).cast("long"))
+      .filter($"rn" <= k)
+      .select($"doc_id", $"source", $"lang", $"score", $"rn")
+      .orderBy($"source", $"lang", $"rn")
+  }
+
   /** Near-dup similarity floor for the [[leakage]] audit. */
   val LeakJaccard = 0.5
 
@@ -418,6 +439,7 @@ object Corpus {
     "corpus_manifest" -> manifest _,
     "corpus_shuffle" -> shuffleOrder _,
     "corpus_group_sample" -> ((s: SparkSession, d: String) => groupSample(s, d)),
+    "corpus_best_of_cell" -> ((s: SparkSession, d: String) => bestOfCell(s, d)),
   )
 
   /** DuckDB equivalent of [[hashBucket]]: nibble arithmetic over the
@@ -438,6 +460,22 @@ object Corpus {
       .mkString(" + ") + ")"
 
   val oracle: Map[String, String] = Map(
+    "corpus_best_of_cell" ->
+      s"""WITH wt AS (SELECT i AS bucket, i % 21 - 10 AS weight
+        |            FROM generate_series(0, ${TextAnalysis.ClassifierBuckets - 1}) t(i)),
+        |terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |b AS (SELECT doc_id,
+        |        CAST((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
+        |           + (strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) AS BIGINT) AS bucket
+        |      FROM terms),
+        |sc AS (SELECT doc_id, CAST(sum(weight) AS BIGINT) AS score
+        |       FROM b JOIN wt USING (bucket) GROUP BY 1),
+        |r AS (SELECT d.doc_id, d.source, d.lang, sc.score,
+        |        CAST(row_number() OVER (PARTITION BY d.source, d.lang
+        |             ORDER BY sc.score DESC, d.doc_id) AS BIGINT) AS rn
+        |      FROM documents d JOIN sc USING (doc_id))
+        |SELECT doc_id, source, lang, score, rn FROM r WHERE rn <= $GroupSampleK
+        |ORDER BY source, lang, rn""".stripMargin,
     "corpus_shuffle" ->
       s"""WITH k AS (SELECT doc_id, $hbSql AS hb FROM documents)
         |SELECT doc_id, hb,

@@ -411,6 +411,39 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Vocabulary sizes probed by [[vocabCoverage]] (mirrored in the
+    * oracle SQL). Must be ≤ [[VocabTopV]].
+    */
+  val CoveragePoints = Seq(50, 100, 200)
+
+  /** Vocabulary coverage curve — the tokenizer-design metric: what
+    * share of ALL corpus token occurrences do the top-V terms cover,
+    * for each probed V. One corpus-keyed term aggregate, a distributed
+    * TakeOrdered for the top-[[VocabTopV]], one bounded rank, then
+    * every probe point is a conditional sum over that V-row table —
+    * adding points costs aggregate columns, not passes (the
+    * histoQuantiles trick). Shares are exact ppm integers.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = docs(spark, dir).select(explode(tok).as("term"))
+    val total = terms.agg(count(lit(1)).as("total"))
+    val top = terms.groupBy($"term").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"term").limit(VocabTopV)
+    val ranked = Ranking.boundedRowNumber(top, "rank", $"cnt".desc, $"term")
+    val sums = CoveragePoints.map(v =>
+      sum(when($"rank" <= v, $"cnt")).as(s"c$v"))
+    ranked.agg(sums.head, sums.tail: _*)
+      .crossJoin(broadcast(total))
+      .select(expr(
+        s"stack(${CoveragePoints.length}, ${CoveragePoints.map(v => s"CAST($v AS BIGINT), c$v").mkString(", ")}) AS (v, covered)"),
+        $"total")
+      .withColumn("share_ppm",
+        expr("CAST(covered AS DECIMAL(19,0)) * 1000000 div total"))
+      .select($"v", $"covered", $"total", $"share_ppm")
+      .orderBy($"v")
+  }
+
   /** Trigrams kept by [[trigramTable]] (mirrored in the oracle SQL). */
   val TrigramTopN = 50
 
@@ -524,6 +557,7 @@ object TextAnalysis {
     "text_classifier" -> classifyDocs _,
     "text_cms" -> cmsEstimate _,
     "text_trigrams" -> trigramTable _,
+    "text_vocab_coverage" -> vocabCoverage _,
     "text_repetition" -> repetition _,
     "text_winnow" -> winnowFingerprint _,
     "text_top_terms" -> topTerms _,
@@ -559,6 +593,22 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "text_vocab_coverage" ->
+      s"""WITH terms AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |tot AS (SELECT count(*) AS total FROM terms),
+        |a AS (SELECT term, count(*) AS cnt FROM terms GROUP BY 1),
+        |top AS (SELECT *, CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS r
+        |        FROM (SELECT * FROM a ORDER BY cnt DESC, term LIMIT $VocabTopV)),
+        |c AS (SELECT ${CoveragePoints.map(v =>
+              s"CAST(sum(CASE WHEN r <= $v THEN cnt END) AS BIGINT) AS c$v").mkString(", ")}
+        |      FROM top)
+        |SELECT v, covered, total,
+        |       CAST((CAST(covered AS HUGEINT) * 1000000) // total AS BIGINT) AS share_ppm
+        |FROM (
+        |  ${CoveragePoints.map(v =>
+             s"SELECT CAST($v AS BIGINT) AS v, c$v AS covered, tot.total FROM c, tot")
+             .mkString("\n  UNION ALL ")}
+        |) ORDER BY v""".stripMargin,
     "text_lang_mix" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |h AS (SELECT doc_id, t[1:len(t)//2] AS h1, t[len(t)//2+1:len(t)] AS h2 FROM toks),

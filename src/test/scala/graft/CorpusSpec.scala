@@ -204,6 +204,22 @@ class CorpusSpec extends SparkSpec {
       "expected the rn <= k filter to push a WindowGroupLimit below the window")
   }
 
+  test("bestOfCell keeps the k highest classifier scores per cell") {
+    val scores = graft.operators.TextAnalysis.classifyDocs(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val cells = graft.engine.Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = cells.groupBy(t => (t._2, t._3)).toSeq.flatMap { case (cell, ds) =>
+      ds.toSeq.sortBy(d => (-scores(d._1), d._1)).take(Corpus.GroupSampleK).zipWithIndex
+        .map { case (d, i) => (d._1, cell._1, cell._2, scores(d._1), i + 1L) }
+    }.toSet
+    val got = Corpus.bestOfCell(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === expected)
+  }
+
   test("shuffle order is the exact (hash, doc_id) permutation with contiguous positions") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))

@@ -324,6 +324,26 @@ class ExtensionSpec extends SparkSpec {
     assert(rows.exists(_.getBoolean(3)) && rows.exists(!_.getBoolean(3)))
   }
 
+  test("vocab coverage curve is monotone and equals a driver recompute") {
+    val terms = graft.engine.Tables.load(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1))
+    val total = terms.length.toLong
+    val ranked = terms.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(TextAnalysis.VocabTopV)
+    val rows = TextAnalysis.vocabCoverage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === TextAnalysis.CoveragePoints.map(_.toLong))
+    rows.foreach { case (v, covered, tot, ppm) =>
+      assert(tot === total)
+      assert(covered === ranked.take(v.toInt).map(_._2).sum, s"coverage at V=$v")
+      assert(ppm === covered * 1000000L / total)
+      assert(ppm <= 1000000L)
+    }
+    // monotone non-decreasing in V
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sorted.toSeq)
+  }
+
   test("langMix equals a driver recompute of per-half marker argmax") {
     def score(toks: Seq[String], markers: Seq[String]) =
       toks.distinct.count(markers.contains)
