@@ -160,6 +160,23 @@ object Corpus {
       .orderBy($"doc_id")
   }
 
+  /** Batch-fill audit over [[packBatches]] — the packing-quality
+    * report (systematic under-fill means the budget or the token
+    * counter is mis-set): per (lang, batch) the doc count, token
+    * total, and exact-ppm fill against the budget. One keyed aggregate
+    * over the packing output; the batch key is data-scaled.
+    */
+  def batchStats(spark: SparkSession, dir: String,
+      budget: Int = PackBudget): DataFrame = {
+    import spark.implicits._
+    packBatches(spark, dir, budget)
+      .groupBy($"lang", $"batch")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+      .withColumn("fill_ppm",
+        expr(s"CAST(n_tokens AS DECIMAL(19,0)) * 1000000 div ${budget}L"))
+      .orderBy($"lang", $"batch")
+  }
+
   /** Benchmark-contamination detection (the decontamination pass every
     * eval-honest pipeline runs): flag training documents whose 5-token
     * head fingerprint collides with a held-out benchmark set — here
@@ -440,6 +457,7 @@ object Corpus {
     "corpus_shuffle" -> shuffleOrder _,
     "corpus_group_sample" -> ((s: SparkSession, d: String) => groupSample(s, d)),
     "corpus_best_of_cell" -> ((s: SparkSession, d: String) => bestOfCell(s, d)),
+    "corpus_batch_stats" -> ((s: SparkSession, d: String) => batchStats(s, d)),
   )
 
   /** DuckDB equivalent of [[hashBucket]]: nibble arithmetic over the
@@ -476,6 +494,18 @@ object Corpus {
         |      FROM documents d JOIN sc USING (doc_id))
         |SELECT doc_id, source, lang, score, rn FROM r WHERE rn <= $GroupSampleK
         |ORDER BY source, lang, rn""".stripMargin,
+    "corpus_batch_stats" ->
+      s"""WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+        |           FROM documents),
+        |p AS (SELECT doc_id, lang, n_tokens,
+        |        CAST(coalesce(CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |             // $PackBudget AS BIGINT) AS batch
+        |      FROM t)
+        |SELECT lang, batch, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |       CAST((CAST(sum(n_tokens) AS HUGEINT) * 1000000) // $PackBudget AS BIGINT) AS fill_ppm
+        |FROM p GROUP BY 1, 2 ORDER BY lang, batch""".stripMargin,
     "corpus_shuffle" ->
       s"""WITH k AS (SELECT doc_id, $hbSql AS hb FROM documents)
         |SELECT doc_id, hb,
