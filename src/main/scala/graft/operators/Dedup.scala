@@ -569,6 +569,22 @@ object Dedup {
       .orderBy($"cluster_size")
   }
 
+  /** Per-source duplication-rate report — the "which source is
+    * flooding us with copies" table that decides crawl budgets: per
+    * source, docs vs distinct content fingerprints and the exact-ppm
+    * duplicate share. One keyed aggregate; fingerprints map-side.
+    */
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"source", md5($"text").as("fp"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), countDistinct($"fp").as("n_distinct"))
+      .withColumn("dup_ppm",
+        expr("CAST(n_docs - n_distinct AS DECIMAL(19,0)) * 1000000 div n_docs"))
+      .orderBy($"source")
+  }
+
   /** Documents that must share a chunk before it counts as boilerplate
     * for [[boilerplateStrip]].
     */
@@ -867,6 +883,7 @@ object Dedup {
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "dedup_clusters" -> ((s: SparkSession, d: String) => clusters(s, d)),
     "dedup_cluster_sizes" -> clusterSizes _,
+    "dedup_rate_by_source" -> dupRateBySource _,
     "dedup_chunks" -> chunkDedup _,
     "dedup_chunk_apply" -> chunkDedupApply _,
     "dedup_boilerplate" -> ((s: SparkSession, d: String) => boilerplateStrip(s, d)),
@@ -1014,6 +1031,12 @@ object Dedup {
         |       coalesce(r.clean_md5, md5('')) AS clean_md5
         |FROM tot t LEFT JOIN reb r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "dedup_rate_by_source" ->
+      """WITH f AS (SELECT source, md5(text) AS fp FROM documents)
+        |SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_distinct,
+        |       CAST((CAST(count(*) - count(DISTINCT fp) AS HUGEINT) * 1000000)
+        |            // count(*) AS BIGINT) AS dup_ppm
+        |FROM f GROUP BY 1 ORDER BY source""".stripMargin,
     "dedup_boilerplate" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |wi AS (SELECT doc_id, t,

@@ -171,6 +171,34 @@ object WindowedEvents {
       .orderBy($"cohort_week", $"week_offset")
   }
 
+  /** DAU / trailing-7-day WAU engagement series — the stickiness
+    * metric (DAU/WAU) computed EXACTLY without a distinct-over-window
+    * (which would re-scan 7 days per day): each distinct (user, day)
+    * activity contributes itself to the 7 days it keeps the user
+    * "weekly active" for (a 7× map-side expansion — the standard
+    * dual of the sliding window), and one day-keyed countDistinct
+    * folds the expansion. Day indices are exact integers; the ratio is
+    * exact ppm. Only days with any activity report DAU; the WAU spine
+    * is trimmed to observed days via the semi-join.
+    */
+  def dauWau(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val userDays = Tables.load(spark, dir, "events")
+      .select($"user_id",
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"))
+      .distinct()
+    val dau = userDays.groupBy($"day").agg(countDistinct($"user_id").as("dau"))
+    val wau = userDays
+      .select($"user_id", explode(expr("sequence(day, day + 6)")).as("day"))
+      .groupBy($"day").agg(countDistinct($"user_id").as("wau"))
+      .join(dau.select($"day"), Seq("day"), "left_semi")
+    dau.join(wau, "day")
+      .withColumn("stickiness_ppm",
+        expr("CAST(dau AS DECIMAL(19,0)) * 1000000 div wau"))
+      .select($"day", $"dau", $"wau", $"stickiness_ppm")
+      .orderBy($"day")
+  }
+
   /** Per-user journey cap: a degenerate power-user key must not
     * materialise an unbounded array in one task, so [[eventPaths]]
     * only ever collects the first MaxPathEvents events of a user (the
@@ -214,6 +242,7 @@ object WindowedEvents {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_user_first_last" -> userFirstLast _,
     "q_retention" -> retentionCohorts _,
+    "q_dau_wau" -> dauWau _,
     "q_event_paths" -> eventPaths _,
     "q_sessionize" -> sessionize _,
     "s_session_window" -> sessionWindow _,
@@ -236,6 +265,17 @@ object WindowedEvents {
       |      FROM w)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+        |ex AS (SELECT user_id, day + o AS day FROM ud
+        |       CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS o) t),
+        |wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM ex
+        |        WHERE day IN (SELECT day FROM dau) GROUP BY 1)
+        |SELECT d.day, d.dau, w.wau,
+        |       CAST((CAST(d.dau AS HUGEINT) * 1000000) // w.wau AS BIGINT) AS stickiness_ppm
+        |FROM dau d JOIN wau w USING (day)
+        |ORDER BY day""".stripMargin,
     "q_retention" ->
       """WITH w AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
         |f AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1),

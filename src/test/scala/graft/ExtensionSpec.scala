@@ -398,6 +398,21 @@ class ExtensionSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("per-source dup rate partitions the corpus with exact ppm shares") {
+    val docs = graft.engine.Tables.load(spark, dir, "documents")
+      .selectExpr("source", "md5(text) AS fp").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val rows = Dedup.dupRateBySource(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).sum === docs.length.toLong)
+    rows.foreach { case (src, n, distinct, ppm) =>
+      val cell = docs.filter(_._1 == src)
+      assert(n === cell.length.toLong)
+      assert(distinct === cell.map(_._2).distinct.length.toLong)
+      assert(ppm === (n - distinct) * 1000000L / n)
+    }
+  }
+
   test("cluster size distribution partitions the corpus and matches the labels") {
     val labels = Dedup.clusters(spark, dir).collect().map(_.getLong(1))
     val expected = labels.groupBy(identity).values.map(_.length)

@@ -79,6 +79,22 @@ class SkewAndStateSpec extends SparkSpec {
     got.keys.map(_._1).foreach(c => assert(got.contains((c, 0L))))
   }
 
+  test("DAU/WAU equals a driver recompute of trailing-7-day distinct users") {
+    val pairs = graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .selectExpr("user_id", "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS day")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val byDay = pairs.groupBy(_._2)
+    val got = graft.operators.WindowedEvents.dauWau(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet === byDay.keySet)
+    byDay.keys.foreach { d =>
+      val dau = byDay(d).map(_._1).distinct.size.toLong
+      val wau = pairs.filter { case (_, x) => x >= d - 6 && x <= d }.map(_._1).distinct.size.toLong
+      assert(got(d) === ((dau, wau, dau * 1000000L / wau)), s"day $d")
+      assert(wau >= dau)
+    }
+  }
+
   test("salted count equals plain groupBy count") {
     import spark.implicits._
     val df = (1 to 5000).map(i => if (i % 10 == 0) s"k${i % 50}" else "hot")
