@@ -32,13 +32,27 @@ object Tables {
     }
 
   /** JDBC table scan — the production equivalent of the reference's
-    * Postgres source (`app.py:51-63`; SURVEY §2.3). No database exists
-    * in this test environment, so this is the declared surface only;
-    * partitioning options shard the scan across executors.
+    * Postgres source (`app.py:51-63`; SURVEY §2.3). Exercised end-to-end
+    * in JdbcSpec against embedded Derby (the only SQL engine shipped in
+    * `/opt/spark/jars`): fixtures written with `df.write.jdbc`, read
+    * back here, asserted row-identical to the parquet path. Against a
+    * production Postgres only the URL changes.
     */
   def fromJdbc(spark: SparkSession, url: String, table: String,
       props: java.util.Properties = new java.util.Properties()): DataFrame =
     spark.read.jdbc(url, table, props)
+
+  /** Sharded JDBC scan: `numPartitions` executors each pull one
+    * `partitionColumn` range — the form a 1000-executor cluster uses so
+    * a big source table never funnels through one connection. Bounds
+    * come from a cheap `SELECT min,max` the caller runs (or knows).
+    */
+  def fromJdbcPartitioned(spark: SparkSession, url: String, table: String,
+      partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int,
+      props: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound,
+      numPartitions, props)
 
   /** Register every table as a temp view (for the SQL entry points). */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -247,6 +247,54 @@ object Corpus {
       .orderBy($"doc_id")
   }
 
+  /** Mixing recipe for [[epochs]]: per-source repeat factor as
+    * (whole epochs, fractional-tail numerator out of 2¹⁶). src0 runs
+    * 2.5 epochs, src1 exactly 3, src2 is DOWN-sampled to 0.75, src3
+    * 1.25; every unlisted source runs exactly [[EpochDefault]] epoch.
+    * A production recipe swaps this literal table for its own — the
+    * expansion below never changes shape.
+    */
+  val EpochRecipe: Seq[(String, Int, Int)] = Seq(
+    ("src0", 2, 32768),
+    ("src1", 3, 0),
+    ("src2", 0, 49152),
+    ("src3", 1, 16384))
+  val EpochDefault: (Int, Int) = (1, 0)
+
+  /** Epoch-weighted mixture EXPANSION — [[mix]] reports the recipe's
+    * inputs, this APPLIES one: the upsampled corpus listing where each
+    * document appears `whole + (hb < frac ? 1 : 0)` times per its
+    * source's [[EpochRecipe]] factor. Whole epochs repeat every doc;
+    * the fractional tail keeps a content-hash-thresholded slice — the
+    * same deterministic inequality as [[weightedSample]], so the
+    * expansion is rerun-stable, engine-exact, rand()-free, and a doc's
+    * fate never depends on partitioning. Downsampling (factor < 1) is
+    * the same formula with zero whole epochs. Shape: a broadcast-sized
+    * CASE over `source`, a filter, and one in-row `posexplode` of at
+    * most `whole+1` copies — map-only at any scale; `copy` indexes
+    * repeats so a downstream [[shuffleOrder]] can interleave epochs.
+    */
+  def epochs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val whole = EpochRecipe.foldLeft(
+      when(lit(false), lit(0))) { case (acc, (s, w, _)) =>
+        acc.when($"source" === s, lit(w)) }
+      .otherwise(lit(EpochDefault._1))
+    val frac = EpochRecipe.foldLeft(
+      when(lit(false), lit(0))) { case (acc, (s, _, f)) =>
+        acc.when($"source" === s, lit(f)) }
+      .otherwise(lit(EpochDefault._2))
+    docs(spark, dir)
+      .select($"doc_id", $"source", hashBucket.as("hb"))
+      .withColumn("n_copies",
+        (whole + when($"hb" < frac, 1).otherwise(0)).cast("long"))
+      .filter($"n_copies" > 0)
+      .select($"doc_id", $"source",
+        posexplode(expr("sequence(CAST(1 AS BIGINT), n_copies)")).as(Seq("__i", "copy")))
+      .select($"doc_id", $"source", $"copy")
+      .orderBy($"doc_id", $"copy")
+  }
+
   /** Snapshot diff — the audit verb between two corpus versions (the
     * companion to incremental dedup: what changed since the last crawl
     * / pipeline run?): every doc_id is classified `added` (new only),
@@ -294,8 +342,14 @@ object Corpus {
     * cell's digest; commutative, so partitioning and arrival order
     * never matter). One keyed aggregate with map-side partials; the
     * digest sums 60-bit keys as DECIMAL so 10¹² docs per cell stay
-    * exact. [[snapshotDiff]] is the row-level drill-down once a cell's
-    * digest disagrees.
+    * exact, then reduces the sum mod 2⁶¹ into a BIGINT — a raw
+    * DECIMAL(38,0) digest shipped red in r6 because one cell's sum
+    * exceeded int64 and could not round-trip an int64-coercing reader
+    * (no DECIMAL(38,0) column may cross the hashed contract). The mod
+    * keeps both properties that matter: commutative, and any changed
+    * document still flips the cell (a collision needs the per-doc key
+    * deltas to cancel mod 2⁶¹). [[snapshotDiff]] is the row-level
+    * drill-down once a cell's digest disagrees.
     */
   def manifest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -307,7 +361,7 @@ object Corpus {
       .agg(
         count(lit(1)).as("n_docs"),
         sum($"tok").as("n_tokens"),
-        expr("CAST(sum(k) AS DECIMAL(38,0))").as("digest"))
+        expr("CAST(CAST(sum(k) AS DECIMAL(38,0)) % 2305843009213693952 AS BIGINT)").as("digest_61"))
       .orderBy($"source", $"lang")
   }
 
@@ -355,6 +409,76 @@ object Corpus {
       $"hb", $"doc_id")
       .select($"doc_id", $"hb", $"shuffle_pos")
       .orderBy($"shuffle_pos")
+  }
+
+  /** Shard count for [[shardManifest]] / [[shardWrite]] (mirrored in
+    * the oracle). Real runs size this so one shard ≈ one reader's
+    * appetite; the assignment formula is shard-count-agnostic.
+    */
+  val ShardCount = 8
+
+  /** The [[shuffleOrder]] permutation with the content key kept and a
+    * contiguous-range shard id attached: shard = ⌊(pos−1)·n/total⌋, so
+    * shard k owns exactly the positions in [k·total/n, (k+1)·total/n)
+    * — disjoint, gap-free, balanced to ±1 row by construction. The
+    * total rides the broadcast-grand-total shape (exchange reused).
+    */
+  private def shardFrame(spark: SparkSession, dir: String,
+      nShards: Int): DataFrame = {
+    import spark.implicits._
+    val keyed = docs(spark, dir).select($"doc_id", hashBucket.as("hb"),
+      expr("CAST(conv(substr(md5(text), 1, 15), 16, 10) AS DECIMAL(19,0))").as("k"))
+    Ranking.globalRowNumber(keyed, "shuffle_pos", buckets = 32,
+        bucketCol = "hb", ascending = true, $"hb", $"doc_id")
+      .crossJoin(broadcast(keyed.agg(count(lit(1)).as("__n"))))
+      .withColumn("shard", expr(s"((shuffle_pos - 1) * $nShards) div __n"))
+      .select($"doc_id", $"shuffle_pos", $"shard", $"k")
+  }
+
+  /** Per-shard manifest of the training-data handoff: doc count,
+    * position range, and the order-independent mod-2⁶¹ content digest
+    * ([[manifest]]'s reduction) — what a pretraining run records
+    * beside each shard so any replica can verify its copy without
+    * rereading the corpus.
+    */
+  def shardManifest(spark: SparkSession, dir: String,
+      nShards: Int = ShardCount): DataFrame = {
+    import spark.implicits._
+    shardFrame(spark, dir, nShards)
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"shuffle_pos").as("min_pos"),
+        max($"shuffle_pos").as("max_pos"),
+        expr("CAST(CAST(sum(k) AS DECIMAL(38,0)) % 2305843009213693952 AS BIGINT)")
+          .as("digest_61"))
+      .orderBy($"shard")
+  }
+
+  /** MATERIALIZE the shuffled corpus as `nShards` shard directories —
+    * the artifact a pretraining run actually consumes: each shard is
+    * one contiguous `shuffle_pos` range (so readers stream their shard
+    * in SGD order with zero coordination), rows sorted by position
+    * within the shard, written via `partitionBy` so the shard id is
+    * path-addressable. Returns the manifest RECOMPUTED FROM THE
+    * WRITTEN FILES — the caller compares it to [[shardManifest]] to
+    * certify the handoff (the spec does exactly this).
+    */
+  def shardWrite(spark: SparkSession, dir: String, outDir: String,
+      nShards: Int = ShardCount): DataFrame = {
+    import spark.implicits._
+    shardFrame(spark, dir, nShards)
+      .repartition(nShards, $"shard")
+      .sortWithinPartitions($"shuffle_pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    spark.read.parquet(outDir)
+      .select($"doc_id", $"shuffle_pos", $"shard".cast("long").as("shard"), $"k")
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"shuffle_pos").as("min_pos"),
+        max($"shuffle_pos").as("max_pos"),
+        expr("CAST(CAST(sum(k) AS DECIMAL(38,0)) % 2305843009213693952 AS BIGINT)")
+          .as("digest_61"))
+      .orderBy($"shard")
   }
 
   /** MODEL-RANKED per-cell selection — [[groupSample]]'s quality twin
@@ -455,6 +579,8 @@ object Corpus {
     "corpus_diff" -> snapshotDiffHalves _,
     "corpus_manifest" -> manifest _,
     "corpus_shuffle" -> shuffleOrder _,
+    "corpus_epochs" -> epochs _,
+    "corpus_shards" -> ((s: SparkSession, d: String) => shardManifest(s, d)),
     "corpus_group_sample" -> ((s: SparkSession, d: String) => groupSample(s, d)),
     "corpus_best_of_cell" -> ((s: SparkSession, d: String) => bestOfCell(s, d)),
     "corpus_batch_stats" -> ((s: SparkSession, d: String) => batchStats(s, d)),
@@ -511,6 +637,34 @@ object Corpus {
         |SELECT doc_id, hb,
         |       CAST(row_number() OVER (ORDER BY hb, doc_id) AS BIGINT) AS shuffle_pos
         |FROM k ORDER BY shuffle_pos""".stripMargin,
+    "corpus_epochs" -> {
+      val wholeSql = "CASE " + EpochRecipe.map { case (s, w, _) =>
+        s"WHEN source = '$s' THEN $w" }.mkString(" ") +
+        s" ELSE ${EpochDefault._1} END"
+      val fracSql = "CASE " + EpochRecipe.map { case (s, _, f) =>
+        s"WHEN source = '$s' THEN $f" }.mkString(" ") +
+        s" ELSE ${EpochDefault._2} END"
+      s"""WITH d AS (SELECT doc_id, source, $hbSql AS hb FROM documents),
+        |n AS (SELECT doc_id, source,
+        |        CAST(($wholeSql) + (CASE WHEN hb < ($fracSql) THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+        |      FROM d)
+        |SELECT doc_id, source, unnest(generate_series(1, n_copies)) AS copy
+        |FROM n WHERE n_copies > 0
+        |ORDER BY doc_id, copy""".stripMargin
+    },
+    "corpus_shards" ->
+      s"""WITH kd AS (SELECT doc_id, $hbSql AS hb, $contentKeySql AS k FROM documents),
+        |r AS (SELECT doc_id, hb, k,
+        |        CAST(row_number() OVER (ORDER BY hb, doc_id) AS BIGINT) AS pos,
+        |        CAST(count(*) OVER () AS BIGINT) AS n
+        |      FROM kd),
+        |s AS (SELECT ((pos - 1) * $ShardCount) // n AS shard, pos, k FROM r)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |       count(*) AS n_docs,
+        |       CAST(min(pos) AS BIGINT) AS min_pos,
+        |       CAST(max(pos) AS BIGINT) AS max_pos,
+        |       CAST(sum(CAST(k AS HUGEINT)) % 2305843009213693952::HUGEINT AS BIGINT) AS digest_61
+        |FROM s GROUP BY 1 ORDER BY shard""".stripMargin,
     "corpus_manifest" ->
       s"""WITH d AS (SELECT source, lang,
         |             len(string_split(text, ' ')) AS tok,
@@ -518,7 +672,7 @@ object Corpus {
         |           FROM documents)
         |SELECT source, lang, count(*) AS n_docs,
         |       CAST(sum(tok) AS BIGINT) AS n_tokens,
-        |       CAST(sum(CAST(k AS HUGEINT)) AS DECIMAL(38,0)) AS digest
+        |       CAST(sum(CAST(k AS HUGEINT)) % 2305843009213693952::HUGEINT AS BIGINT) AS digest_61
         |FROM d GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
     "corpus_group_sample" ->
       s"""WITH h AS (SELECT doc_id, source, lang, md5(text) AS h FROM documents),

@@ -219,13 +219,77 @@ object Multimodal {
     * integer sums (`blocksum·n > total·blockcnt`) — no division, no
     * doubles, so the oracle replays it bit-for-bit.
     *
-    * Shape: one byte explode (the charDiversity precedent — exploded
-    * ints ride vectorized hash aggregates; HOF folds with struct state
-    * measured 2× slower), then doc-keyed aggregates and a
-    * signature-keyed count join — every shuffle keys on doc_id or the
-    * signature, both data-scaled.
+    * Shape (r7): the 16 block sums are computed in ONE pass over each
+    * payload's raw byte array inside the partition-wise codec seam
+    * ([[decode]]'s shape) — 16 accumulators per record, zero
+    * intermediate rows. The r6 form ([[aHashExplode]], kept as the
+    * oracle mirror) generated one row per payload byte via posexplode
+    * plus an O(i) `substr` seek per byte: green and fast on sf-scale
+    * docs but quadratic per record and ~10⁶ rows per MB — precisely
+    * the wrong shape for the opaque-media payloads this operator
+    * exists for. A differential spec pins the two forms equal on the
+    * documents table. Downstream the per-signature sharing count
+    * joins back via broadcast — the signature domain is ≤ 2¹⁶ rows,
+    * bounded by construction, so the join never shuffles the corpus.
     */
   def aHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = Tables.load(spark, dir, "documents")
+      .select($"doc_id", expr("CAST(text AS BINARY)").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          // empty payloads vanish, matching the mirror's empty explode
+          if (payload.isEmpty) None else Some((id, aHashOf(payload)))
+        }
+      }
+      .toDF("doc_id", "ahash")
+    val groups = sig.groupBy($"ahash").agg(count(lit(1)).as("n_sharing"))
+    sig.join(broadcast(groups), "ahash")
+      .select($"doc_id", $"ahash", $"n_sharing")
+      .orderBy($"doc_id")
+  }
+
+  /** One pass over a payload's bytes → the [[AHashBlocks]]-bit
+    * signature: 16 sum/count accumulators, then the cross-multiplied
+    * above-mean test per block. Bytes are unsigned (opaque media
+    * semantics); on the all-ASCII documents fixture this coincides
+    * with the mirror's per-character `ascii()`. Comparison falls back
+    * to BigInt past ~190 MB payloads where 255·n² would wrap a long.
+    */
+  private[operators] def aHashOf(payload: Array[Byte]): Long = {
+    val n = payload.length
+    val sums = new Array[Long](AHashBlocks)
+    val cnts = new Array[Long](AHashBlocks)
+    var i = 0
+    while (i < n) {
+      val b = (i.toLong * AHashBlocks / n).toInt
+      sums(b) += (payload(i) & 0xff).toLong
+      cnts(b) += 1L
+      i += 1
+    }
+    var total = 0L
+    var j = 0
+    while (j < AHashBlocks) { total += sums(j); j += 1 }
+    val big = n > 100000000
+    var sigBits = 0L
+    j = 0
+    while (j < AHashBlocks) {
+      val above =
+        if (big) BigInt(sums(j)) * n > BigInt(total) * cnts(j)
+        else sums(j) * n > total * cnts(j)
+      if (above) sigBits |= 1L << j
+      j += 1
+    }
+    sigBits
+  }
+
+  /** The r6 posexplode form, retained verbatim as the cross-engine
+    * mirror of the `mm_ahash` oracle SQL and differential-spec'd
+    * against [[aHash]] — NOT the production shape (row-per-byte
+    * explode + O(i) substr seeks; see [[aHash]]).
+    */
+  def aHashExplode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bytes = Tables.load(spark, dir, "documents")
       .select($"doc_id", octet_length($"text").cast("long").as("n"),

@@ -34,12 +34,13 @@ object Stats {
     * exact integers, so every aggregate below is order-independent
     * and the closed form
     *   slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx·Σx)
-    * is emitted as exact DECIMAL(38,0) numerator/denominator plus
-    * `slope_e12`, the slope at a pinned 10¹² integer scale:
-    * trunc(num·10¹² / den). Every output column is exact integer
-    * arithmetic — no IEEE double crosses the contract, so the result
-    * is bit-identical across engines (a raw double slope shipped red
-    * in r5 purely on cross-engine double formatting). The division is
+    * is evaluated in exact DECIMAL(38,0) arithmetic internally and
+    * emitted ONLY as `slope_e12`, the slope at a pinned 10¹² integer
+    * scale: trunc(num·10¹² / den), a BIGINT. The exact num/den never
+    * cross the hashed contract: DECIMAL(38,0) output columns shipped
+    * red in r5/r6 because a 38-digit value cannot round-trip an
+    * int64-coercing reader (and a raw double slope shipped red in r5
+    * purely on cross-engine double formatting). The division is
     * sign-decomposed (den ≥ 0 always, by Cauchy–Schwarz) so the
     * truncation direction cannot differ between Spark's `div` and
     * DuckDB's `//` on a negative numerator. Per-row products are cast
@@ -64,9 +65,10 @@ object Stats {
         expr("CAST(CAST(n AS DECIMAL(20,0)) * sxy - CAST(sx AS DECIMAL(20,0)) * CAST(sy AS DECIMAL(20,0)) AS DECIMAL(38,0))").as("slope_num"),
         expr("CAST(CAST(n AS DECIMAL(20,0)) * sxx - CAST(sx AS DECIMAL(20,0)) * CAST(sx AS DECIMAL(20,0)) AS DECIMAL(38,0))").as("slope_den"))
       .withColumn("slope_e12",
-        expr("""CASE WHEN slope_num < 0
+        expr("""CAST(CASE WHEN slope_num < 0
           THEN -((abs(slope_num) * 1000000000000) div slope_den)
-          ELSE (slope_num * 1000000000000) div slope_den END"""))
+          ELSE (slope_num * 1000000000000) div slope_den END AS BIGINT)"""))
+      .select($"event_type", $"n", $"slope_e12")
       .orderBy($"event_type")
   }
 
@@ -284,8 +286,6 @@ object Stats {
         |         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den
         |  FROM agg)
         |SELECT event_type, n,
-        |       CAST(num AS DECIMAL(38,0)) AS slope_num,
-        |       CAST(den AS DECIMAL(38,0)) AS slope_den,
         |       CAST(CASE WHEN num < 0
         |         THEN -((abs(num) * 1000000000000::HUGEINT) // den)
         |         ELSE (num * 1000000000000::HUGEINT) // den END AS BIGINT) AS slope_e12

@@ -174,10 +174,13 @@ object TextAnalysis {
     * k-gram hash is v₁·257² + v₂·257 + v₃ mod 1000003. All per-doc
     * expression work — no shuffle before the final explode/sort.
     */
-  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    docs(spark, dir)
-      .select($"doc_id", tok.as("t"))
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame =
+    winnowOf(docs(spark, dir))
+
+  /** [[winnowFingerprint]] over an arbitrary `(doc_id, text)` frame. */
+  def winnowOf(d: DataFrame): DataFrame = {
+    import d.sparkSession.implicits._
+    d.select($"doc_id", tok.as("t"))
       .filter(size($"t") >= 3)
       .withColumn("vals",
         expr("transform(t, x -> CAST(conv(substr(md5(x), 1, 4), 16, 10) AS BIGINT))"))
@@ -188,6 +191,48 @@ object TextAnalysis {
         "transform(sequence(1, greatest(size(hs) - 3, 1)), j -> array_min(slice(hs, j, 4)))"))))
       .select($"doc_id", $"fp")
       .orderBy($"doc_id", $"fp")
+  }
+
+  /** Posting-list df cap for [[sharedSpans]] (mirrored in the oracle):
+    * a fingerprint appearing in more docs than this is boilerplate —
+    * the quadratic-pair hazard — and Dedup.boilerplateStrip's beat,
+    * not span evidence.
+    */
+  val MaxSpanDf = 64
+
+  /** Cross-document SHARED-SPAN report — substring-level duplication
+    * evidence that chunk-grain dedup misses (a quoted paragraph, a
+    * lifted excerpt): every unordered doc pair sharing ≥1 winnowing
+    * fingerprint, with the count of shared fingerprints as span
+    * strength. Composes [[winnowFingerprint]] (whose guarantee is
+    * exactly that long common substrings share a fingerprint) through
+    * the posting-list pair core: group by fingerprint, expand each
+    * posting list to ordered pairs in-row, count per pair — one
+    * shuffle on the fingerprint and one on the pair, never a
+    * self-join of the corpus. [[MaxSpanDf]] caps posting lists so a
+    * viral span cannot go quadratic; what it drops is by definition
+    * boilerplate.
+    */
+  def sharedSpans(spark: SparkSession, dir: String): DataFrame =
+    sharedSpansOf(winnowFingerprint(spark, dir))
+
+  /** [[sharedSpans]] over an arbitrary `(doc_id, fp)` fingerprint
+    * frame (each doc's fingerprints distinct, as [[winnowOf]] emits).
+    */
+  def sharedSpansOf(fps: DataFrame): DataFrame = {
+    import fps.sparkSession.implicits._
+    fps
+      .groupBy($"fp")
+      .agg(sort_array(collect_list($"doc_id")).as("ds"))
+      .filter(size($"ds").between(2, MaxSpanDf))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ds) - 2),
+          |  i -> transform(slice(ds, i + 2, size(ds) - i - 1),
+          |       x -> struct(ds[i] AS doc_a, x AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_shared_spans"))
+      .orderBy($"doc_a", $"doc_b")
   }
 
   /** Term-frequency surface: per-doc top-3 terms (stopwords excluded)
@@ -560,6 +605,7 @@ object TextAnalysis {
     "text_vocab_coverage" -> vocabCoverage _,
     "text_repetition" -> repetition _,
     "text_winnow" -> winnowFingerprint _,
+    "text_shared_spans" -> sharedSpans _,
     "text_top_terms" -> topTerms _,
     "text_tfidf" -> tfidf _,
     "text_lm_surprise" -> lmSurprise _,
@@ -722,6 +768,31 @@ object TextAnalysis {
         |          j -> list_min(hs[j:j+3]))) AS fps
         |      FROM h)
         |SELECT doc_id, unnest(fps) AS fp FROM w ORDER BY doc_id, fp""".stripMargin,
+    "text_shared_spans" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |v AS (SELECT doc_id,
+        |        list_transform(t, x ->
+        |          CAST((strpos('0123456789abcdef', substr(md5(x), 1, 1)) - 1) * 4096
+        |             + (strpos('0123456789abcdef', substr(md5(x), 2, 1)) - 1) * 256
+        |             + (strpos('0123456789abcdef', substr(md5(x), 3, 1)) - 1) * 16
+        |             + (strpos('0123456789abcdef', substr(md5(x), 4, 1)) - 1) AS BIGINT)) AS vals
+        |      FROM toks WHERE len(t) >= 3),
+        |h AS (SELECT doc_id,
+        |        list_transform(generate_series(1, len(vals) - 2),
+        |          i -> (vals[i] * 66049 + vals[i+1] * 257 + vals[i+2]) % 1000003) AS hs
+        |      FROM v),
+        |w AS (SELECT doc_id,
+        |        list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+        |          j -> list_min(hs[j:j+3]))) AS fps
+        |      FROM h),
+        |fps AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+        |kept AS (SELECT fp FROM fps GROUP BY fp
+        |         HAVING count(*) BETWEEN 2 AND $MaxSpanDf)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(count(*) AS BIGINT) AS n_shared_spans
+        |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |JOIN kept k ON k.fp = a.fp
+        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
     "text_top_terms" ->
       """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |f AS (SELECT doc_id, term, count(*) AS tf FROM terms

@@ -177,8 +177,9 @@ class CorpusSpec extends SparkSpec {
       val (n, tok, dig) = expected((r.getString(0), r.getString(1)))
       assert(r.getLong(2) === n)
       assert(r.getLong(3) === tok)
-      assert(BigInt(r.getDecimal(4).toBigInteger) === dig,
-        s"digest for (${r.getString(0)}, ${r.getString(1)})")
+      // the contract column is the exact sum reduced mod 2^61 into BIGINT
+      assert(BigInt(r.getLong(4)) === dig.mod(BigInt("2305843009213693952")),
+        s"digest_61 for (${r.getString(0)}, ${r.getString(1)})")
     }
   }
 
@@ -232,6 +233,57 @@ class CorpusSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2)))
     assert(got.map(_._2).toSeq === (1L to docs.length).toSeq, "positions are contiguous from 1")
     assert(got.sortBy(_._2).map(_._1).toSeq === expected, "permutation matches (hash, id) order")
+  }
+
+  test("epochs expansion applies whole + fractional factors per source, deterministically") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val recipe = Corpus.EpochRecipe.map { case (s, w, f) => s -> ((w, f)) }.toMap
+    val docs = graft.engine.Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        java.lang.Long.parseLong(md5hex(r.getString(2)).substring(0, 4), 16)))
+    val expected = docs.map { case (id, src, hb) =>
+      val (w, f) = recipe.getOrElse(src, Corpus.EpochDefault)
+      id -> (w + (if (hb < f) 1 else 0)).toLong
+    }.filter(_._2 > 0).toMap
+    def run() = Corpus.epochs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val got = run()
+    val byDoc = got.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(byDoc.keySet === expected.keySet)
+    byDoc.foreach { case (id, copies) =>
+      assert(copies === (1L to expected(id)), s"copies for doc $id")
+    }
+    // content-keyed, so a rerun expands identically
+    assert(run() === got)
+    // the recipe genuinely exercises whole epochs, fractions, and downsampling
+    assert(docs.exists { case (id, src, _) => src == "src1" && expected(id) == 3L })
+    assert(docs.exists { case (id, src, _) => src == "src2" && !expected.contains(id) })
+  }
+
+  test("shardWrite materializes disjoint contiguous shards whose manifests match the plan") {
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val written = Corpus.shardWrite(spark, dir, out).collect()
+    val planned = Corpus.shardManifest(spark, dir).collect()
+    assert(written.map(_.toString).toSeq === planned.map(_.toString).toSeq,
+      "file-derived manifest equals the planned manifest")
+    val dirs = new java.io.File(out).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(dirs.length === Corpus.ShardCount, "one path-addressable dir per shard")
+    val ranges = planned.map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val total = planned.map(_.getLong(1)).sum
+    assert(ranges.head._2 === 1L)
+    assert(ranges.last._3 === total)
+    ranges.sliding(2).foreach {
+      case Array((_, _, aMax), (_, bMin, _)) => assert(bMin === aMax + 1, "gap-free")
+      case _ =>
+    }
+    planned.foreach { r =>
+      assert(r.getLong(1) === r.getLong(3) - r.getLong(2) + 1,
+        s"shard ${r.getLong(0)} holds its whole contiguous range")
+    }
   }
 
   test("contamination never flags benchmark docs and only flags true head collisions") {

@@ -200,6 +200,37 @@ class ExtensionSpec extends SparkSpec {
     fps.values.flatten.foreach(fp => assert(fp >= 0 && fp < 1000003))
   }
 
+  test("sharedSpans surfaces a planted cross-document excerpt and nothing else") {
+    import spark.implicits._
+    val excerpt = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val d = Seq(
+      (1L, s"one unique opening phrase right here $excerpt and a distinct tail one"),
+      (2L, s"second wholly different start text $excerpt closing words also differ two"),
+      (3L, "unrelated prose containing none of those repeated span tokens at all whatsoever"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.sharedSpansOf(TextAnalysis.winnowOf(d)).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got.contains((1L, 2L)), "the excerpt-sharing pair is reported")
+    assert(got((1L, 2L)) >= 1L)
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      "a doc with no common substring shares no span")
+    // pair orientation is canonical: doc_a < doc_b
+    got.keySet.foreach { case (a, b) => assert(a < b) }
+    // on the corpus: every reported pair shares exactly that many winnow fps
+    val fps = TextAnalysis.winnowFingerprint(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val dfCounts = fps.toSeq.flatMap { case (id, s) => s.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val kept = dfCounts.collect {
+      case (fp, n) if n >= 2 && n <= TextAnalysis.MaxSpanDf => fp
+    }.toSet
+    TextAnalysis.sharedSpans(spark, dir).collect().foreach { r =>
+      val (a, b, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert((fps(a) intersect fps(b) intersect kept).size.toLong === n,
+        s"span count for pair ($a, $b)")
+    }
+  }
+
   test("language-ID + quality + token stats cover every document exactly once") {
     val n = graft.engine.Tables.load(spark, dir, "documents").count()
     assert(TextAnalysis.langId(spark, dir).count() === n)

@@ -175,4 +175,15 @@ class MultimodalSpec extends SparkSpec {
     // the signature is 16-bit-bounded
     got.foreach { case (_, h, _) => assert(h >= 0L && h < 65536L) }
   }
+
+  test("aHash one-pass form equals the posexplode mirror and generates no per-byte rows") {
+    val fast = Multimodal.aHash(spark, dir)
+    val mirror = Multimodal.aHashExplode(spark, dir)
+    assert(fast.collect().toSeq === mirror.collect().toSeq)
+    // the production plan must not explode payloads into per-byte rows
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), "one-pass aHash must not posexplode")
+    assert(mirror.queryExecution.executedPlan.toString.contains("Generate"),
+      "mirror keeps the oracle's row-per-byte shape")
+  }
 }
