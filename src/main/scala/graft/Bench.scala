@@ -59,7 +59,23 @@ object Bench {
     val succeeded = results.filter(_._2 >= 0)
     val total = succeeded.map(_._2).sum
     val failed = results.length - succeeded.length
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's BENCH_r{N}.json keeps only a truncated tail of this
+    // line, so round-over-round per-query comparison was impossible
+    // from the repo alone — persist every full line (append-only, one
+    // JSON object per run) where the next round can diff it
+    try {
+      val benchDir = java.nio.file.Paths.get("bench")
+      java.nio.file.Files.createDirectories(benchDir)
+      java.nio.file.Files.writeString(benchDir.resolve("bench_lines.jsonl"),
+        line + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not persist bench line: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

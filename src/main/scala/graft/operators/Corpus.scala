@@ -351,10 +351,13 @@ object Corpus {
     * deltas to cancel mod 2⁶¹). [[snapshotDiff]] is the row-level
     * drill-down once a cell's digest disagrees.
     */
-  def manifest(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    docs(spark, dir)
-      .select($"source", $"lang",
+  def manifest(spark: SparkSession, dir: String): DataFrame =
+    manifestOf(docs(spark, dir))
+
+  /** [[manifest]] over an arbitrary `(source, lang, text)` frame. */
+  def manifestOf(d: DataFrame): DataFrame = {
+    import d.sparkSession.implicits._
+    d.select($"source", $"lang",
         size(split($"text", " ")).cast("long").as("tok"),
         expr("CAST(conv(substr(md5(text), 1, 15), 16, 10) AS DECIMAL(19,0))").as("k"))
       .groupBy($"source", $"lang")
@@ -363,6 +366,52 @@ object Corpus {
         sum($"tok").as("n_tokens"),
         expr("CAST(CAST(sum(k) AS DECIMAL(38,0)) % 2305843009213693952 AS BIGINT)").as("digest_61"))
       .orderBy($"source", $"lang")
+  }
+
+  /** CELL-level snapshot comparison — what two pipeline runs actually
+    * diff FIRST: the per-(source, lang) manifests of two corpus
+    * versions, full-outer-joined, each cell classified `added` /
+    * `removed` / `changed` (any of count, token sum, or digest moved);
+    * identical cells are dropped. This is the cheap triage layer above
+    * [[snapshotDiff]]: two manifest-sized relations join instead of
+    * two corpora, and only flagged cells pay for the row-level
+    * drill-down. One join keyed on the (bounded) cell key.
+    */
+  def manifestDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    val o = manifestOf(oldDf).select(
+      col("source"), col("lang"), col("n_docs").as("n_docs_old"),
+      col("n_tokens").as("n_tokens_old"), col("digest_61").as("digest_old"))
+    val n = manifestOf(newDf).select(
+      col("source"), col("lang"), col("n_docs").as("n_docs_new"),
+      col("n_tokens").as("n_tokens_new"), col("digest_61").as("digest_new"))
+    o.join(n, Seq("source", "lang"), "full_outer")
+      .withColumn("status",
+        when(col("digest_old").isNull, "added")
+          .when(col("digest_new").isNull, "removed")
+          .when(col("digest_old") =!= col("digest_new")
+            || col("n_docs_old") =!= col("n_docs_new")
+            || col("n_tokens_old") =!= col("n_tokens_new"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .select(col("source"), col("lang"), col("status"),
+        coalesce(col("n_docs_old"), lit(0L)).as("n_docs_old"),
+        coalesce(col("n_docs_new"), lit(0L)).as("n_docs_new"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  /** [[manifestDiff]] over the same synthesized halves as
+    * [[snapshotDiffHalves]] (old = doc_id∤11, new = doc_id∤13 with
+    * every 7th doc edited) — the oracle-checkable instantiation.
+    */
+  def manifestDiffHalves(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir).select($"doc_id", $"source", $"lang", $"text")
+    manifestDiff(
+      d.filter($"doc_id" % 11 =!= 0),
+      d.filter($"doc_id" % 13 =!= 0)
+        .select($"doc_id", $"source", $"lang",
+          when($"doc_id" % 7 === 0, concat($"text", lit(" v2")))
+            .otherwise($"text").as("text")))
   }
 
   /** Rows kept per (source, lang) cell by [[groupSample]]. */
@@ -578,6 +627,7 @@ object Corpus {
     "corpus_leakage" -> leakage _,
     "corpus_diff" -> snapshotDiffHalves _,
     "corpus_manifest" -> manifest _,
+    "corpus_manifest_diff" -> manifestDiffHalves _,
     "corpus_shuffle" -> shuffleOrder _,
     "corpus_epochs" -> epochs _,
     "corpus_shards" -> ((s: SparkSession, d: String) => shardManifest(s, d)),
@@ -652,6 +702,31 @@ object Corpus {
         |FROM n WHERE n_copies > 0
         |ORDER BY doc_id, copy""".stripMargin
     },
+    "corpus_manifest_diff" ->
+      s"""WITH oldd AS (SELECT source, lang, text FROM documents WHERE doc_id % 11 != 0),
+        |newd AS (SELECT source, lang,
+        |           CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |         FROM documents WHERE doc_id % 13 != 0),
+        |mo AS (SELECT source, lang, count(*) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |         CAST(sum(CAST($contentKeySql AS HUGEINT)) % 2305843009213693952::HUGEINT AS BIGINT) AS digest
+        |       FROM oldd GROUP BY 1, 2),
+        |mn AS (SELECT source, lang, count(*) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |         CAST(sum(CAST($contentKeySql AS HUGEINT)) % 2305843009213693952::HUGEINT AS BIGINT) AS digest
+        |       FROM newd GROUP BY 1, 2),
+        |j AS (SELECT coalesce(mo.source, mn.source) AS source,
+        |        coalesce(mo.lang, mn.lang) AS lang,
+        |        CASE WHEN mo.digest IS NULL THEN 'added'
+        |             WHEN mn.digest IS NULL THEN 'removed'
+        |             WHEN mo.digest != mn.digest OR mo.n_docs != mn.n_docs
+        |                  OR mo.n_tokens != mn.n_tokens THEN 'changed'
+        |             ELSE 'unchanged' END AS status,
+        |        CAST(coalesce(mo.n_docs, 0) AS BIGINT) AS n_docs_old,
+        |        CAST(coalesce(mn.n_docs, 0) AS BIGINT) AS n_docs_new
+        |      FROM mo FULL OUTER JOIN mn ON mo.source = mn.source AND mo.lang = mn.lang)
+        |SELECT source, lang, status, n_docs_old, n_docs_new
+        |FROM j WHERE status != 'unchanged' ORDER BY source, lang""".stripMargin,
     "corpus_shards" ->
       s"""WITH kd AS (SELECT doc_id, $hbSql AS hb, $contentKeySql AS k FROM documents),
         |r AS (SELECT doc_id, hb, k,

@@ -257,7 +257,7 @@ object Multimodal {
     * with the mirror's per-character `ascii()`. Comparison falls back
     * to BigInt past ~190 MB payloads where 255·n² would wrap a long.
     */
-  private[operators] def aHashOf(payload: Array[Byte]): Long = {
+  private[graft] def aHashOf(payload: Array[Byte]): Long = {
     val n = payload.length
     val sums = new Array[Long](AHashBlocks)
     val cnts = new Array[Long](AHashBlocks)
@@ -319,6 +319,58 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Hamming radius and band-bucket saturation cap for
+    * [[aHashPairs]] (mirrored in the oracle SQL). Three bands of
+    * 5/5/6 bits pigeonhole radius 2: ≤2 flipped bits touch ≤2 bands,
+    * so one band always matches exactly. Buckets holding more than
+    * [[AHashBandCap]] docs are saturated — a 5-bit band has only 32
+    * values, so dense corpora WILL saturate them; the cap bounds the
+    * quadratic pair expansion deterministically (both engines drop
+    * the same buckets), trading recall for a hard cost ceiling, the
+    * [[graft.operators.Dedup.MaxBandBucket]] precedent.
+    */
+  val AHashMaxHamming = 2
+  val AHashBandCap = 64
+
+  /** Near-dup MEDIA pairs — [[aHash]]'s pairing step: every doc pair
+    * whose 16-bit blockwise signatures differ in ≤ [[AHashMaxHamming]]
+    * bits (localized byte edits flip few blocks; md5 equality would
+    * miss all of them). Banded exactly like simhash pairing: each
+    * signature posts into 3 band buckets, candidates join within a
+    * bucket only, and the exact `bit_count(xor)` filter verifies —
+    * never an all-pairs self-join. All shuffles key on (band, value)
+    * or the pair; the band-cap makes the worst case linear in corpus
+    * size.
+    */
+  def aHashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = Tables.load(spark, dir, "documents")
+      .select($"doc_id", expr("CAST(text AS BINARY)").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        if (payload.isEmpty) None else Some((id, aHashOf(payload)))
+      })
+      .toDF("doc_id", "ahash")
+    val banded = sig.select($"doc_id", $"ahash",
+      posexplode(array(
+        expr("ahash % 32"), expr("(ahash div 32) % 32"), expr("ahash div 1024")))
+        .as(Seq("band", "bk")))
+    val kept = banded.groupBy($"band", $"bk")
+      .agg(count(lit(1)).as("bn"))
+      .filter($"bn" <= AHashBandCap)
+      .select($"band", $"bk")
+    val inBand = banded.join(kept, Seq("band", "bk"))
+    inBand.as("a")
+      .join(inBand.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("CAST(bit_count(a.ahash ^ b.ahash) AS BIGINT)").as("hamming"))
+      .filter($"hamming" <= AHashMaxHamming)
+      .dropDuplicates("doc_a", "doc_b")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Media-feature ANN: the decode seam's 8-dim feature vectors fed
     * straight into the generic exact cosine top-k — the end-to-end
     * multimodal story (binary payload → partition-wise decode →
@@ -341,6 +393,7 @@ object Multimodal {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_stats" -> binaryStats _,
     "mm_ahash" -> aHash _,
+    "mm_ahash_pairs" -> aHashPairs _,
     "mm_feature_topk" -> mediaFeatureTopK _,
   )
 
@@ -366,6 +419,37 @@ object Multimodal {
         |SELECT doc_id, ahash, n_sharing
         |FROM sig JOIN g USING (ahash)
         |ORDER BY doc_id""".stripMargin,
+    "mm_ahash_pairs" ->
+      s"""WITH b AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n,
+        |         unnest(generate_series(0, length(text) - 1)) AS idx,
+        |         unnest(list_transform(generate_series(1, length(text)),
+        |           i -> ord(substr(text, i, 1)))) AS byte
+        |  FROM documents),
+        |blk AS (SELECT doc_id, n, (idx * $AHashBlocks) // n AS block,
+        |          CAST(sum(byte) AS BIGINT) AS bsum, count(*) AS bcnt
+        |        FROM b GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, CAST(sum(bsum) AS BIGINT) AS total FROM blk GROUP BY 1),
+        |sig AS (SELECT blk.doc_id,
+        |          CAST(sum(CASE WHEN CAST(bsum AS HUGEINT) * blk.n
+        |                             > CAST(total AS HUGEINT) * bcnt
+        |                        THEN (CAST(1 AS BIGINT) << CAST(block AS INT))
+        |                        ELSE 0 END) AS BIGINT) AS ahash
+        |        FROM blk JOIN tot USING (doc_id) GROUP BY 1),
+        |bands AS (
+        |  SELECT doc_id, ahash, 0 AS band, ahash % 32 AS bk FROM sig
+        |  UNION ALL SELECT doc_id, ahash, 1, (ahash // 32) % 32 FROM sig
+        |  UNION ALL SELECT doc_id, ahash, 2, ahash // 1024 FROM sig),
+        |kept AS (SELECT band, bk FROM bands GROUP BY 1, 2
+        |         HAVING count(*) <= $AHashBandCap),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |           CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+        |         FROM bands a
+        |         JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+        |         JOIN kept k ON k.band = a.band AND k.bk = a.bk)
+        |SELECT doc_a, doc_b, hamming FROM cand
+        |WHERE hamming <= $AHashMaxHamming
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "mm_binary_stats" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

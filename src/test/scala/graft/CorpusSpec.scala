@@ -235,6 +235,27 @@ class CorpusSpec extends SparkSpec {
     assert(got.sortBy(_._2).map(_._1).toSeq === expected, "permutation matches (hash, id) order")
   }
 
+  test("manifestDiff triages cells as added/removed/changed and drops identical cells") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "s1", "en", "a b"), (2L, "s1", "fr", "c d"), (3L, "s2", "en", "e f"),
+      (5L, "s9", "zh", "same words here"))
+      .toDF("doc_id", "source", "lang", "text")
+    val nw = Seq(
+      (1L, "s1", "en", "a b"),                      // s1/en untouched
+      (3L, "s2", "en", "e f CHANGED"),              // s2/en content moved
+      (4L, "s3", "de", "brand new cell"),           // s3/de appears
+      (5L, "s9", "zh", "same words here"))          // s9/zh untouched
+      .toDF("doc_id", "source", "lang", "text")     // s1/fr vanished
+    val got = Corpus.manifestDiff(old, nw).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getString(2))).toMap
+    assert(got === Map(
+      ("s1", "fr") -> "removed",
+      ("s2", "en") -> "changed",
+      ("s3", "de") -> "added"))
+    assert(Corpus.manifestDiff(old, old).count() === 0L, "identity diff is empty")
+  }
+
   test("epochs expansion applies whole + fractional factors per source, deterministically") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))

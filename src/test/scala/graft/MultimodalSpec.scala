@@ -176,6 +176,33 @@ class MultimodalSpec extends SparkSpec {
     got.foreach { case (_, h, _) => assert(h >= 0L && h < 65536L) }
   }
 
+  test("aHashPairs equals a banded driver recompute at hamming <= 2") {
+    val texts = graft.engine.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val sigs = texts.map { case (id, t) =>
+      id -> Multimodal.aHashOf(t.getBytes("UTF-8")) }
+    // replicate the banding exactly: bucket membership, saturation cap,
+    // in-bucket pairs, exact hamming verify
+    val bands: Seq[((Int, Long), Long, Long)] = sigs.toSeq.flatMap { case (id, h) =>
+      Seq((0, h % 32), (1, (h / 32) % 32), (2, h / 1024)).map(b => (b, id, h)) }
+    val byBucket = bands.groupBy(_._1)
+      .filter(_._2.length <= Multimodal.AHashBandCap)
+    val expected = byBucket.values.flatMap { members =>
+      members.flatMap { case (_, a, ha) =>
+        members.collect {
+          case (_, b, hb)
+            if a < b && java.lang.Long.bitCount(ha ^ hb) <= Multimodal.AHashMaxHamming =>
+            (a, b) -> java.lang.Long.bitCount(ha ^ hb).toLong
+        }
+      }
+    }.toMap
+    val got = Multimodal.aHashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+    assert(got.nonEmpty, "exact-dup signatures exist, so pairs must too")
+  }
+
   test("aHash one-pass form equals the posexplode mirror and generates no per-byte rows") {
     val fast = Multimodal.aHash(spark, dir)
     val mirror = Multimodal.aHashExplode(spark, dir)
