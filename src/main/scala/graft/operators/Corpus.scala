@@ -414,6 +414,84 @@ object Corpus {
             .otherwise($"text").as("text")))
   }
 
+  /** Per-source token-budget trim — "cap every source at half its
+    * tokens" (over-represented-source downsampling, the applying twin
+    * of [[mix]]'s report): docs are consumed in deterministic
+    * content-hash order (rerun-stable, no rand()) and a source stops
+    * accepting once its running token total reaches half the source's
+    * grand total. Output = the kept listing with each doc's exclusive
+    * running total, so the cut is auditable.
+    *
+    * `source` is a bounded-domain key, so a cumulative window
+    * partitioned by source alone would sort a whole source's corpus in
+    * one task (the NTILE trap). This is [[packBatchesOf]]'s two-pass
+    * distributed prefix sum instead, keyed by source: hash-bucket
+    * quantile literals → per-(source, bucket) totals (metadata-sized;
+    * its source-partitioned windows are bounded by configuration) →
+    * broadcast offsets back, each task prefix-summing only its own
+    * (source, bucket) slice. The half-budget compare stays in integer
+    * arithmetic (`2·cum < total`) — no doubles near the contract.
+    */
+  def budgetTrim(spark: SparkSession, dir: String,
+      buckets: Int = 32): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir).select($"doc_id", $"source", hashBucket.as("hb"),
+      size(split($"text", " ")).cast("long").as("n_tokens"))
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds =
+      if (probes.isEmpty) Array.empty[Double]
+      else d.stat.approxQuantile("hb", probes, 0.001).distinct.sorted
+    val hbd = $"hb".cast("double")
+    val bucketExpr =
+      if (bounds.isEmpty) lit(0)
+      else {
+        val arr = array(bounds.toIndexedSeq.map(lit(_)): _*)
+        size(filter(arr, b => b < hbd))
+      }
+    val bucketed = d.withColumn("__bucket", bucketExpr)
+    val offW = Window.partitionBy($"source").orderBy($"__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totW = Window.partitionBy($"source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = bucketed.groupBy($"source", $"__bucket")
+      .agg(sum($"n_tokens").as("__tot"))
+      .withColumn("__off", coalesce(sum($"__tot").over(offW), lit(0L)))
+      .withColumn("__total", sum($"__tot").over(totW))
+      .select($"source", $"__bucket", $"__off", $"__total")
+    val localW = Window.partitionBy($"source", $"__bucket")
+      .orderBy($"hb", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .withColumn("__local", coalesce(sum($"n_tokens").over(localW), lit(0L)))
+      .join(broadcast(offsets), Seq("source", "__bucket"))
+      .withColumn("cum_before", $"__off" + $"__local")
+      .filter(lit(2L) * $"cum_before" < $"__total")
+      .select($"doc_id", $"source", $"n_tokens", $"cum_before")
+      .orderBy($"source", $"cum_before", $"doc_id")
+  }
+
+  /** Curriculum ordering — the "train easy-to-hard" permutation: every
+    * doc's position in a global order keyed by (classifier score asc,
+    * content hash, doc_id). The score is [[TextAnalysis.classifyDocs]]'
+    * exact integer BoW dot product (broadcast weights, map-side agg);
+    * the contiguous global position is `Ranking.globalRowNumber`
+    * bucketed BY THE SCORE itself — equal scores share a bucket (the
+    * boundary expression is deterministic per value), the within-
+    * bucket window sorts one score-slice per task, never the corpus.
+    * Same machinery as [[shuffleOrder]], different sort key: shuffle
+    * randomizes, curriculum grades.
+    */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = TextAnalysis.classifyDocs(spark, dir).select($"doc_id", $"score")
+    val keyed = docs(spark, dir).select($"doc_id", hashBucket.as("hb"))
+      .join(scored, Seq("doc_id"))
+    Ranking.globalRowNumber(keyed, "phase_pos", buckets = 32,
+        bucketCol = "score", ascending = true, $"score", $"hb", $"doc_id")
+      .select($"doc_id", $"score", $"phase_pos")
+      .orderBy($"phase_pos")
+  }
+
   /** Rows kept per (source, lang) cell by [[groupSample]]. */
   val GroupSampleK = 5
 
@@ -628,6 +706,8 @@ object Corpus {
     "corpus_diff" -> snapshotDiffHalves _,
     "corpus_manifest" -> manifest _,
     "corpus_manifest_diff" -> manifestDiffHalves _,
+    "corpus_budget_trim" -> ((s: SparkSession, d: String) => budgetTrim(s, d)),
+    "corpus_curriculum" -> curriculum _,
     "corpus_shuffle" -> shuffleOrder _,
     "corpus_epochs" -> epochs _,
     "corpus_shards" -> ((s: SparkSession, d: String) => shardManifest(s, d)),
@@ -702,6 +782,33 @@ object Corpus {
         |FROM n WHERE n_copies > 0
         |ORDER BY doc_id, copy""".stripMargin
     },
+    "corpus_budget_trim" ->
+      s"""WITH d AS (SELECT doc_id, source, $hbSql AS hb,
+        |             len(string_split(text, ' ')) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY hb, doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+        |        sum(n_tokens) OVER (PARTITION BY source) AS total
+        |      FROM d)
+        |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, cum_before
+        |FROM c WHERE 2 * cum_before < total
+        |ORDER BY source, cum_before, doc_id""".stripMargin,
+    "corpus_curriculum" ->
+      s"""WITH wt AS (SELECT i AS bucket, i % 21 - 10 AS weight
+        |            FROM generate_series(0, ${TextAnalysis.ClassifierBuckets - 1}) t(i)),
+        |terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |b AS (SELECT doc_id,
+        |        CAST((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
+        |           + (strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) AS BIGINT) AS bucket
+        |      FROM terms),
+        |sc AS (SELECT doc_id, CAST(sum(weight) AS BIGINT) AS score
+        |       FROM b JOIN wt USING (bucket) GROUP BY 1),
+        |k AS (SELECT d.doc_id, sc.score, $hbSql AS hb
+        |      FROM documents d JOIN sc USING (doc_id))
+        |SELECT doc_id, score,
+        |       CAST(row_number() OVER (ORDER BY score, hb, doc_id) AS BIGINT) AS phase_pos
+        |FROM k ORDER BY phase_pos""".stripMargin,
     "corpus_manifest_diff" ->
       s"""WITH oldd AS (SELECT source, lang, text FROM documents WHERE doc_id % 11 != 0),
         |newd AS (SELECT source, lang,

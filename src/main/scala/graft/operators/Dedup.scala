@@ -474,6 +474,105 @@ object Dedup {
     incrementalNearDup(d.filter($"doc_id" % 2 === 0), d.filter($"doc_id" % 2 === 1))
   }
 
+  /** Bloom-filter geometry for [[bloomWords]] / [[bloomProbe]]
+    * (mirrored in the oracle SQL). 2²⁰ bits in 32-bit words kept in
+    * BIGINTs (bit 31 is the widest mask either engine has to shift —
+    * `1L << 31` stays positive in both, so no sign-extension
+    * divergence), [[BloomHashes]] = 4 probe positions read straight
+    * off disjoint 5-hex (20-bit) slices of the md5 fingerprint — the
+    * hash the store already carries, no second hash family needed. At
+    * sf0.01's ~30k-fingerprint store the load gives ~10⁻⁴ false
+    * positives; a production store sizes `BloomBits` to its n (the
+    * formula is geometry-agnostic).
+    */
+  val BloomBits = 1 << 20
+  val BloomWordBits = 32
+  val BloomHashes = 4
+
+  /** The 4 probe positions of one fingerprint — 20-bit ints, one per
+    * disjoint 5-hex md5 slice.
+    */
+  private def bloomPositions(fp: String): Column =
+    expr(s"""transform(sequence(0, ${BloomHashes - 1}),
+        |  j -> CAST(conv(substr($fp, CAST(1 + 5 * j AS INT), 5), 16, 10) AS BIGINT))"""
+      .stripMargin)
+
+  /** Build the store's bloom bit-array: every fingerprint sets its
+    * [[BloomHashes]] bits; words OR together map-side (bit_or has
+    * partial aggregation), and the result is AT MOST 2²⁰/32 = 32768
+    * `(word_idx, word)` rows — model-sized metadata, independent of
+    * store cardinality, so the collect is the k-means/quantization
+    * precedent, not a data collect. Cost: one map pass over the store
+    * + one bounded-key aggregate — cheaper than the anti-join it
+    * pre-filters, and build once / probe many batches.
+    */
+  def bloomWords(store: DataFrame): Array[Long] = {
+    import store.sparkSession.implicits._
+    val rows = store
+      .select(explode(bloomPositions("fingerprint")).as("pos"))
+      .select(expr(s"pos div $BloomWordBits").as("word_idx"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos % $BloomWordBits AS INT))").as("mask"))
+      .groupBy($"word_idx")
+      .agg(expr("bit_or(mask)").as("word"))
+      .collect()
+    val words = new Array[Long](BloomBits / BloomWordBits)
+    rows.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    words
+  }
+
+  /** Probe a batch against the store's bloom words — the SHUFFLE-FREE
+    * prefilter in front of [[incremental]]'s anti-join: the bit array
+    * rides into every task as one array literal (256 KB — a constant,
+    * not a per-row structure) and the whole probe is a map-side
+    * projection, so definite-new documents (any probe bit clear — the
+    * bloom's no-false-negative guarantee, spec-pinned) skip the
+    * store-probe shuffle entirely. Only the `maybe_seen` sliver —
+    * true dups plus the ~10⁻⁴ false-positive tail — pays the exact
+    * anti-join. At 100 TB that turns the daily-ingest dedup from
+    * "shuffle the batch against the store" into "scan the batch, then
+    * shuffle ~the duplicate rate of it".
+    */
+  /** The probe-count expression over a fingerprint column, expecting
+    * the bit array bound as an array column named `__bloom` — shared
+    * by [[bloomProbe]] and the streaming ingest twin so the two paths
+    * cannot drift.
+    */
+  private[graft] def bloomHitSql(fpCol: String): String =
+    s"""aggregate(transform(sequence(0, ${BloomHashes - 1}),
+       |    j -> CAST(conv(substr($fpCol, CAST(1 + 5 * j AS INT), 5), 16, 10) AS BIGINT)),
+       |  CAST(0 AS BIGINT),
+       |  (acc, p) -> acc + CASE WHEN
+       |      (element_at(__bloom, CAST(p div $BloomWordBits AS INT) + 1)
+       |        & shiftleft(CAST(1 AS BIGINT), CAST(p % $BloomWordBits AS INT))) != 0
+       |    THEN 1 ELSE 0 END)""".stripMargin
+
+  def bloomProbe(words: Array[Long], incoming: DataFrame): DataFrame = {
+    import incoming.sparkSession.implicits._
+    incoming
+      .select($"doc_id", md5($"text").as("fingerprint"))
+      .withColumn("__bloom", lit(words))
+      .withColumn("n_bits_hit", expr(bloomHitSql("fingerprint")))
+      .withColumn("maybe_seen", $"n_bits_hit" === lit(BloomHashes.toLong))
+      .select($"doc_id", $"n_bits_hit", $"maybe_seen")
+  }
+
+  /** [[bloomProbe]] surfaced for the oracle over [[incrementalHalves]]'s
+    * split: even doc_ids are the fingerprint store, the batch is the
+    * odd docs (mostly novel) plus every `doc_id % 10 = 0` history doc
+    * re-arriving under a shifted id (a re-crawl — IS in the store, so
+    * the bloom MUST flag it; false negatives are impossible by
+    * construction and the spec cross-checks against ground truth).
+    */
+  def bloomHalves(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir).select($"doc_id", $"text")
+    val store = d.filter($"doc_id" % 2 === 0).select(md5($"text").as("fingerprint"))
+    val batch = d.filter($"doc_id" % 2 === 1)
+      .unionAll(d.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + RecrawlShift).as("doc_id"), $"text"))
+    bloomProbe(bloomWords(store), batch).orderBy($"doc_id")
+  }
+
   /** Chunk width (words) for [[chunkDedup]]. */
   val ChunkWords = 20
 
@@ -893,7 +992,18 @@ object Dedup {
     "dedup_normalized" -> normalizedDedup _,
     "dedup_incremental" -> incrementalHalves _,
     "dedup_incremental_near" -> incrementalNearDupHalves _,
+    "dedup_bloom" -> bloomHalves _,
   )
+
+  /** DuckDB mirror of one bloom probe position: 5-nibble arithmetic
+    * over md5 slice `j` (DuckDB has no conv()); `j` is the free lambda
+    * variable of the enclosing `list_transform`, `fp` the fingerprint
+    * column in scope.
+    */
+  private val bloomPosSql =
+    "(" + (0 until 5).map(i =>
+      s"(strpos('0123456789abcdef', substr(fp, 5 * j + ${i + 1}, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+      .mkString(" + ") + ")"
 
   /** DuckDB mirror of the engine's 60-bit shingle key
     * (`conv(substr(md5(shingle),1,15),16,10)`) — DuckDB has no conv(),
@@ -1000,6 +1110,26 @@ object Dedup {
       |         FROM flat GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_bloom" ->
+      s"""WITH store AS (SELECT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
+        |batch AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1
+        |          UNION ALL
+        |          SELECT doc_id + $RecrawlShift, md5(text) FROM documents WHERE doc_id % 10 = 0),
+        |sp AS (SELECT unnest(list_transform([0, 1, 2, 3], j -> $bloomPosSql)) AS pos FROM store),
+        |w AS (SELECT pos // $BloomWordBits AS word_idx,
+        |        bit_or(CAST(1 AS BIGINT) << CAST(pos % $BloomWordBits AS INT)) AS word
+        |      FROM sp GROUP BY 1),
+        |bp AS (SELECT doc_id,
+        |         unnest(list_transform([0, 1, 2, 3], j -> $bloomPosSql)) AS pos
+        |       FROM batch),
+        |probe AS (SELECT bp.doc_id,
+        |            CASE WHEN w.word IS NOT NULL
+        |                  AND (w.word & (CAST(1 AS BIGINT) << CAST(bp.pos % $BloomWordBits AS INT))) != 0
+        |                 THEN 1 ELSE 0 END AS hit
+        |          FROM bp LEFT JOIN w ON bp.pos // $BloomWordBits = w.word_idx)
+        |SELECT doc_id, CAST(sum(hit) AS BIGINT) AS n_bits_hit,
+        |       sum(hit) = $BloomHashes AS maybe_seen
+        |FROM probe GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "dedup_apply" ->
       """WITH f AS (SELECT doc_id, lang, md5(text) AS fp FROM documents),
         |k AS (SELECT fp, min(doc_id) AS keeper FROM f GROUP BY 1)

@@ -597,7 +597,74 @@ object TextAnalysis {
   def classifyDocs(spark: SparkSession, dir: String): DataFrame =
     classify(docs(spark, dir), classifierWeights(spark))
 
+  /** Per-document n-gram NOVELTY — what fraction of a doc's trigrams
+    * appear here FIRST (no earlier doc_id — ingestion-order proxy —
+    * contains them)? Low novelty without an exact-dup hit is the
+    * template/boilerplate signature chunk dedup misses and a
+    * memorization audit looks for. Two trigram-keyed aggregates (the
+    * key is data-scaled, never bounded-domain) and one join back —
+    * the [[trigramTable]] extraction reused, rate held in exact ppm
+    * integer arithmetic. Docs under 3 tokens have no trigrams and are
+    * absent (mirrored in the oracle).
+    */
+  def novelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tg = docs(spark, dir)
+      .select($"doc_id", tok.as("t"))
+      .filter(size($"t") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"))
+        .as("trigram"))
+    val firsts = tg.groupBy($"trigram").agg(min($"doc_id").as("first_doc"))
+    tg.join(firsts, Seq("trigram"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("(n_novel * 1000000) div n_grams"))
+      .orderBy($"doc_id")
+  }
+
+  /** Window geometry for [[chunkWindows]] (mirrored in the oracle):
+    * 32-token windows advancing by 24 — the 8-token overlap is what a
+    * context-window pipeline keeps so no sentence is ever split
+    * across a hard boundary with zero shared context.
+    */
+  val WindowTokens = 32
+  val WindowStride = 24
+
+  /** Sliding token windows with overlap — cutting documents into
+    * training-context-sized pieces (the step between curation and
+    * packing; chunk dedup's fixed chunks answer "is this repeated",
+    * these answer "what does example i see"). Each doc yields
+    * ⌈max(0, n−W)/S⌉+1 windows: starts 1, S+1, 2S+1, …, the last
+    * window clamped at the doc tail, a short doc one whole window.
+    * Pure map-side explode — no shuffle at all, the per-doc cost is
+    * O(windows), and the window fingerprint (not the text) keeps the
+    * output narrow; a real pipeline would emit the slice itself from
+    * the same expression.
+    */
+  def chunkWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val W = WindowTokens
+    val S = WindowStride
+    docs(spark, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .select($"doc_id", explode(expr(
+        s"""transform(
+           |  sequence(CAST(0 AS BIGINT),
+           |           CAST(greatest(0.0, ceil((size(t) - $W) / $S.0)) AS BIGINT)),
+           |  i -> named_struct(
+           |    'win_idx', i,
+           |    'n_tok', CAST(size(slice(t, CAST(i * $S + 1 AS INT), $W)) AS BIGINT),
+           |    'win_fp', md5(array_join(slice(t, CAST(i * $S + 1 AS INT), $W), ' '))))"""
+          .stripMargin)).as("w"))
+      .select($"doc_id", $"w.win_idx", $"w.n_tok", $"w.win_fp")
+      .orderBy($"doc_id", $"win_idx")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunk_windows" -> chunkWindows _,
+    "text_novelty" -> novelty _,
     "text_filter" -> filterDocs _,
     "text_classifier" -> classifyDocs _,
     "text_cms" -> cmsEstimate _,
@@ -639,6 +706,18 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "text_chunk_windows" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |x AS (SELECT doc_id, t,
+        |        unnest(generate_series(0,
+        |          CAST(greatest(0, ceil((len(t) - $WindowTokens) / $WindowStride.0)) AS BIGINT))) AS win_idx
+        |      FROM w)
+        |SELECT doc_id, win_idx,
+        |       CAST(len(list_slice(t, CAST(win_idx * $WindowStride + 1 AS INT),
+        |                           CAST(win_idx * $WindowStride + $WindowTokens AS INT))) AS BIGINT) AS n_tok,
+        |       md5(array_to_string(list_slice(t, CAST(win_idx * $WindowStride + 1 AS INT),
+        |                           CAST(win_idx * $WindowStride + $WindowTokens AS INT)), ' ')) AS win_fp
+        |FROM x ORDER BY doc_id, win_idx""".stripMargin,
     "text_vocab_coverage" ->
       s"""WITH terms AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
         |tot AS (SELECT count(*) AS total FROM terms),
@@ -665,6 +744,18 @@ object TextAnalysis {
         |SELECT doc_id, lang_a, lang_b,
         |       (lang_a <> lang_b AND lang_a <> 'und' AND lang_b <> 'und') AS mixed
         |FROM p ORDER BY doc_id""".stripMargin,
+    "text_novelty" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS trigram
+        |       FROM w WHERE len(t) >= 3),
+        |f AS (SELECT trigram, min(doc_id) AS first_doc FROM tg GROUP BY 1)
+        |SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(sum(CASE WHEN f.first_doc = tg.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |       CAST(sum(CASE WHEN f.first_doc = tg.doc_id THEN 1 ELSE 0 END) * 1000000
+        |            // count(*) AS BIGINT) AS novelty_ppm
+        |FROM tg JOIN f USING (trigram)
+        |GROUP BY 1 ORDER BY tg.doc_id""".stripMargin,
     "text_trigrams" ->
       s"""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
         |tg AS (SELECT unnest(list_transform(generate_series(1, len(t) - 2),

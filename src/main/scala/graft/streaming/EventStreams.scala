@@ -88,6 +88,38 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("fingerprint")
       .join(store.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
 
+  /** [[dedupDocsAgainstStore]] with the bloom PREFILTER in front of
+    * the store anti-join — the shape a 100 TB ingest actually wants:
+    * the store's bloom bit array (`Dedup.bloomWords`, rebuilt at the
+    * same nightly compaction that grows the store) rides into every
+    * task as a 256 KB literal, the probe is a stateless map-side
+    * projection, and the stream SPLITS on it before any state exists:
+    * definite-new fingerprints (any probe bit clear — no false
+    * negatives, so skipping the join is safe) never touch the static
+    * store at all; only the maybe-seen sliver pays the per-batch
+    * store re-read and anti-join. The split branches are disjoint by
+    * fingerprint, so the two within-watermark dedup states partition
+    * the stream's state rather than doubling it, and the union of the
+    * branches equals the unprefiltered twin row-for-row (spec-pinned).
+    */
+  def dedupDocsWithBloom(docs: DataFrame, bloom: Array[Long],
+      store: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val probed = docs
+      .withColumn("fingerprint", md5(col("text")))
+      .withColumn("__bloom", lit(bloom))
+      .withColumn("__maybe",
+        expr(graft.operators.Dedup.bloomHitSql("fingerprint"))
+          === lit(graft.operators.Dedup.BloomHashes.toLong))
+      .drop("__bloom")
+    def dedupWm(d: DataFrame): DataFrame = d
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+    dedupWm(probed.filter(!col("__maybe")).drop("__maybe"))
+      .unionByName(
+        dedupWm(probed.filter(col("__maybe")).drop("__maybe"))
+          .join(store.select(col("fingerprint")), Seq("fingerprint"), "left_anti"))
+  }
+
   /** Streaming document INGEST pipeline — the streaming twin of
     * `graft.Pipeline`'s front half: quality-gate incoming docs by
     * token count (the batch filter's cheap core — a map-only

@@ -256,6 +256,81 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.manifestDiff(old, old).count() === 0L, "identity diff is empty")
   }
 
+  test("budgetTrim keeps each source's hash-order prefix under half its tokens") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, size, split}
+    val d = graft.engine.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source",
+        expr("CAST(conv(substr(md5(text), 1, 4), 16, 10) AS BIGINT)").as("hb"),
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // driver recompute: per source, walk (hb, doc_id) order accumulating
+    val expect = d.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val total = rows.map(_._4).sum
+      var cum = 0L
+      rows.sortBy(r => (r._3, r._1)).toSeq.flatMap { case (id, _, _, n) =>
+        val keep = 2 * cum < total
+        val out = if (keep) Some(id -> ((cum, n))) else None
+        cum += n
+        out
+      }
+    }.toMap
+    val got = Corpus.budgetTrim(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(2)))).toMap
+    assert(got === expect)
+    // the trim actually trims: strictly fewer docs than the corpus
+    assert(got.size < d.length && got.nonEmpty)
+  }
+
+  test("curriculum is the exact (score, hash, doc_id) permutation with contiguous positions") {
+    import spark.implicits._
+    val scores = graft.operators.TextAnalysis.classifyDocs(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hbs = graft.engine.Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        org.apache.spark.sql.functions.expr(
+          "CAST(conv(substr(md5(text), 1, 4), 16, 10) AS BIGINT)").as("hb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectedOrder = scores.keys.toSeq
+      .sortBy(id => (scores(id), hbs(id), id))
+    val got = Corpus.curriculum(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._3).toSeq === (1L to got.length.toLong), "positions contiguous from 1")
+    assert(got.sortBy(_._3).map(_._1).toSeq === expectedOrder, "permutation matches sort key")
+    got.foreach { case (id, score, _) => assert(score === scores(id)) }
+  }
+
+  test("chunkWindows covers every token with the configured stride and overlap") {
+    import spark.implicits._
+    val ta = graft.operators.TextAnalysis
+    val texts = graft.engine.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val got = ta.chunkWindows(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3))))
+      .toMap
+    texts.foreach { case (id, text) =>
+      val t = text.split(" ", -1)
+      val nw = 1 + math.max(0,
+        math.ceil((t.length - ta.WindowTokens).toDouble / ta.WindowStride)).toLong
+      val wins = (0L until nw).map { i =>
+        val s = (i * ta.WindowStride).toInt
+        t.slice(s, s + ta.WindowTokens)
+      }
+      wins.zipWithIndex.foreach { case (w, i) =>
+        val (n, fp) = got((id, i.toLong))
+        assert(n === w.length.toLong, s"window $i of doc $id token count")
+        assert(fp === md5hex(w.mkString(" ")), s"window $i of doc $id fingerprint")
+      }
+      assert(!got.contains((id, nw)), s"doc $id has exactly $nw windows")
+      // coverage: consecutive windows overlap by W - S tokens (until the tail)
+      assert(ta.WindowTokens > ta.WindowStride, "geometry guarantees overlap")
+    }
+  }
+
   test("epochs expansion applies whole + fractional factors per source, deterministically") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))

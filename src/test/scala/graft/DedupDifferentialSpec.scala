@@ -143,4 +143,48 @@ class DedupDifferentialSpec extends SparkSpec {
     assert(incomingIds.nonEmpty)
     assert(incomingIds.forall(id => self(id) == 4L), "self-probe hits all 4 bands")
   }
+
+  test("bloom prefilter: zero false negatives vs ground truth; driver recompute matches") {
+    import spark.implicits._
+    val d = graft.engine.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val storeTexts = d.filter($"doc_id" % 2 === 0).select($"text").collect()
+      .map(_.getString(0))
+    val storeFps = storeTexts.map(md5hex).toSet
+    // driver-side second implementation of the bit array
+    def positions(fp: String): Seq[Long] =
+      (0 until Dedup.BloomHashes).map(j =>
+        java.lang.Long.parseLong(fp.substring(5 * j, 5 * j + 5), 16))
+    val expectWords = new Array[Long](Dedup.BloomBits / Dedup.BloomWordBits)
+    storeFps.foreach(fp => positions(fp).foreach { p =>
+      expectWords((p / Dedup.BloomWordBits).toInt) |= (1L << (p % Dedup.BloomWordBits).toInt)
+    })
+    val words = Dedup.bloomWords(
+      d.filter($"doc_id" % 2 === 0)
+        .select(org.apache.spark.sql.functions.md5($"text").as("fingerprint")))
+    assert(words.toSeq == expectWords.toSeq, "built bit array matches driver recompute")
+    // probe the surfaced batch; cross-check each row against ground truth
+    val batchTexts = d.filter($"doc_id" % 2 === 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)) ++
+      d.filter($"doc_id" % 10 === 0).collect()
+        .map(r => (r.getLong(0) + Dedup.RecrawlShift) -> r.getString(1))
+    val got = Dedup.bloomHalves(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got.keySet == batchTexts.map(_._1).toSet)
+    var truePos = 0
+    batchTexts.foreach { case (id, text) =>
+      val (hits, maybe) = got(id)
+      val inStore = storeFps.contains(md5hex(text))
+      assert(maybe == (hits == Dedup.BloomHashes.toLong))
+      if (inStore) { truePos += 1
+        assert(maybe, s"FALSE NEGATIVE: doc $id is in the store but bloom missed it")
+      }
+      // driver recompute of the probe itself
+      val expHits = positions(md5hex(text)).count(p =>
+        (expectWords((p / Dedup.BloomWordBits).toInt)
+          & (1L << (p % Dedup.BloomWordBits).toInt)) != 0L)
+      assert(hits == expHits.toLong, s"probe count for doc $id")
+    }
+    assert(truePos > 0, "recrawl salt guarantees true duplicates exist")
+  }
 }

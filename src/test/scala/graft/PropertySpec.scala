@@ -101,4 +101,28 @@ class PropertySpec extends SparkSpec {
       assert(c1 === c2, s"not idempotent: '$c1' -> '$c2'")
     }
   }
+
+  test("trigram novelty equals a driver recompute of first-occurrence counts") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val texts = graft.engine.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val grams = texts.toSeq.flatMap { case (id, text) =>
+      val t = text.split(" ", -1)
+      if (t.length < 3) Seq.empty
+      else (0 to t.length - 3).map(i => id -> s"${t(i)} ${t(i + 1)} ${t(i + 2)}")
+    }
+    val firstDoc = grams.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val expect = grams.groupBy(_._1).map { case (id, gs) =>
+      val novel = gs.count(g => firstDoc(g._2) == id).toLong
+      id -> ((gs.length.toLong, novel, novel * 1000000L / gs.length))
+    }
+    val got = graft.operators.TextAnalysis.novelty(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expect)
+    // the corpus has repeated boilerplate, so non-trivial both ways
+    assert(got.values.exists(_._3 < 1000000L), "some doc repeats earlier content")
+    assert(got.values.exists(_._3 == 1000000L), "some doc is fully novel")
+  }
 }

@@ -129,6 +129,34 @@ class StreamingSpec extends SparkSpec {
     assert(kept.toSeq === Seq(1L, 3L, 5L))
   }
 
+  test("bloom-prefiltered streaming dedup keeps exactly the unprefiltered twin's survivors") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = Seq("seen before", "also historical").toDF("text")
+      .select(md5($"text").as("fingerprint"))
+    val bloom = graft.operators.Dedup.bloomWords(store)
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val docs = stream.toDF().toDF("doc_id", "ingest_ts", "text")
+    val q = EventStreams.dedupDocsWithBloom(docs, bloom, store)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("bloomdedup")
+      .option("checkpointLocation", ckpt()).start()
+    stream.addData(Seq(
+      (1L, Timestamp.valueOf("2024-05-01 10:00:00"), "fresh one"),
+      (2L, Timestamp.valueOf("2024-05-01 10:00:10"), "seen before"),      // store hit → dropped
+      (3L, Timestamp.valueOf("2024-05-01 10:00:20"), "fresh two"),
+      (4L, Timestamp.valueOf("2024-05-01 10:00:30"), "also historical"))) // store hit → dropped
+    q.processAllAvailable()
+    stream.addData(Seq(
+      (5L, Timestamp.valueOf("2024-05-01 10:01:00"), "fresh one"),        // in-stream dup → dropped
+      (6L, Timestamp.valueOf("2024-05-01 10:01:10"), "fresh three")))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("bloomdedup").select("doc_id").collect().map(_.getLong(0)).sorted
+    // identical to what dedupDocsAgainstStore keeps on this feed
+    assert(kept.toSeq === Seq(1L, 3L, 6L))
+  }
+
   test("streaming ingest pipeline gates quality before dedup state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
