@@ -492,6 +492,54 @@ object Corpus {
       .orderBy($"phase_pos")
   }
 
+  /** Rows returned by [[topNSample]]. */
+  val TopNSampleN = 100
+
+  /** Exactly-N deterministic sample — the "give me 100 docs for the
+    * eval set / human audit" verb, content-keyed: the N hash-smallest
+    * documents by (md5(text), doc_id). Unlike the rate-based
+    * [[sample]] the size is exact; unlike [[groupSample]] it ignores
+    * cells. Distributed shape: `ORDER BY ... LIMIT n` compiles to
+    * TakeOrdered (per-partition n-heaps, one n-row merge — no global
+    * sort); the contiguous position is attached by the explicit
+    * bounded single-reducer rank over the n surviving rows.
+    */
+  def topNSample(spark: SparkSession, dir: String,
+      n: Int = TopNSampleN): DataFrame = {
+    import spark.implicits._
+    val top = docs(spark, dir)
+      .select($"doc_id", md5($"text").as("fingerprint"))
+      .orderBy($"fingerprint", $"doc_id")
+      .limit(n)
+    Ranking.boundedRowNumber(top, "pos", $"fingerprint", $"doc_id")
+      .select($"pos", $"doc_id", $"fingerprint")
+      .orderBy($"pos")
+  }
+
+  /** Per-source dedup SAVINGS — what exact dedup would give back, in
+    * the unit budgets are set in (tokens): per source, the docs and
+    * tokens total, the duplicated-copy count, and the tokens freed by
+    * keeping one copy per fingerprint ((copies−1)·tokens; identical
+    * text ⇒ identical token count, so the accounting is exact). The
+    * duplicate-rate report says how MANY; this says how MUCH — the
+    * number that decides whether the dedup pass pays for itself. Two
+    * keyed aggregates: (source, fingerprint) then source.
+    */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"source", md5($"text").as("fp"),
+        size(split($"text", " ")).cast("long").as("n_tok"))
+      .groupBy($"source", $"fp")
+      .agg(count(lit(1)).as("copies"), min($"n_tok").as("n_tok"))
+      .groupBy($"source")
+      .agg(sum($"copies").as("n_docs"),
+        sum($"copies" * $"n_tok").as("n_tokens"),
+        sum($"copies" - 1).as("n_dup_docs"),
+        sum(($"copies" - 1) * $"n_tok").as("tokens_saved"))
+      .orderBy($"source")
+  }
+
   /** Rows kept per (source, lang) cell by [[groupSample]]. */
   val GroupSampleK = 5
 
@@ -708,6 +756,8 @@ object Corpus {
     "corpus_manifest_diff" -> manifestDiffHalves _,
     "corpus_budget_trim" -> ((s: SparkSession, d: String) => budgetTrim(s, d)),
     "corpus_curriculum" -> curriculum _,
+    "corpus_topn_sample" -> ((s: SparkSession, d: String) => topNSample(s, d)),
+    "dedup_savings" -> dedupSavings _,
     "corpus_shuffle" -> shuffleOrder _,
     "corpus_epochs" -> epochs _,
     "corpus_shards" -> ((s: SparkSession, d: String) => shardManifest(s, d)),
@@ -782,6 +832,23 @@ object Corpus {
         |FROM n WHERE n_copies > 0
         |ORDER BY doc_id, copy""".stripMargin
     },
+    "corpus_topn_sample" ->
+      s"""WITH t AS (SELECT doc_id, md5(text) AS fingerprint FROM documents
+        |           ORDER BY fingerprint, doc_id LIMIT $TopNSampleN)
+        |SELECT CAST(row_number() OVER (ORDER BY fingerprint, doc_id) AS BIGINT) AS pos,
+        |       doc_id, fingerprint
+        |FROM t ORDER BY pos""".stripMargin,
+    "dedup_savings" ->
+      """WITH f AS (SELECT source, md5(text) AS fp,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |g AS (SELECT source, fp, count(*) AS copies, min(n_tok) AS n_tok
+        |      FROM f GROUP BY 1, 2)
+        |SELECT source, CAST(sum(copies) AS BIGINT) AS n_docs,
+        |       CAST(sum(copies * n_tok) AS BIGINT) AS n_tokens,
+        |       CAST(sum(copies - 1) AS BIGINT) AS n_dup_docs,
+        |       CAST(sum((copies - 1) * n_tok) AS BIGINT) AS tokens_saved
+        |FROM g GROUP BY 1 ORDER BY source""".stripMargin,
     "corpus_budget_trim" ->
       s"""WITH d AS (SELECT doc_id, source, $hbSql AS hb,
         |             len(string_split(text, ' ')) AS n_tokens

@@ -395,7 +395,57 @@ object Similarity {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** Embedding-space OUTLIERS per class — the "these examples don't
+    * belong to their label" audit a curation pass runs before
+    * training: every vector is reduced to [[quantize]]'s int8 codes,
+    * each label's centroid is the per-dim INTEGER mean of its codes
+    * (floor division of non-negative sums — exact in both engines; a
+    * float centroid would inherit cross-row float-sum ordering and
+    * could never be oracle-checked), and each vector's squared
+    * integer distance to its own label's centroid ranks the k
+    * farthest per label.
+    *
+    * Scale shape: one 64× posexplode, a (label, dim)-keyed aggregate
+    * whose result is labels×dims rows (broadcast back), a vec-keyed
+    * aggregate for distances, and a rank filter that compiles to
+    * WindowGroupLimit (map-side k-heaps — the label partition key is
+    * bounded-domain, but no task ever sorts a whole label's vectors).
+    * Distances are ≤ 255²·64 per vector — integer, no overflow, no
+    * IEEE anywhere past the quantizer.
+    */
+  def sqOutliers(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val e0 = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"label".cast("long").as("label"),
+        Vectors.toDouble($"embedding").as("emb"))
+    val stats = e0.select(posexplode($"emb").as(Seq("dim", "x")))
+      .groupBy($"dim").agg(min($"x").as("mn"), max($"x").as("mx"))
+      .collect().sortBy(_.getInt(0))
+    val mns = lit(stats.map(_.getDouble(1)))
+    val mxs = lit(stats.map(_.getDouble(2)))
+    val codes = transform(sequence(lit(0), lit(stats.length - 1)), i => {
+      val x = element_at($"emb", i + 1)
+      val mn = element_at(mns, i + 1)
+      val mx = element_at(mxs, i + 1)
+      when(mx === mn, lit(0L))
+        .otherwise(least(floor((x - mn) * 255.0 / (mx - mn)), lit(255.0)).cast("long"))
+    })
+    val coded = e0.select($"vec_id", $"label", posexplode(codes).as(Seq("dim", "code")))
+    val cent = coded.groupBy($"label", $"dim")
+      .agg(expr("CAST(sum(code) div count(1) AS BIGINT)").as("cent"))
+    val dist = coded.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy($"vec_id", $"label")
+      .agg(sum(($"code" - $"cent") * ($"code" - $"cent")).as("dist2"))
+    dist
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"label").orderBy($"dist2".desc, $"vec_id")).cast("long"))
+      .filter($"rnk" <= k)
+      .select($"label", $"vec_id", $"dist2", $"rnk")
+      .orderBy($"label", $"rnk")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_sq_outliers" -> ((s: SparkSession, d: String) => sqOutliers(s, d)),
     "ann_sq_topk" -> ((s: SparkSession, d: String) => sqTopK(s, d)),
     "emb_quantize" -> quantize _,
     "ann_cosine_topk" -> cosineTopK _,
@@ -405,6 +455,29 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "emb_sq_outliers" ->
+      """WITH d AS (
+        |  SELECT i - 1 AS dim,
+        |         min(CAST(embedding[i] AS DOUBLE)) AS mn,
+        |         max(CAST(embedding[i] AS DOUBLE)) AS mx
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+        |  GROUP BY 1),
+        |c AS (SELECT vec_id, CAST(label AS BIGINT) AS label, d.dim,
+        |        CASE WHEN mx = mn THEN 0
+        |             ELSE CAST(least(floor((CAST(embedding[d.dim + 1] AS DOUBLE) - mn) * 255.0
+        |                                   / (mx - mn)), 255.0) AS BIGINT) END AS code
+        |      FROM embeddings CROSS JOIN d),
+        |cent AS (SELECT label, dim, CAST(sum(code) // count(*) AS BIGINT) AS cent
+        |         FROM c GROUP BY 1, 2),
+        |dist AS (SELECT c.vec_id, c.label,
+        |           CAST(sum((code - cent) * (code - cent)) AS BIGINT) AS dist2
+        |         FROM c JOIN cent USING (label, dim) GROUP BY 1, 2),
+        |r AS (SELECT label, vec_id, dist2,
+        |        CAST(row_number() OVER (PARTITION BY label
+        |             ORDER BY dist2 DESC, vec_id) AS BIGINT) AS rnk
+        |      FROM dist)
+        |SELECT label, vec_id, dist2, rnk FROM r WHERE rnk <= 10
+        |ORDER BY label, rnk""".stripMargin,
     "ann_sq_topk" ->
       """WITH d AS (
         |  SELECT i - 1 AS dim,

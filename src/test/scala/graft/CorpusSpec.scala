@@ -256,6 +256,38 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.manifestDiff(old, old).count() === 0L, "identity diff is empty")
   }
 
+  test("topNSample returns exactly N hash-smallest docs, rerun-stable") {
+    val got = Corpus.topNSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length === Corpus.TopNSampleN)
+    assert(got.map(_._1).toSeq === (1L to Corpus.TopNSampleN.toLong), "positions contiguous")
+    val sorted = got.sortBy(r => (r._3, r._2))
+    assert(got.toSeq === sorted.toSeq, "ordered by (fingerprint, doc_id)")
+    val again = Corpus.topNSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq === again.toSeq, "rerun-stable")
+  }
+
+  test("dedupSavings accounts every doc and saves (copies-1)*tokens per fingerprint") {
+    import spark.implicits._
+    val rows = Corpus.dedupSavings(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    val docs = graft.engine.Tables.load(spark, dir, "documents")
+      .select($"source", $"text").collect().map(r => (r.getString(0), r.getString(1)))
+    val bySource = docs.groupBy(_._1)
+    assert(rows.map(_._1).sorted.toSeq === bySource.keys.toSeq.sorted)
+    rows.foreach { case (src, (nDocs, nTokens, nDup, saved)) =>
+      val texts = bySource(src).map(_._2)
+      assert(nDocs === texts.length.toLong)
+      assert(nTokens === texts.map(_.split(" ", -1).length.toLong).sum)
+      val expSaved = texts.groupBy(identity).values
+        .map(g => (g.length - 1).toLong * g.head.split(" ", -1).length).sum
+      val expDup = texts.groupBy(identity).values.map(g => (g.length - 1).toLong).sum
+      assert(nDup === expDup, s"dup docs for $src")
+      assert(saved === expSaved, s"tokens saved for $src")
+    }
+  }
+
   test("budgetTrim keeps each source's hash-order prefix under half its tokens") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{expr, size, split}

@@ -481,4 +481,35 @@ class ExtensionSpec extends SparkSpec {
       assert(r.getLong(3) >= 0L, "CMS never underestimates")
     }
   }
+
+  test("sq outliers equal a driver recompute of integer centroids and distances") {
+    import spark.implicits._
+    val vecs = graft.engine.Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"label".cast("long"),
+        graft.functions.Vectors.toDouble($"embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val dims = vecs.head._3.length
+    val mn = (0 until dims).map(i => vecs.map(_._3(i)).min).toArray
+    val mx = (0 until dims).map(i => vecs.map(_._3(i)).max).toArray
+    def code(x: Double, i: Int): Long =
+      if (mx(i) == mn(i)) 0L
+      else math.min(math.floor((x - mn(i)) * 255.0 / (mx(i) - mn(i))), 255.0).toLong
+    val coded = vecs.map { case (id, l, e) =>
+      (id, l, (0 until dims).map(i => code(e(i), i)).toArray) }
+    val cents = coded.groupBy(_._2).view.mapValues { vs =>
+      (0 until dims).map(i => vs.map(_._3(i)).sum / vs.length).toArray
+    }.toMap
+    val dist = coded.map { case (id, l, c) =>
+      (l, id, (0 until dims).map(i => { val d = c(i) - cents(l)(i); d * d }).sum)
+    }
+    val expect = dist.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(10).zipWithIndex
+        .map { case ((l, id, d2), i) => (l, id) -> ((d2, (i + 1).toLong)) }
+    }.toMap
+    val got = Similarity.sqOutliers(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
 }
