@@ -540,6 +540,30 @@ object Corpus {
       .orderBy($"source")
   }
 
+  /** Highest power-of-two boundary for [[lengthHisto]]'s bins. */
+  val LengthHistoMaxPow = 20
+
+  /** Per-source document-LENGTH histogram — the data-card table every
+    * corpus release prints: per (source, ⌊log₂ tokens⌋ bin) the doc
+    * count and token mass. The bin is computed as "how many powers of
+    * two are ≤ n" over a 20-entry literal array — EXACT integer
+    * arithmetic in both engines, where `floor(log2(n))` would hang the
+    * bin boundary on an IEEE log's ulp (log2(8) can evaluate to
+    * 2.999…96 when lowered to ln(x)/ln(2)). One keyed aggregate over
+    * a (source × ≤21)-bounded key.
+    */
+  def lengthHisto(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pows = (1 to LengthHistoMaxPow).map(i => 1L << i)
+    docs(spark, dir)
+      .select($"source", size(split($"text", " ")).cast("long").as("n_tok"))
+      .withColumn("bin", size(filter(
+        array(pows.map(lit(_)): _*), p => p <= $"n_tok")).cast("long"))
+      .groupBy($"source", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      .orderBy($"source", $"bin")
+  }
+
   /** Rows kept per (source, lang) cell by [[groupSample]]. */
   val GroupSampleK = 5
 
@@ -758,6 +782,7 @@ object Corpus {
     "corpus_curriculum" -> curriculum _,
     "corpus_topn_sample" -> ((s: SparkSession, d: String) => topNSample(s, d)),
     "dedup_savings" -> dedupSavings _,
+    "corpus_length_histo" -> lengthHisto _,
     "corpus_shuffle" -> shuffleOrder _,
     "corpus_epochs" -> epochs _,
     "corpus_shards" -> ((s: SparkSession, d: String) => shardManifest(s, d)),
@@ -831,6 +856,17 @@ object Corpus {
         |SELECT doc_id, source, unnest(generate_series(1, n_copies)) AS copy
         |FROM n WHERE n_copies > 0
         |ORDER BY doc_id, copy""".stripMargin
+    },
+    "corpus_length_histo" -> {
+      val powsList = (1 to LengthHistoMaxPow).map(i => 1L << i).mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents)
+        |SELECT source,
+        |       CAST(len(list_filter($powsList, p -> p <= n_tok)) AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM d GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
     },
     "corpus_topn_sample" ->
       s"""WITH t AS (SELECT doc_id, md5(text) AS fingerprint FROM documents

@@ -684,6 +684,33 @@ object Dedup {
       .orderBy($"source")
   }
 
+  /** Cross-SOURCE duplication matrix — "who copies whom": for every
+    * source pair, how many distinct [[ChunkWords]]-word chunk
+    * fingerprints they share (exact-doc overlap is usually zero across
+    * crawls — boilerplate and syndicated passages travel as chunks,
+    * the granularity [[chunkDedup]] already fingerprinted). The
+    * provenance table a crawl review reads before deciding which
+    * source to drop. Shape: distinct (source, fp) presence roster →
+    * fp-keyed self-join (data-scaled key; a chunk in s sources yields
+    * ≤ s²/2 pairs, bounded by the source-count domain) → one bounded
+    * aggregate.
+    */
+  def crossSourceDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = docs(spark, dir)
+      .select($"source", split($"text", " ").as("t"))
+      .select($"source", explode(expr(
+        s"""transform(sequence(0, CAST(ceil(size(t) / $ChunkWords.0) AS BIGINT) - 1),
+           |  i -> md5(array_join(slice(t, CAST(i * $ChunkWords + 1 AS INT), $ChunkWords), ' ')))"""
+          .stripMargin)).as("fp"))
+      .distinct()
+    f.as("a").join(f.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_chunks"))
+      .orderBy($"source_a", $"source_b")
+  }
+
   /** Documents that must share a chunk before it counts as boilerplate
     * for [[boilerplateStrip]].
     */
@@ -993,6 +1020,7 @@ object Dedup {
     "dedup_incremental" -> incrementalHalves _,
     "dedup_incremental_near" -> incrementalNearDupHalves _,
     "dedup_bloom" -> bloomHalves _,
+    "dedup_cross_source" -> crossSourceDup _,
   )
 
   /** DuckDB mirror of one bloom probe position: 5-nibble arithmetic
@@ -1189,6 +1217,17 @@ object Dedup {
         |       coalesce(r.clean_md5, md5('')) AS clean_md5
         |FROM tot t LEFT JOIN reb r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "dedup_cross_source" ->
+      s"""WITH w AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |ch0 AS (SELECT source,
+        |          unnest(list_transform(generate_series(0, CAST(ceil(len(t) / $ChunkWords.0) AS BIGINT) - 1),
+        |            i -> md5(array_to_string(t[i * $ChunkWords + 1 : i * $ChunkWords + $ChunkWords], ' ')))) AS fp
+        |        FROM w),
+        |ch AS (SELECT DISTINCT source, fp FROM ch0)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |       CAST(count(*) AS BIGINT) AS n_shared_chunks
+        |FROM ch a JOIN ch b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_chunks" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |ch AS (SELECT doc_id,

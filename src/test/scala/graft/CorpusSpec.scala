@@ -288,6 +288,43 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("lengthHisto bins by exact integer log2 and accounts every doc and token") {
+    import spark.implicits._
+    val toks = graft.engine.Tables.load(spark, dir, "documents")
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+    val expect = toks.groupBy { case (src, n) =>
+      (src, (1 to Corpus.LengthHistoMaxPow).count(i => (1L << i) <= n).toLong)
+    }.view.mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+    val got = Corpus.lengthHisto(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expect)
+    assert(got.map(_._2._1).sum === toks.length.toLong, "every doc binned once")
+  }
+
+  test("crossSourceDup counts distinct shared chunks per source pair, non-vacuously") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = graft.engine.Tables.load(spark, dir, "documents")
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val roster = docs.flatMap { case (src, text) =>
+      text.split(" ", -1).grouped(graft.operators.Dedup.ChunkWords)
+        .map(g => (src, md5hex(g.mkString(" "))))
+    }.distinct
+    val byFp = roster.groupBy(_._2).values.toSeq
+    val expect = byFp.flatMap { members =>
+      val srcs = members.map(_._1).sorted.toSeq
+      for { a <- srcs; b <- srcs if a < b } yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.operators.Dedup.crossSourceDup(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === expect)
+    assert(got.nonEmpty, "fixture has cross-source chunk sharing")
+  }
+
   test("budgetTrim keeps each source's hash-order prefix under half its tokens") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{expr, size, split}
