@@ -564,6 +564,78 @@ object Corpus {
       .orderBy($"source", $"bin")
   }
 
+  /** Sliding n-gram width for [[decontamNgram]] (the GPT-3/PaLM-style
+    * 13-gram convention) and the id shift for its planted
+    * contamination docs.
+    */
+  val DecontamN = 13
+  val DecontamShift = 6000000L
+
+  /** Sliding 13-GRAM decontamination — the industry-standard eval
+    * hygiene check ([[clean]]'s head fingerprint catches verbatim
+    * copies that START like a benchmark doc; this catches a benchmark
+    * passage spliced ANYWHERE): a scanned doc is contaminated when any
+    * of its sliding [[DecontamN]]-grams appears in the benchmark
+    * set's n-gram roster, reported as (doc_id, n distinct overlapping
+    * grams) — the drill-down a removal decision reads. The corpus is
+    * word soup, so deterministic contamination is planted both
+    * engines replay: every benchmark doc re-enters as a synthetic doc
+    * carrying one mid-document benchmark 13-gram plus a unique tail.
+    *
+    * Scale shape: sliding grams are a map-only explode (stride 1 —
+    * ~one row per token, same cardinality as the shingle machinery);
+    * the benchmark roster is distinct-fingerprint-keyed (broadcast-
+    * sized for any real benchmark suite, keyed equi-join in the
+    * general form here) and the verdict is one doc-keyed count.
+    */
+  def decontamNgram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def grams = expr(s"transform(sequence(1, size(t) - ${DecontamN - 1}), " +
+      s"i -> md5(array_join(slice(t, i, $DecontamN), ' ')))")
+    val d = docs(spark, dir).select($"doc_id", split($"text", " ").as("t"))
+    val bench = d.filter($"doc_id" % BenchMod === 0)
+    val planted = bench.filter(size($"t") >= DecontamN + 5)
+      .select(($"doc_id" + DecontamShift).as("doc_id"),
+        split(concat(array_join(slice($"t", 6, DecontamN), " "),
+          lit(" zq"), $"doc_id".cast("string")), " ").as("t"))
+    val bg = bench.filter(size($"t") >= DecontamN)
+      .select(explode(grams).as("g")).distinct()
+    d.filter($"doc_id" % BenchMod =!= 0).unionAll(planted)
+      .filter(size($"t") >= DecontamN)
+      .select($"doc_id", explode(grams).as("g"))
+      .distinct()
+      .join(bg, Seq("g"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy($"doc_id")
+  }
+
+  /** Training sequence length assumed by [[padWaste]]. */
+  val PadSeqLen = 512L
+
+  /** Padding-waste report at a fixed training sequence length — the
+    * motivating metric for sequence packing: per source, if every doc
+    * were padded out to a multiple of [[PadSeqLen]] on its own, how
+    * many sequences result and what fraction of the slots is padding
+    * (the number `packBatchesOf` exists to drive toward zero). Exact
+    * integers end-to-end: ceil is `(n + L−1) div L` on non-negative
+    * counts, and the ppm passes through DECIMAL before the ×10⁶ so a
+    * 100 TB token total cannot wrap BIGINT. One keyed aggregate over
+    * the bounded source domain.
+    */
+  def padWaste(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"source", size(split($"text", " ")).cast("long").as("n_tok"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("n_tokens"),
+        sum(expr(s"(n_tok + ${PadSeqLen - 1}) div $PadSeqLen")).as("n_seqs"))
+      .withColumn("n_pad", $"n_seqs" * PadSeqLen - $"n_tokens")
+      .withColumn("pad_ppm", expr(
+        s"CAST((CAST(n_pad AS DECIMAL(38,0)) * 1000000) div (n_seqs * $PadSeqLen) AS BIGINT)"))
+      .orderBy($"source")
+  }
+
   /** Rows kept per (source, lang) cell by [[groupSample]]. */
   val GroupSampleK = 5
 
@@ -783,6 +855,8 @@ object Corpus {
     "corpus_topn_sample" -> ((s: SparkSession, d: String) => topNSample(s, d)),
     "dedup_savings" -> dedupSavings _,
     "corpus_length_histo" -> lengthHisto _,
+    "corpus_pad_waste" -> padWaste _,
+    "corpus_decontam_ngram" -> decontamNgram _,
     "corpus_shuffle" -> shuffleOrder _,
     "corpus_epochs" -> epochs _,
     "corpus_shards" -> ((s: SparkSession, d: String) => shardManifest(s, d)),
@@ -868,6 +942,39 @@ object Corpus {
         |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
         |FROM d GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
     },
+    "corpus_decontam_ngram" -> {
+      val g = s"list_transform(generate_series(1, len(t) - ${DecontamN - 1}), " +
+        s"i -> md5(array_to_string(t[i : i + ${DecontamN - 1}], ' ')))"
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bench AS (SELECT * FROM d WHERE doc_id % $BenchMod = 0),
+        |planted AS (SELECT doc_id + $DecontamShift AS doc_id,
+        |              string_split(array_to_string(t[6 : ${6 + DecontamN - 1}], ' ')
+        |                || ' zq' || doc_id, ' ') AS t
+        |            FROM bench WHERE len(t) >= ${DecontamN + 5}),
+        |bg AS (SELECT DISTINCT g FROM
+        |         (SELECT unnest($g) AS g FROM bench WHERE len(t) >= $DecontamN)),
+        |scan AS (SELECT * FROM d WHERE doc_id % $BenchMod <> 0
+        |         UNION ALL SELECT * FROM planted),
+        |sg AS (SELECT DISTINCT doc_id, g FROM
+        |         (SELECT doc_id, unnest($g) AS g
+        |          FROM scan WHERE len(t) >= $DecontamN))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM sg JOIN bg USING (g)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
+    "corpus_pad_waste" ->
+      s"""WITH d AS (SELECT source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |        CAST(sum((n_tok + ${PadSeqLen - 1}) // $PadSeqLen) AS BIGINT) AS n_seqs
+        |      FROM d GROUP BY 1)
+        |SELECT source, n_docs, n_tokens, n_seqs,
+        |       n_seqs * $PadSeqLen - n_tokens AS n_pad,
+        |       CAST(((n_seqs * $PadSeqLen - n_tokens) * 1000000)
+        |            // (n_seqs * $PadSeqLen) AS BIGINT) AS pad_ppm
+        |FROM a ORDER BY source""".stripMargin,
     "corpus_topn_sample" ->
       s"""WITH t AS (SELECT doc_id, md5(text) AS fingerprint FROM documents
         |           ORDER BY fingerprint, doc_id LIMIT $TopNSampleN)

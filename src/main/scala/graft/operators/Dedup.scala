@@ -819,6 +819,69 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Id shift for [[intradocDup]]'s planted self-repeating docs. */
+  val IntraDupShift = 7000000L
+
+  /** INTRA-document chunk repetition — the within-doc twin of
+    * [[chunkDedup]]: per document, how many of its [[ChunkWords]]-word
+    * chunks are repeats of an earlier chunk IN THE SAME DOC (scraped
+    * pages that loop their own navigation/footer, generation artifacts
+    * that stutter paragraphs — [[TextAnalysis.repetition]] sees words
+    * and bigrams; this sees whole passages). A PURE PROJECTION: the
+    * chunk fingerprints, their count, and the distinct count are all
+    * per-row array arithmetic — zero shuffle at any corpus size, the
+    * cheapest possible scale shape. The word-soup corpus self-repeats
+    * only by planting, so every 15th doc re-enters with its own first
+    * chunk prepended (chunk-grid-aligned by construction — both
+    * engines replay it).
+    */
+  def intradocDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir).select($"doc_id", split($"text", " ").as("t"))
+    val planted = d.filter($"doc_id" % 15 === 7 && size($"t") >= ChunkWords)
+      .select(($"doc_id" + IntraDupShift).as("doc_id"),
+        concat(slice($"t", 1, ChunkWords), $"t").as("t"))
+    d.unionAll(planted)
+      .select($"doc_id", expr(
+        s"""transform(sequence(0, CAST(ceil(size(t) / $ChunkWords.0) AS BIGINT) - 1),
+           |  i -> md5(array_join(slice(t, CAST(i * $ChunkWords + 1 AS INT), $ChunkWords), ' ')))"""
+          .stripMargin).as("fps"))
+      .select($"doc_id", size($"fps").cast("long").as("n_chunks"),
+        (size($"fps") - size(array_distinct($"fps"))).cast("long").as("n_dup_chunks"))
+      .orderBy($"doc_id")
+  }
+
+  /** LSH RECALL report — measure the near-dup index before trusting
+    * it: every exact-Jaccard ≥ 0.5 pair ([[ngramJaccard]]'s truth
+    * set) is probed against the banded MinHash candidate set
+    * ([[minhashLsh]]), bucketed by exact-Jaccard decile — the integer
+    * `(10·∩) div ∪`, so no IEEE boundary decides a bucket — and each
+    * decile reports truth-pair count, candidates hit, and recall ppm.
+    * The 4-band×4-row S-curve promises weak recall near the 0.5
+    * threshold and near-certain recall at 1.0; this query turns that
+    * promise into a measured table (the tuning loop for bands×rows
+    * that every production LSH deployment runs). Scale shape: both
+    * sides are the existing bounded pair cores (df-capped posting
+    * lists, saturation-capped band buckets); the probe is one
+    * pair-keyed left join + a ≤6-row aggregate. The ppm passes
+    * through DECIMAL before the ×10⁶ against BIGINT wrap.
+    */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val truth = shinglePairCounts(docs(spark, dir))
+      .filter($"intersection" * 2 >= $"na" + $"nb" - $"intersection")
+      .select($"doc_a", $"doc_b",
+        expr("(intersection * 10) div (na + nb - intersection)").as("jac_decile"))
+    val cand = minhashLsh(spark, dir)
+      .select($"doc_a", $"doc_b", lit(1L).as("hit"))
+    truth.join(cand, Seq("doc_a", "doc_b"), "left")
+      .groupBy($"jac_decile")
+      .agg(count(lit(1)).as("n_true"), sum(coalesce($"hit", lit(0L))).as("n_hit"))
+      .withColumn("recall_ppm",
+        expr("CAST((CAST(n_hit AS DECIMAL(38,0)) * 1000000) div n_true AS BIGINT)"))
+      .orderBy($"jac_decile")
+  }
+
   /** Id shift and width for [[containmentExcerpts]]'s synthetic
     * quote docs.
     */
@@ -1021,6 +1084,8 @@ object Dedup {
     "dedup_incremental_near" -> incrementalNearDupHalves _,
     "dedup_bloom" -> bloomHalves _,
     "dedup_cross_source" -> crossSourceDup _,
+    "dedup_lsh_recall" -> lshRecall _,
+    "dedup_intradoc" -> intradocDup _,
   )
 
   /** DuckDB mirror of one bloom probe position: 5-nibble arithmetic
@@ -1322,6 +1387,39 @@ object Dedup {
     "dedup_minhash_lsh" ->
       s"""WITH $minhashPairsCte
         |SELECT doc_a, doc_b, est_jaccard FROM est ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_intradoc" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |planted AS (SELECT doc_id + $IntraDupShift AS doc_id,
+        |              list_concat(t[1:$ChunkWords], t) AS t
+        |            FROM d WHERE doc_id % 15 = 7 AND len(t) >= $ChunkWords),
+        |a AS (SELECT * FROM d UNION ALL SELECT * FROM planted),
+        |f AS (SELECT doc_id,
+        |        list_transform(generate_series(0, CAST(ceil(len(t) / $ChunkWords.0) AS BIGINT) - 1),
+        |          i -> md5(array_to_string(t[i * $ChunkWords + 1 : i * $ChunkWords + $ChunkWords], ' '))) AS fps
+        |      FROM a)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_chunks,
+        |       CAST(len(fps) - len(list_distinct(fps)) AS BIGINT) AS n_dup_chunks
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "dedup_lsh_recall" ->
+      s"""WITH $minhashPairsCte,
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |skeys AS (SELECT doc_id, $shingleKeySql AS sk FROM sh),
+        |keptk AS (SELECT sk FROM skeys GROUP BY sk
+        |          HAVING count(*) BETWEEN 2 AND $MaxShingleDf),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS intersection
+        |          FROM skeys a JOIN skeys b ON a.sk = b.sk AND a.doc_id < b.doc_id
+        |          JOIN keptk k ON k.sk = a.sk
+        |          GROUP BY 1, 2),
+        |truth AS (SELECT doc_a, doc_b,
+        |            (intersection * 10) // (sa.n + sb.n - intersection) AS jac_decile
+        |          FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+        |                     JOIN sizes sb ON sb.doc_id = doc_b
+        |          WHERE intersection * 2 >= sa.n + sb.n - intersection)
+        |SELECT jac_decile, CAST(count(*) AS BIGINT) AS n_true,
+        |       CAST(count(c.doc_a) AS BIGINT) AS n_hit,
+        |       CAST((count(c.doc_a) * 1000000) // count(*) AS BIGINT) AS recall_ppm
+        |FROM truth t LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $minhashPairsCte,
         |$clusterLabelsCte

@@ -444,7 +444,76 @@ object Similarity {
       .orderBy($"label", $"rnk")
   }
 
+  /** HARD-NEGATIVE mining — the contrastive-training verb: for each
+    * query vector, the k most-similar vectors carrying a DIFFERENT
+    * label (the "looks like X but isn't" examples a contrastive or
+    * reranker fine-tune is built from). [[cosineTopKOver]]'s exact
+    * brute-force scan with the cross-label predicate pushed into the
+    * join condition — the filter prunes pairs before any scoring work,
+    * and the same rounding/tie conventions keep it oracle-exact. Scale
+    * path: swap the brute scan for the IVF/LSH candidate set; the
+    * label predicate composes unchanged.
+    */
+  def hardNegatives(spark: SparkSession, dir: String,
+      numQueries: Int = NumQueries, k: Int = TopK): DataFrame = {
+    import spark.implicits._
+    val e = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"label".cast("long").as("label"),
+        Vectors.toDouble($"embedding").as("emb"))
+      .withColumn("nrm", Vectors.norm($"emb"))
+    val q = e.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"),
+        $"emb".as("qe"), $"nrm".as("nq"))
+    q.join(e, $"vec_id" =!= $"q_id" && $"label" =!= $"q_label")
+      .withColumn("cos", round(ArrayExpressions.dot($"qe", $"emb") / ($"nq" * $"nrm"), 6))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id"))
+          .cast("long"))
+      .filter($"rnk" <= k)
+      .select($"q_id", $"vec_id", $"label", $"cos", $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
+  /** Fixed-point scale for [[dimStats]] (µ-units: 10⁶ per 1.0). */
+  val DimStatsScale = 1000000L
+
+  /** Per-DIMENSION embedding health report — the "is this embedding
+    * column sane" audit run before any ANN index or dedup pass trusts
+    * the vectors: per dim the count, min/max/sum and population
+    * variance of the components in exact µ-fixed-point
+    * (`floor(x·10⁶)` — floor, not round, one IEEE double multiply per
+    * value, bit-identical across engines). Dead dimensions (variance
+    * 0), clipped ranges, and scale drift between dims are all visible,
+    * and the whole report is hash-checkable — a float mean/variance
+    * would inherit cross-row float-summation order and never could be.
+    *
+    * Scale shape: one 64× posexplode into a dim-keyed aggregate — 64
+    * result rows whatever the corpus, map-side partials collapse every
+    * task to ≤64 rows before the shuffle. The variance numerator
+    * n·Σq² − (Σq)² runs in DECIMAL(38,0) (at 10¹² vectors it reaches
+    * ~10³⁶ — silent BIGINT-wrap territory) and is divided back to a
+    * per-value BIGINT before emission; no DECIMAL crosses the hashed
+    * contract. Truncating `div` equals floor here because the
+    * numerator is a scaled variance (≥ 0) and n² > 0.
+    */
+  def dimStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "embeddings")
+      .select(posexplode(Vectors.toDouble($"embedding")).as(Seq("dim", "x")))
+      .select($"dim".cast("long").as("dim"),
+        floor($"x" * lit(DimStatsScale.toDouble)).cast("long").as("q"))
+      .groupBy($"dim")
+      .agg(count(lit(1)).as("n"),
+        min($"q").as("min_q"), max($"q").as("max_q"), sum($"q").as("sum_q"),
+        expr("""CAST((count(1) * sum(CAST(q AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0)))
+               |      - CAST(sum(q) AS DECIMAL(38,0)) * CAST(sum(q) AS DECIMAL(38,0)))
+               |     div (count(1) * count(1)) AS BIGINT)""".stripMargin).as("var_q"))
+      .orderBy($"dim")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_dim_stats" -> dimStats _,
+    "ann_hard_negatives" -> ((s: SparkSession, d: String) => hardNegatives(s, d)),
     "emb_sq_outliers" -> ((s: SparkSession, d: String) => sqOutliers(s, d)),
     "ann_sq_topk" -> ((s: SparkSession, d: String) => sqTopK(s, d)),
     "emb_quantize" -> quantize _,
@@ -455,6 +524,16 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "emb_dim_stats" ->
+      s"""WITH q AS (
+        |  SELECT i - 1 AS dim,
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * ${DimStatsScale}.0) AS BIGINT) AS q
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i))
+        |SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+        |       min(q) AS min_q, max(q) AS max_q, CAST(sum(q) AS BIGINT) AS sum_q,
+        |       CAST((count(*) * sum(q * q) - sum(q) * sum(q))
+        |            // (count(*) * count(*)) AS BIGINT) AS var_q
+        |FROM q GROUP BY dim ORDER BY dim""".stripMargin,
     "emb_sq_outliers" ->
       """WITH d AS (
         |  SELECT i - 1 AS dim,
@@ -515,6 +594,23 @@ object Similarity {
         |                                  / (mx - mn)), 255.0) AS BIGINT) END AS code
         |FROM embeddings CROSS JOIN d
         |ORDER BY vec_id, dim""".stripMargin,
+    "ann_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 5),
+        |pairs AS (SELECT q_id, e.vec_id, CAST(e.label AS BIGINT) AS label,
+        |                 qe, e.embedding AS ve
+        |          FROM q, embeddings e WHERE e.vec_id <> q_id AND e.label <> q_label),
+        |flat AS (SELECT q_id, vec_id, label, CAST(unnest(qe) AS DOUBLE) AS x,
+        |                CAST(unnest(ve) AS DOUBLE) AS y FROM pairs),
+        |dots AS (SELECT q_id, vec_id, label, sum(x*y) AS dot,
+        |                sqrt(sum(x*x)) AS nq, sqrt(sum(y*y)) AS nv
+        |         FROM flat GROUP BY 1, 2, 3),
+        |scored AS (SELECT q_id, vec_id, label, round(dot/(nq*nv), 6) AS cos,
+        |                  CAST(row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY round(dot/(nq*nv), 6) DESC, vec_id) AS BIGINT) AS rnk
+        |           FROM dots)
+        |SELECT q_id, vec_id, label, cos, rnk FROM scored WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin,
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
         |pairs AS (SELECT q_id, e.vec_id, qe, e.embedding AS ve

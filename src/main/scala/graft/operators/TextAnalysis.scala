@@ -515,6 +515,58 @@ object TextAnalysis {
       .orderBy($"rank")
   }
 
+  /** Pair-table size for [[bpePairs]]. */
+  val BpePairTopN = 32
+
+  /** First BPE merge iteration — the tokenizer-TRAINING verb: count
+    * every adjacent character pair inside every word occurrence and
+    * rank the top-[[BpePairTopN]] (the pair a byte-pair-encoding
+    * trainer would merge first, plus the next candidates in order).
+    * Words under two characters contribute nothing. Scale shape: a
+    * map-only double explode (words, then the len−1 two-char slices)
+    * into a pair-keyed aggregate whose map-side partials collapse
+    * every task to the pair-alphabet size, then a distributed
+    * TakeOrdered for the top table — no global sort, no window over
+    * raw pairs ([[trigramTable]]'s shape). The per-word slice loop is
+    * O(len²) via substr's seek, which is flat for natural-language
+    * word lengths (the quadratic hazard [[Multimodal.aHash]] hit only
+    * exists for MB-scale single strings).
+    */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = docs(spark, dir)
+      .select(explode(tok).as("w"))
+      .filter(length($"w") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")).as("pair"))
+    val top = pairs.groupBy($"pair").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"pair").limit(BpePairTopN)
+    Ranking.boundedRowNumber(top, "rank", $"cnt".desc, $"pair")
+      .select($"rank", $"pair", $"cnt")
+      .orderBy($"rank")
+  }
+
+  /** Quality-gate DROP-REASON report per source — the data-card table
+    * a corpus release prints next to the pipeline funnel: for every
+    * (source, verdict) cell, how many docs and how much token mass
+    * the gate's first-failing-rule attribution ([[filterDocs]]'s
+    * precedence order) assigned there. The triage that decides
+    * whether a source needs a cleaner or a delisting — the funnel says
+    * how much died, this says where and why. One join of the verdict
+    * frame back to provenance + a keyed aggregate over the bounded
+    * (source × 4-verdict) domain.
+    */
+  def dropReasons(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = filterDocs(spark, dir).select($"doc_id", $"verdict")
+    docs(spark, dir)
+      .select($"doc_id", $"source", size(tok).cast("long").as("n_tok"))
+      .join(v, Seq("doc_id"))
+      .groupBy($"source", $"verdict")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      .orderBy($"source", $"verdict")
+  }
+
   /** Count-min sketch geometry (mirrored in the oracle SQL): d hash
     * rows × w buckets.
     */
@@ -669,6 +721,8 @@ object TextAnalysis {
     "text_classifier" -> classifyDocs _,
     "text_cms" -> cmsEstimate _,
     "text_trigrams" -> trigramTable _,
+    "text_bpe_pairs" -> bpePairs _,
+    "text_drop_reasons" -> dropReasons _,
     "text_vocab_coverage" -> vocabCoverage _,
     "text_repetition" -> repetition _,
     "text_winnow" -> winnowFingerprint _,
@@ -766,6 +820,39 @@ object TextAnalysis {
         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, trigram) AS BIGINT) AS rank,
         |       trigram, cnt
         |FROM top ORDER BY rank""".stripMargin,
+    "text_bpe_pairs" ->
+      s"""WITH wd AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |p AS (SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+        |        i -> substr(w, i, 2))) AS pair
+        |      FROM wd WHERE length(w) >= 2),
+        |c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY 1),
+        |top AS (SELECT * FROM c ORDER BY cnt DESC, pair LIMIT $BpePairTopN)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank,
+        |       pair, cnt
+        |FROM top ORDER BY rank""".stripMargin,
+    "text_drop_reasons" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |base AS (SELECT doc_id, len(t) AS n_words, len(list_distinct(t)) AS n_distinct FROM w),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i + 1])) AS bigram
+        |       FROM w WHERE len(t) >= 2),
+        |bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+        |tops AS (SELECT doc_id, max(c) AS top_c FROM bc GROUP BY 1),
+        |sig AS (
+        |  SELECT b.doc_id, b.n_words,
+        |         (b.n_words - b.n_distinct) * 1.0 / b.n_words AS dup_ratio,
+        |         t.top_c * 1.0 / (b.n_words - 1) AS bigram_ratio
+        |  FROM base b LEFT JOIN tops t USING (doc_id)),
+        |v AS (
+        |  SELECT doc_id, CASE WHEN n_words < $MinWords THEN 'too_short'
+        |                      WHEN dup_ratio >= $MaxDupRatio THEN 'repetitive'
+        |                      WHEN bigram_ratio >= $MaxTopBigramRatio THEN 'boilerplate'
+        |                      ELSE 'keep' END AS verdict
+        |  FROM sig)
+        |SELECT d.source, v.verdict, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens
+        |FROM documents d JOIN v USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_cms" ->
       s"""WITH terms AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
         |cells AS (SELECT term, unnest(generate_series(0, ${CmsRows - 1})) AS row FROM terms),

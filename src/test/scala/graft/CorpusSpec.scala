@@ -325,6 +325,25 @@ class CorpusSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture has cross-source chunk sharing")
   }
 
+  test("padWaste matches a driver recompute and pads every short doc to one sequence") {
+    import spark.implicits._
+    val L = Corpus.PadSeqLen
+    val toks = graft.engine.Tables.load(spark, dir, "documents")
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+    val expect = toks.groupBy(_._1).view.mapValues { g =>
+      val tok = g.map(_._2).sum
+      val seqs = g.map { case (_, n) => (n + L - 1) / L }.sum
+      (g.length.toLong, tok, seqs, seqs * L - tok,
+        (BigInt(seqs * L - tok) * 1000000 / (seqs * L)).toLong)
+    }.toMap
+    val got = Corpus.padWaste(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === expect)
+    assert(got.values.forall(v => v._4 >= 0 && v._5 < 1000000L))
+  }
+
   test("budgetTrim keeps each source's hash-order prefix under half its tokens") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{expr, size, split}

@@ -512,4 +512,138 @@ class ExtensionSpec extends SparkSpec {
     assert(got === expect)
     assert(got.nonEmpty)
   }
+
+  test("dim stats equal a BigInt driver recompute of fixed-point moments") {
+    import spark.implicits._
+    val vecs = graft.engine.Tables.load(spark, dir, "embeddings")
+      .select(graft.functions.Vectors.toDouble($"embedding"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val dims = vecs.head.length
+    val expect = (0 until dims).map { i =>
+      val qs = vecs.map(v => math.floor(v(i) * Similarity.DimStatsScale).toLong)
+      val n = BigInt(qs.length)
+      val s = qs.map(BigInt(_)).sum
+      val s2 = qs.map(q => BigInt(q) * q).sum
+      i.toLong -> ((qs.length.toLong, qs.min, qs.max, qs.sum,
+        ((n * s2 - s * s) / (n * n)).toLong))
+    }.toMap
+    val got = Similarity.dimStats(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === expect)
+    assert(got.values.exists(_._5 > 0), "at least one live dimension")
+  }
+
+  test("bpe pair table equals a driver recompute of adjacent-pair counts") {
+    import spark.implicits._
+    val words = graft.engine.Tables.load(spark, dir, "documents")
+      .select($"text").collect().flatMap(_.getString(0).split(" ", -1))
+    val counts = words.filter(_.length >= 2)
+      .flatMap(w => (0 until w.length - 1).map(i => w.substring(i, i + 2)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    val expect = counts.sortBy { case (p, c) => (-c, p) }
+      .take(TextAnalysis.BpePairTopN).zipWithIndex
+      .map { case ((p, c), i) => ((i + 1).toLong, p, c) }
+    val got = TextAnalysis.bpePairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === expect)
+    assert(got.size === TextAnalysis.BpePairTopN)
+  }
+
+  test("drop reasons cross-tab matches per-doc verdicts and accounts every doc") {
+    import spark.implicits._
+    val verdicts = TextAnalysis.filterDocs(spark, dir)
+      .select($"doc_id", $"verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = graft.engine.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).length.toLong))
+    val expect = docs.groupBy { case (id, src, _) => (src, verdicts(id)) }
+      .view.mapValues(g => (g.length.toLong, g.map(_._3).sum)).toMap
+    val got = TextAnalysis.dropReasons(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expect)
+    assert(got.map(_._2._1).sum === docs.length.toLong)
+  }
+
+  test("lsh recall table equals a driver recompute and is perfect for exact dups") {
+    val cand = Dedup.minhashLsh(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Dedup.ngramJaccard(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getDouble(3)))
+    val expect = truth.groupBy { case (_, inter, jac) =>
+      10L * inter / math.round(inter / jac)
+    }.view.mapValues { g =>
+      val hit = g.count { case (p, _, _) => cand(p) }.toLong
+      (g.length.toLong, hit, hit * 1000000L / g.length)
+    }.toMap
+    val got = Dedup.lshRecall(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expect)
+    val top = got.keys.max
+    assert(top >= 8L && got(top)._3 === 1000000L,
+      "near-identical docs must always be LSH candidates")
+  }
+
+  test("13-gram decontamination flags every planted doc and no benchmark doc") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    val d = graft.engine.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val plantedIds = d.filter { case (id, t) =>
+      id % Corpus.BenchMod == 0 && t.length >= Corpus.DecontamN + 5
+    }.map(_._1 + Corpus.DecontamShift).toSet
+    assert(plantedIds.nonEmpty)
+    val got = Corpus.decontamNgram(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plantedIds.subsetOf(got.keySet), "every planted doc is caught")
+    assert(got.values.forall(_ >= 1L))
+    assert(got.keySet.forall(id => (id % Corpus.BenchMod != 0) || id >= Corpus.DecontamShift),
+      "benchmark docs are never scanned against themselves")
+  }
+
+  test("intradoc dup equals a driver recompute and every planted doc self-repeats") {
+    import spark.implicits._
+    val cw = Dedup.ChunkWords
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val d = graft.engine.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val all = d ++ d.filter { case (id, t) => id % 15 == 7 && t.length >= cw }
+      .map { case (id, t) => (id + Dedup.IntraDupShift, t.take(cw) ++ t) }
+    val expect = all.map { case (id, t) =>
+      val fps = t.grouped(cw).map(g => md5hex(g.mkString(" "))).toSeq
+      id -> ((fps.length.toLong, (fps.length - fps.distinct.length).toLong))
+    }.toMap
+    val got = Dedup.intradocDup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expect)
+    val planted = got.filter(_._1 >= Dedup.IntraDupShift)
+    assert(planted.nonEmpty && planted.values.forall(_._2 >= 1L))
+  }
+
+  test("hard negatives never share the query's label and rank by descending cosine") {
+    import spark.implicits._
+    val labels = graft.engine.Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"label".cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val rows = Similarity.hardNegatives(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, v, l, _, _) =>
+      assert(labels(v) === l, s"emitted label must be vec $v's own")
+      assert(l !== labels(q), s"vec $v must be a cross-label negative of $q")
+    }
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._5).toSeq
+      assert(sorted.map(_._5) === (1L to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall {
+        case Seq(a, b) => a._4 >= b._4
+        case _ => true
+      }, "cosine non-increasing in rank")
+    }
+  }
 }

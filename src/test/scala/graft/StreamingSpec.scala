@@ -181,6 +181,41 @@ class StreamingSpec extends SparkSpec {
     assert(kept.toSeq === Seq((1L, 4L)))
   }
 
+  test("streaming quality gate matches batch filterDocs on the whole fixture and a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 1. projection form ≡ aggregate form over every fixture doc
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.operators.TextAnalysis.filterDocs(spark, dir)
+      .select("doc_id", "verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val proj = EventStreams.qualityGate(
+      graft.engine.Tables.load(spark, dir, "documents"))
+      .select("doc_id", "verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(proj === batch)
+    assert(proj.values.toSet.contains("keep"))
+    // 2. the same projection executes on a stream, all verdicts covered
+    val rows = Seq(
+      (1L, "just three words"),
+      (2L, Seq.fill(20)("x").mkString(" ")),
+      (3L, "a b a b a b c d e f g h i j k l m n o p"),
+      (4L, ('a' to 't').map(c => s"w$c").mkString(" ")),
+      (5L, "solo"))
+    val stream = MemoryStream[(Long, String)]
+    val q = EventStreams.qualityGate(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("qgate")
+      .option("checkpointLocation", ckpt()).start()
+    stream.addData(rows)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("qgate").select("doc_id", "verdict", "keep").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    assert(got === Seq((1L, "too_short", false), (2L, "repetitive", false),
+      (3L, "boilerplate", false), (4L, "keep", true), (5L, "too_short", false)))
+  }
+
   test("streaming compliance scan matches the batch piiScan row for row") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
