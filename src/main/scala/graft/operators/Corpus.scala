@@ -636,6 +636,67 @@ object Corpus {
       .orderBy($"source")
   }
 
+  /** Token-budget denominator for [[temperature]]'s sampling rates:
+    * the temperature recipe is applied against a budget of
+    * total_tokens / TempBudgetDen.
+    */
+  val TempBudgetDen = 2L
+
+  /** TEMPERATURE-weighted mixture sampling at τ = 0.5 — the standard
+    * multilingual/multi-source rebalancing verb (sample source s with
+    * probability ∝ n_s^τ, flattening the head so low-resource sources
+    * are not drowned): per source the natural token share, the
+    * temperature share, and the per-doc keep rate that realizes the
+    * temperature mix inside a token budget of total/[[TempBudgetDen]],
+    * plus the count of docs the content-hash threshold actually keeps
+    * at that rate. τ = 0.5 is deliberately the EXACT case: n^0.5 is
+    * integer sqrt, computed as floor(sqrt(double)) plus a ±1 integer
+    * correction (`(w+1)² ≤ n` / `w² > n`), so no IEEE rounding — and
+    * no pow() disagreement between engines — ever decides a weight.
+    * All shares are integer ppm; products route through DECIMAL before
+    * the ×10⁶ (a 100 TB token total wraps BIGINT otherwise; DuckDB
+    * mirrors in HUGEINT).
+    *
+    * Scale shape: one per-source aggregate (bounded domain), the
+    * grand totals via one broadcast fan-out, the application one
+    * broadcast join of the ≤|sources| rate table back to the corpus
+    * followed by a map-side-combinable count. The doc scan never
+    * shuffles on a data-scaled key.
+    */
+  def temperature(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+      .select($"source", size(split($"text", " ")).cast("long").as("tok"),
+        hashBucket.as("hb"))
+    val agged = d.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"tok").as("n_tokens"))
+      .withColumn("w0", expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+      .withColumn("weight", expr(
+        """CASE WHEN (w0 + 1) * (w0 + 1) <= n_tokens THEN w0 + 1
+          |     WHEN w0 * w0 > n_tokens THEN w0 - 1
+          |     ELSE w0 END""".stripMargin))
+      .drop("w0")
+    val rates = agged
+      .crossJoin(broadcast(agged.agg(
+        sum($"n_tokens").as("__tt"), sum($"weight").as("__tw"))))
+      .withColumn("natural_ppm", expr(
+        "CAST((CAST(n_tokens AS DECIMAL(38,0)) * 1000000) div __tt AS BIGINT)"))
+      .withColumn("temp_ppm", expr(
+        "CAST((CAST(weight AS DECIMAL(38,0)) * 1000000) div __tw AS BIGINT)"))
+      .withColumn("rate_ppm", expr(
+        s"""least(CAST(1000000 AS BIGINT), CAST(
+           |  CAST((CAST(__tt div $TempBudgetDen AS DECIMAL(38,0)) * weight) div __tw
+           |       AS DECIMAL(38,0)) * 1000000 div n_tokens
+           |  AS BIGINT))""".stripMargin))
+      .drop("__tt", "__tw")
+    val kept = d.join(broadcast(rates.select($"source", $"rate_ppm")), Seq("source"))
+      .filter($"hb" * 1000000L < $"rate_ppm" * 65536L)
+      .groupBy($"source").agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .withColumn("n_kept", coalesce($"n_kept", lit(0L)))
+      .orderBy($"source")
+  }
+
   /** Rows kept per (source, lang) cell by [[groupSample]]. */
   val GroupSampleK = 5
 
@@ -856,6 +917,7 @@ object Corpus {
     "dedup_savings" -> dedupSavings _,
     "corpus_length_histo" -> lengthHisto _,
     "corpus_pad_waste" -> padWaste _,
+    "corpus_temperature" -> temperature _,
     "corpus_decontam_ngram" -> decontamNgram _,
     "corpus_shuffle" -> shuffleOrder _,
     "corpus_epochs" -> epochs _,
@@ -962,6 +1024,37 @@ object Corpus {
         |FROM sg JOIN bg USING (g)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin
     },
+    "corpus_temperature" ->
+      s"""WITH d AS (SELECT source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+        |             $hbSql AS hb
+        |           FROM documents),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(tok) AS BIGINT) AS n_tokens
+        |      FROM d GROUP BY 1),
+        |w0 AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w0 FROM a),
+        |wa AS (SELECT source, n_docs, n_tokens,
+        |         CASE WHEN (w0 + 1) * (w0 + 1) <= n_tokens THEN w0 + 1
+        |              WHEN w0 * w0 > n_tokens THEN w0 - 1
+        |              ELSE w0 END AS weight
+        |       FROM w0),
+        |t AS (SELECT CAST(sum(n_tokens) AS HUGEINT) AS tt,
+        |        CAST(sum(weight) AS HUGEINT) AS tw FROM wa),
+        |r AS (SELECT source, n_docs, n_tokens, weight,
+        |        CAST(CAST(n_tokens AS HUGEINT) * 1000000 // tt AS BIGINT) AS natural_ppm,
+        |        CAST(CAST(weight AS HUGEINT) * 1000000 // tw AS BIGINT) AS temp_ppm,
+        |        CAST(least(1000000,
+        |          ((tt // $TempBudgetDen) * weight // tw) * 1000000 // n_tokens)
+        |          AS BIGINT) AS rate_ppm
+        |      FROM wa, t),
+        |k AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+        |      FROM d JOIN r ON d.source = r.source
+        |      WHERE d.hb * 1000000 < r.rate_ppm * 65536
+        |      GROUP BY 1)
+        |SELECT r.source, n_docs, n_tokens, weight, natural_ppm, temp_ppm, rate_ppm,
+        |       coalesce(k.n_kept, 0) AS n_kept
+        |FROM r LEFT JOIN k ON r.source = k.source
+        |ORDER BY r.source""".stripMargin,
     "corpus_pad_waste" ->
       s"""WITH d AS (SELECT source,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

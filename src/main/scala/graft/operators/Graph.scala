@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the content-sharing document graph.
+  *
+  * Nodes are documents; an edge joins two docs that share at least one
+  * winnowing span fingerprint ([[TextAnalysis.sharedSpans]]'s pair
+  * relation — substring-level "quotes / syndicates / templates" links,
+  * far denser than whole-chunk equality). Two classic distributed
+  * verbs run over it:
+  *
+  *  - [[pagerank]]: centrality — in a pretraining corpus, high-rank
+  *    nodes are template/boilerplate hubs and syndication centers
+  *    (candidates for down-weighting), the web-graph quality signal
+  *    re-expressed over content-sharing instead of hyperlinks.
+  *  - [[triangles]]: clustering evidence — a doc in many triangles
+  *    sits inside a mutually-copying clique (mirror families), where
+  *    a doc with high degree but no triangles is a hub quoted by
+  *    unrelated docs.
+  *
+  * Both are exact-integer end to end (mass in ppm units, damping as
+  * the rational 17/20), so every iteration is bit-identical in Spark
+  * and DuckDB — no IEEE accumulation order anywhere.
+  */
+object Graph {
+
+  /** Fixed PageRank iteration count (control-flow only — no driver
+    * data crosses; the oracle unrolls the same count).
+    */
+  val PageRankIters = 5
+
+  /** Damping 0.85 as the exact rational [[DampNum]]/[[DampDen]]. */
+  val DampNum = 17L
+  val DampDen = 20L
+
+  /** Initial per-node mass (ppm scale: average mass ≡ 1.0 · 10⁶). */
+  val BaseMass = 1000000L
+
+  /** Teleport term (1 − 0.85) · 10⁶. */
+  val TeleportMass = 150000L
+
+  /** Undirected span-sharing pair relation (doc_a < doc_b), one row
+    * per linked pair.
+    */
+  private def spanPairs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sharedSpans(spark, dir).select("doc_a", "doc_b")
+
+  /** Integer-exact PageRank over the span-sharing graph — see
+    * [[pagerankOver]] for the iteration core.
+    */
+  def pagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerankOver(spanPairs(spark, dir))
+
+  /** [[PageRankIters]] rounds of damped mass-passing over an
+    * arbitrary undirected `(doc_a, doc_b)` pair frame, in exact
+    * integer ppm arithmetic: each round every node keeps the teleport
+    * term and receives `(mass · 17) div (20 · deg)` from each
+    * neighbour. Truncating division loses a deterministic dust of
+    * mass per edge — identical in both engines, which is the price of
+    * never letting an IEEE sum order into the result.
+    *
+    * Scale shape: the loop is CONTROL only — each round is one
+    * shuffle join of the mass frame against the (checkpointed) edge
+    * relation plus a keyed aggregate; the round count is a constant.
+    * Like [[Dedup.clusters]], every round's frame is eagerly
+    * `localCheckpoint`ed (consumed once per round, but the lineage
+    * would otherwise grow linearly and replan each iteration); a real
+    * cluster swaps in reliable `checkpoint`. Dangling docs (no shared
+    * span) have no edges and are excluded — their rank is the bare
+    * teleport term by definition.
+    */
+  def pagerankOver(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges0 = pairs.toDF("doc_a", "doc_b")
+    val sym = edges0.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(edges0.select($"doc_b", $"doc_a"))
+      .localCheckpoint()
+    val deg = sym.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val edges = sym.join(deg, Seq("src")).localCheckpoint()
+    val nodes = deg.select($"src".as("doc_id"), $"deg").localCheckpoint()
+    var mass = nodes.select($"doc_id", lit(BaseMass).as("mass")).localCheckpoint()
+    for (_ <- 1 to PageRankIters) {
+      val contrib = mass.join(edges, mass("doc_id") === edges("src"))
+        .select($"dst", expr(s"(mass * $DampNum) div ($DampDen * deg)").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("inm"))
+      mass = nodes.join(contrib, nodes("doc_id") === contrib("dst"), "left")
+        .select(nodes("doc_id"),
+          (lit(TeleportMass) + coalesce($"inm", lit(0L))).as("mass"))
+        .localCheckpoint()
+    }
+    nodes.join(mass, Seq("doc_id"))
+      .select($"doc_id", $"deg", $"mass".as("rank_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  /** Per-doc triangle membership over the span-sharing graph — see
+    * [[trianglesOver]].
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesOver(spanPairs(spark, dir))
+
+  /** Triangle counting over an ordered `(doc_a < doc_b)` pair frame:
+    * the standard two-join enumeration (wedges `a<b<c` via
+    * `e1.b = e2.a`, closed by probing `(a, c)`), then each triangle
+    * credits its three members — one explode and a keyed count. Only
+    * docs in ≥1 triangle appear. Ordered-pair enumeration counts each
+    * triangle exactly once and keeps the join frames a third of the
+    * symmetric relation's size; at cluster scale the classic
+    * degree-ordering refinement (orient edges low→high degree) drops
+    * in here unchanged.
+    */
+  def trianglesOver(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val p = pairs.toDF("doc_a", "doc_b").localCheckpoint()
+    val tri = p.as("e1")
+      .join(p.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .join(p.as("e3"),
+        col("e1.doc_a") === col("e3.doc_a") && col("e2.doc_b") === col("e3.doc_b"))
+      .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"),
+        col("e2.doc_b").as("c"))
+    tri.select(explode(array($"a", $"b", $"c")).as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy($"doc_id")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> pagerank _,
+    "graph_triangles" -> triangles _,
+  )
+
+  /** Shared oracle prefix: span fingerprints → ordered pair relation
+    * `pr(doc_a, doc_b)` (distinct, doc_a < doc_b).
+    */
+  private val pairCte =
+    s"""${TextAnalysis.spanFpsCte},
+      |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |       FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |       JOIN kept k ON k.fp = a.fp)""".stripMargin
+
+  /** The [[PageRankIters]] unrolled mass-passing rounds (`it0` …
+    * `it${PageRankIters}`), mirroring [[pagerankOver]]'s integer
+    * arithmetic; sums CAST back to BIGINT against DuckDB's HUGEINT
+    * widening.
+    */
+  private val pagerankIterCtes = (1 to PageRankIters).map { i =>
+    s"""c$i AS (SELECT e.dst AS doc_id,
+       |          CAST(sum((m.mass * $DampNum) // ($DampDen * e.deg)) AS BIGINT) AS inm
+       |        FROM e JOIN it${i - 1} m ON m.doc_id = e.src GROUP BY 1),
+       |it$i AS (SELECT n.doc_id, $TeleportMass + coalesce(c$i.inm, 0) AS mass
+       |         FROM it0 n LEFT JOIN c$i ON n.doc_id = c$i.doc_id)""".stripMargin
+  }.mkString(",\n")
+
+  val oracle: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH $pairCte,
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+        |          UNION ALL SELECT doc_b, doc_a FROM pr),
+        |degs AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+        |e AS (SELECT edges.src, edges.dst, degs.deg FROM edges JOIN degs USING (src)),
+        |it0 AS (SELECT src AS doc_id, CAST($BaseMass AS BIGINT) AS mass FROM degs),
+        |$pagerankIterCtes
+        |SELECT d.src AS doc_id, d.deg, m.mass AS rank_ppm
+        |FROM degs d JOIN it$PageRankIters m ON m.doc_id = d.src
+        |ORDER BY doc_id""".stripMargin,
+    "graph_triangles" ->
+      s"""WITH $pairCte,
+        |tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        |        FROM pr e1 JOIN pr e2 ON e1.doc_b = e2.doc_a
+        |        JOIN pr e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+        |m AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin,
+  )
+}

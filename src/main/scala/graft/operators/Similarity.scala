@@ -511,7 +511,67 @@ object Similarity {
       .orderBy($"dim")
   }
 
+  /** Output dimensionality of [[rpSketch]]. */
+  val RpSketchDims = 16
+
+  /** Deterministic ±1 for sketch dim `j`, input dim `d`: parity of
+    * the first hex nibble of md5("j|d") — the same value both engines
+    * compute from the same string, and (being md5) uniform enough for
+    * a JL sign matrix. Computed driver-side here (MD5 is MD5); the
+    * oracle computes it in SQL.
+    */
+  private[graft] def rpSign(j: Int, d: Int): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j|$d".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 1) == 0) 1L else -1L
+  }
+
+  /** RANDOM-SIGN PROJECTION sketch (Johnson–Lindenstrauss with a
+    * ±1 matrix — Achlioptas' database-friendly construction): every
+    * embedding's int8 codes ([[quantize]]'s exact formula) are
+    * projected to [[RpSketchDims]] integer dims, `sketch_j =
+    * Σ_d code_d · sign(j, d)` — the dimensionality-reduction verb an
+    * ANN pipeline runs to cut the bytes-per-vector a first-pass scan
+    * touches (64 int8 dims → 16 small ints, distances preserved to
+    * JL tolerance; candidates re-rank in the full space). The sign
+    * matrix is a deterministic hash function of (j, d), so the sketch
+    * is reproducible anywhere with no stored model beyond the
+    * quantizer's 2×64 floats.
+    *
+    * Scale shape: codes are the collected-model map-side projection
+    * (no shuffle); the projection is one posexplode joined against
+    * the broadcast 16×64 sign matrix with a map-side-combinable
+    * (vec_id, sdim) sum — partials collapse before any exchange.
+    * Integer end to end: no IEEE sum order anywhere.
+    */
+  def rpSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e0 = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", Vectors.toDouble($"embedding").as("emb"))
+    val stats = e0.select(posexplode($"emb").as(Seq("dim", "x")))
+      .groupBy($"dim").agg(min($"x").as("mn"), max($"x").as("mx"))
+      .collect().sortBy(_.getInt(0))
+    val mns = lit(stats.map(_.getDouble(1)))
+    val mxs = lit(stats.map(_.getDouble(2)))
+    val codes = transform(sequence(lit(0), lit(stats.length - 1)), i => {
+      val x = element_at($"emb", i + 1)
+      val mn = element_at(mns, i + 1)
+      val mx = element_at(mxs, i + 1)
+      when(mx === mn, lit(0L))
+        .otherwise(least(floor((x - mn) * 255.0 / (mx - mn)), lit(255.0)).cast("long"))
+    })
+    val signs = (0 until RpSketchDims).flatMap(j =>
+      stats.indices.map(d => (j.toLong, d.toLong, rpSign(j, d))))
+      .toDF("sdim", "dim", "sign")
+    e0.select($"vec_id", posexplode(codes).as(Seq("dim", "code")))
+      .join(broadcast(signs), Seq("dim"))
+      .groupBy($"vec_id", $"sdim")
+      .agg(sum($"code" * $"sign").as("sval"))
+      .orderBy($"vec_id", $"sdim")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_rp_sketch" -> rpSketch _,
     "emb_dim_stats" -> dimStats _,
     "ann_hard_negatives" -> ((s: SparkSession, d: String) => hardNegatives(s, d)),
     "emb_sq_outliers" -> ((s: SparkSession, d: String) => sqOutliers(s, d)),
@@ -524,6 +584,28 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "emb_rp_sketch" ->
+      s"""WITH d AS (
+        |  SELECT i - 1 AS dim,
+        |         min(CAST(embedding[i] AS DOUBLE)) AS mn,
+        |         max(CAST(embedding[i] AS DOUBLE)) AS mx
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+        |  GROUP BY 1),
+        |codes AS (SELECT vec_id, d.dim,
+        |            CASE WHEN mx = mn THEN 0
+        |                 ELSE CAST(least(floor((CAST(embedding[d.dim + 1] AS DOUBLE) - mn) * 255.0
+        |                                       / (mx - mn)), 255.0) AS BIGINT) END AS code
+        |          FROM embeddings CROSS JOIN d),
+        |signs AS (SELECT s.sdim, dd.dim,
+        |            CASE WHEN (strpos('0123456789abcdef',
+        |                   substr(md5(s.sdim || '|' || dd.dim), 1, 1)) - 1) % 2 = 0
+        |                 THEN 1 ELSE -1 END AS sign
+        |          FROM generate_series(0, ${RpSketchDims - 1}) AS s(sdim)
+        |          CROSS JOIN generate_series(0, 63) AS dd(dim))
+        |SELECT vec_id, CAST(s.sdim AS BIGINT) AS sdim,
+        |       CAST(sum(code * sign) AS BIGINT) AS sval
+        |FROM codes JOIN signs s ON s.dim = codes.dim
+        |GROUP BY 1, 2 ORDER BY vec_id, sdim""".stripMargin,
     "emb_dim_stats" ->
       s"""WITH q AS (
         |  SELECT i - 1 AS dim,

@@ -739,6 +739,33 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprint _,
   )
 
+  /** DuckDB mirror of [[winnowFingerprint]] + the span df cap —
+    * ends in `fps(doc_id, fp)` (each doc's fingerprints distinct)
+    * and `kept(fp)` (fingerprints within the [[MaxSpanDf]] posting
+    * cap). Shared by the `text_shared_spans` and `graph_*` oracles
+    * (the span-sharing pair graph).
+    */
+  private[operators] val spanFpsCte =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |v AS (SELECT doc_id,
+      |        list_transform(t, x ->
+      |          CAST((strpos('0123456789abcdef', substr(md5(x), 1, 1)) - 1) * 4096
+      |             + (strpos('0123456789abcdef', substr(md5(x), 2, 1)) - 1) * 256
+      |             + (strpos('0123456789abcdef', substr(md5(x), 3, 1)) - 1) * 16
+      |             + (strpos('0123456789abcdef', substr(md5(x), 4, 1)) - 1) AS BIGINT)) AS vals
+      |      FROM toks WHERE len(t) >= 3),
+      |h AS (SELECT doc_id,
+      |        list_transform(generate_series(1, len(vals) - 2),
+      |          i -> (vals[i] * 66049 + vals[i+1] * 257 + vals[i+2]) % 1000003) AS hs
+      |      FROM v),
+      |w AS (SELECT doc_id,
+      |        list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+      |          j -> list_min(hs[j:j+3]))) AS fps
+      |      FROM h),
+      |fps AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+      |kept AS (SELECT fp FROM fps GROUP BY fp
+      |         HAVING count(*) BETWEEN 2 AND $MaxSpanDf)""".stripMargin
+
   /** DuckDB mirror of one CMS hash row: the 16-bit md5 slice at
     * character offset `row·4`, as nibble arithmetic (no conv()).
     */
@@ -947,25 +974,7 @@ object TextAnalysis {
         |      FROM h)
         |SELECT doc_id, unnest(fps) AS fp FROM w ORDER BY doc_id, fp""".stripMargin,
     "text_shared_spans" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |v AS (SELECT doc_id,
-        |        list_transform(t, x ->
-        |          CAST((strpos('0123456789abcdef', substr(md5(x), 1, 1)) - 1) * 4096
-        |             + (strpos('0123456789abcdef', substr(md5(x), 2, 1)) - 1) * 256
-        |             + (strpos('0123456789abcdef', substr(md5(x), 3, 1)) - 1) * 16
-        |             + (strpos('0123456789abcdef', substr(md5(x), 4, 1)) - 1) AS BIGINT)) AS vals
-        |      FROM toks WHERE len(t) >= 3),
-        |h AS (SELECT doc_id,
-        |        list_transform(generate_series(1, len(vals) - 2),
-        |          i -> (vals[i] * 66049 + vals[i+1] * 257 + vals[i+2]) % 1000003) AS hs
-        |      FROM v),
-        |w AS (SELECT doc_id,
-        |        list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
-        |          j -> list_min(hs[j:j+3]))) AS fps
-        |      FROM h),
-        |fps AS (SELECT doc_id, unnest(fps) AS fp FROM w),
-        |kept AS (SELECT fp FROM fps GROUP BY fp
-        |         HAVING count(*) BETWEEN 2 AND $MaxSpanDf)
+      s"""WITH $spanFpsCte
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       CAST(count(*) AS BIGINT) AS n_shared_spans
         |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id

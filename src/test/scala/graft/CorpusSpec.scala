@@ -488,4 +488,26 @@ class CorpusSpec extends SparkSpec {
     }.toSet
     assert(flagged.map(_._1).toSet === expected)
   }
+
+  test("temperature weights are exact integer sqrts and tau=0.5 flattens the mix") {
+    val rows = Corpus.temperature(spark, dir).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.length >= 2, "need at least two sources to mix")
+    rows.foreach { case (s, nDocs, nTok, w, _, _, rate, kept) =>
+      assert(w * w <= nTok && nTok < (w + 1) * (w + 1),
+        s"$s: weight $w is not isqrt($nTok)")
+      assert(rate >= 0L && rate <= 1000000L)
+      assert(kept >= 0L && kept <= nDocs)
+    }
+    // sqrt is concave: the token-richest source's share shrinks, the
+    // poorest source's share grows (±1 ppm truncation slack)
+    val byTok = rows.sortBy(_._3)
+    assert(byTok.last._6 <= byTok.last._5 + 1,
+      "largest source must not gain share under tau=0.5")
+    assert(byTok.head._6 + 1 >= byTok.head._5,
+      "smallest source must not lose share under tau=0.5")
+    // the hash threshold actually sampled something somewhere
+    assert(rows.map(_._8).sum > 0L)
+  }
 }

@@ -646,4 +646,25 @@ class ExtensionSpec extends SparkSpec {
       }, "cosine non-increasing in rank")
     }
   }
+
+  test("rp sketch equals a driver recompute from the quantized codes") {
+    val codes = Similarity.quantize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (v, rs) =>
+        v -> rs.sortBy(_._2).map(_._3)
+      }
+    val got = Similarity.rpSketch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    // full cross-check on the first few vectors; shape on all
+    codes.keys.toSeq.sorted.take(5).foreach { v =>
+      (0 until Similarity.RpSketchDims).foreach { j =>
+        val expect = codes(v).zipWithIndex
+          .map { case (c, d) => c * Similarity.rpSign(j, d) }.sum
+        assert(got((v, j.toLong)) === expect, s"vec $v sketch dim $j")
+      }
+    }
+    assert(got.size === codes.size * Similarity.RpSketchDims)
+    got.values.foreach(s => assert(math.abs(s) <= 255L * 64L))
+  }
 }
