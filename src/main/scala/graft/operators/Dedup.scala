@@ -338,7 +338,7 @@ object Dedup {
     * UNDIRECTED `(src, dst)` pair frame (symmetrised here). Shared by
     * the text (minhash) and embedding (cosine-LSH) dedup pipelines.
     */
-  private def clustersOver(nodes: DataFrame, edges: DataFrame,
+  private[operators] def clustersOver(nodes: DataFrame, edges: DataFrame,
       maxHops: Int): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._

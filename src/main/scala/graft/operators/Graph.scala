@@ -127,9 +127,28 @@ object Graph {
       .orderBy($"doc_id")
   }
 
+  /** Connected COMPONENTS over the span-sharing graph — the
+    * "content families" partition (each component is a set of docs
+    * transitively linked by shared spans: a syndication family, a
+    * template population, a quote chain). Reuses [[Dedup.clustersOver]]'s
+    * min-label propagation core unchanged — the whole point of keeping
+    * that core graph-generic: one audited iteration schema serves
+    * minhash dedup, embedding dedup, and span families alike.
+    */
+  def components(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = spanPairs(spark, dir)
+    val nodes = pairs.select($"doc_a".as("doc_id"))
+      .union(pairs.select($"doc_b")).distinct()
+    Dedup.clustersOver(nodes,
+      pairs.select($"doc_a".as("src"), $"doc_b".as("dst")),
+      Dedup.ClusterMaxHops)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> pagerank _,
     "graph_triangles" -> triangles _,
+    "graph_components" -> components _,
   )
 
   /** Shared oracle prefix: span fingerprints → ordered pair relation
@@ -166,6 +185,20 @@ object Graph {
         |SELECT d.src AS doc_id, d.deg, m.mass AS rank_ppm
         |FROM degs d JOIN it$PageRankIters m ON m.doc_id = d.src
         |ORDER BY doc_id""".stripMargin,
+    "graph_components" ->
+      s"""WITH RECURSIVE $pairCte,
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+        |          UNION ALL SELECT doc_b, doc_a FROM pr),
+        |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        |walk(doc_id, label, depth) AS (
+        |  SELECT doc_id, doc_id, 0 FROM nodes
+        |  UNION
+        |  SELECT e.dst, w.label, w.depth + 1
+        |  FROM walk w JOIN edges e ON e.src = w.doc_id
+        |  WHERE w.depth < ${Dedup.ClusterMaxHops}),
+        |labels AS (SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY 1)
+        |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_keeper
+        |FROM labels ORDER BY doc_id""".stripMargin,
     "graph_triangles" ->
       s"""WITH $pairCte,
         |tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c

@@ -714,7 +714,64 @@ object TextAnalysis {
       .orderBy($"doc_id", $"win_idx")
   }
 
+  /** TOKENIZER-FERTILITY report — the per-source cost model a
+    * tokenizer choice is judged by (fertility: how many subword
+    * tokens per word; bytes per token: how much compute a byte of
+    * this source costs): whitespace words vs [[Corpus.bpeProxyTokens]]
+    * (the byte-length BPE proxy, ~4 bytes/token), aggregated per
+    * source with both ratios in integer ppm. DECIMAL routes the ×10⁶
+    * against BIGINT wrap at a 100 TB byte total. One keyed aggregate
+    * over the bounded source domain — the cheapest possible shape.
+    */
+  def fertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"source", octet_length($"text").cast("long").as("n_bytes"),
+        size(tok).cast("long").as("n_words"),
+        Corpus.bpeProxyTokens.cast("long").as("n_bpe"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_bytes").as("n_bytes"),
+        sum($"n_words").as("n_words"), sum($"n_bpe").as("n_bpe"))
+      .withColumn("bpe_per_word_ppm", expr(
+        "CAST(CAST(n_bpe AS DECIMAL(38,0)) * 1000000 div n_words AS BIGINT)"))
+      .withColumn("bytes_per_bpe_ppm", expr(
+        "CAST(CAST(n_bytes AS DECIMAL(38,0)) * 1000000 div n_bpe AS BIGINT)"))
+      .orderBy($"source")
+  }
+
+  /** [[lmSurprise]] cut line for [[surpriseFilter]] (≈ the fixture
+    * corpus's 90th percentile — scale-stable because N/f is, for a
+    * stationary corpus).
+    */
+  val SurpriseCut = 950000000L
+
+  /** The perplexity-proxy APPLY step — [[lmSurprise]] reports, this
+    * one decides: per (source, verdict) doc and token mass where
+    * verdict is `drop_surprising` (mean bigram surprise ≥
+    * [[SurpriseCut]] — gibberish/OCR-noise candidates under a bigram
+    * LM), `keep`, or `short` (< 2 tokens, no bigram evidence — the
+    * null-join arm a real pipeline must route explicitly, not drop).
+    * Composes the green lmSurprise core through one left join and a
+    * bounded-domain aggregate.
+    */
+  def surpriseFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = lmSurprise(spark, dir).select($"doc_id", $"surprise_e6")
+    docs(spark, dir)
+      .select($"doc_id", $"source", size(tok).cast("long").as("n_tok"))
+      .join(s, Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when($"surprise_e6".isNull, lit("short"))
+          .when($"surprise_e6" >= SurpriseCut, lit("drop_surprising"))
+          .otherwise(lit("keep")))
+      .groupBy($"source", $"verdict")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      .orderBy($"source", $"verdict")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_fertility" -> fertility _,
+    "text_surprise_filter" -> surpriseFilter _,
     "text_chunk_windows" -> chunkWindows _,
     "text_novelty" -> novelty _,
     "text_filter" -> filterDocs _,
@@ -920,6 +977,39 @@ object TextAnalysis {
         |       CAST(CAST(sum(($SurpriseScale * tot.n) // f) AS HUGEINT) // count(*) AS BIGINT) AS surprise_e6
         |FROM bg JOIN freq USING (bigram) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_fertility" ->
+      """WITH d AS (SELECT source, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |             CAST((strlen(text) + 3) // 4 AS BIGINT) AS n_bpe
+        |           FROM documents),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+        |        CAST(sum(n_words) AS BIGINT) AS n_words,
+        |        CAST(sum(n_bpe) AS BIGINT) AS n_bpe
+        |      FROM d GROUP BY 1)
+        |SELECT source, n_docs, n_bytes, n_words, n_bpe,
+        |       CAST(CAST(n_bpe AS HUGEINT) * 1000000 // n_words AS BIGINT) AS bpe_per_word_ppm,
+        |       CAST(CAST(n_bytes AS HUGEINT) * 1000000 // n_bpe AS BIGINT) AS bytes_per_bpe_ppm
+        |FROM a ORDER BY source""".stripMargin,
+    "text_surprise_filter" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i + 1])) AS bigram
+        |       FROM toks WHERE len(t) >= 2),
+        |freq AS (SELECT bigram, count(*) AS f FROM bg GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM bg),
+        |s AS (SELECT doc_id,
+        |        CAST(CAST(sum(($SurpriseScale * tot.n) // f) AS HUGEINT) // count(*) AS BIGINT) AS surprise_e6
+        |      FROM bg JOIN freq USING (bigram) CROSS JOIN tot GROUP BY doc_id),
+        |v AS (SELECT d.source,
+        |        CASE WHEN s.surprise_e6 IS NULL THEN 'short'
+        |             WHEN s.surprise_e6 >= $SurpriseCut THEN 'drop_surprising'
+        |             ELSE 'keep' END AS verdict,
+        |        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+        |      FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id)
+        |SELECT source, verdict, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM v GROUP BY 1, 2 ORDER BY source, verdict""".stripMargin,
     "text_filter" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |base AS (SELECT doc_id, len(t) AS n_words, len(list_distinct(t)) AS n_distinct FROM w),

@@ -667,4 +667,41 @@ class ExtensionSpec extends SparkSpec {
     assert(got.size === codes.size * Similarity.RpSketchDims)
     got.values.foreach(s => assert(math.abs(s) <= 255L * 64L))
   }
+
+  test("fertility table equals a driver recompute from raw bytes and words") {
+    val base = graft.engine.Tables.load(spark, dir, "documents")
+      .selectExpr("source", "octet_length(text) AS b", "size(split(text, ' ')) AS w")
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong, r.getInt(2).toLong))
+    val expect = base.groupBy(_._1).map { case (s, rs) =>
+      val bytes = rs.map(_._2).sum
+      val words = rs.map(_._3).sum
+      val bpe = rs.map(d => (d._2 + 3) / 4).sum
+      s -> (rs.length.toLong, bytes, words, bpe,
+        BigInt(bpe) * 1000000 / words, BigInt(bytes) * 1000000 / bpe)
+    }
+    val got = TextAnalysis.fertility(spark, dir).collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        BigInt(r.getLong(5)), BigInt(r.getLong(6)))).toMap
+    assert(got === expect)
+  }
+
+  test("surprise filter accounts every doc and thresholds exactly on lm surprise") {
+    val surprise = TextAnalysis.lmSurprise(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val base = graft.engine.Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "source", "size(split(text, ' ')) AS w")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong))
+    val expect = base.groupBy { case (id, s, _) =>
+      (s, surprise.get(id) match {
+        case None => "short"
+        case Some(e) if e >= TextAnalysis.SurpriseCut => "drop_surprising"
+        case _ => "keep"
+      })
+    }.map { case (k, rs) => k -> (rs.length.toLong, rs.map(_._3).sum) }
+    val got = TextAnalysis.surpriseFilter(spark, dir).collect().map(r =>
+      (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got === expect)
+    assert(got.keys.map(_._2).toSet.contains("keep"))
+    assert(base.map(_._1).length.toLong === got.values.map(_._1).sum)
+  }
 }

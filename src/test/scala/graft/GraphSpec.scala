@@ -40,6 +40,21 @@ class GraphSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 1L)))
   }
 
+  test("components partition the span-linked docs with min-id labels and one keeper each") {
+    val rows = Graph.components(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    val nodes = Graph.pagerank(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet === nodes, "same node set as pagerank")
+    rows.foreach { case (id, label, keeper) =>
+      assert(label <= id, "min-label propagation can only lower labels")
+      assert(keeper === (id == label))
+    }
+    val labels = rows.map(_._2).toSet
+    assert(rows.count(_._3) === labels.size, "exactly one keeper per component")
+    assert(labels.subsetOf(rows.map(_._1).toSet), "every label is a member doc")
+  }
+
   test("corpus pagerank covers exactly the span-linked docs, above teleport mass") {
     val pr = Graph.pagerank(spark, dir).collect()
     assert(pr.nonEmpty, "span graph should be non-empty at sf0.001")
