@@ -570,7 +570,122 @@ object Similarity {
       .orderBy($"vec_id", $"sdim")
   }
 
+  /** Sketch-prefilter candidate-set size for [[rpTopK]]. */
+  val RpCandK = 50
+
+  /** ANN through the SKETCH: [[rpSketch]]'s 16 integer dims rank a
+    * candidate set of [[RpCandK]] per query by exact integer L2 in
+    * sketch space (¼ the bytes of the full code scan — the JL
+    * distance-preservation purchase), then ONLY the candidates are
+    * re-ranked by the full 64-dim integer code dot ([[sqTopK]]'s
+    * exact score). This is the two-stage shape a billion-vector
+    * serving path runs — coarse scan cheap, exact math on a
+    * vanishing fraction — expressed as two rank filters that both
+    * compile to WindowGroupLimit. Integer end to end, so the whole
+    * cascade is oracle-exact; the spec measures its recall against
+    * the uncompressed [[sqTopK]] truth.
+    */
+  def rpTopK(spark: SparkSession, dir: String,
+      numQueries: Int = NumQueries, k: Int = TopK): DataFrame = {
+    import spark.implicits._
+    val e0 = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", Vectors.toDouble($"embedding").as("emb"))
+    val stats = e0.select(posexplode($"emb").as(Seq("dim", "x")))
+      .groupBy($"dim").agg(min($"x").as("mn"), max($"x").as("mx"))
+      .collect().sortBy(_.getInt(0))
+    val mns = lit(stats.map(_.getDouble(1)))
+    val mxs = lit(stats.map(_.getDouble(2)))
+    val codes = transform(sequence(lit(0), lit(stats.length - 1)), i => {
+      val x = element_at($"emb", i + 1)
+      val mn = element_at(mns, i + 1)
+      val mx = element_at(mxs, i + 1)
+      when(mx === mn, lit(0L))
+        .otherwise(least(floor((x - mn) * 255.0 / (mx - mn)), lit(255.0)).cast("long"))
+    })
+    // cache = materialization barrier: vc feeds both the sketch agg and
+    // the re-rank dot; without it CollapseProject re-inlines the whole
+    // quantizer into every consumer (the r4 lesson).
+    val coded = e0.select($"vec_id", codes.as("vc")).cache()
+    val signs = (0 until RpSketchDims).flatMap(j =>
+      stats.indices.map(d => (j.toLong, d.toLong, rpSign(j, d))))
+      .toDF("sdim", "dim", "sign")
+    val sk = coded.select($"vec_id", posexplode($"vc").as(Seq("dim", "code")))
+      .join(broadcast(signs), Seq("dim"))
+      .groupBy($"vec_id", $"sdim").agg(sum($"code" * $"sign").as("sval"))
+      .groupBy($"vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(sdim, sval))), s -> s.sval)")
+        .as("sk"))
+    val q = sk.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("q_id"), $"sk".as("qs"))
+    val cand = q.join(sk, $"vec_id" =!= $"q_id")
+      .withColumn("d2", expr(
+        "aggregate(zip_with(qs, sk, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (s, x) -> s + x)"))
+      .withColumn("crnk",
+        row_number().over(Window.partitionBy($"q_id").orderBy($"d2", $"vec_id")))
+      .filter($"crnk" <= RpCandK)
+      .select($"q_id", $"vec_id")
+    cand
+      .join(coded, Seq("vec_id"))
+      .join(broadcast(coded.filter($"vec_id" < numQueries)
+        .select($"vec_id".as("q_id"), $"vc".as("qc"))), Seq("q_id"))
+      .withColumn("score", expr(
+        "aggregate(zip_with(qc, vc, (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x)"))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id"))
+          .cast("long"))
+      .filter($"rnk" <= k)
+      .select($"q_id", $"vec_id", $"score", $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
+  /** Per-label CENTROID DRIFT between two corpus snapshots (the
+    * even/odd `vec_id` halves, the repo's standing two-snapshot
+    * convention) — the embedding-space monitoring verb a pipeline
+    * runs across crawls or encoder versions: each half's per-label
+    * integer centroid ([[sqOutliers]]'s floor-div form), compared as
+    * the exact integer squared L2 between centroids. A drifting
+    * label means the two snapshots' examples of that class live in
+    * different regions — retrain/recalibrate evidence. One
+    * (half, label, dim)-keyed aggregate over the 64× explode, a
+    * labels×dims join, a label-keyed sum: all bounded-domain keys.
+    */
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e0 = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"label".cast("long").as("label"),
+        Vectors.toDouble($"embedding").as("emb"))
+    val stats = e0.select(posexplode($"emb").as(Seq("dim", "x")))
+      .groupBy($"dim").agg(min($"x").as("mn"), max($"x").as("mx"))
+      .collect().sortBy(_.getInt(0))
+    val mns = lit(stats.map(_.getDouble(1)))
+    val mxs = lit(stats.map(_.getDouble(2)))
+    val codes = transform(sequence(lit(0), lit(stats.length - 1)), i => {
+      val x = element_at($"emb", i + 1)
+      val mn = element_at(mns, i + 1)
+      val mx = element_at(mxs, i + 1)
+      when(mx === mn, lit(0L))
+        .otherwise(least(floor((x - mn) * 255.0 / (mx - mn)), lit(255.0)).cast("long"))
+    })
+    val coded = e0
+      .select($"vec_id", ($"vec_id" % 2).as("half"), $"label",
+        posexplode(codes).as(Seq("dim", "code")))
+    val cent = coded.groupBy($"half", $"label", $"dim")
+      .agg(expr("CAST(sum(code) div count(1) AS BIGINT)").as("cent"),
+        countDistinct($"vec_id").as("n"))
+    val a = cent.filter($"half" === 0)
+      .select($"label", $"dim", $"cent".as("ca"), $"n".as("n_a"))
+    val b = cent.filter($"half" === 1)
+      .select($"label", $"dim", $"cent".as("cb"), $"n".as("n_b"))
+    a.join(b, Seq("label", "dim"))
+      .groupBy($"label")
+      .agg(max($"n_a").as("n_a"), max($"n_b").as("n_b"),
+        sum(($"ca" - $"cb") * ($"ca" - $"cb")).as("drift2"))
+      .orderBy($"label")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_rp_topk" -> ((s: SparkSession, d: String) => rpTopK(s, d)),
+    "emb_centroid_drift" -> centroidDrift _,
     "emb_rp_sketch" -> rpSketch _,
     "emb_dim_stats" -> dimStats _,
     "ann_hard_negatives" -> ((s: SparkSession, d: String) => hardNegatives(s, d)),
@@ -584,6 +699,65 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "ann_rp_topk" ->
+      s"""WITH d AS (
+        |  SELECT i - 1 AS dim,
+        |         min(CAST(embedding[i] AS DOUBLE)) AS mn,
+        |         max(CAST(embedding[i] AS DOUBLE)) AS mx
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+        |  GROUP BY 1),
+        |codes AS (SELECT vec_id, d.dim,
+        |            CASE WHEN mx = mn THEN 0
+        |                 ELSE CAST(least(floor((CAST(embedding[d.dim + 1] AS DOUBLE) - mn) * 255.0
+        |                                       / (mx - mn)), 255.0) AS BIGINT) END AS code
+        |          FROM embeddings CROSS JOIN d),
+        |signs AS (SELECT s.sdim, dd.dim,
+        |            CASE WHEN (strpos('0123456789abcdef',
+        |                   substr(md5(s.sdim || '|' || dd.dim), 1, 1)) - 1) % 2 = 0
+        |                 THEN 1 ELSE -1 END AS sign
+        |          FROM generate_series(0, ${RpSketchDims - 1}) AS s(sdim)
+        |          CROSS JOIN generate_series(0, 63) AS dd(dim)),
+        |sk AS (SELECT vec_id, s.sdim, CAST(sum(code * sign) AS BIGINT) AS sval
+        |       FROM codes JOIN signs s ON s.dim = codes.dim GROUP BY 1, 2),
+        |q AS (SELECT vec_id AS q_id, sdim, sval AS qval FROM sk WHERE vec_id < $NumQueries),
+        |d2 AS (SELECT q.q_id, s.vec_id,
+        |         CAST(sum((q.qval - s.sval) * (q.qval - s.sval)) AS BIGINT) AS d2
+        |       FROM q JOIN sk s ON s.sdim = q.sdim AND s.vec_id <> q.q_id
+        |       GROUP BY 1, 2),
+        |cand AS (SELECT q_id, vec_id FROM
+        |           (SELECT *, row_number() OVER (PARTITION BY q_id
+        |              ORDER BY d2, vec_id) AS crnk FROM d2)
+        |         WHERE crnk <= $RpCandK),
+        |dots AS (SELECT c.q_id, c.vec_id, CAST(sum(cq.code * cv.code) AS BIGINT) AS score
+        |         FROM cand c
+        |         JOIN codes cq ON cq.vec_id = c.q_id
+        |         JOIN codes cv ON cv.vec_id = c.vec_id AND cv.dim = cq.dim
+        |         GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |        ORDER BY score DESC, vec_id) AS BIGINT) AS rnk FROM dots)
+        |SELECT q_id, vec_id, score, rnk FROM r WHERE rnk <= $TopK
+        |ORDER BY q_id, rnk""".stripMargin,
+    "emb_centroid_drift" ->
+      """WITH d AS (
+        |  SELECT i - 1 AS dim,
+        |         min(CAST(embedding[i] AS DOUBLE)) AS mn,
+        |         max(CAST(embedding[i] AS DOUBLE)) AS mx
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+        |  GROUP BY 1),
+        |codes AS (SELECT vec_id, vec_id % 2 AS half, CAST(label AS BIGINT) AS label, d.dim,
+        |            CASE WHEN mx = mn THEN 0
+        |                 ELSE CAST(least(floor((CAST(embedding[d.dim + 1] AS DOUBLE) - mn) * 255.0
+        |                                       / (mx - mn)), 255.0) AS BIGINT) END AS code
+        |          FROM embeddings CROSS JOIN d),
+        |cent AS (SELECT half, label, dim,
+        |           CAST(sum(code) // count(*) AS BIGINT) AS cent,
+        |           CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+        |         FROM codes GROUP BY 1, 2, 3)
+        |SELECT a.label, max(a.n) AS n_a, max(b.n) AS n_b,
+        |       CAST(sum((a.cent - b.cent) * (a.cent - b.cent)) AS BIGINT) AS drift2
+        |FROM cent a JOIN cent b ON a.label = b.label AND a.dim = b.dim
+        |WHERE a.half = 0 AND b.half = 1
+        |GROUP BY 1 ORDER BY label""".stripMargin,
     "emb_rp_sketch" ->
       s"""WITH d AS (
         |  SELECT i - 1 AS dim,

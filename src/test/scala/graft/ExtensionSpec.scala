@@ -668,6 +668,48 @@ class ExtensionSpec extends SparkSpec {
     got.values.foreach(s => assert(math.abs(s) <= 255L * 64L))
   }
 
+  test("sketch-prefiltered ann recalls most of the exact quantized top-k") {
+    val truth = Similarity.sqTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.rpTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._4).toSeq
+      assert(sorted.map(_._4) === (1L to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall {
+        case Seq(a, b) => a._3 >= b._3
+        case _ => true
+      }, "exact score non-increasing in rank")
+    }
+    val recall = got.map(r => (r._1, r._2)).toSet.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.5, s"sketch cascade recall $recall collapsed vs exact top-k")
+  }
+
+  test("centroid drift equals a driver recompute of per-half integer centroids") {
+    val coded = Similarity.quantize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val labels = graft.engine.Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id", "CAST(label AS BIGINT)").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val cent = coded.groupBy { case (v, d, _) => (v % 2, labels(v), d) }
+      .map { case (k, rs) =>
+        k -> (rs.map(_._3).sum / rs.length, rs.map(_._1).distinct.length.toLong)
+      }
+    val expect = cent.keys.map(_._2).toSet.toSeq.sorted.flatMap { l =>
+      val dims = (0L until 64L).flatMap { d =>
+        for (a <- cent.get((0L, l, d)); b <- cent.get((1L, l, d)))
+          yield (a, b)
+      }
+      if (dims.isEmpty) None
+      else Some((l, dims.head._1._2, dims.head._2._2,
+        dims.map { case (a, b) => (a._1 - b._1) * (a._1 - b._1) }.sum))
+    }
+    val got = Similarity.centroidDrift(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expect)
+  }
+
   test("fertility table equals a driver recompute from raw bytes and words") {
     val base = graft.engine.Tables.load(spark, dir, "documents")
       .selectExpr("source", "octet_length(text) AS b", "size(split(text, ' ')) AS w")
