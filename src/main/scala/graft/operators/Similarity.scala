@@ -571,19 +571,24 @@ object Similarity {
   }
 
   /** Sketch-prefilter candidate-set size for [[rpTopK]]. */
-  val RpCandK = 50
+  val RpCandK = 100
 
   /** ANN through the SKETCH: [[rpSketch]]'s 16 integer dims rank a
-    * candidate set of [[RpCandK]] per query by exact integer L2 in
-    * sketch space (¼ the bytes of the full code scan — the JL
-    * distance-preservation purchase), then ONLY the candidates are
-    * re-ranked by the full 64-dim integer code dot ([[sqTopK]]'s
-    * exact score). This is the two-stage shape a billion-vector
-    * serving path runs — coarse scan cheap, exact math on a
-    * vanishing fraction — expressed as two rank filters that both
-    * compile to WindowGroupLimit. Integer end to end, so the whole
-    * cascade is oracle-exact; the spec measures its recall against
-    * the uncompressed [[sqTopK]] truth.
+    * candidate set of [[RpCandK]] per query by the exact integer
+    * sketch DOT PRODUCT (¼ the bytes of the full code scan — for
+    * ±1 random signs ⟨sk_q,sk_v⟩ is an unbiased estimator of the
+    * code dot ⟨q,v⟩ scaled by the sketch width, so the coarse rank
+    * targets the same MIPS objective the re-rank scores), then ONLY
+    * the candidates are re-ranked by the full 64-dim integer code
+    * dot ([[sqTopK]]'s exact score). This is the two-stage shape a
+    * billion-vector serving path runs — coarse scan cheap, exact
+    * math on a vanishing fraction — expressed as two rank filters
+    * that both compile to WindowGroupLimit. Integer end to end, so
+    * the whole cascade is oracle-exact; the spec measures its recall
+    * against the uncompressed [[sqTopK]] truth. (Ranking candidates
+    * by sketch L2 instead is the classic MIPS mistake: high-dot,
+    * high-norm vectors sit far in L2 and never enter the candidate
+    * set — recall collapsed to 0.16 when this stage did that.)
     */
   def rpTopK(spark: SparkSession, dir: String,
       numQueries: Int = NumQueries, k: Int = TopK): DataFrame = {
@@ -602,10 +607,12 @@ object Similarity {
       when(mx === mn, lit(0L))
         .otherwise(least(floor((x - mn) * 255.0 / (mx - mn)), lit(255.0)).cast("long"))
     })
-    // cache = materialization barrier: vc feeds both the sketch agg and
-    // the re-rank dot; without it CollapseProject re-inlines the whole
-    // quantizer into every consumer (the r4 lesson).
-    val coded = e0.select($"vec_id", codes.as("vc")).cache()
+    // localCheckpoint = materialization barrier: vc feeds both the sketch
+    // agg and the re-rank dot; without it CollapseProject re-inlines the
+    // whole quantizer into every consumer (the r4 lesson). Eager local
+    // checkpoint gives the same barrier as cache() without pinning blocks
+    // past the RDD's lifetime (cache() here leaked across invocations).
+    val coded = e0.select($"vec_id", codes.as("vc")).localCheckpoint()
     val signs = (0 until RpSketchDims).flatMap(j =>
       stats.indices.map(d => (j.toLong, d.toLong, rpSign(j, d))))
       .toDF("sdim", "dim", "sign")
@@ -618,10 +625,10 @@ object Similarity {
     val q = sk.filter($"vec_id" < numQueries)
       .select($"vec_id".as("q_id"), $"sk".as("qs"))
     val cand = q.join(sk, $"vec_id" =!= $"q_id")
-      .withColumn("d2", expr(
-        "aggregate(zip_with(qs, sk, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (s, x) -> s + x)"))
+      .withColumn("sdot", expr(
+        "aggregate(zip_with(qs, sk, (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x)"))
       .withColumn("crnk",
-        row_number().over(Window.partitionBy($"q_id").orderBy($"d2", $"vec_id")))
+        row_number().over(Window.partitionBy($"q_id").orderBy($"sdot".desc, $"vec_id")))
       .filter($"crnk" <= RpCandK)
       .select($"q_id", $"vec_id")
     cand
@@ -720,13 +727,13 @@ object Similarity {
         |sk AS (SELECT vec_id, s.sdim, CAST(sum(code * sign) AS BIGINT) AS sval
         |       FROM codes JOIN signs s ON s.dim = codes.dim GROUP BY 1, 2),
         |q AS (SELECT vec_id AS q_id, sdim, sval AS qval FROM sk WHERE vec_id < $NumQueries),
-        |d2 AS (SELECT q.q_id, s.vec_id,
-        |         CAST(sum((q.qval - s.sval) * (q.qval - s.sval)) AS BIGINT) AS d2
+        |sdots AS (SELECT q.q_id, s.vec_id,
+        |         CAST(sum(q.qval * s.sval) AS BIGINT) AS sdot
         |       FROM q JOIN sk s ON s.sdim = q.sdim AND s.vec_id <> q.q_id
         |       GROUP BY 1, 2),
         |cand AS (SELECT q_id, vec_id FROM
         |           (SELECT *, row_number() OVER (PARTITION BY q_id
-        |              ORDER BY d2, vec_id) AS crnk FROM d2)
+        |              ORDER BY sdot DESC, vec_id) AS crnk FROM sdots)
         |         WHERE crnk <= $RpCandK),
         |dots AS (SELECT c.q_id, c.vec_id, CAST(sum(cq.code * cv.code) AS BIGINT) AS score
         |         FROM cand c
@@ -757,7 +764,7 @@ object Similarity {
         |       CAST(sum((a.cent - b.cent) * (a.cent - b.cent)) AS BIGINT) AS drift2
         |FROM cent a JOIN cent b ON a.label = b.label AND a.dim = b.dim
         |WHERE a.half = 0 AND b.half = 1
-        |GROUP BY 1 ORDER BY label""".stripMargin,
+        |GROUP BY 1 ORDER BY a.label""".stripMargin,
     "emb_rp_sketch" ->
       s"""WITH d AS (
         |  SELECT i - 1 AS dim,
