@@ -66,14 +66,19 @@ object Bench {
     // line, so round-over-round per-query comparison was impossible
     // from the repo alone — persist every full line (append-only, one
     // JSON object per run) where the next round can diff it
+    // anchor at the repo root via an env override so the append can't land
+    // in whatever CWD the driver launched sbt from
     try {
-      val benchDir = java.nio.file.Paths.get("bench")
+      val benchDir = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/root/repo/bench"))
       java.nio.file.Files.createDirectories(benchDir)
-      java.nio.file.Files.writeString(benchDir.resolve("bench_lines.jsonl"),
+      val target = benchDir.resolve("bench_lines.jsonl")
+      java.nio.file.Files.writeString(target,
         line + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
-    } catch { case e: Throwable =>
+      System.err.println(s"[bench] appended bench line to $target")
+    } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not persist bench line: ${e.getMessage}")
     }
     spark.stop()

@@ -253,8 +253,9 @@ object Multimodal {
   /** One pass over a payload's bytes → the [[AHashBlocks]]-bit
     * signature: 16 sum/count accumulators, then the cross-multiplied
     * above-mean test per block. Bytes are unsigned (opaque media
-    * semantics); on the all-ASCII documents fixture this coincides
-    * with the mirror's per-character `ascii()`. Comparison falls back
+    * semantics); the posexplode mirror and the DuckDB oracle iterate
+    * the same UTF-8 octets (not characters), so parity holds on
+    * non-ASCII payloads too. Comparison falls back
     * to BigInt past ~190 MB payloads where 255·n² would wrap a long.
     */
   private[graft] def aHashOf(payload: Array[Byte]): Long = {
@@ -293,8 +294,11 @@ object Multimodal {
     import spark.implicits._
     val bytes = Tables.load(spark, dir, "documents")
       .select($"doc_id", octet_length($"text").cast("long").as("n"),
+        // BYTE-based like aHashOf (UTF-8 octets via substring on BINARY),
+        // not per-character ascii(): the two only coincide on ASCII, and
+        // the contract is bytes-of-the-payload (r7 advice)
         posexplode(expr(
-          "slice(transform(sequence(1, greatest(length(text), 1)), i -> ascii(substr(text, i, 1))), 1, length(text))"))
+          "slice(transform(sequence(1, greatest(octet_length(text), 1)), i -> CAST(conv(hex(substring(CAST(text AS BINARY), i, 1)), 16, 10) AS BIGINT)), 1, octet_length(text))"))
           .as(Seq("idx", "byte")))
     val blocks = bytes
       .withColumn("block", expr(s"(idx * $AHashBlocks) div n"))
@@ -401,9 +405,10 @@ object Multimodal {
     "mm_ahash" ->
       s"""WITH b AS (
         |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n,
-        |         unnest(generate_series(0, length(text) - 1)) AS idx,
-        |         unnest(list_transform(generate_series(1, length(text)),
-        |           i -> ord(substr(text, i, 1)))) AS byte
+        |         unnest(generate_series(0, octet_length(encode(text)) - 1)) AS idx,
+        |         unnest(list_transform(generate_series(1, octet_length(encode(text))),
+        |           i -> 16 * (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i-1, 1)) - 1)
+        |              + (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i, 1)) - 1))) AS byte
         |  FROM documents),
         |blk AS (SELECT doc_id, n, (idx * $AHashBlocks) // n AS block,
         |          CAST(sum(byte) AS BIGINT) AS bsum, count(*) AS bcnt
@@ -422,9 +427,10 @@ object Multimodal {
     "mm_ahash_pairs" ->
       s"""WITH b AS (
         |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n,
-        |         unnest(generate_series(0, length(text) - 1)) AS idx,
-        |         unnest(list_transform(generate_series(1, length(text)),
-        |           i -> ord(substr(text, i, 1)))) AS byte
+        |         unnest(generate_series(0, octet_length(encode(text)) - 1)) AS idx,
+        |         unnest(list_transform(generate_series(1, octet_length(encode(text))),
+        |           i -> 16 * (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i-1, 1)) - 1)
+        |              + (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i, 1)) - 1))) AS byte
         |  FROM documents),
         |blk AS (SELECT doc_id, n, (idx * $AHashBlocks) // n AS block,
         |          CAST(sum(byte) AS BIGINT) AS bsum, count(*) AS bcnt

@@ -203,6 +203,28 @@ class MultimodalSpec extends SparkSpec {
     assert(got.nonEmpty, "exact-dup signatures exist, so pairs must too")
   }
 
+  test("aHash one-pass and posexplode mirror agree on NON-ASCII payloads (byte contract)") {
+    import spark.implicits._
+    // multi-byte UTF-8: é (2 bytes), € (3), 𝄞 (4) — char-based iteration
+    // would count length(text) positions and diverge from the octet walk
+    val docs = Seq(
+      (1L, "héllo wörld € test", "xx", "t", 18L),
+      (2L, "𝄞 music clef " * 3, "xx", "t", 39L),
+      (3L, "plain ascii baseline", "xx", "t", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("ahash_nonascii").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val fast = Multimodal.aHash(spark, tmp).collect().toSeq
+    val mirror = Multimodal.aHashExplode(spark, tmp).collect().toSeq
+    assert(fast === mirror)
+    // and both equal the driver byte-walk
+    val expected = Seq(
+      (1L, "héllo wörld € test"), (2L, "𝄞 music clef " * 3),
+      (3L, "plain ascii baseline"))
+      .map { case (id, t) => id -> Multimodal.aHashOf(t.getBytes("UTF-8")) }.toMap
+    fast.foreach(r => assert(r.getLong(1) === expected(r.getLong(0))))
+  }
+
   test("aHash one-pass form equals the posexplode mirror and generates no per-byte rows") {
     val fast = Multimodal.aHash(spark, dir)
     val mirror = Multimodal.aHashExplode(spark, dir)
