@@ -697,6 +697,90 @@ object Corpus {
       .orderBy($"source")
   }
 
+  /** Hashed feature-space size for [[dsir]]: one byte of md5(word)
+    * → 256 buckets, bounded by construction (mirrored in the oracle).
+    */
+  val DsirBuckets = 256
+
+  /** The slice [[dsir]]'s importance weights steer toward — the
+    * "target distribution" of importance resampling. `en` is the
+    * fixture's largest language; a deployment points this at its
+    * curated reference corpus instead.
+    */
+  val DsirTargetLang = "en"
+
+  /** ⌊log₂ 10⁶⌋ — the ppm scale's own log₂ floor, subtracted from
+    * each bucket's log-ratio so a bucket with identical target/raw
+    * probability weighs ~0.
+    */
+  val DsirScaleLog = 19
+
+  /** log₂ floor as EXACT integer arithmetic on both engines: the
+    * count of powers of two ≤ x, minus one (x ≤ 0 → −1) over 63
+    * static literals — never an IEEE log() whose ulp could flip a
+    * bucket weight between engines (the [[lengthHisto]] device).
+    */
+  private def ilog2Frag(x: String, duck: Boolean): String = {
+    val arr = (0 to 62).map(i => 1L << i).mkString(", ")
+    if (duck) s"(len(list_filter([$arr], p -> p <= $x)) - 1)"
+    else s"(size(filter(array($arr), p -> p <= $x)) - 1)"
+  }
+
+  /** DSIR-style IMPORTANCE RESAMPLING report — the data-selection
+    * verb of Xie et al.'s "Data Selection for Language Models via
+    * Importance Resampling" (arXiv:2302.03169), restated in exact
+    * integer arithmetic: documents are scored by how much more likely
+    * their hashed-unigram profile is under a TARGET distribution (the
+    * [[DsirTargetLang]] slice) than under the raw corpus, and the
+    * keep decision is `score > 0` (more target-like than background).
+    *
+    * Per hashed bucket b (one md5 byte, [[DsirBuckets]] cells):
+    * add-one-smoothed counts (c_t+1)/(c_r+1) normalized by the bucket
+    * totals give the importance ratio in ppm — products routed
+    * through DECIMAL (a 100 TB token count squared passes BIGINT);
+    * the per-token weight is the ratio's log₂ floor (exact via
+    * [[ilog2Frag]]) minus [[DsirScaleLog]], and a doc's score is the
+    * sum of its tokens' weights — the log-likelihood-ratio surrogate
+    * with every step integer, so the oracle replays it bit-for-bit.
+    *
+    * Scale shape: ONE token-stream aggregate builds both bucket
+    * counts (conditional sum — the raw and target tallies share a
+    * pass), collapsing map-side to ≤[[DsirBuckets]] rows per task;
+    * the weight table (≤256 rows) broadcasts back onto the token
+    * stream, and the per-doc sum's partial aggregation collapses
+    * within partitions (a doc's tokens never span partitions) before
+    * the doc-keyed exchange. The report is a bounded (source, lang)
+    * aggregate. No data-scaled shuffle key anywhere.
+    */
+  def dsir(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = docs(spark, dir)
+      .select($"doc_id", $"source", $"lang",
+        explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .withColumn("b", expr("CAST(conv(substr(md5(w), 1, 2), 16, 10) AS BIGINT)"))
+    val buckets = toks.groupBy($"b").agg(
+      count(lit(1)).as("cr"),
+      sum(when($"lang" === DsirTargetLang, 1L).otherwise(0L)).as("ct"))
+    val weights = buckets
+      .crossJoin(broadcast(buckets.agg(
+        sum($"cr" + 1).as("__nr"), sum($"ct" + 1).as("__nt"))))
+      .withColumn("ratio_ppm", expr(
+        """CAST((CAST(1000000 AS DECIMAL(38,0)) * (ct + 1) * __nr)
+          |     div ((cr + 1) * CAST(__nt AS DECIMAL(38,0))) AS BIGINT)""".stripMargin))
+      .withColumn("weight",
+        expr(s"${ilog2Frag("ratio_ppm", duck = false)} - $DsirScaleLog"))
+      .select($"b", $"weight")
+    toks.join(broadcast(weights), Seq("b"))
+      .groupBy($"doc_id", $"source", $"lang")
+      .agg(sum($"weight").as("score"))
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"score" > 0, 1L).otherwise(0L)).as("n_keep"),
+        sum($"score").as("score_sum"))
+      .orderBy($"source", $"lang")
+  }
+
   /** Rows kept per (source, lang) cell by [[groupSample]]. */
   val GroupSampleK = 5
 
@@ -922,6 +1006,7 @@ object Corpus {
     "corpus_shuffle" -> shuffleOrder _,
     "corpus_epochs" -> epochs _,
     "corpus_shards" -> ((s: SparkSession, d: String) => shardManifest(s, d)),
+    "corpus_dsir" -> dsir _,
     "corpus_group_sample" -> ((s: SparkSession, d: String) => groupSample(s, d)),
     "corpus_best_of_cell" -> ((s: SparkSession, d: String) => bestOfCell(s, d)),
     "corpus_batch_stats" -> ((s: SparkSession, d: String) => batchStats(s, d)),
@@ -1191,6 +1276,29 @@ object Corpus {
         |SELECT doc_id, lang FROM d JOIN c USING (lang) CROSS JOIN m
         |WHERE hb * cnt < mn * 65536
         |ORDER BY doc_id""".stripMargin,
+    "corpus_dsir" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, source, lang, w,
+        |         (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) AS b
+        |  FROM (SELECT doc_id, source, lang, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE len(w) > 0),
+        |bk AS (SELECT b, count(*) AS cr,
+        |         CAST(sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        |       FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cr + 1) AS BIGINT) AS nr,
+        |               CAST(sum(ct + 1) AS BIGINT) AS nt FROM bk),
+        |wt AS (SELECT b, ${ilog2Frag(
+             "CAST((CAST(1000000 AS HUGEINT) * (ct + 1) * nr) // ((cr + 1) * CAST(nt AS HUGEINT)) AS BIGINT)",
+             duck = true)} - $DsirScaleLog AS weight
+        |       FROM bk, tot),
+        |doc AS (SELECT doc_id, source, lang, CAST(sum(weight) AS BIGINT) AS score
+        |        FROM tok JOIN wt USING (b) GROUP BY 1, 2, 3)
+        |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |       CAST(sum(score) AS BIGINT) AS score_sum
+        |FROM doc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "corpus_sample" ->
       s"""SELECT doc_id, md5(text) AS fingerprint FROM documents
         |WHERE $hbSql % $SampleK = 0 ORDER BY doc_id""".stripMargin,

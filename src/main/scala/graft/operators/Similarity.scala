@@ -278,6 +278,49 @@ object Similarity {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** RRF smoothing constant — Cormack, Clarke & Buettcher's k = 60
+    * ("Reciprocal rank fusion outperforms Condorcet and individual
+    * rank learning methods", SIGIR 2009) — and the scale that keeps
+    * the reciprocal integral: points = RrfScale div (k + rank).
+    */
+  val RrfK = 60
+  val RrfScale = 1000000L
+
+  /** RECIPROCAL-RANK FUSION of the three ANN indexes — the hybrid-
+    * retrieval verb: the exact brute-force ranking, the sign-LSH
+    * bucket ranking, and the trained-IVF probe ranking each vote
+    * [[RrfScale]] div ([[RrfK]] + rank) points per (query, candidate),
+    * and candidates are re-ranked by total points. A candidate an
+    * index misses simply contributes nothing (the LSH/IVF recall
+    * holes the fusion exists to paper over); `n_lists` records how
+    * many indexes surfaced each survivor. All-integer scoring, so the
+    * oracle replays the fusion — and each constituent ranking —
+    * bit-for-bit.
+    *
+    * Scale shape: each constituent already bounds itself to k rows
+    * per query (WindowGroupLimit rank filters), so the fusion's
+    * input is ≤ 3·k·|queries| rows — METADATA, not data. The
+    * (q_id, vec_id) aggregate and the per-query re-rank never touch
+    * the corpus; the heavy lifting stays inside the constituent
+    * index scans.
+    */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lists = Seq(
+      cosineTopK(spark, dir),
+      lshTopK(spark, dir),
+      ivfTopK(spark, dir))
+    lists.map(_.select($"q_id", $"vec_id", $"rnk")).reduce(_ unionByName _)
+      .withColumn("pts", expr(s"$RrfScale div ($RrfK + rnk)"))
+      .groupBy($"q_id", $"vec_id")
+      .agg(sum($"pts").as("rrf"), count(lit(1)).as("n_lists"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"rrf".desc, $"vec_id")).cast("long"))
+      .filter($"rnk" <= TopK)
+      .select($"q_id", $"vec_id", $"rrf", $"n_lists", $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
   /** The untrained baseline: centroids are just the first `k` vectors
     * (round-3's variant, kept as the recall comparison point for the
     * ExtensionSpec assertion that training helps).
@@ -703,6 +746,7 @@ object Similarity {
     "ann_lsh_topk" -> ((s: SparkSession, d: String) => lshTopK(s, d)),
     "ann_lsh_multiprobe" -> ((s: SparkSession, d: String) => lshTopKMultiProbe(s, d)),
     "ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
+    "ann_rrf_fusion" -> rrfFusion _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -874,40 +918,9 @@ object Similarity {
         |           FROM dots)
         |SELECT q_id, vec_id, label, cos, rnk FROM scored WHERE rnk <= 5
         |ORDER BY q_id, rnk""".stripMargin,
-    "ann_cosine_topk" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
-        |pairs AS (SELECT q_id, e.vec_id, qe, e.embedding AS ve
-        |          FROM q, embeddings e WHERE e.vec_id <> q_id),
-        |flat AS (SELECT q_id, vec_id, CAST(unnest(qe) AS DOUBLE) AS x,
-        |                CAST(unnest(ve) AS DOUBLE) AS y FROM pairs),
-        |dots AS (SELECT q_id, vec_id, sum(x*y) AS dot,
-        |                sqrt(sum(x*x)) AS nq, sqrt(sum(y*y)) AS nv
-        |         FROM flat GROUP BY 1, 2),
-        |scored AS (SELECT q_id, vec_id, round(dot/(nq*nv), 6) AS cos,
-        |                  CAST(row_number() OVER (PARTITION BY q_id
-        |                       ORDER BY round(dot/(nq*nv), 6) DESC, vec_id) AS BIGINT) AS rnk
-        |           FROM dots)
-        |SELECT q_id, vec_id, cos, rnk FROM scored WHERE rnk <= 5
-        |ORDER BY q_id, rnk""".stripMargin,
-    "ann_lsh_topk" ->
-      """WITH b AS (SELECT vec_id, embedding,
-        |             array_to_string(list_transform(embedding[1:8],
-        |               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
-        |           FROM embeddings),
-        |q AS (SELECT vec_id AS q_id, embedding AS qe, bucket FROM b WHERE vec_id < 5),
-        |pairs AS (SELECT q.q_id, q.bucket, e.vec_id, q.qe, e.embedding AS ve
-        |          FROM q JOIN b e ON q.bucket = e.bucket AND e.vec_id <> q.q_id),
-        |flat AS (SELECT q_id, bucket, vec_id, CAST(unnest(qe) AS DOUBLE) AS x,
-        |                CAST(unnest(ve) AS DOUBLE) AS y FROM pairs),
-        |dots AS (SELECT q_id, bucket, vec_id, sum(x*y) AS dot,
-        |                sqrt(sum(x*x)) AS nq, sqrt(sum(y*y)) AS nv
-        |         FROM flat GROUP BY 1, 2, 3),
-        |scored AS (SELECT q_id, bucket, vec_id, round(dot/(nq*nv), 6) AS cos,
-        |                  CAST(row_number() OVER (PARTITION BY q_id
-        |                       ORDER BY round(dot/(nq*nv), 6) DESC, vec_id) AS BIGINT) AS rnk
-        |           FROM dots)
-        |SELECT q_id, bucket, vec_id, cos, rnk FROM scored WHERE rnk <= 5
-        |ORDER BY q_id, rnk""".stripMargin,
+    "ann_cosine_topk" -> cosineOracle,
+    "ann_lsh_topk" -> lshOracle,
+    "ann_rrf_fusion" -> rrfOracle,
     "ann_lsh_multiprobe" ->
       """WITH b AS (SELECT vec_id, embedding,
         |             array_to_string(list_transform(embedding[1:8],
@@ -935,6 +948,69 @@ object Similarity {
         |ORDER BY q_id, rnk""".stripMargin,
     "ann_ivf_topk" -> ivfOracle,
   )
+
+  /** The brute-force / LSH oracle bodies live in named vals so
+    * [[rrfOracle]] can nest the SAME text as subqueries — the fusion
+    * oracle is the constituent oracles by construction, not a copy
+    * that could drift.
+    */
+  private def cosineOracle: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+      |pairs AS (SELECT q_id, e.vec_id, qe, e.embedding AS ve
+      |          FROM q, embeddings e WHERE e.vec_id <> q_id),
+      |flat AS (SELECT q_id, vec_id, CAST(unnest(qe) AS DOUBLE) AS x,
+      |                CAST(unnest(ve) AS DOUBLE) AS y FROM pairs),
+      |dots AS (SELECT q_id, vec_id, sum(x*y) AS dot,
+      |                sqrt(sum(x*x)) AS nq, sqrt(sum(y*y)) AS nv
+      |         FROM flat GROUP BY 1, 2),
+      |scored AS (SELECT q_id, vec_id, round(dot/(nq*nv), 6) AS cos,
+      |                  CAST(row_number() OVER (PARTITION BY q_id
+      |                       ORDER BY round(dot/(nq*nv), 6) DESC, vec_id) AS BIGINT) AS rnk
+      |           FROM dots)
+      |SELECT q_id, vec_id, cos, rnk FROM scored WHERE rnk <= 5
+      |ORDER BY q_id, rnk""".stripMargin
+
+  private def lshOracle: String =
+    """WITH b AS (SELECT vec_id, embedding,
+      |             array_to_string(list_transform(embedding[1:8],
+      |               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      |           FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, embedding AS qe, bucket FROM b WHERE vec_id < 5),
+      |pairs AS (SELECT q.q_id, q.bucket, e.vec_id, q.qe, e.embedding AS ve
+      |          FROM q JOIN b e ON q.bucket = e.bucket AND e.vec_id <> q.q_id),
+      |flat AS (SELECT q_id, bucket, vec_id, CAST(unnest(qe) AS DOUBLE) AS x,
+      |                CAST(unnest(ve) AS DOUBLE) AS y FROM pairs),
+      |dots AS (SELECT q_id, bucket, vec_id, sum(x*y) AS dot,
+      |                sqrt(sum(x*x)) AS nq, sqrt(sum(y*y)) AS nv
+      |         FROM flat GROUP BY 1, 2, 3),
+      |scored AS (SELECT q_id, bucket, vec_id, round(dot/(nq*nv), 6) AS cos,
+      |                  CAST(row_number() OVER (PARTITION BY q_id
+      |                       ORDER BY round(dot/(nq*nv), 6) DESC, vec_id) AS BIGINT) AS rnk
+      |           FROM dots)
+      |SELECT q_id, bucket, vec_id, cos, rnk FROM scored WHERE rnk <= 5
+      |ORDER BY q_id, rnk""".stripMargin
+
+  /** [[rrfFusion]]'s oracle: the three constituent oracle texts nested
+    * verbatim as subqueries (DuckDB accepts WITH inside a derived
+    * table), fused by the same integer reciprocal-rank points.
+    */
+  private def rrfOracle: String =
+    s"""WITH u AS (
+      |  SELECT q_id, vec_id, rnk FROM ($cosineOracle) r1
+      |  UNION ALL
+      |  SELECT q_id, vec_id, rnk FROM ($lshOracle) r2
+      |  UNION ALL
+      |  SELECT q_id, vec_id, rnk FROM ($ivfOracle) r3),
+      |sc AS (SELECT q_id, vec_id,
+      |         CAST(sum($RrfScale // ($RrfK + rnk)) AS BIGINT) AS rrf,
+      |         CAST(count(*) AS BIGINT) AS n_lists
+      |       FROM u GROUP BY 1, 2),
+      |r AS (SELECT q_id, vec_id, rrf, n_lists,
+      |        CAST(row_number() OVER (PARTITION BY q_id
+      |             ORDER BY rrf DESC, vec_id) AS BIGINT) AS rnk
+      |      FROM sc)
+      |SELECT q_id, vec_id, rrf, n_lists, rnk FROM r WHERE rnk <= 5
+      |ORDER BY q_id, rnk""".stripMargin
 
   /** DuckDB replay of the trained IVF: the k-means iterations are
     * generated as CTE rounds over the same fixed-point integers —

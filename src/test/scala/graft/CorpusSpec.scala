@@ -489,6 +489,69 @@ class CorpusSpec extends SparkSpec {
     assert(flagged.map(_._1).toSet === expected)
   }
 
+  test("dsir matches a driver recompute of the integer importance arithmetic") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def ilog2(x: Long): Long = if (x <= 0) -1L else 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val rows = graft.engine.Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val toks = rows.flatMap { case (id, src, lang, text) =>
+      text.split(" ", -1).filter(_.nonEmpty)
+        .map(w => (id, src, lang, java.lang.Long.parseLong(md5hex(w).substring(0, 2), 16)))
+    }
+    val cr = toks.groupBy(_._4).view.mapValues(_.length.toLong).toMap
+    val ct = toks.filter(_._3 == Corpus.DsirTargetLang)
+      .groupBy(_._4).view.mapValues(_.length.toLong).toMap
+    val nr = cr.values.map(_ + 1).sum
+    // .toSeq first: Set.map would dedupe equal (ct+1) values pre-sum
+    val nt = cr.keys.toSeq.map(b => ct.getOrElse(b, 0L) + 1).sum
+    val weight = cr.keys.map { b =>
+      val ratio = (BigInt(1000000) * (ct.getOrElse(b, 0L) + 1) * nr /
+        (BigInt(cr(b) + 1) * nt)).toLong
+      b -> (ilog2(ratio) - Corpus.DsirScaleLog)
+    }.toMap
+    val perDoc = toks.groupBy(t => (t._1, t._2, t._3)).view
+      .mapValues(_.map(t => weight(t._4)).sum).toMap
+    val expected = perDoc.groupBy { case ((_, src, lang), _) => (src, lang) }
+      .map { case (cell, docs) =>
+        cell -> (docs.size.toLong, docs.values.count(_ > 0).toLong, docs.values.sum)
+      }
+    val got = Corpus.dsir(spark, dir).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (n, keep, sum) = expected((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) === n, s"n_docs ${r.getString(0)}/${r.getString(1)}")
+      assert(r.getLong(3) === keep, s"n_keep ${r.getString(0)}/${r.getString(1)}")
+      assert(r.getLong(4) === sum, s"score_sum ${r.getString(0)}/${r.getString(1)}")
+    }
+  }
+
+  test("dsir separates a planted target vocabulary from background") {
+    import spark.implicits._
+    // target-lang docs draw from a disjoint vocabulary: every target
+    // bucket is target-heavy, every background bucket target-empty, so
+    // the importance scores must split the two populations cleanly
+    val docs = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, s"tgtword${i % 5} tgtword${(i + 1) % 5} tgtword${(i + 2) % 5}",
+        Corpus.DsirTargetLang, "s0", 3L)
+      else (i.toLong, s"bgword${i % 5} bgword${(i + 1) % 5} bgword${(i + 2) % 5}",
+        "zz", "s0", 3L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("dsir").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Corpus.dsir(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (nEn, keepEn, sumEn) = got(("s0", Corpus.DsirTargetLang))
+    val (nZz, keepZz, sumZz) = got(("s0", "zz"))
+    assert(nEn === 20L && nZz === 20L)
+    assert(keepEn === 20L, "every target-vocab doc scores positive")
+    assert(keepZz === 0L, "no background-vocab doc scores positive")
+    assert(sumEn > 0L && sumZz < 0L)
+  }
+
   test("temperature weights are exact integer sqrts and tau=0.5 flattens the mix") {
     val rows = Corpus.temperature(spark, dir).collect().map(r =>
       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -686,6 +686,32 @@ class ExtensionSpec extends SparkSpec {
     assert(recall >= 0.5, s"sketch cascade recall $recall collapsed vs exact top-k")
   }
 
+  test("rrf fusion equals a driver recompute over the constituent rankings") {
+    def ranks(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.select("q_id", "vec_id", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val lists = Seq(
+      ranks(Similarity.cosineTopK(spark, dir)),
+      ranks(Similarity.lshTopK(spark, dir)),
+      ranks(Similarity.ivfTopK(spark, dir)))
+    val pts = lists.flatten
+      .map { case (q, v, r) => (q, v) -> (Similarity.RrfScale / (Similarity.RrfK + r), 1L) }
+      .groupBy(_._1).view
+      .mapValues(xs => (xs.map(_._2._1).sum, xs.map(_._2._2).sum)).toMap
+    val expected = pts.groupBy(_._1._1).flatMap { case (q, cands) =>
+      cands.toSeq
+        .sortBy { case ((_, v), (rrf, _)) => (-rrf, v) }
+        .take(5).zipWithIndex
+        .map { case (((_, v), (rrf, n)), i) => (q, v, rrf, n, i + 1L) }
+    }.toSet
+    val got = Similarity.rrfFusion(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got === expected)
+    // the exact list always votes, so every fused candidate that all
+    // three indexes agree on must outrank any single-list candidate
+    assert(got.exists(_._4 >= 2L), "some candidate surfaced by several indexes")
+  }
+
   test("centroid drift equals a driver recompute of per-half integer centroids") {
     val coded = Similarity.quantize(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
