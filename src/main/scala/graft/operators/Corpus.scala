@@ -470,6 +470,68 @@ object Corpus {
       .orderBy($"source", $"cum_before", $"doc_id")
   }
 
+  /** Docs per batch in [[bucketBatches]]. */
+  val BucketBatchSize = 16
+
+  /** LENGTH-BUCKETED BATCHING — the dynamic-batching verb: docs are
+    * grouped into power-of-two token-length bins ([[lengthHisto]]'s
+    * exact-integer bin), ordered within the bin by content hash
+    * (rerun-stable, engine-replayable — no rand()), and cut into
+    * batches of [[BucketBatchSize]]; each batch pads to its LONGEST
+    * member. The report prices the scheme per bin: padded-token mass
+    * and the pad ppm — bucketing by length is what keeps that number
+    * near zero, vs [[padWaste]]'s fixed-sequence baseline where every
+    * short doc pays the full window.
+    *
+    * Scale shape: the bin key is BOUNDED-DOMAIN (~20 values), so the
+    * within-bin rank never runs as one window over a whole bin (the
+    * NTILE trap): rows are sub-bucketed by fixed hb-quantile literals
+    * ([[budgetTrim]]'s two-pass prefix sum), each (bin, sub-bucket)
+    * cell ranks locally, and the cross-cell offsets ride a
+    * metadata-sized broadcast. Quantile-bucket boundaries respect hb
+    * order, so the composite order equals (hb, doc_id) exactly — the
+    * oracle replays it with one plain PARTITION BY bin window.
+    * Everything downstream aggregates on (bin, batch) — keyed,
+    * map-side combinable, never a global sort.
+    */
+  def bucketBatches(spark: SparkSession, dir: String,
+      buckets: Int = 32): DataFrame = {
+    import spark.implicits._
+    val pows = (1 to LengthHistoMaxPow).map(i => 1L << i)
+    val d = docs(spark, dir).select($"doc_id", hashBucket.as("hb"),
+        size(split($"text", " ")).cast("long").as("n_tok"))
+      .withColumn("bin", size(filter(
+        array(pows.map(lit(_)): _*), p => p <= $"n_tok")).cast("long"))
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds =
+      if (probes.isEmpty) Array.empty[Double]
+      else d.stat.approxQuantile("hb", probes, 0.001).distinct.sorted
+    val hbd = $"hb".cast("double")
+    val bucketExpr =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(array(bounds.toIndexedSeq.map(lit(_)): _*), b => b < hbd))
+    val bucketed = d.withColumn("__bucket", bucketExpr)
+    val offW = Window.partitionBy($"bin").orderBy($"__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy($"bin", $"__bucket")
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum($"__n").over(offW), lit(0L)))
+      .select($"bin", $"__bucket", $"__off")
+    val localW = Window.partitionBy($"bin", $"__bucket").orderBy($"hb", $"doc_id")
+    val perBatch = bucketed
+      .withColumn("__rn", row_number().over(localW).cast("long"))
+      .join(broadcast(offsets), Seq("bin", "__bucket"))
+      .withColumn("batch", expr(s"(__off + __rn - 1) div $BucketBatchSize"))
+      .groupBy($"bin", $"batch")
+      .agg(count(lit(1)).as("bn"), max($"n_tok").as("bmax"), sum($"n_tok").as("btok"))
+    perBatch.groupBy($"bin")
+      .agg(sum($"bn").as("n_docs"), count(lit(1)).as("n_batches"),
+        sum($"btok").as("n_tokens"), sum($"bmax" * $"bn").as("n_padded"))
+      .withColumn("pad_ppm", expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * (n_padded - n_tokens)) div n_padded AS BIGINT)"))
+      .orderBy($"bin")
+  }
+
   /** Curriculum ordering — the "train easy-to-hard" permutation: every
     * doc's position in a global order keyed by (classifier score asc,
     * content hash, doc_id). The score is [[TextAnalysis.classifyDocs]]'
@@ -1007,6 +1069,7 @@ object Corpus {
     "corpus_epochs" -> epochs _,
     "corpus_shards" -> ((s: SparkSession, d: String) => shardManifest(s, d)),
     "corpus_dsir" -> dsir _,
+    "corpus_bucket_batches" -> ((s: SparkSession, d: String) => bucketBatches(s, d)),
     "corpus_group_sample" -> ((s: SparkSession, d: String) => groupSample(s, d)),
     "corpus_best_of_cell" -> ((s: SparkSession, d: String) => bestOfCell(s, d)),
     "corpus_batch_stats" -> ((s: SparkSession, d: String) => batchStats(s, d)),
@@ -1276,6 +1339,27 @@ object Corpus {
         |SELECT doc_id, lang FROM d JOIN c USING (lang) CROSS JOIN m
         |WHERE hb * cnt < mn * 65536
         |ORDER BY doc_id""".stripMargin,
+    "corpus_bucket_batches" -> {
+      val powsList = (1 to LengthHistoMaxPow).map(i => 1L << i).mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT doc_id, $hbSql AS hb,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |b AS (SELECT doc_id, hb, n_tok,
+        |        CAST(len(list_filter($powsList, p -> p <= n_tok)) AS BIGINT) AS bin
+        |      FROM d),
+        |p AS (SELECT *, row_number() OVER (PARTITION BY bin ORDER BY hb, doc_id) AS rn
+        |      FROM b),
+        |pb AS (SELECT bin, (rn - 1) // $BucketBatchSize AS batch, count(*) AS bn,
+        |         max(n_tok) AS bmax, CAST(sum(n_tok) AS BIGINT) AS btok
+        |       FROM p GROUP BY 1, 2)
+        |SELECT bin, CAST(sum(bn) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_batches,
+        |       CAST(sum(btok) AS BIGINT) AS n_tokens,
+        |       CAST(sum(bmax * bn) AS BIGINT) AS n_padded,
+        |       CAST((CAST(1000000 AS HUGEINT) * (sum(bmax * bn) - sum(btok)))
+        |            // sum(bmax * bn) AS BIGINT) AS pad_ppm
+        |FROM pb GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "corpus_dsir" ->
       s"""WITH tok AS (
         |  SELECT doc_id, source, lang, w,

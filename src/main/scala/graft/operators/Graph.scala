@@ -145,10 +145,67 @@ object Graph {
       Dedup.ClusterMaxHops)
   }
 
+  /** Fixed synchronous label-propagation round count (control-flow
+    * only; the oracle unrolls the same count).
+    */
+  val LabelPropIters = 3
+
+  /** LABEL-PROPAGATION communities over the span-sharing graph —
+    * see [[labelPropOver]].
+    */
+  def labelProp(spark: SparkSession, dir: String): DataFrame =
+    labelPropOver(spanPairs(spark, dir))
+
+  /** Raghavan et al.'s label propagation (Phys. Rev. E 76, 2007) made
+    * DETERMINISTIC: every node starts labelled with its own id, and
+    * each synchronous round adopts the label most frequent among its
+    * neighbours, ties broken toward the SMALLEST label — no
+    * randomized visit order, so both engines replay the exact same
+    * [[LabelPropIters]] rounds. Where [[components]] merges everything
+    * transitively reachable, label propagation finds the DENSER
+    * sub-populations inside a component (a syndication family bridged
+    * to a template population by one shared span stays two
+    * communities) — the curation granularity between "connected" and
+    * "clique".
+    *
+    * Scale shape: each round is one join of the label frame against
+    * the checkpointed symmetric edge relation, a (node, label) count,
+    * and a per-node argmax through the rank-1 filter (compiles to
+    * WindowGroupLimit — map-side 1-heaps; the window key is the node
+    * id, never a bounded domain). Round count constant, lineage cut
+    * per round by localCheckpoint like [[pagerankOver]].
+    */
+  def labelPropOver(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val edges0 = pairs.toDF("doc_a", "doc_b")
+    val sym = edges0.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(edges0.select($"doc_b", $"doc_a"))
+      .localCheckpoint()
+    var lab = sym.select($"src".as("doc_id")).distinct()
+      .select($"doc_id", $"doc_id".as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to LabelPropIters) {
+      lab = sym.join(lab, sym("dst") === lab("doc_id"))
+        .groupBy($"src", $"label").agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"src").orderBy($"n".desc, $"label")))
+        .filter($"rn" === 1)
+        .select($"src".as("doc_id"), $"label")
+        .localCheckpoint()
+    }
+    val sizes = lab.groupBy($"label").agg(count(lit(1)).as("n_members"))
+    lab.join(sizes, Seq("label"))
+      .select($"doc_id", $"label".as("community"), $"n_members")
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> pagerank _,
     "graph_triangles" -> triangles _,
     "graph_components" -> components _,
+    "graph_label_prop" -> labelProp _,
   )
 
   /** Shared oracle prefix: span fingerprints → ordered pair relation
@@ -173,7 +230,32 @@ object Graph {
        |         FROM it0 n LEFT JOIN c$i ON n.doc_id = c$i.doc_id)""".stripMargin
   }.mkString(",\n")
 
+  /** The [[LabelPropIters]] unrolled argmax rounds (`l0` … `l3`):
+    * per round a (node, neighbour-label) count and the rank-1 pick
+    * ordered (count DESC, label ASC) — [[labelPropOver]]'s exact
+    * arithmetic.
+    */
+  private val labelPropIterCtes = (1 to LabelPropIters).map { i =>
+    s"""l$i AS (SELECT src AS doc_id, label FROM (
+       |  SELECT e.src, l.label, count(*) AS n,
+       |         row_number() OVER (PARTITION BY e.src
+       |            ORDER BY count(*) DESC, l.label) AS rn
+       |  FROM edges e JOIN l${i - 1} l ON l.doc_id = e.dst
+       |  GROUP BY e.src, l.label) WHERE rn = 1)""".stripMargin
+  }.mkString(",\n")
+
   val oracle: Map[String, String] = Map(
+    "graph_label_prop" ->
+      s"""WITH $pairCte,
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+        |          UNION ALL SELECT doc_b, doc_a FROM pr),
+        |l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges),
+        |$labelPropIterCtes,
+        |sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS n_members
+        |          FROM l$LabelPropIters GROUP BY 1)
+        |SELECT l.doc_id, l.label AS community, s.n_members
+        |FROM l$LabelPropIters l JOIN sizes s USING (label)
+        |ORDER BY doc_id""".stripMargin,
     "graph_pagerank" ->
       s"""WITH $pairCte,
         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr

@@ -489,6 +489,47 @@ class CorpusSpec extends SparkSpec {
     assert(flagged.map(_._1).toSet === expected)
   }
 
+  test("bucketBatches matches a driver recompute and beats fixed-length padding") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rows = graft.engine.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val hb = java.lang.Long.parseLong(md5hex(r.getString(1)).substring(0, 4), 16)
+        val nTok = r.getString(1).split(" ", -1).length.toLong
+        val bin = (1 to Corpus.LengthHistoMaxPow).count(i => (1L << i) <= nTok).toLong
+        (r.getLong(0), hb, nTok, bin)
+      }
+    val expected = rows.groupBy(_._4).map { case (bin, ds) =>
+      val batches = ds.sortBy(d => (d._2, d._1))
+        .grouped(Corpus.BucketBatchSize).toSeq
+      val tokens = ds.map(_._3).sum
+      val padded = batches.map(b => b.map(_._3).max * b.length).sum
+      bin -> (ds.length.toLong, batches.length.toLong, tokens, padded,
+        BigInt(1000000) * (padded - tokens) / padded)
+    }
+    val got = Corpus.bucketBatches(spark, dir).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (n, nb, tok, pad, ppm) = expected(r.getLong(0))
+      assert(r.getLong(1) === n, s"n_docs bin ${r.getLong(0)}")
+      assert(r.getLong(2) === nb, s"n_batches bin ${r.getLong(0)}")
+      assert(r.getLong(3) === tok, s"n_tokens bin ${r.getLong(0)}")
+      assert(r.getLong(4) === pad, s"n_padded bin ${r.getLong(0)}")
+      assert(r.getLong(5) === ppm.toLong, s"pad_ppm bin ${r.getLong(0)}")
+    }
+    // the scheme's whole point: bucketed pad waste is far below the
+    // fixed-length baseline where every doc pays max corpus length
+    val globalMax = rows.map(_._3).max
+    val allTok = rows.map(_._3).sum
+    val fixedPpm = BigInt(1000000) * (globalMax * rows.length - allTok) /
+      (globalMax * rows.length)
+    val worstBin = got.map(_.getLong(5)).max
+    assert(worstBin < fixedPpm.toLong,
+      s"bucketed pad $worstBin ppm must beat fixed-length $fixedPpm ppm")
+  }
+
   test("dsir matches a driver recompute of the integer importance arithmetic") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))

@@ -55,6 +55,47 @@ class GraphSpec extends SparkSpec {
     assert(labels.subsetOf(rows.map(_._1).toSet), "every label is a member doc")
   }
 
+  test("label propagation on a barbell keeps the two cliques as two communities") {
+    // two triangles {1,2,3} and {10,11,12} bridged by edge 3-10:
+    // neighbour-majority with min-label ties must keep the cliques
+    // separate (components would merge them into one family)
+    val got = Graph.labelPropOver(pairsOf(
+      (1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val comm = got.map(t => t._1 -> t._2).toMap
+    assert(comm(1L) === comm(2L) && comm(2L) === comm(3L))
+    assert(comm(10L) === comm(11L) && comm(11L) === comm(12L))
+    assert(comm(1L) !== comm(10L), "bridge must not merge the cliques")
+    got.foreach { case (id, c, n) => assert(n === 3L, s"doc $id community $c") }
+  }
+
+  test("corpus label propagation matches a driver simulation of the synchronous rounds") {
+    val pairs = graft.operators.TextAnalysis.sharedSpans(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    var lab: Map[Long, Long] = nbrs.keys.map(k => k -> k).toMap
+    for (_ <- 1 to Graph.LabelPropIters) {
+      lab = nbrs.map { case (node, ns) =>
+        val counts = ns.map(lab).groupBy(identity).view.mapValues(_.size).toSeq
+        node -> counts.minBy { case (l, n) => (-n, l) }._1
+      }
+    }
+    val sizes = lab.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Graph.labelProp(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === lab.size)
+    got.foreach { case (id, c, n) =>
+      assert(c === lab(id), s"community of doc $id")
+      assert(n === sizes(lab(id)), s"community size of doc $id")
+    }
+    // communities refine components: strictly more (or equal) groups
+    val nComponents = Graph.components(spark, dir)
+      .select("cluster_id").distinct().count()
+    assert(sizes.size >= nComponents)
+  }
+
   test("corpus pagerank covers exactly the span-linked docs, above teleport mass") {
     val pr = Graph.pagerank(spark, dir).collect()
     assert(pr.nonEmpty, "span graph should be non-empty at sf0.001")
