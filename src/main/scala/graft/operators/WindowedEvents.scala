@@ -41,6 +41,26 @@ object WindowedEvents {
       .orderBy($"window_start", $"event_type")
   }
 
+  /** Ranked slots per window in [[trendingHourly]]. */
+  val TrendingK = 3
+
+  /** Per-hour TRENDING top-k event types — [[tumblingHourly]]'s
+    * counts re-ranked inside each closed window (count desc, type asc
+    * — a total order, so ties cannot break differently across
+    * engines). The rank step is
+    * [[graft.streaming.EventStreams.rankClosedWindows]], SHARED with
+    * the streaming sink's foreachBatch body: windows close at the
+    * watermark and re-rank downstream, so the live ranking and this
+    * backfill are the same code path by construction (parity spec).
+    * The rank filter compiles to WindowGroupLimit — map-side k-heaps
+    * per hour, never a global sort.
+    */
+  def trendingHourly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.streaming.EventStreams.rankClosedWindows(tumblingHourly(spark, dir))
+      .orderBy($"window_start", $"rnk")
+  }
+
   /** Turnout by location (`aggregated_turnout_by_location`,
     * `README.md:118`): tumbling daily window × nation of the acting
     * user (events.user_id ⋈ customer ⋈ nation per FIXTURES.md).
@@ -251,6 +271,7 @@ object WindowedEvents {
     "s_sliding_hourly" -> slidingHourly _,
     "s_turnout_by_nation" -> turnoutByNation _,
     "s_first_event_per_user" -> firstEventPerUser _,
+    "s_trending_hourly" -> trendingHourly _,
   )
 
   private val sessionCte =
@@ -318,6 +339,16 @@ object WindowedEvents {
         |SELECT (SELECT count(*) FROM su) AS n_signup_users,
         |       (SELECT count(*) FROM conv) AS n_converted,
         |       (SELECT count(*) FROM conv) * 100.0 / (SELECT count(*) FROM su) AS conversion_pct""".stripMargin,
+    "s_trending_hourly" ->
+      s"""WITH c AS (SELECT date_trunc('hour', ts) AS window_start,
+        |             date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+        |             event_type, count(*) AS cnt
+        |           FROM events GROUP BY 1, 2, 3)
+        |SELECT window_start, window_end, event_type, cnt, rnk FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY window_start
+        |       ORDER BY cnt DESC, event_type) AS BIGINT) AS rnk
+        |  FROM c) WHERE rnk <= $TrendingK
+        |ORDER BY window_start, rnk""".stripMargin,
     "s_tumbling_hourly" ->
       """SELECT date_trunc('hour', ts) AS window_start,
         |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,

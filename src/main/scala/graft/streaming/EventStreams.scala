@@ -222,6 +222,40 @@ object EventStreams {
         count(lit(1)).as("volume"),
         sum(col("cents")).as("total_cents"))
 
+  /** Streaming TRENDING counts: watermarked tumbling-hour counts per
+    * event type, append mode — a window emits once, when the
+    * watermark closes it. Ranking an OPEN window is undefined (counts
+    * still move), so the top-k step deliberately lives downstream of
+    * the close, in the sink's foreachBatch, as [[rankClosedWindows]]
+    * — the SAME function the batch twin
+    * (`WindowedEvents.trendingHourly`) ranks with, making live ≡
+    * backfill by construction. State per open (window, type) is one
+    * count row, evicted at expiry.
+    */
+  def trendingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"), col("cnt"))
+
+  /** Top-[[graft.operators.WindowedEvents.TrendingK]] per closed
+    * window (count desc, type asc — total order). Runs on CLOSED
+    * windows only: the streaming sink applies it per foreachBatch
+    * over appended rows; the batch twin applies it to the full
+    * backfill. Compiles to WindowGroupLimit.
+    */
+  def rankClosedWindows(counts: DataFrame,
+      k: Int = graft.operators.WindowedEvents.TrendingK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    counts
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("window_start"))
+          .orderBy(col("cnt").desc, col("event_type"))).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** `aggregated_votes_per_candidate`: tumbling 1-hour window per
     * candidate. Map-side partial aggregation + shuffle on
     * (window, candidate) — the state store keys stay bounded by

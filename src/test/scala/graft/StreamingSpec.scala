@@ -281,6 +281,47 @@ class StreamingSpec extends SparkSpec {
     assert(r.getLong(5) === 4L && r.getLong(6) === 1600L)
   }
 
+  test("streaming trending top-k over closed windows equals the batch twin's ranking") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val events = stream.toDF().toDF("event_id", "ts", "event_type")
+    val q = EventStreams.trendingCounts(events, watermark = "0 seconds")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("trend_counts")
+      .option("checkpointLocation", ckpt()).start()
+    val hour10 = Seq(
+      // 4 types with distinct counts plus a tie (click=scroll=2):
+      // the rank must break the tie alphabetically in both paths
+      "view", "view", "view", "view", "click", "click", "scroll", "scroll", "buy")
+      .zipWithIndex.map { case (t, i) =>
+        (i.toLong, Timestamp.valueOf(s"2024-05-01 10:0${i % 10}:00"), t) }
+    stream.addData(hour10)
+    // advance the watermark past hour 10 so its windows close
+    stream.addData(Seq((99L, Timestamp.valueOf("2024-05-01 12:30:00"), "view")))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("trend_counts")
+    val streamed = EventStreams.rankClosedWindows(closed)
+      .filter($"window_start" === Timestamp.valueOf("2024-05-01 10:00:00"))
+      .select("event_type", "cnt", "rnk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._3)
+    assert(streamed.toSeq === Seq(("view", 4L, 1L), ("click", 2L, 2L), ("scroll", 2L, 3L)),
+      "top-3 with the click/scroll tie broken alphabetically")
+    // batch twin over the same bounded rows ranks identically
+    val batchRanked = EventStreams.rankClosedWindows(
+      (hour10 :+ ((99L, Timestamp.valueOf("2024-05-01 12:30:00"), "view")))
+        .toDF("event_id", "ts", "event_type")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .select($"window.start".as("window_start"), $"window.end".as("window_end"),
+          $"event_type", $"cnt"))
+      .filter($"window_start" === Timestamp.valueOf("2024-05-01 10:00:00"))
+      .select("event_type", "cnt", "rnk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._3)
+    assert(batchRanked.toSeq === streamed.toSeq, "live ranking == backfill ranking")
+  }
+
   test("late rows beyond the watermark are dropped from append-mode windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
