@@ -257,7 +257,43 @@ object Stats {
       .orderBy($"z", $"p_partkey")
   }
 
+  /** Winsorization tail fractions (p05 / p95). */
+  val WinsorLo = 0.05
+  val WinsorHi = 0.95
+
+  /** WINSORIZED totals of order value per priority — the robust-sum
+    * verb (one fat-finger order should not move a revenue aggregate):
+    * per group the p05/p95 boundaries come from one tiny bounded-
+    * domain aggregate (Spark `percentile` == DuckDB `quantile_cont`
+    * bit-for-bit, the [[madOutliers]] parity), FLOORED TO WHOLE CENTS
+    * so the clamp and every downstream sum is exact BIGINT arithmetic
+    * — the interpolated boundary itself (a .5-exact double) never
+    * enters the hashed contract. Broadcast the 5-row boundary table
+    * back, clamp map-side, aggregate keyed on priority: no window, no
+    * per-group sort, partial aggregation all the way at 100 TB.
+    */
+  def winsorized(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.load(spark, dir, "orders")
+      .select($"o_orderpriority".as("priority"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val bounds = o.groupBy($"priority").agg(
+      expr(s"CAST(floor(percentile(cents, $WinsorLo)) AS BIGINT)").as("lo"),
+      expr(s"CAST(floor(percentile(cents, $WinsorHi)) AS BIGINT)").as("hi"))
+    o.join(broadcast(bounds), Seq("priority"))
+      .withColumn("w", expr(
+        "CASE WHEN cents < lo THEN lo WHEN cents > hi THEN hi ELSE cents END"))
+      .groupBy($"priority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when($"cents" < $"lo", 1L).otherwise(0L)).as("n_low"),
+        sum(when($"cents" > $"hi", 1L).otherwise(0L)).as("n_high"),
+        sum($"cents").as("sum_cents"),
+        sum($"w").as("winsorized_cents"))
+      .orderBy($"priority")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winsorized" -> winsorized _,
     "q_trend_slope" -> trendSlope _,
     "q_mad_outliers" -> madOutliers _,
     "q_histo_median" -> ((s: SparkSession, d: String) => histoMedian(s, d)),
@@ -268,6 +304,23 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_winsorized" ->
+      s"""WITH o AS (SELECT o_orderpriority AS priority,
+        |             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |           FROM orders),
+        |b AS (SELECT priority,
+        |        CAST(floor(quantile_cont(cents, $WinsorLo)) AS BIGINT) AS lo,
+        |        CAST(floor(quantile_cont(cents, $WinsorHi)) AS BIGINT) AS hi
+        |      FROM o GROUP BY 1),
+        |c AS (SELECT o.priority, cents, lo, hi,
+        |        CASE WHEN cents < lo THEN lo WHEN cents > hi THEN hi ELSE cents END AS w
+        |      FROM o JOIN b USING (priority))
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |       CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       CAST(sum(w) AS BIGINT) AS winsorized_cents
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_trend_slope" ->
       s"""WITH base AS (
         |  SELECT event_type,

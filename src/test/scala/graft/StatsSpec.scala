@@ -120,6 +120,40 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("winsorized totals match a driver recompute and clamp only the tails") {
+    import spark.implicits._
+    // Spark percentile / DuckDB quantile_cont linear interpolation:
+    // index q·(n−1), value v[i] + frac·(v[i+1]−v[i])
+    def q(xs: Seq[Long], p: Double): Double = {
+      val s = xs.sorted
+      val idx = p * (s.length - 1)
+      val i = idx.toInt
+      if (i + 1 >= s.length) s.last.toDouble
+      else s(i) + (idx - i) * (s(i + 1) - s(i)).toDouble
+    }
+    val rows = graft.engine.Tables.load(spark, dir, "orders")
+      .selectExpr("o_orderpriority",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+      .collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    val got = Stats.winsorized(spark, dir).collect()
+    assert(got.length === rows.size)
+    got.foreach { r =>
+      val vs = rows(r.getString(0))
+      val lo = math.floor(q(vs, Stats.WinsorLo)).toLong
+      val hi = math.floor(q(vs, Stats.WinsorHi)).toLong
+      val w = vs.map(v => math.max(lo, math.min(hi, v)))
+      assert(r.getLong(1) === vs.length.toLong, s"${r.getString(0)} n")
+      assert(r.getLong(2) === vs.count(_ < lo).toLong, s"${r.getString(0)} n_low")
+      assert(r.getLong(3) === vs.count(_ > hi).toLong, s"${r.getString(0)} n_high")
+      assert(r.getLong(4) === vs.sum, s"${r.getString(0)} sum")
+      assert(r.getLong(5) === w.sum, s"${r.getString(0)} winsorized")
+      // clamping can only shrink spread, never increase the total by
+      // more than the clamped tail mass; roughly 10% of rows clamp
+      assert(r.getLong(2) + r.getLong(3) <= (vs.length * 2) / 10 + 2)
+    }
+  }
+
   test("histoMedian matches a driver recompute and plans bounded state") {
     import spark.implicits._
     val binW = graft.operators.Stats.HistoBinCents
