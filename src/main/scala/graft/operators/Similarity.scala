@@ -438,6 +438,111 @@ object Similarity {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** Product-quantization geometry: [[PqSubspaces]] × [[PqSubDims]]
+    * covers the 64 dims; [[PqCentroids]] entries per sub-codebook,
+    * [[PqIters]] k-means rounds — all mirrored by the oracle's
+    * unrolled CTEs. Deliberately tiny so the oracle replay stays
+    * tractable; a production index widens to 256 entries per book and
+    * the identical shapes.
+    */
+  val PqSubspaces = 8
+  val PqSubDims = 8
+  val PqCentroids = 8
+  val PqIters = 2
+
+  /** ADC-shortlist size fed to [[pqTopK]]'s exact re-rank. */
+  val PqCandK = 50
+
+  /** PRODUCT-QUANTIZATION ANN (Jégou, Douze & Schmid, "Product
+    * quantization for nearest neighbor search", TPAMI 2011) over the
+    * int8 codes, integer-exact end to end: each 16-dim subvector is
+    * vector-quantized against its own [[trainIvfCentroidsOver]]-
+    * trained codebook (deterministic integer k-means — the IVF
+    * trainer reused verbatim, per subspace), compressing every vector
+    * to [[PqSubspaces]] sub-codes; queries score candidates by ADC —
+    * the asymmetric Σₘ ⟨q_subₘ, codebookₘ[scodeₘ]⟩, evaluated as a
+    * per-query LOOKUP TABLE join, never a full-width dot per pair —
+    * and the [[PqCandK]]-deep ADC shortlist is re-ranked by the
+    * exact full-width code dot ([[sqTopK]]'s score): the coarse-scan
+    * + exact-tail cascade every serving PQ index runs (IndexIVFPQ's
+    * refine stage), same two-rank-filter shape as [[rpTopK]].
+    *
+    * Scale shape: codebooks are driver literals (M·K·16 ints — model
+    * metadata); ENCODING is a pure map-side projection against those
+    * literals (the corpus is never joined with k rows); the LUT is
+    * queries × M × K rows — broadcast; and the scan joins it to the
+    * (vec_id, m, scode) relation — 4 integer adds per candidate in
+    * compressed space, the memory-bandwidth miracle that serves
+    * billion-vector indexes from RAM. Top-k via the partitioned rank
+    * filter (WindowGroupLimit).
+    */
+  def pqTopK(spark: SparkSession, dir: String,
+      numQueries: Int = NumQueries, k: Int = TopK): DataFrame = {
+    import spark.implicits._
+    val e0 = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", Vectors.toDouble($"embedding").as("emb"))
+    val stats = e0.select(posexplode($"emb").as(Seq("dim", "x")))
+      .groupBy($"dim").agg(min($"x").as("mn"), max($"x").as("mx"))
+      .collect().sortBy(_.getInt(0))
+    val mns = lit(stats.map(_.getDouble(1)))
+    val mxs = lit(stats.map(_.getDouble(2)))
+    val codes = transform(sequence(lit(0), lit(stats.length - 1)), i => {
+      val x = element_at($"emb", i + 1)
+      val mn = element_at(mns, i + 1)
+      val mx = element_at(mxs, i + 1)
+      when(mx === mn, lit(0L))
+        .otherwise(least(floor((x - mn) * 255.0 / (mx - mn)), lit(255.0)).cast("long"))
+    })
+    // localCheckpoint: vc feeds training, encoding, and the query LUT
+    // (the rpTopK materialization-barrier lesson)
+    val coded = e0.select($"vec_id", codes.as("vc")).localCheckpoint()
+    def sub(m: Int) = coded.select($"vec_id",
+      expr(s"slice(vc, ${m * PqSubDims + 1}, $PqSubDims)").as("iv"))
+    val books = (0 until PqSubspaces).map(m =>
+      trainIvfCentroidsOver(sub(m), PqCentroids, PqIters))
+    val enc = (0 until PqSubspaces).map { m =>
+      val dists = books(m).zipWithIndex.map { case (c, i) => sqDistTo(c).as(s"d$i") }
+      val mn = least(books(m).indices.map(i => col(s"d$i")): _*)
+      val cid = coalesce(books(m).indices.map(i => when(col(s"d$i") === mn, i)): _*)
+      sub(m).select(($"vec_id" +: dists): _*)
+        .withColumn("scode", cid.cast("long"))
+        .select($"vec_id", lit(m.toLong).as("m"), $"scode")
+    }.reduce(_ unionAll _)
+    val qsubs = coded.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("q_id"), posexplode(expr(
+        s"""transform(sequence(0, ${PqSubspaces - 1}),
+           |  m -> slice(vc, CAST(m * $PqSubDims + 1 AS INT), $PqSubDims))""".stripMargin))
+        .as(Seq("m", "qsub")))
+      .select($"q_id", $"m".cast("long").as("m"), $"qsub")
+    val bookDf = (for {
+      m <- 0 until PqSubspaces; c <- 0 until PqCentroids
+    } yield (m.toLong, c.toLong, books(m)(c).toArray)).toDF("m", "scode", "civ")
+    val lut = qsubs.join(broadcast(bookDf), Seq("m"))
+      .withColumn("pts", expr(
+        "aggregate(zip_with(qsub, civ, (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x)"))
+      .select($"q_id", $"m", $"scode", $"pts")
+    val cand = broadcast(lut).join(enc, Seq("m", "scode"))
+      .filter($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id")
+      .agg(sum($"pts").as("adc"))
+      .withColumn("crnk",
+        row_number().over(Window.partitionBy($"q_id").orderBy($"adc".desc, $"vec_id")))
+      .filter($"crnk" <= PqCandK)
+      .select($"q_id", $"vec_id")
+    cand
+      .join(coded, Seq("vec_id"))
+      .join(broadcast(coded.filter($"vec_id" < numQueries)
+        .select($"vec_id".as("q_id"), $"vc".as("qc"))), Seq("q_id"))
+      .withColumn("score", expr(
+        "aggregate(zip_with(qc, vc, (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x)"))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id"))
+          .cast("long"))
+      .filter($"rnk" <= k)
+      .select($"q_id", $"vec_id", $"score", $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
   /** Embedding-space OUTLIERS per class — the "these examples don't
     * belong to their label" audit a curation pass runs before
     * training: every vector is reduced to [[quantize]]'s int8 codes,
@@ -747,6 +852,7 @@ object Similarity {
     "ann_lsh_multiprobe" -> ((s: SparkSession, d: String) => lshTopKMultiProbe(s, d)),
     "ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
     "ann_rrf_fusion" -> rrfFusion _,
+    "ann_pq_topk" -> ((s: SparkSession, d: String) => pqTopK(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -921,6 +1027,7 @@ object Similarity {
     "ann_cosine_topk" -> cosineOracle,
     "ann_lsh_topk" -> lshOracle,
     "ann_rrf_fusion" -> rrfOracle,
+    "ann_pq_topk" -> pqOracle,
     "ann_lsh_multiprobe" ->
       """WITH b AS (SELECT vec_id, embedding,
         |             array_to_string(list_transform(embedding[1:8],
@@ -1011,6 +1118,85 @@ object Similarity {
       |      FROM sc)
       |SELECT q_id, vec_id, rrf, n_lists, rnk FROM r WHERE rnk <= 5
       |ORDER BY q_id, rnk""".stripMargin
+
+  /** [[pqTopK]]'s oracle: per subspace the codebook training is
+    * unrolled exactly like [[ivfOracle]]'s rounds (16-dim slices of
+    * the quantized code list), then encoding, the per-query LUT, and
+    * the ADC sum — every step exact integer arithmetic (code sums are
+    * non-negative, so Spark's truncating Long division and DuckDB's
+    * floor `//` agree on the centroid means).
+    */
+  private def pqOracle: String = {
+    val codesCte =
+      """d AS (
+        |  SELECT i - 1 AS dim,
+        |         min(CAST(embedding[i] AS DOUBLE)) AS mn,
+        |         max(CAST(embedding[i] AS DOUBLE)) AS mx
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+        |  GROUP BY 1),
+        |codes AS (
+        |  SELECT e.vec_id, list(CASE WHEN mx = mn THEN 0
+        |      ELSE CAST(least(floor((CAST(embedding[d.dim + 1] AS DOUBLE) - mn) * 255.0
+        |                            / (mx - mn)), 255.0) AS BIGINT) END ORDER BY d.dim) AS vc
+        |  FROM embeddings e CROSS JOIN d GROUP BY e.vec_id)""".stripMargin
+    def subCtes(m: Int): String = {
+      val lo = m * PqSubDims + 1
+      val hi = (m + 1) * PqSubDims
+      def dist(name: String, cents: String) =
+        s"""$name AS (SELECT v.vec_id, c.cent_id,
+          |  list_aggregate(list_transform(generate_series(1, $PqSubDims),
+          |    i -> (v.iv[i] - c.civ[i]) * (v.iv[i] - c.civ[i])), 'sum') AS d
+          |  FROM s$m v CROSS JOIN $cents c)""".stripMargin
+      val iters = (1 to PqIters).map { t =>
+        s"""${dist(s"m${m}d$t", s"m${m}c${t - 1}")},
+          |m${m}a$t AS (SELECT vec_id, cent_id FROM (SELECT vec_id, cent_id,
+          |  row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+          |  FROM m${m}d$t) WHERE rn = 1),
+          |m${m}u$t AS (SELECT a.cent_id, i AS dim, CAST(sum(v.iv[i]) AS BIGINT) AS s,
+          |    count(*) AS cnt
+          |  FROM m${m}a$t a JOIN s$m v USING (vec_id)
+          |  CROSS JOIN generate_series(1, $PqSubDims) AS g(i)
+          |  GROUP BY 1, 2),
+          |m${m}n$t AS (SELECT cent_id, list(s // cnt ORDER BY dim) AS civ
+          |  FROM m${m}u$t GROUP BY cent_id),
+          |m${m}c$t AS (SELECT c.cent_id, coalesce(nw.civ, c.civ) AS civ
+          |  FROM m${m}c${t - 1} c LEFT JOIN m${m}n$t nw USING (cent_id))""".stripMargin
+      }.mkString(",\n")
+      s"""s$m AS (SELECT vec_id, vc[$lo:$hi] AS iv FROM codes),
+        |m${m}c0 AS (SELECT vec_id AS cent_id, iv AS civ FROM s$m WHERE vec_id < $PqCentroids),
+        |$iters,
+        |${dist(s"m${m}fd", s"m${m}c$PqIters")},
+        |enc$m AS (SELECT vec_id, cent_id AS scode FROM (SELECT vec_id, cent_id,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+        |  FROM m${m}fd) WHERE rn = 1),
+        |lut$m AS (SELECT q.vec_id AS q_id, c.cent_id AS scode,
+        |    CAST(list_aggregate(list_transform(generate_series(1, $PqSubDims),
+        |      i -> q.iv[i] * c.civ[i]), 'sum') AS BIGINT) AS pts
+        |  FROM s$m q CROSS JOIN m${m}c$PqIters c WHERE q.vec_id < $NumQueries)""".stripMargin
+    }
+    val subAll = (0 until PqSubspaces).map(subCtes).mkString(",\n")
+    val unions = (0 until PqSubspaces).map(m =>
+      s"SELECT l.q_id, e.vec_id, l.pts FROM lut$m l JOIN enc$m e ON e.scode = l.scode")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $codesCte,
+      |$subAll,
+      |u AS (
+      |  $unions),
+      |sc AS (SELECT q_id, vec_id, CAST(sum(pts) AS BIGINT) AS adc
+      |       FROM u WHERE vec_id <> q_id GROUP BY 1, 2),
+      |cand AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS crnk
+      |  FROM sc) WHERE crnk <= $PqCandK),
+      |dots AS (SELECT c.q_id, c.vec_id,
+      |    CAST(list_aggregate(list_transform(generate_series(1, 64),
+      |      i -> q.vc[i] * v.vc[i]), 'sum') AS BIGINT) AS score
+      |  FROM cand c JOIN codes q ON q.vec_id = c.q_id
+      |              JOIN codes v ON v.vec_id = c.vec_id),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+      |        ORDER BY score DESC, vec_id) AS BIGINT) AS rnk FROM dots)
+      |SELECT q_id, vec_id, score, rnk FROM r WHERE rnk <= $TopK
+      |ORDER BY q_id, rnk""".stripMargin
+  }
 
   /** DuckDB replay of the trained IVF: the k-means iterations are
     * generated as CTE rounds over the same fixed-point integers —

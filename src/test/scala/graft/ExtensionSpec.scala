@@ -686,6 +686,30 @@ class ExtensionSpec extends SparkSpec {
     assert(recall >= 0.5, s"sketch cascade recall $recall collapsed vs exact top-k")
   }
 
+  test("pq cascade recalls most of the exact quantized top-k and ranks by the exact dot") {
+    val truth = Similarity.sqTopK(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val got = Similarity.pqTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._4).toSeq
+      assert(sorted.map(_._4) === (1L to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall {
+        case Seq(a, b) => a._3 >= b._3
+        case _ => true
+      }, "exact re-rank score non-increasing in rank")
+    }
+    // survivors that ARE in the truth set carry the truth's exact score:
+    // the re-rank stage scores with sqTopK's integer dot, not the ADC
+    got.foreach { case (q, v, s, _) =>
+      truth.get((q, v)).foreach(ts => assert(ts === s, s"score of ($q,$v)"))
+    }
+    val recall = got.map(r => (r._1, r._2)).toSet
+      .intersect(truth.keySet).size.toDouble / truth.size
+    assert(recall >= 0.5, s"pq cascade recall $recall collapsed vs exact top-k")
+  }
+
   test("rrf fusion equals a driver recompute over the constituent rankings") {
     def ranks(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
       df.select("q_id", "vec_id", "rnk").collect()
