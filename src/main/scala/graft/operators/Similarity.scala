@@ -321,6 +321,38 @@ object Similarity {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** RECALL REPORT over the ANN index family — the eval table an
+    * index rollout decision reads (the [[Dedup.lshRecall]] idea
+    * applied to similarity search): each approximate index's top-k
+    * pairs are probed against the exact brute-force truth
+    * ([[cosineTopK]]) and reported as hits / truth-size / recall ppm
+    * per index. Integer ppm through DECIMAL; index names are literal
+    * strings so the row set is bounded by the registry, not data.
+    * Scale shape: each constituent bounds itself to k rows per query
+    * before this query ever sees it — the report joins and counts
+    * METADATA (3·k·|queries| rows), adding nothing to the index
+    * scans' own cost.
+    */
+  def recallReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val truth = cosineTopK(spark, dir).select($"q_id", $"vec_id", lit(1L).as("t"))
+    val lists = Seq(
+      "ivf" -> ivfTopK(spark, dir),
+      "lsh" -> lshTopK(spark, dir),
+      "lsh_multiprobe" -> lshTopKMultiProbe(spark, dir))
+    lists.map { case (nm, df) =>
+      df.select(lit(nm).as("index_name"), $"q_id", $"vec_id")
+    }.reduce(_ unionByName _)
+      .join(broadcast(truth), Seq("q_id", "vec_id"), "left")
+      .groupBy($"index_name")
+      .agg(sum(coalesce($"t", lit(0L))).as("n_hit"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .withColumn("recall_ppm", expr(
+        "CAST((CAST(n_hit AS DECIMAL(38,0)) * 1000000) div n_truth AS BIGINT)"))
+      .select($"index_name", $"n_truth", $"n_hit", $"recall_ppm")
+      .orderBy($"index_name")
+  }
+
   /** The untrained baseline: centroids are just the first `k` vectors
     * (round-3's variant, kept as the recall comparison point for the
     * ExtensionSpec assertion that training helps).
@@ -853,6 +885,7 @@ object Similarity {
     "ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
     "ann_rrf_fusion" -> rrfFusion _,
     "ann_pq_topk" -> ((s: SparkSession, d: String) => pqTopK(s, d)),
+    "ann_recall_report" -> recallReport _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1028,32 +1061,9 @@ object Similarity {
     "ann_lsh_topk" -> lshOracle,
     "ann_rrf_fusion" -> rrfOracle,
     "ann_pq_topk" -> pqOracle,
-    "ann_lsh_multiprobe" ->
-      """WITH b AS (SELECT vec_id, embedding,
-        |             array_to_string(list_transform(embedding[1:8],
-        |               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
-        |           FROM embeddings),
-        |q AS (SELECT vec_id AS q_id, embedding AS qe, bucket FROM b WHERE vec_id < 5),
-        |probes AS (SELECT q_id, qe,
-        |             CASE WHEN i = 0 THEN bucket
-        |                  ELSE substr(bucket, 1, i - 1)
-        |                    || (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END)
-        |                    || substr(bucket, i + 1) END AS bucket
-        |           FROM q, (SELECT unnest(generate_series(0, 8)) AS i)),
-        |pairs AS (SELECT p.q_id, e.vec_id, p.qe, e.embedding AS ve
-        |          FROM probes p JOIN b e ON p.bucket = e.bucket AND e.vec_id <> p.q_id),
-        |flat AS (SELECT q_id, vec_id, CAST(unnest(qe) AS DOUBLE) AS x,
-        |                CAST(unnest(ve) AS DOUBLE) AS y FROM pairs),
-        |dots AS (SELECT q_id, vec_id, sum(x*y) AS dot,
-        |                sqrt(sum(x*x)) AS nq, sqrt(sum(y*y)) AS nv
-        |         FROM flat GROUP BY 1, 2),
-        |scored AS (SELECT q_id, vec_id, round(dot/(nq*nv), 6) AS cos,
-        |                  CAST(row_number() OVER (PARTITION BY q_id
-        |                       ORDER BY round(dot/(nq*nv), 6) DESC, vec_id) AS BIGINT) AS rnk
-        |           FROM dots)
-        |SELECT q_id, vec_id, cos, rnk FROM scored WHERE rnk <= 5
-        |ORDER BY q_id, rnk""".stripMargin,
+    "ann_lsh_multiprobe" -> multiprobeOracle,
     "ann_ivf_topk" -> ivfOracle,
+    "ann_recall_report" -> recallReportOracle,
   )
 
   /** The brute-force / LSH oracle bodies live in named vals so
@@ -1096,6 +1106,57 @@ object Similarity {
       |           FROM dots)
       |SELECT q_id, bucket, vec_id, cos, rnk FROM scored WHERE rnk <= 5
       |ORDER BY q_id, rnk""".stripMargin
+
+  private def multiprobeOracle: String =
+    """WITH b AS (SELECT vec_id, embedding,
+      |             array_to_string(list_transform(embedding[1:8],
+      |               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      |           FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, embedding AS qe, bucket FROM b WHERE vec_id < 5),
+      |probes AS (SELECT q_id, qe,
+      |             CASE WHEN i = 0 THEN bucket
+      |                  ELSE substr(bucket, 1, i - 1)
+      |                    || (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END)
+      |                    || substr(bucket, i + 1) END AS bucket
+      |           FROM q, (SELECT unnest(generate_series(0, 8)) AS i)),
+      |pairs AS (SELECT p.q_id, e.vec_id, p.qe, e.embedding AS ve
+      |          FROM probes p JOIN b e ON p.bucket = e.bucket AND e.vec_id <> p.q_id),
+      |flat AS (SELECT q_id, vec_id, CAST(unnest(qe) AS DOUBLE) AS x,
+      |                CAST(unnest(ve) AS DOUBLE) AS y FROM pairs),
+      |dots AS (SELECT q_id, vec_id, sum(x*y) AS dot,
+      |                sqrt(sum(x*x)) AS nq, sqrt(sum(y*y)) AS nv
+      |         FROM flat GROUP BY 1, 2),
+      |scored AS (SELECT q_id, vec_id, round(dot/(nq*nv), 6) AS cos,
+      |                  CAST(row_number() OVER (PARTITION BY q_id
+      |                       ORDER BY round(dot/(nq*nv), 6) DESC, vec_id) AS BIGINT) AS rnk
+      |           FROM dots)
+      |SELECT q_id, vec_id, cos, rnk FROM scored WHERE rnk <= 5
+      |ORDER BY q_id, rnk""".stripMargin
+
+  /** [[recallReport]]'s oracle: constituent oracle texts nested as
+    * subqueries, probed against the brute-force truth subquery.
+    */
+  private def recallReportOracle: String = {
+    // plain concatenation, NOT an interpolated stripMargin template:
+    // stripMargin would re-process the nested oracle texts and eat the
+    // leading pipe of multiprobe's `||` concat lines
+    def probe(nm: String, sql: String) =
+      s"SELECT '$nm' AS index_name, a.q_id, a.vec_id\n" +
+        s"FROM (SELECT q_id, vec_id FROM (\n$sql\n) s_$nm) a"
+    "WITH truth AS (SELECT q_id, vec_id FROM (\n" + cosineOracle + "\n) tr),\n" +
+      "probes AS (\n  " + probe("ivf", ivfOracle) +
+      "\n  UNION ALL " + probe("lsh", lshOracle) +
+      "\n  UNION ALL " + probe("lsh_multiprobe", multiprobeOracle) + "),\n" +
+      """h AS (SELECT index_name,
+        |        CAST(sum(CASE WHEN t.q_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hit
+        |      FROM probes p LEFT JOIN truth t
+        |        ON t.q_id = p.q_id AND t.vec_id = p.vec_id
+        |      GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+        |SELECT index_name, n_truth, n_hit,
+        |       CAST((CAST(n_hit AS HUGEINT) * 1000000) // n_truth AS BIGINT) AS recall_ppm
+        |FROM h, n ORDER BY index_name""".stripMargin
+  }
 
   /** [[rrfFusion]]'s oracle: the three constituent oracle texts nested
     * verbatim as subqueries (DuckDB accepts WITH inside a derived

@@ -710,6 +710,28 @@ class ExtensionSpec extends SparkSpec {
     assert(recall >= 0.5, s"pq cascade recall $recall collapsed vs exact top-k")
   }
 
+  test("ann recall report equals driver-computed recall of each index vs brute force") {
+    val truth = Similarity.cosineTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lists = Map(
+      "ivf" -> Similarity.ivfTopK(spark, dir),
+      "lsh" -> Similarity.lshTopK(spark, dir),
+      "lsh_multiprobe" -> Similarity.lshTopKMultiProbe(spark, dir))
+    val got = Similarity.recallReport(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet === lists.keySet)
+    lists.foreach { case (nm, df) =>
+      val hits = df.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet.intersect(truth).size.toLong
+      val (nTruth, nHit, ppm) = got(nm)
+      assert(nTruth === truth.size.toLong)
+      assert(nHit === hits, s"$nm hits")
+      assert(ppm === BigInt(1000000) * hits / truth.size, s"$nm ppm")
+    }
+    // multi-probe exists to beat single-bucket LSH recall
+    assert(got("lsh_multiprobe")._3 >= got("lsh")._3)
+  }
+
   test("rrf fusion equals a driver recompute over the constituent rankings") {
     def ranks(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
       df.select("q_id", "vec_id", "rnk").collect()
