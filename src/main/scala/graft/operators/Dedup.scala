@@ -882,6 +882,65 @@ object Dedup {
       .orderBy($"jac_decile")
   }
 
+  /** Id shifts for [[cascade]]'s planted duplicate populations
+    * (verbatim copies, case/punctuation noise).
+    */
+  val CascadeExactShift = 7000000L
+  val CascadeCaseShift = 8000000L
+
+  /** DEDUP CASCADE attribution — the provenance table a production
+    * dedup pipeline emits: every doc, the FIRST stage that would drop
+    * it (exact → normalized → near), and the keeper that replaces it.
+    * Attribution is by PRIORITY over the full corpus rather than
+    * sequential survivor recomputation — equivalent here because an
+    * exact-duplicate group shares every downstream fingerprint, so
+    * its members can only ever map to the same keepers the sequential
+    * pipeline would pick (min doc_id is the base original in every
+    * group), and it keeps each stage one independent fingerprint-
+    * keyed aggregate instead of a chain of anti-join barriers.
+    *
+    * The raw fixture has no exact or case-noise dups, so the surfaced
+    * query plants both deterministically (the [[normalizedDedup]]
+    * convention, fresh id shifts): every 20th doc (mod 3) re-arrives
+    * verbatim, every 20th (mod 5) uppercased with trailing
+    * punctuation. The near stage is the REAL corpus minhash cluster
+    * relation ([[clusters]]); planted docs never reach it — their
+    * earlier fingerprints catch them first.
+    *
+    * Scale shape: two fingerprint-keyed aggregates (md5 and
+    * normalized md5), the existing cluster labels, and doc-keyed
+    * joins — no new shuffle class beyond [[exact]] + [[clusters]].
+    */
+  def cascade(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = docs(spark, dir).select($"doc_id", $"text")
+    val corpus = base
+      .unionAll(base.filter($"doc_id" % 20 === 3)
+        .select(($"doc_id" + CascadeExactShift).as("doc_id"), $"text"))
+      .unionAll(base.filter($"doc_id" % 20 === 5)
+        .select(($"doc_id" + CascadeCaseShift).as("doc_id"),
+          concat(upper($"text"), lit(" !!")).as("text")))
+      .withColumn("fp", md5($"text"))
+      .withColumn("nfp", md5(TextAnalysis.normalizedText($"text")))
+    val ex = corpus.groupBy($"fp").agg(min($"doc_id").as("ek"))
+    val nx = corpus.groupBy($"nfp").agg(min($"doc_id").as("nk"))
+    val labels = clusters(spark, dir).select($"doc_id", $"cluster_id")
+    corpus
+      .join(ex, Seq("fp"))
+      .join(nx, Seq("nfp"))
+      .join(labels, Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"doc_id" =!= $"ek", "exact")
+          .when($"doc_id" =!= $"nk", "normalized")
+          .when($"cluster_id".isNotNull && $"cluster_id" =!= $"doc_id", "near")
+          .otherwise("kept").as("stage"),
+        when($"doc_id" =!= $"ek", $"ek")
+          .when($"doc_id" =!= $"nk", $"nk")
+          .when($"cluster_id".isNotNull && $"cluster_id" =!= $"doc_id", $"cluster_id")
+          .otherwise($"doc_id").as("keeper_id"))
+      .orderBy($"doc_id")
+  }
+
   /** Id shift and width for [[containmentExcerpts]]'s synthetic
     * quote docs.
     */
@@ -1063,6 +1122,7 @@ object Dedup {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exact _,
+    "dedup_cascade" -> cascade _,
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => embeddingCosine(s, d)),
     "dedup_embedding_mp" -> ((s: SparkSession, d: String) => embeddingCosineMultiProbe(s, d)),
     "dedup_embedding_clusters" -> ((s: SparkSession, d: String) => embeddingClusters(s, d)),
@@ -1364,6 +1424,34 @@ object Dedup {
     "dedup_exact" ->
       """SELECT md5(text) AS fingerprint, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    "dedup_cascade" ->
+      s"""WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + $CascadeExactShift, text
+        |  FROM documents WHERE doc_id % 20 = 3
+        |  UNION ALL
+        |  SELECT doc_id + $CascadeCaseShift, upper(text) || ' !!'
+        |  FROM documents WHERE doc_id % 20 = 5),
+        |ex AS (SELECT md5(text) AS fp, min(doc_id) AS ek FROM corpus GROUP BY 1),
+        |nx AS (SELECT md5(${TextAnalysis.normalizeDuckSql("text")}) AS nfp,
+        |         min(doc_id) AS nk FROM corpus GROUP BY 1),
+        |$minhashPairsCte,
+        |$clusterLabelsCte
+        |SELECT c.doc_id,
+        |  CASE WHEN c.doc_id <> e.ek THEN 'exact'
+        |       WHEN c.doc_id <> n.nk THEN 'normalized'
+        |       WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> c.doc_id THEN 'near'
+        |       ELSE 'kept' END AS stage,
+        |  CASE WHEN c.doc_id <> e.ek THEN e.ek
+        |       WHEN c.doc_id <> n.nk THEN n.nk
+        |       WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> c.doc_id THEN l.cluster_id
+        |       ELSE c.doc_id END AS keeper_id
+        |FROM corpus c
+        |JOIN ex e ON e.fp = md5(c.text)
+        |JOIN nx n ON n.nfp = md5(${TextAnalysis.normalizeDuckSql("c.text")})
+        |LEFT JOIN labels l ON l.doc_id = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
     "dedup_incremental" ->
       s"""WITH d AS (SELECT doc_id, text FROM documents),
         |ex AS (SELECT md5(text) AS fingerprint FROM d WHERE doc_id % 2 = 0),

@@ -144,6 +144,39 @@ class DedupDifferentialSpec extends SparkSpec {
     assert(incomingIds.forall(id => self(id) == 4L), "self-probe hits all 4 bands")
   }
 
+  test("cascade attributes every doc to its first dropping stage with coherent keepers") {
+    import graft.operators.Dedup
+    val rows = Dedup.cascade(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byId = rows.map(t => t._1 -> t).toMap
+    val baseIds = graft.engine.Tables.load(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // every planted exact copy drops at 'exact' back to its original
+    baseIds.filter(_ % 20 == 3).foreach { id =>
+      val (_, st, k) = byId(id + Dedup.CascadeExactShift)
+      assert(st === "exact" && k === id, s"copy of $id")
+      assert(byId(id)._2 !== "exact", s"original $id must not drop at exact")
+    }
+    // every planted case-noise doc drops at 'normalized' back to its original
+    baseIds.filter(_ % 20 == 5).foreach { id =>
+      val (_, st, k) = byId(id + Dedup.CascadeCaseShift)
+      assert(st === "normalized" && k === id, s"case copy of $id")
+    }
+    // near attributions equal the cluster relation on the base corpus
+    val clusters = Dedup.clusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, st, k) =>
+      if (st == "near") assert(clusters(id) === k && k < id)
+      if (st == "kept") assert(k === id)
+      assert(k <= id, "keepers are min-id: never newer than the doc")
+    }
+    // the cascade covers base + both planted populations exactly once
+    assert(rows.length === baseIds.size
+      + baseIds.count(_ % 20 == 3) + baseIds.count(_ % 20 == 5))
+    assert(rows.exists(_._2 == "near"), "corpus minhash near-dups must surface")
+    assert(rows.count(_._2 == "kept") > 0)
+  }
+
   test("bloom prefilter: zero false negatives vs ground truth; driver recompute matches") {
     import spark.implicits._
     val d = graft.engine.Tables.load(spark, dir, "documents")
