@@ -587,7 +587,75 @@ object CoreQueries {
   }
 
   /** All core queries, keyed as exposed through SparkEntry. */
+  /** Exact integer revenue term shared by the two join-heavy OLAP
+    * analogs: price in cents (DECIMAL-routed, no double×100 ulp) ×
+    * (100 − discount percent) — 10⁻⁴-dollar units, BIGINT per row;
+    * group sums run in DECIMAL(38,0) because a 100 TB year of
+    * lineitem × 10⁹-scale row terms would wrap BIGINT.
+    */
+  private val revenueE4 = expr(
+    """CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      | * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))""".stripMargin)
+
+  /** TPC-H Q3's shape over the star schema — shipping-priority
+    * revenue: top-10 unshipped-revenue orders for one market segment.
+    * Plan shape the scale target needs: the segment filter reaches
+    * the customer scan (PushedFilters), customer broadcasts into the
+    * orders join, lineitem shuffles ONCE on l_orderkey, and the
+    * top-10 is TakeOrdered (sort-limit pushdown, never a global
+    * sort). Ties pinned by orderkey.
+    */
+  def shipPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = t(spark, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val ord = t(spark, dir, "orders")
+      .filter(expr("o_orderdate < TIMESTAMP '1998-01-01'"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+    val li = t(spark, dir, "lineitem")
+      .filter(expr("l_shipdate > TIMESTAMP '1998-01-01'"))
+      .select($"l_orderkey", revenueE4.as("rev"))
+    li.join(ord.join(broadcast(cust), $"o_custkey" === $"c_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(sum($"rev".cast("decimal(38,0)")).cast("long").as("revenue_e4"))
+      .orderBy($"revenue_e4".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  /** TPC-H Q5's shape — local-supplier volume: revenue per nation for
+    * one region-year where customer and supplier share the nation.
+    * The region→nation dimension chain folds into ONE broadcast; the
+    * co-nationality predicate rides the supplier broadcast join's
+    * condition, so the only data-scaled shuffles are
+    * orders⋈customer (custkey) and lineitem⋈orders (orderkey) —
+    * exactly the two a 1000-executor plan would keep.
+    */
+  def localVolume(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val asia = t(spark, dir, "nation")
+      .join(broadcast(t(spark, dir, "region").filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val co = t(spark, dir, "orders")
+      .filter(expr(
+        "o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'"))
+      .join(t(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(asia), $"c_nationkey" === $"n_nationkey")
+      .select($"o_orderkey", $"c_nationkey", $"n_name")
+    t(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey", revenueE4.as("rev"))
+      .join(co, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t(spark, dir, "supplier").select($"s_suppkey", $"s_nationkey")),
+        $"l_suppkey" === $"s_suppkey" && $"s_nationkey" === $"c_nationkey")
+      .groupBy($"n_name")
+      .agg(sum($"rev".cast("decimal(38,0)")).cast("long").as("revenue_e4"))
+      .orderBy($"revenue_e4".desc, $"n_name")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ship_priority" -> shipPriority _,
+    "q_local_volume" -> localVolume _,
     "q1_hourly_latest" -> hourlyLatest _,
     "q2_leaderboard" -> leaderboard _,
     "q3_running_by_minute" -> runningByMinute _,
@@ -620,7 +688,35 @@ object CoreQueries {
   /** DuckDB-equivalent SQL for the driver's oracle (column names and
     * ordering must match the DataFrames above exactly).
     */
+  /** The shared revenue term, DuckDB dialect. */
+  private val revenueE4Sql =
+    """(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      | * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_ship_priority" ->
+      s"""WITH li AS (SELECT l_orderkey, $revenueE4Sql AS rev
+        |            FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-01-01')
+        |SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       CAST(sum(rev) AS BIGINT) AS revenue_e4
+        |FROM li JOIN orders ON o_orderkey = l_orderkey
+        |        JOIN customer ON c_custkey = o_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_e4 DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_local_volume" ->
+      s"""SELECT n_name, CAST(sum(rev) AS BIGINT) AS revenue_e4 FROM (
+        |  SELECT n_name, $revenueE4Sql AS rev
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey
+        |  WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01') t
+        |GROUP BY 1 ORDER BY revenue_e4 DESC, n_name""".stripMargin,
     "q1_hourly_latest" ->
       """WITH hourly AS (
         |  SELECT date_trunc('hour', ts) AS hour, count(*) AS votes, max(ts) AS latest_ts

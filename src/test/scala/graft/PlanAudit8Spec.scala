@@ -24,6 +24,25 @@ class PlanAudit8Spec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), "fused re-rank must pre-prune map-side")
   }
 
+  test("shipPriority pushes the shipdate filter to the scan and takes ordered top-10") {
+    val df = graft.operators.CoreQueries.shipPriority(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "top-10 must be TakeOrdered, not a global sort")
+    assert(plan.contains("BroadcastHashJoin"), "customer side must broadcast")
+    val scan = df.queryExecution.sparkPlan.toString
+    assert(scan.contains("PushedFilters") || plan.contains("PushedFilters"))
+    assert(df.count() === 10)
+  }
+
+  test("localVolume keeps only the two data-scaled shuffles (custkey, orderkey)") {
+    val df = graft.operators.CoreQueries.localVolume(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // region→nation chain + supplier ride broadcasts; orders⋈customer
+    // and lineitem⋈orders are the only exchanges besides the final agg
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 2, "dims must broadcast")
+    assert(df.collect().nonEmpty)
+  }
+
   test("labelProp argmax round compiles to a WindowGroupLimit rank-1 filter") {
     val plan = Graph.labelPropOver(
       spark.createDataFrame(Seq((1L, 2L), (2L, 3L))).toDF("doc_a", "doc_b"))
