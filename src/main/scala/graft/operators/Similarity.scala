@@ -485,6 +485,67 @@ object Similarity {
   /** ADC-shortlist size fed to [[pqTopK]]'s exact re-rank. */
   val PqCandK = 50
 
+  /** Appends per-subspace nearest-codebook-entry columns `sc0..scM`
+    * to the coded frame — every subspace's distances and argmin in
+    * ONE projection over one scan (8 scans and 8 union branches
+    * otherwise; ties → lowest entry id, the k-means convention).
+    */
+  private def withSubCodes(coded: DataFrame,
+      books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]): DataFrame = {
+    val distCols = for {
+      m <- 0 until PqSubspaces; i <- 0 until PqCentroids
+    } yield expr(
+      s"""aggregate(zip_with(slice(vc, ${m * PqSubDims + 1}, $PqSubDims),
+         |  array(${books(m)(i).mkString(", ")}),
+         |  (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (s, t) -> s + t)"""
+        .stripMargin).as(s"m${m}d$i")
+    val withD = coded.select((col("vec_id") +: col("vc") +: distCols): _*)
+    (0 until PqSubspaces).foldLeft(withD) { (df, m) =>
+      val mn = least((0 until PqCentroids).map(i => col(s"m${m}d$i")): _*)
+      df.withColumn(s"sc$m",
+        coalesce((0 until PqCentroids).map(i => when(col(s"m${m}d$i") === mn, i)): _*))
+    }
+  }
+
+  /** All [[PqSubspaces]] codebooks trained TOGETHER: the same
+    * deterministic integer k-means as [[trainIvfCentroidsOver]]
+    * (first-k seeds, min-id ties, floor-mean update, empty cluster
+    * keeps its centroid), but every iteration runs the 8 subspaces'
+    * assignment + component means in ONE Spark job — the per-subspace
+    * loop was 16 sequential collect jobs, pure round-trip latency,
+    * for identical results (the aggregates are independent per
+    * subspace either way; the oracle replays per-subspace and still
+    * matches).
+    */
+  private def trainPqBooks(
+      coded: DataFrame): IndexedSeq[IndexedSeq[IndexedSeq[Long]]] = {
+    val spark = coded.sparkSession
+    import spark.implicits._
+    val seeds = coded.filter($"vec_id" < PqCentroids).orderBy($"vec_id").collect()
+      .map(_.getSeq[Long](1).toIndexedSeq).toIndexedSeq
+    var books = (0 until PqSubspaces).map(m =>
+      seeds.map(v => v.slice(m * PqSubDims, (m + 1) * PqSubDims)))
+    for (_ <- 1 to PqIters) {
+      val comp = withSubCodes(coded, books)
+        .select((0 until PqSubspaces).map(m => col(s"sc$m")) :+
+          posexplode($"vc").as(Seq("dim", "v")): _*)
+        .withColumn("m", expr(s"CAST(dim div $PqSubDims AS BIGINT)"))
+        .withColumn("cid", element_at(
+          array((0 until PqSubspaces).map(m => col(s"sc$m")): _*),
+          col("m").cast("int") + 1))
+        .groupBy($"m", $"cid", expr(s"CAST(dim % $PqSubDims AS BIGINT)").as("sdim"))
+        .agg(sum($"v").as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)) -> r.getLong(3) / r.getLong(4))
+        .toMap
+      books = (0 until PqSubspaces).map(m =>
+        (0 until PqCentroids).map(i =>
+          (0 until PqSubDims).map(d =>
+            comp.getOrElse((m.toLong, i, d.toLong), books(m)(i)(d))).toIndexedSeq))
+    }
+    books
+  }
+
   /** PRODUCT-QUANTIZATION ANN (Jégou, Douze & Schmid, "Product
     * quantization for nearest neighbor search", TPAMI 2011) over the
     * int8 codes, integer-exact end to end: each 16-dim subvector is
@@ -528,18 +589,12 @@ object Similarity {
     // localCheckpoint: vc feeds training, encoding, and the query LUT
     // (the rpTopK materialization-barrier lesson)
     val coded = e0.select($"vec_id", codes.as("vc")).localCheckpoint()
-    def sub(m: Int) = coded.select($"vec_id",
-      expr(s"slice(vc, ${m * PqSubDims + 1}, $PqSubDims)").as("iv"))
-    val books = (0 until PqSubspaces).map(m =>
-      trainIvfCentroidsOver(sub(m), PqCentroids, PqIters))
-    val enc = (0 until PqSubspaces).map { m =>
-      val dists = books(m).zipWithIndex.map { case (c, i) => sqDistTo(c).as(s"d$i") }
-      val mn = least(books(m).indices.map(i => col(s"d$i")): _*)
-      val cid = coalesce(books(m).indices.map(i => when(col(s"d$i") === mn, i)): _*)
-      sub(m).select(($"vec_id" +: dists): _*)
-        .withColumn("scode", cid.cast("long"))
-        .select($"vec_id", lit(m.toLong).as("m"), $"scode")
-    }.reduce(_ unionAll _)
+    val books = trainPqBooks(coded)
+    val enc = withSubCodes(coded, books)
+      .select($"vec_id", posexplode(array(
+        (0 until PqSubspaces).map(m => col(s"sc$m").cast("long")): _*))
+        .as(Seq("m", "scode")))
+      .select($"vec_id", $"m".cast("long").as("m"), $"scode")
     val qsubs = coded.filter($"vec_id" < numQueries)
       .select($"vec_id".as("q_id"), posexplode(expr(
         s"""transform(sequence(0, ${PqSubspaces - 1}),
