@@ -941,6 +941,30 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** [[cascade]] rolled up to the data-card row: per stage the doc
+    * count and whitespace-token mass the stage removes (or keeps) —
+    * the one-table answer to "how much does each dedup layer buy us".
+    * Token counts ride the cascade's own corpus (planted rows
+    * included), so the stage masses sum to the corpus total —
+    * spec-pinned. Bounded 4-row output; one extra keyed aggregate
+    * over the cascade relation.
+    */
+  def cascadeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = docs(spark, dir).select($"doc_id", $"text")
+    val corpus = base
+      .unionAll(base.filter($"doc_id" % 20 === 3)
+        .select(($"doc_id" + CascadeExactShift).as("doc_id"), $"text"))
+      .unionAll(base.filter($"doc_id" % 20 === 5)
+        .select(($"doc_id" + CascadeCaseShift).as("doc_id"),
+          concat(upper($"text"), lit(" !!")).as("text")))
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))
+    cascade(spark, dir).join(corpus, Seq("doc_id"))
+      .groupBy($"stage")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      .orderBy($"stage")
+  }
+
   /** Id shift and width for [[containmentExcerpts]]'s synthetic
     * quote docs.
     */
@@ -1123,6 +1147,7 @@ object Dedup {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exact _,
     "dedup_cascade" -> cascade _,
+    "dedup_cascade_stats" -> cascadeStats _,
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => embeddingCosine(s, d)),
     "dedup_embedding_mp" -> ((s: SparkSession, d: String) => embeddingCosineMultiProbe(s, d)),
     "dedup_embedding_clusters" -> ((s: SparkSession, d: String) => embeddingClusters(s, d)),
@@ -1175,6 +1200,46 @@ object Dedup {
       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx)""".stripMargin
 
   private val shingleCte = shingleCteOver("documents")
+
+  /** The [[cascade]] corpus (base ∪ planted verbatim copies ∪ planted
+    * case noise), DuckDB dialect — shared by the cascade and
+    * cascade-stats oracles.
+    */
+  private def cascadeCorpusSql: String =
+    s"""SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + $CascadeExactShift, text
+      |FROM documents WHERE doc_id % 20 = 3
+      |UNION ALL
+      |SELECT doc_id + $CascadeCaseShift, upper(text) || ' !!'
+      |FROM documents WHERE doc_id % 20 = 5""".stripMargin
+
+  /** [[cascade]]'s oracle; `dedup_cascade_stats` nests this text as a
+    * subquery (plain concatenation — stripMargin interpolation would
+    * corrupt nested pipe-leading lines).
+    */
+  private def cascadeOracle: String =
+    s"""WITH RECURSIVE corpus AS (
+      |$cascadeCorpusSql),
+      |ex AS (SELECT md5(text) AS fp, min(doc_id) AS ek FROM corpus GROUP BY 1),
+      |nx AS (SELECT md5(${TextAnalysis.normalizeDuckSql("text")}) AS nfp,
+      |         min(doc_id) AS nk FROM corpus GROUP BY 1),
+      |$minhashPairsCte,
+      |$clusterLabelsCte
+      |SELECT c.doc_id,
+      |  CASE WHEN c.doc_id <> e.ek THEN 'exact'
+      |       WHEN c.doc_id <> n.nk THEN 'normalized'
+      |       WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> c.doc_id THEN 'near'
+      |       ELSE 'kept' END AS stage,
+      |  CASE WHEN c.doc_id <> e.ek THEN e.ek
+      |       WHEN c.doc_id <> n.nk THEN n.nk
+      |       WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> c.doc_id THEN l.cluster_id
+      |       ELSE c.doc_id END AS keeper_id
+      |FROM corpus c
+      |JOIN ex e ON e.fp = md5(c.text)
+      |JOIN nx n ON n.nfp = md5(${TextAnalysis.normalizeDuckSql("c.text")})
+      |LEFT JOIN labels l ON l.doc_id = c.doc_id
+      |ORDER BY c.doc_id""".stripMargin
 
   /** Min-label walk from the minhash candidate pairs to per-doc
     * cluster labels — shared by the `dedup_clusters` and
@@ -1424,34 +1489,14 @@ object Dedup {
     "dedup_exact" ->
       """SELECT md5(text) AS fingerprint, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
-    "dedup_cascade" ->
-      s"""WITH RECURSIVE corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + $CascadeExactShift, text
-        |  FROM documents WHERE doc_id % 20 = 3
-        |  UNION ALL
-        |  SELECT doc_id + $CascadeCaseShift, upper(text) || ' !!'
-        |  FROM documents WHERE doc_id % 20 = 5),
-        |ex AS (SELECT md5(text) AS fp, min(doc_id) AS ek FROM corpus GROUP BY 1),
-        |nx AS (SELECT md5(${TextAnalysis.normalizeDuckSql("text")}) AS nfp,
-        |         min(doc_id) AS nk FROM corpus GROUP BY 1),
-        |$minhashPairsCte,
-        |$clusterLabelsCte
-        |SELECT c.doc_id,
-        |  CASE WHEN c.doc_id <> e.ek THEN 'exact'
-        |       WHEN c.doc_id <> n.nk THEN 'normalized'
-        |       WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> c.doc_id THEN 'near'
-        |       ELSE 'kept' END AS stage,
-        |  CASE WHEN c.doc_id <> e.ek THEN e.ek
-        |       WHEN c.doc_id <> n.nk THEN n.nk
-        |       WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> c.doc_id THEN l.cluster_id
-        |       ELSE c.doc_id END AS keeper_id
-        |FROM corpus c
-        |JOIN ex e ON e.fp = md5(c.text)
-        |JOIN nx n ON n.nfp = md5(${TextAnalysis.normalizeDuckSql("c.text")})
-        |LEFT JOIN labels l ON l.doc_id = c.doc_id
-        |ORDER BY c.doc_id""".stripMargin,
+    "dedup_cascade" -> cascadeOracle,
+    "dedup_cascade_stats" ->
+      ("WITH toks AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)" +
+        " AS n_tok FROM (\n" + cascadeCorpusSql + "\n) cp)\n" +
+        "SELECT c.stage, CAST(count(*) AS BIGINT) AS n_docs,\n" +
+        "       CAST(sum(toks.n_tok) AS BIGINT) AS n_tokens\n" +
+        "FROM (\n" + cascadeOracle + "\n) c JOIN toks USING (doc_id)\n" +
+        "GROUP BY 1 ORDER BY 1"),
     "dedup_incremental" ->
       s"""WITH d AS (SELECT doc_id, text FROM documents),
         |ex AS (SELECT md5(text) AS fingerprint FROM d WHERE doc_id % 2 = 0),

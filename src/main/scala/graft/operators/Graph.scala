@@ -201,7 +201,31 @@ object Graph {
       .orderBy($"doc_id")
   }
 
+  /** ⌊log₂⌋-binned DEGREE DISTRIBUTION of the span-sharing graph —
+    * the data-card row a graph gets before anything runs over it
+    * (hub-heaviness decides whether triangles need degree-ordering
+    * and pagerank needs skew salting). The bin is the powers-of-two
+    * literal-array count (the `Corpus.lengthHisto` device — exact
+    * integers, no IEEE log), over the same degree relation
+    * [[pagerankOver]] derives. One keyed count + one ≤64-row
+    * aggregate.
+    */
+  def degreeHisto(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = spanPairs(spark, dir)
+    val pows = (1 to 62).map(i => 1L << i)
+    pairs.select($"doc_a".as("src")).union(pairs.select($"doc_b"))
+      .groupBy($"src").agg(count(lit(1)).as("deg"))
+      .withColumn("bin", size(filter(
+        array(pows.map(lit(_)): _*), p => p <= $"deg")).cast("long"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"deg").as("sum_deg"),
+        max($"deg").as("max_deg"))
+      .orderBy($"bin")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_degree_histo" -> degreeHisto _,
     "graph_pagerank" -> pagerank _,
     "graph_triangles" -> triangles _,
     "graph_components" -> components _,
@@ -245,6 +269,19 @@ object Graph {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "graph_degree_histo" -> {
+      val powsList = (1 to 62).map(i => 1L << i).mkString("[", ", ", "]")
+      s"""WITH $pairCte,
+        |edges AS (SELECT doc_a AS src FROM pr UNION ALL SELECT doc_b FROM pr),
+        |degs AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+        |b AS (SELECT src, deg,
+        |        CAST(len(list_filter($powsList, p -> p <= deg)) AS BIGINT) AS bin
+        |      FROM degs)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(deg) AS BIGINT) AS sum_deg,
+        |       CAST(max(deg) AS BIGINT) AS max_deg
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "graph_label_prop" ->
       s"""WITH $pairCte,
         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr

@@ -177,6 +177,18 @@ class DedupDifferentialSpec extends SparkSpec {
     assert(rows.count(_._2 == "kept") > 0)
   }
 
+  test("cascadeStats partitions the cascade corpus mass exactly") {
+    import graft.operators.Dedup
+    val rows = Dedup.cascade(spark, dir).collect().map(r => (r.getLong(0), r.getString(1)))
+    val stats = Dedup.cascadeStats(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats.keySet.subsetOf(Set("exact", "normalized", "near", "kept")))
+    val byStage = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    byStage.foreach { case (st, n) => assert(stats(st)._1 === n, s"stage $st doc count") }
+    assert(stats.values.map(_._1).sum === rows.length.toLong, "stage masses sum to corpus")
+    assert(stats.values.forall(_._2 > 0L), "token mass present per stage")
+  }
+
   test("bloom prefilter: zero false negatives vs ground truth; driver recompute matches") {
     import spark.implicits._
     val d = graft.engine.Tables.load(spark, dir, "documents")

@@ -96,6 +96,17 @@ class GraphSpec extends SparkSpec {
     assert(sizes.size >= nComponents)
   }
 
+  test("degree histogram accounts every linked doc with exact log2 bins") {
+    val pr = Graph.pagerank(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = pr.values.groupBy(d => (1 to 62).count(i => (1L << i) <= d).toLong)
+      .map { case (bin, ds) => bin -> (ds.size.toLong, ds.sum, ds.max) }
+    val got = Graph.degreeHisto(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === expected)
+    assert(got.values.map(_._1).sum === pr.size.toLong, "every linked doc binned")
+  }
+
   test("corpus pagerank covers exactly the span-linked docs, above teleport mass") {
     val pr = Graph.pagerank(spark, dir).collect()
     assert(pr.nonEmpty, "span graph should be non-empty at sf0.001")
