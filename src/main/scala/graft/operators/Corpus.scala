@@ -814,7 +814,10 @@ object Corpus {
     * the doc-keyed exchange. The report is a bounded (source, lang)
     * aggregate. No data-scaled shuffle key anywhere.
     */
-  def dsir(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc DSIR scores — the shared core of the [[dsir]] report and
+    * the [[dsirApply]] selection step.
+    */
+  private def dsirScores(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toks = docs(spark, dir)
       .select($"doc_id", $"source", $"lang",
@@ -836,6 +839,24 @@ object Corpus {
     toks.join(broadcast(weights), Seq("b"))
       .groupBy($"doc_id", $"source", $"lang")
       .agg(sum($"weight").as("score"))
+  }
+
+  /** [[dsir]]'s APPLY step — the selected subset itself (docs more
+    * target-like than background, score > 0), the frame a curation
+    * pipeline feeds downstream; same shape conventions as the other
+    * report/apply pairs (filter→surpriseFilter, chunk→chunkDedupApply).
+    */
+  def dsirApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dsirScores(spark, dir)
+      .filter($"score" > 0)
+      .select($"doc_id", $"source", $"lang", $"score")
+      .orderBy($"doc_id")
+  }
+
+  def dsir(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dsirScores(spark, dir)
       .groupBy($"source", $"lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(when($"score" > 0, 1L).otherwise(0L)).as("n_keep"),
@@ -1069,11 +1090,35 @@ object Corpus {
     "corpus_epochs" -> epochs _,
     "corpus_shards" -> ((s: SparkSession, d: String) => shardManifest(s, d)),
     "corpus_dsir" -> dsir _,
+    "corpus_dsir_apply" -> dsirApply _,
     "corpus_bucket_batches" -> ((s: SparkSession, d: String) => bucketBatches(s, d)),
     "corpus_group_sample" -> ((s: SparkSession, d: String) => groupSample(s, d)),
     "corpus_best_of_cell" -> ((s: SparkSession, d: String) => bestOfCell(s, d)),
     "corpus_batch_stats" -> ((s: SparkSession, d: String) => batchStats(s, d)),
   )
+
+  /** Shared DSIR oracle CTE chain (ends in `doc(doc_id, source, lang,
+    * score)`) — the report and apply oracles both build on it.
+    */
+  private def dsirCtes: String =
+    s"""tok AS (
+      |  SELECT doc_id, source, lang, w,
+      |         (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16
+      |       + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) AS b
+      |  FROM (SELECT doc_id, source, lang, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  WHERE len(w) > 0),
+      |bk AS (SELECT b, count(*) AS cr,
+      |         CAST(sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+      |       FROM tok GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cr + 1) AS BIGINT) AS nr,
+      |               CAST(sum(ct + 1) AS BIGINT) AS nt FROM bk),
+      |wt AS (SELECT b, ${ilog2Frag(
+           "CAST((CAST(1000000 AS HUGEINT) * (ct + 1) * nr) // ((cr + 1) * CAST(nt AS HUGEINT)) AS BIGINT)",
+           duck = true)} - $DsirScaleLog AS weight
+      |       FROM bk, tot),
+      |doc AS (SELECT doc_id, source, lang, CAST(sum(weight) AS BIGINT) AS score
+      |        FROM tok JOIN wt USING (b) GROUP BY 1, 2, 3)""".stripMargin
 
   /** DuckDB equivalent of [[hashBucket]]: nibble arithmetic over the
     * same 4 hex chars (DuckDB has no conv()).
@@ -1361,28 +1406,15 @@ object Corpus {
         |FROM pb GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "corpus_dsir" ->
-      s"""WITH tok AS (
-        |  SELECT doc_id, source, lang, w,
-        |         (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16
-        |       + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) AS b
-        |  FROM (SELECT doc_id, source, lang, unnest(string_split(text, ' ')) AS w
-        |        FROM documents)
-        |  WHERE len(w) > 0),
-        |bk AS (SELECT b, count(*) AS cr,
-        |         CAST(sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END) AS BIGINT) AS ct
-        |       FROM tok GROUP BY 1),
-        |tot AS (SELECT CAST(sum(cr + 1) AS BIGINT) AS nr,
-        |               CAST(sum(ct + 1) AS BIGINT) AS nt FROM bk),
-        |wt AS (SELECT b, ${ilog2Frag(
-             "CAST((CAST(1000000 AS HUGEINT) * (ct + 1) * nr) // ((cr + 1) * CAST(nt AS HUGEINT)) AS BIGINT)",
-             duck = true)} - $DsirScaleLog AS weight
-        |       FROM bk, tot),
-        |doc AS (SELECT doc_id, source, lang, CAST(sum(weight) AS BIGINT) AS score
-        |        FROM tok JOIN wt USING (b) GROUP BY 1, 2, 3)
+      s"""WITH $dsirCtes
         |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
         |       CAST(sum(score) AS BIGINT) AS score_sum
         |FROM doc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "corpus_dsir_apply" ->
+      s"""WITH $dsirCtes
+        |SELECT doc_id, source, lang, score FROM doc
+        |WHERE score > 0 ORDER BY doc_id""".stripMargin,
     "corpus_sample" ->
       s"""SELECT doc_id, md5(text) AS fingerprint FROM documents
         |WHERE $hbSql % $SampleK = 0 ORDER BY doc_id""".stripMargin,

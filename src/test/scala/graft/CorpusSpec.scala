@@ -569,6 +569,19 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("dsirApply returns exactly the positive-score docs of the report") {
+    val rep = Corpus.dsir(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    val got = Corpus.dsirApply(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.forall(_._4 > 0L), "apply keeps only positive scores")
+    val byCell = got.groupBy(t => (t._2, t._3)).view.mapValues(_.length.toLong).toMap
+    rep.foreach { case (cell, nKeep) =>
+      assert(byCell.getOrElse(cell, 0L) === nKeep, s"cell $cell keep count")
+    }
+    assert(got.map(_._1).distinct.length === got.length, "one row per doc")
+  }
+
   test("dsir separates a planted target vocabulary from background") {
     import spark.implicits._
     // target-lang docs draw from a disjoint vocabulary: every target
