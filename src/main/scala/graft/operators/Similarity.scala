@@ -353,6 +353,29 @@ object Similarity {
       .orderBy($"index_name")
   }
 
+  /** [[recallReport]]'s QUANTIZED-space sibling: the two integer
+    * cascades ([[pqTopK]], [[rpTopK]]) probed against THEIR native
+    * exact truth — the full-width integer code dot ([[sqTopK]]) —
+    * instead of float cosine, so the table measures what the
+    * shortlist stage loses, not the quantizer itself. Same bounded
+    * metadata shape as the float report.
+    */
+  def recallQuantized(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val truth = sqTopK(spark, dir).select($"q_id", $"vec_id", lit(1L).as("t"))
+    Seq("pq" -> pqTopK(spark, dir), "rp_sketch" -> rpTopK(spark, dir))
+      .map { case (nm, df) => df.select(lit(nm).as("index_name"), $"q_id", $"vec_id") }
+      .reduce(_ unionByName _)
+      .join(broadcast(truth), Seq("q_id", "vec_id"), "left")
+      .groupBy($"index_name")
+      .agg(sum(coalesce($"t", lit(0L))).as("n_hit"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .withColumn("recall_ppm", expr(
+        "CAST((CAST(n_hit AS DECIMAL(38,0)) * 1000000) div n_truth AS BIGINT)"))
+      .select($"index_name", $"n_truth", $"n_hit", $"recall_ppm")
+      .orderBy($"index_name")
+  }
+
   /** The untrained baseline: centroids are just the first `k` vectors
     * (round-3's variant, kept as the recall comparison point for the
     * ExtensionSpec assertion that training helps).
@@ -941,11 +964,11 @@ object Similarity {
     "ann_rrf_fusion" -> rrfFusion _,
     "ann_pq_topk" -> ((s: SparkSession, d: String) => pqTopK(s, d)),
     "ann_recall_report" -> recallReport _,
+    "ann_recall_quantized" -> recallQuantized _,
   )
 
-  val oracle: Map[String, String] = Map(
-    "ann_rp_topk" ->
-      s"""WITH d AS (
+  private def rpTopKOracle: String =
+    s"""WITH d AS (
         |  SELECT i - 1 AS dim,
         |         min(CAST(embedding[i] AS DOUBLE)) AS mn,
         |         max(CAST(embedding[i] AS DOUBLE)) AS mx
@@ -981,7 +1004,36 @@ object Similarity {
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
         |        ORDER BY score DESC, vec_id) AS BIGINT) AS rnk FROM dots)
         |SELECT q_id, vec_id, score, rnk FROM r WHERE rnk <= $TopK
-        |ORDER BY q_id, rnk""".stripMargin,
+        |ORDER BY q_id, rnk""".stripMargin
+
+  private def sqTopKOracle: String =
+      """WITH d AS (
+        |  SELECT i - 1 AS dim,
+        |         min(CAST(embedding[i] AS DOUBLE)) AS mn,
+        |         max(CAST(embedding[i] AS DOUBLE)) AS mx
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+        |  GROUP BY 1),
+        |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |pairs AS (SELECT q_id, e.vec_id, qe, e.embedding AS ve
+        |          FROM q, embeddings e WHERE e.vec_id <> q_id),
+        |flat AS (SELECT p.q_id, p.vec_id,
+        |           CASE WHEN mx = mn THEN 0
+        |                ELSE CAST(least(floor((CAST(qe[d.dim + 1] AS DOUBLE) - mn) * 255.0
+        |                                      / (mx - mn)), 255.0) AS BIGINT) END AS cq,
+        |           CASE WHEN mx = mn THEN 0
+        |                ELSE CAST(least(floor((CAST(ve[d.dim + 1] AS DOUBLE) - mn) * 255.0
+        |                                      / (mx - mn)), 255.0) AS BIGINT) END AS cv
+        |         FROM pairs p CROSS JOIN d),
+        |s AS (SELECT q_id, vec_id, CAST(sum(cq * cv) AS BIGINT) AS score
+        |      FROM flat GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |        ORDER BY score DESC, vec_id) AS BIGINT) AS rnk FROM s)
+        |SELECT q_id, vec_id, score, rnk FROM r WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "ann_recall_quantized" -> recallQuantizedOracle,
+    "ann_rp_topk" -> rpTopKOracle,
     "emb_centroid_drift" ->
       """WITH d AS (
         |  SELECT i - 1 AS dim,
@@ -1058,30 +1110,7 @@ object Similarity {
         |      FROM dist)
         |SELECT label, vec_id, dist2, rnk FROM r WHERE rnk <= 10
         |ORDER BY label, rnk""".stripMargin,
-    "ann_sq_topk" ->
-      """WITH d AS (
-        |  SELECT i - 1 AS dim,
-        |         min(CAST(embedding[i] AS DOUBLE)) AS mn,
-        |         max(CAST(embedding[i] AS DOUBLE)) AS mx
-        |  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
-        |  GROUP BY 1),
-        |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
-        |pairs AS (SELECT q_id, e.vec_id, qe, e.embedding AS ve
-        |          FROM q, embeddings e WHERE e.vec_id <> q_id),
-        |flat AS (SELECT p.q_id, p.vec_id,
-        |           CASE WHEN mx = mn THEN 0
-        |                ELSE CAST(least(floor((CAST(qe[d.dim + 1] AS DOUBLE) - mn) * 255.0
-        |                                      / (mx - mn)), 255.0) AS BIGINT) END AS cq,
-        |           CASE WHEN mx = mn THEN 0
-        |                ELSE CAST(least(floor((CAST(ve[d.dim + 1] AS DOUBLE) - mn) * 255.0
-        |                                      / (mx - mn)), 255.0) AS BIGINT) END AS cv
-        |         FROM pairs p CROSS JOIN d),
-        |s AS (SELECT q_id, vec_id, CAST(sum(cq * cv) AS BIGINT) AS score
-        |      FROM flat GROUP BY 1, 2),
-        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
-        |        ORDER BY score DESC, vec_id) AS BIGINT) AS rnk FROM s)
-        |SELECT q_id, vec_id, score, rnk FROM r WHERE rnk <= 5
-        |ORDER BY q_id, rnk""".stripMargin,
+    "ann_sq_topk" -> sqTopKOracle,
     "emb_quantize" ->
       """WITH d AS (
         |  SELECT i - 1 AS dim,
@@ -1202,6 +1231,27 @@ object Similarity {
       "probes AS (\n  " + probe("ivf", ivfOracle) +
       "\n  UNION ALL " + probe("lsh", lshOracle) +
       "\n  UNION ALL " + probe("lsh_multiprobe", multiprobeOracle) + "),\n" +
+      """h AS (SELECT index_name,
+        |        CAST(sum(CASE WHEN t.q_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hit
+        |      FROM probes p LEFT JOIN truth t
+        |        ON t.q_id = p.q_id AND t.vec_id = p.vec_id
+        |      GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+        |SELECT index_name, n_truth, n_hit,
+        |       CAST((CAST(n_hit AS HUGEINT) * 1000000) // n_truth AS BIGINT) AS recall_ppm
+        |FROM h, n ORDER BY index_name""".stripMargin
+  }
+
+  /** [[recallQuantized]]'s oracle — plain concatenation, same nesting
+    * discipline as [[recallReportOracle]].
+    */
+  private def recallQuantizedOracle: String = {
+    def probe(nm: String, sql: String) =
+      s"SELECT '$nm' AS index_name, a.q_id, a.vec_id\n" +
+        s"FROM (SELECT q_id, vec_id FROM (\n$sql\n) s_$nm) a"
+    "WITH truth AS (SELECT q_id, vec_id FROM (\n" + sqTopKOracle + "\n) tr),\n" +
+      "probes AS (\n  " + probe("pq", pqOracle) +
+      "\n  UNION ALL " + probe("rp_sketch", rpTopKOracle) + "),\n" +
       """h AS (SELECT index_name,
         |        CAST(sum(CASE WHEN t.q_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hit
         |      FROM probes p LEFT JOIN truth t

@@ -732,6 +732,27 @@ class ExtensionSpec extends SparkSpec {
     assert(got("lsh_multiprobe")._3 >= got("lsh")._3)
   }
 
+  test("quantized recall report equals driver-computed recall vs the sq-dot truth") {
+    val truth = Similarity.sqTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lists = Map(
+      "pq" -> Similarity.pqTopK(spark, dir),
+      "rp_sketch" -> Similarity.rpTopK(spark, dir))
+    val got = Similarity.recallQuantized(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet === lists.keySet)
+    lists.foreach { case (nm, df) =>
+      val hits = df.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet.intersect(truth).size.toLong
+      val (nTruth, nHit, ppm) = got(nm)
+      assert(nTruth === truth.size.toLong)
+      assert(nHit === hits, s"$nm hits")
+      assert(ppm === BigInt(1000000) * hits / truth.size, s"$nm ppm")
+    }
+    // both cascades re-rank by the exact dot, so recall ≥ the 0.5 gate
+    got.values.foreach { case (_, _, ppm) => assert(ppm >= 500000L) }
+  }
+
   test("rrf fusion equals a driver recompute over the constituent rankings") {
     def ranks(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
       df.select("q_id", "vec_id", "rnk").collect()
