@@ -546,6 +546,73 @@ object TextAnalysis {
       .orderBy($"rank")
   }
 
+  /** Merge rounds run by [[bpeTrain]] and the symbol separator of its
+    * internal word representation (U+001F unit separator — absent
+    * from any corpus token, so symbol boundaries are unambiguous).
+    */
+  val BpeMerges = 3
+  val BpeSep = "\u001f"
+
+  /** The BPE TRAINING LOOP itself (Sennrich, Haddow & Birch, "Neural
+    * Machine Translation of Rare Words with Subword Units", ACL 2016
+    * — [[bpePairs]] is its iteration 0): over the distinct-word/
+    * frequency table, [[BpeMerges]] rounds of (a) count adjacent
+    * symbol pairs weighted by word frequency, (b) pick the most
+    * frequent pair (ties → lexicographically smallest — the separator
+    * sorts below every letter, so the concatenated pair key IS the
+    * (a, b) order in both engines' byte collation), (c) merge every
+    * occurrence greedily left-to-right. The merge is a string FOLD:
+    * the accumulator is the separator-joined representation rebuilt
+    * symbol by symbol, and `last symbol == a ∧ next == b` appends `b`
+    * WITHOUT a separator — fusing the pair into one symbol exactly
+    * like the reference algorithm's non-overlapping left-to-right
+    * replace ('aaa' under (a,a) → ('aa','a'), spec-pinned). Output is
+    * the merge table (iter, sym_a, sym_b, n_pair) — THE artifact a
+    * BPE tokenizer ships.
+    *
+    * Scale shape: everything runs on the distinct-WORD table (vocab-
+    * sized, not corpus-sized — the one aggregate over the corpus is
+    * the word count); each round is one pair-count aggregate plus a
+    * driver-side top-1 pick (3 collects of one row, the PQ-trainer
+    * pattern), and the re-representation is a map-side fold.
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val S = BpeSep
+    val words = docs(spark, dir)
+      .select(explode(tok).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+    var reps = words
+      .select($"freq", array_join(split($"w", ""), S).as("rep"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (it <- 1 to BpeMerges) {
+      val top = reps
+        .withColumn("syms", split($"rep", S))
+        // single-symbol words contribute no pairs — and sequence(1, 0)
+        // COUNTS DOWN (the r3 trap), so the guard is load-bearing
+        .filter(size($"syms") >= 2)
+        .select($"freq", explode(expr(
+          s"transform(sequence(1, size(syms) - 1), i -> concat(element_at(syms, i), '$S', element_at(syms, i + 1)))"))
+          .as("pk"))
+        .groupBy($"pk").agg(sum($"freq").as("n"))
+        .orderBy($"n".desc, $"pk")
+        .limit(1).collect()(0)
+      val Array(a, b) = top.getString(0).split(S)
+      merges += ((it.toLong, a, b, top.getLong(1)))
+      reps = reps.withColumn("syms", split($"rep", S))
+        .withColumn("rep", expr(
+          s"""aggregate(slice(syms, 2, size(syms) - 1), element_at(syms, 1),
+             |  (acc, s) -> CASE WHEN (acc = '$a' OR endswith(acc, '$S$a')) AND s = '$b'
+             |                   THEN concat(acc, '$b')
+             |                   ELSE concat(acc, '$S', s) END)""".stripMargin))
+        .select($"freq", $"rep")
+        .localCheckpoint()
+    }
+    merges.toSeq.toDF("iter", "sym_a", "sym_b", "n_pair").orderBy($"iter")
+  }
+
   /** Quality-gate DROP-REASON report per source — the data-card table
     * a corpus release prints next to the pipeline funnel: for every
     * (source, verdict) cell, how many docs and how much token mass
@@ -779,6 +846,7 @@ object TextAnalysis {
     "text_cms" -> cmsEstimate _,
     "text_trigrams" -> trigramTable _,
     "text_bpe_pairs" -> bpePairs _,
+    "text_bpe_train" -> bpeTrain _,
     "text_drop_reasons" -> dropReasons _,
     "text_vocab_coverage" -> vocabCoverage _,
     "text_repetition" -> repetition _,
@@ -843,6 +911,40 @@ object TextAnalysis {
        |     ELSE 'und' END""".stripMargin
   }
 
+  /** [[bpeTrain]]'s oracle: the [[BpeMerges]] rounds unrolled — per
+    * round a pair-count CTE, the rank-1 pick (same (n DESC, pair key)
+    * total order), and the `list_reduce` greedy merge fold with the
+    * picked pair captured from the cross-joined one-row CTE.
+    */
+  private def bpeTrainOracle: String = {
+    val S = BpeSep
+    def round(t: Int) =
+      s"""pc$t AS (SELECT pk, CAST(sum(freq) AS BIGINT) AS n FROM (
+        |  SELECT freq, unnest(list_transform(generate_series(1, len(string_split(rep, '$S')) - 1),
+        |    i -> string_split(rep, '$S')[i] || '$S' || string_split(rep, '$S')[i+1])) AS pk
+        |  FROM r${t - 1}) GROUP BY 1),
+        |top$t AS (SELECT split_part(pk, '$S', 1) AS a, split_part(pk, '$S', 2) AS b, n
+        |          FROM (SELECT *, row_number() OVER (ORDER BY n DESC, pk) AS rn FROM pc$t)
+        |          WHERE rn = 1),
+        |r$t AS (SELECT freq, list_reduce(string_split(rep, '$S'),
+        |          (acc, s) -> CASE WHEN (acc = p.a OR ends_with(acc, '$S' || p.a)) AND s = p.b
+        |                           THEN acc || p.b ELSE acc || '$S' || s END) AS rep
+        |        FROM r${t - 1}, top$t p)""".stripMargin
+    val rounds = (1 to BpeMerges).map(round).mkString(",\n")
+    val sel = (1 to BpeMerges).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS iter, a AS sym_a, b AS sym_b, n AS n_pair FROM top$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH wrd AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM wrd
+      |       WHERE len(w) > 0 GROUP BY 1),
+      |r0 AS (SELECT freq,
+      |         array_to_string(list_transform(generate_series(1, len(w)), i -> w[i]), '$S') AS rep
+      |       FROM wf),
+      |$rounds
+      |$sel
+      |ORDER BY iter""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "text_chunk_windows" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -904,6 +1006,7 @@ object TextAnalysis {
         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, trigram) AS BIGINT) AS rank,
         |       trigram, cnt
         |FROM top ORDER BY rank""".stripMargin,
+    "text_bpe_train" -> bpeTrainOracle,
     "text_bpe_pairs" ->
       s"""WITH wd AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
         |p AS (SELECT unnest(list_transform(generate_series(1, length(w) - 1),

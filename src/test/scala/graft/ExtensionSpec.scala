@@ -732,6 +732,56 @@ class ExtensionSpec extends SparkSpec {
     assert(got("lsh_multiprobe")._3 >= got("lsh")._3)
   }
 
+  test("bpe training on a planted corpus cascades merges with greedy left-to-right fusion") {
+    import spark.implicits._
+    // 'aaab' x9 + 'ab' x2: round 1 must pick (a,a) (count 2 per 'aaab',
+    // overlapping positions counted, = 18 vs (a,b) 11); the greedy fold
+    // turns 'aaab' into ('aa','a','b') — NOT ('a','aa','b'); round 2
+    // then sees pairs over MERGED symbols: ('aa','a') 9, ('a','b') 11 →
+    // picks (a,b); round 3 must pick the cascaded ('aa','ab') pair.
+    val docs = Seq(
+      (1L, ("aaab " * 9).trim, "en", "s0", 44L),
+      (2L, "ab ab", "en", "s0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("bpe").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.operators.TextAnalysis.bpeTrain(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, "a", "a", 18L), (2L, "a", "b", 11L), (3L, "aa", "ab", 9L)))
+  }
+
+  test("bpe training on the corpus equals a driver reimplementation of 3 merge rounds") {
+    val words = graft.engine.Tables.load(spark, dir, "documents")
+      .select("text").collect().flatMap(_.getString(0).split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var reps: Map[Seq[String], Long] = words.toSeq
+      .map { case (w, f) => w.split("").toSeq -> f }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val expected = (1 to graft.operators.TextAnalysis.BpeMerges).map { it =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      reps.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Seq(x, y) => counts((x, y)) = counts.getOrElse((x, y), 0L) + f
+          case _ =>
+        }
+      }
+      val ((a, b), n) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+      reps = reps.toSeq.map { case (syms, f) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { s =>
+          if (out.nonEmpty && out.last == a && s == b) out(out.length - 1) = a + b
+          else out += s
+        }
+        out.toSeq -> f
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (it.toLong, a, b, n)
+    }
+    val got = graft.operators.TextAnalysis.bpeTrain(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === expected)
+  }
+
   test("quantized recall report equals driver-computed recall vs the sq-dot truth") {
     val truth = Similarity.sqTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
