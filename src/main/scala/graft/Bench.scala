@@ -52,7 +52,13 @@ object Bench {
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.sorted.apply(timedRuns / 2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal (ms) per-query precision: the full-precision line grew
+    // past the driver's log-tail capture window in r8 (BENCH_r08.json
+    // recorded parsed:null) — millisecond resolution halves the value
+    // bytes and is finer than this box's ±15% ambient swing anyway
+    def fmt(v: Double): String =
+      if (v < 0) "-1.0" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // failures must not shrink the total: sum only successful queries
     // and surface the failure count explicitly
@@ -60,8 +66,13 @@ object Bench {
     val total = succeeded.map(_._2).sum
     val failed = results.length - succeeded.length
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
+    // a compact duplicate as the LAST stdout line: if the tail window
+    // still cuts the full line above, a tail-anchored parse finds this
+    // one intact; the per-query map survives in bench/bench_lines.jsonl
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"n_queries":${results.length},"queries_file":"bench/bench_lines.jsonl","sf":"$sfDir"}"""
     // the driver's BENCH_r{N}.json keeps only a truncated tail of this
     // line, so round-over-round per-query comparison was impossible
     // from the repo alone — persist every full line (append-only, one
@@ -81,6 +92,7 @@ object Bench {
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not persist bench line: ${e.getMessage}")
     }
+    println(compact)
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampNTZType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Table loaders for the driver's star-schema testdata (TESTDATA.md).
   *
@@ -16,20 +16,51 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read the raw int64 nanos and truncate to the
-      // engine's microsecond TIMESTAMP_NTZ (same truncation DuckDB
-      // applies, so oracle comparisons agree). The legacy flag is a
-      // session-wide engine policy (nanos parquet == int64 + explicit
-      // truncation everywhere); it is also set at session construction,
-      // and re-set here so driver-built sessions get it on first load.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
-    } else {
-      spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventsTs(readEvents(spark, s"$dir/$name.parquet"))
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Read events.parquet, tolerating a TIMESTAMP(NANOS) `ts` column.
+    * Spark's reader rejects parquet nanos unless
+    * `spark.sql.legacy.parquet.nanosAsLong` is set — our own session
+    * builder sets it, but a driver-built session may not, so on that
+    * specific failure we set the flag and retry once. The conf is only
+    * touched on the retry path, never as an unconditional side effect.
+    */
+  private def readEvents(spark: SparkSession, path: String): DataFrame =
+    try {
+      val df = spark.read.parquet(path)
+      df.schema // schema resolution is lazy-ish; force it inside the try
+      df
+    } catch {
+      case e: Throwable if e.getMessage != null && e.getMessage.contains("NANOS") =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(path)
     }
+
+  /** Normalize `ts` to microsecond TIMESTAMP_NTZ regardless of the
+    * fixture's physical encoding. The driver has shipped events.ts as
+    * int64 TIMESTAMP(NANOS) (rounds 1–8) and native timestamp[us]
+    * (round 9+); hard-coding either breaks when the fixture is
+    * regenerated, so dispatch on the schema actually read.
+    *
+    * The long→NTZ arms go through `timestampadd` on an NTZ epoch
+    * literal — a timezone-INDEPENDENT construction. (`timestamp_micros`
+    * + `.cast(TimestampNTZType)` would round-trip through LTZ and
+    * silently shift values in a non-UTC session.)
+    */
+  def normalizeEventsTs(raw: DataFrame): DataFrame = {
+    def ntzFromMicros(micros: String) = expr(
+      s"timestampadd(MICROSECOND, $micros, TIMESTAMP_NTZ '1970-01-01 00:00:00')")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // int64 nanos (legacy nanosAsLong read); truncate to micros —
+        // the same truncation DuckDB applies, so oracles agree
+        raw.withColumn("ts", ntzFromMicros("ts div 1000"))
+      case TimestampNTZType => raw
+      case TimestampType    => raw.withColumn("ts", ntzFromMicros("unix_micros(ts)"))
+      case other => sys.error(s"unsupported events.ts encoding: $other")
+    }
+  }
 
   /** JDBC table scan — the production equivalent of the reference's
     * Postgres source (`app.py:51-63`; SURVEY §2.3). Exercised end-to-end

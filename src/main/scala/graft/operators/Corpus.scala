@@ -759,6 +759,21 @@ object Corpus {
       .orderBy($"source")
   }
 
+  /** [[temperature]]'s gate applied to the corpus itself — the batch
+    * twin of [[graft.streaming.EventStreams.temperatureGate]] (same
+    * operator instance, stream/batch parity spec-pinned): compute the
+    * per-source rate table, then emit the doc ids the content-hash
+    * threshold admits. This is the query a training run actually
+    * materializes (the sampled mix); [[temperature]] is its report.
+    */
+  def temperatureGateBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rates = temperature(spark, dir).select($"source", $"rate_ppm")
+    graft.streaming.EventStreams.temperatureGate(docs(spark, dir), rates)
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
   /** Hashed feature-space size for [[dsir]]: one byte of md5(word)
     * → 256 buckets, bounded by construction (mirrored in the oracle).
     */
@@ -1085,6 +1100,7 @@ object Corpus {
     "corpus_length_histo" -> lengthHisto _,
     "corpus_pad_waste" -> padWaste _,
     "corpus_temperature" -> temperature _,
+    "corpus_temperature_gate" -> temperatureGateBatch _,
     "corpus_decontam_ngram" -> decontamNgram _,
     "corpus_shuffle" -> shuffleOrder _,
     "corpus_epochs" -> epochs _,
@@ -1248,6 +1264,30 @@ object Corpus {
         |       coalesce(k.n_kept, 0) AS n_kept
         |FROM r LEFT JOIN k ON r.source = k.source
         |ORDER BY r.source""".stripMargin,
+    "corpus_temperature_gate" ->
+      s"""WITH d AS (SELECT doc_id, source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+        |             $hbSql AS hb
+        |           FROM documents),
+        |a AS (SELECT source, CAST(sum(tok) AS BIGINT) AS n_tokens
+        |      FROM d GROUP BY 1),
+        |w0 AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w0 FROM a),
+        |wa AS (SELECT source, n_tokens,
+        |         CASE WHEN (w0 + 1) * (w0 + 1) <= n_tokens THEN w0 + 1
+        |              WHEN w0 * w0 > n_tokens THEN w0 - 1
+        |              ELSE w0 END AS weight
+        |       FROM w0),
+        |t AS (SELECT CAST(sum(n_tokens) AS HUGEINT) AS tt,
+        |        CAST(sum(weight) AS HUGEINT) AS tw FROM wa),
+        |r AS (SELECT source,
+        |        CAST(least(1000000,
+        |          ((tt // $TempBudgetDen) * weight // tw) * 1000000 // n_tokens)
+        |          AS BIGINT) AS rate_ppm
+        |      FROM wa, t)
+        |SELECT d.doc_id, d.source
+        |FROM d JOIN r ON d.source = r.source
+        |WHERE d.hb * 1000000 < r.rate_ppm * 65536
+        |ORDER BY d.doc_id""".stripMargin,
     "corpus_pad_waste" ->
       s"""WITH d AS (SELECT source,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

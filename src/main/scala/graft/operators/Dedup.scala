@@ -31,6 +31,11 @@ object Dedup {
     */
   val MaxShingleDf = 1000
 
+  /** 1-in-N deterministic truth-pair sample for [[lshRecall]] (one
+    * md5 nibble of the pair key mod N; mirrored in the oracle).
+    */
+  val RecallSampleMod = 4L
+
   /** The banded-join analog of [[MaxShingleDf]]: a degenerate corpus
     * (boilerplate-dominated signatures) can funnel many documents into
     * ONE (band, band_key) bucket, turning the LSH join quadratic in
@@ -852,8 +857,9 @@ object Dedup {
   }
 
   /** LSH RECALL report — measure the near-dup index before trusting
-    * it: every exact-Jaccard ≥ 0.5 pair ([[ngramJaccard]]'s truth
-    * set) is probed against the banded MinHash candidate set
+    * it: a deterministic 1-in-[[RecallSampleMod]] sample of the
+    * exact-Jaccard ≥ 0.5 pairs ([[ngramJaccard]]'s truth set) is
+    * probed against the banded MinHash candidate set
     * ([[minhashLsh]]), bucketed by exact-Jaccard decile — the integer
     * `(10·∩) div ∪`, so no IEEE boundary decides a bucket — and each
     * decile reports truth-pair count, candidates hit, and recall ppm.
@@ -870,6 +876,16 @@ object Dedup {
     import spark.implicits._
     val truth = shinglePairCounts(docs(spark, dir))
       .filter($"intersection" * 2 >= $"na" + $"nb" - $"intersection")
+      // deterministic 1-in-RecallSampleMod hash-sample of the truth
+      // pairs BEFORE the probe join (r8 advice): a recall ESTIMATE is
+      // the production posture — the full truth set scales with the
+      // corpus's duplicate density (this fixture's regeneration grew
+      // it 10×), where a hash-sample bounds the probe at any corpus.
+      // Content-keyed (md5 of the pair ids), so rerun-stable and
+      // engine-identical; per-decile recall stays unbiased because
+      // the sample key is independent of the Jaccard value.
+      .filter(expr(s"conv(substr(md5(concat(doc_a, ':', doc_b)), 4, 1), 16, 10)" +
+        s" % $RecallSampleMod = 0"))
       .select($"doc_a", $"doc_b",
         expr("(intersection * 10) div (na + nb - intersection)").as("jac_decile"))
     val cand = minhashLsh(spark, dir)
@@ -1547,7 +1563,10 @@ object Dedup {
         |            (intersection * 10) // (sa.n + sb.n - intersection) AS jac_decile
         |          FROM inter JOIN sizes sa ON sa.doc_id = doc_a
         |                     JOIN sizes sb ON sb.doc_id = doc_b
-        |          WHERE intersection * 2 >= sa.n + sb.n - intersection)
+        |          WHERE intersection * 2 >= sa.n + sb.n - intersection
+        |            AND (strpos('0123456789abcdef',
+        |                   substr(md5(doc_a || ':' || doc_b), 4, 1)) - 1)
+        |                % $RecallSampleMod = 0)
         |SELECT jac_decile, CAST(count(*) AS BIGINT) AS n_true,
         |       CAST(count(c.doc_a) AS BIGINT) AS n_hit,
         |       CAST((count(c.doc_a) * 1000000) // count(*) AS BIGINT) AS recall_ppm

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.engine.Tables
+
 /** Graph analytics over the content-sharing document graph.
   *
   * Nodes are documents; an edge joins two docs that share at least one
@@ -96,32 +98,100 @@ object Graph {
       .orderBy($"doc_id")
   }
 
+  /** WEIGHTED PageRank over the span-sharing graph: the edge weight
+    * is `n_shared_spans` (how many distinct winnowing fingerprints the
+    * pair shares), so a doc linked to another by 40 lifted paragraphs
+    * pulls 40× the mass of a single shared quote — rank concentrates
+    * on the heavy-syndication cores rather than counting every
+    * acquaintance equally. Same exact-integer recurrence as
+    * [[pagerankOver]] with degree replaced by STRENGTH (sum of
+    * incident weights): each round a node sends
+    * `(mass · 17 · w) div (20 · strength)` along each edge.
+    */
+  def pagerankWeighted(spark: SparkSession, dir: String): DataFrame =
+    pagerankWeightedOver(TextAnalysis.sharedSpans(spark, dir)
+      .select("doc_a", "doc_b", "n_shared_spans"))
+
+  /** [[pagerankWeighted]]'s core over an arbitrary undirected
+    * `(doc_a, doc_b, weight)` frame. Scale shape identical to
+    * [[pagerankOver]] (one join + keyed aggregate per constant-count
+    * round, lineage cut per round); the weight column rides the
+    * checkpointed edge relation, so weighting adds zero shuffles.
+    * Overflow headroom: mass ≤ ~10⁹ ppm and span weights are capped
+    * by the winnowing df cap, so `mass · 17 · w` stays far inside
+    * Long.
+    */
+  def pagerankWeightedOver(weighted: DataFrame): DataFrame = {
+    val spark = weighted.sparkSession
+    import spark.implicits._
+    val edges0 = weighted.toDF("doc_a", "doc_b", "w")
+    val sym = edges0.select($"doc_a".as("src"), $"doc_b".as("dst"), $"w")
+      .union(edges0.select($"doc_b", $"doc_a", $"w"))
+      .localCheckpoint()
+    val str = sym.groupBy($"src").agg(sum($"w").as("strength"))
+    val edges = sym.join(str, Seq("src")).localCheckpoint()
+    val nodes = str.select($"src".as("doc_id"), $"strength").localCheckpoint()
+    var mass = nodes.select($"doc_id", lit(BaseMass).as("mass")).localCheckpoint()
+    for (_ <- 1 to PageRankIters) {
+      val contrib = mass.join(edges, mass("doc_id") === edges("src"))
+        .select($"dst", expr(s"(mass * $DampNum * w) div ($DampDen * strength)").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("inm"))
+      mass = nodes.join(contrib, nodes("doc_id") === contrib("dst"), "left")
+        .select(nodes("doc_id"),
+          (lit(TeleportMass) + coalesce($"inm", lit(0L))).as("mass"))
+        .localCheckpoint()
+    }
+    nodes.join(mass, Seq("doc_id"))
+      .select($"doc_id", $"strength", $"mass".as("rank_ppm"))
+      .orderBy($"doc_id")
+  }
+
   /** Per-doc triangle membership over the span-sharing graph — see
     * [[trianglesOver]].
     */
   def triangles(spark: SparkSession, dir: String): DataFrame =
     trianglesOver(spanPairs(spark, dir))
 
-  /** Triangle counting over an ordered `(doc_a < doc_b)` pair frame:
-    * the standard two-join enumeration (wedges `a<b<c` via
-    * `e1.b = e2.a`, closed by probing `(a, c)`), then each triangle
-    * credits its three members — one explode and a keyed count. Only
-    * docs in ≥1 triangle appear. Ordered-pair enumeration counts each
-    * triangle exactly once and keeps the join frames a third of the
-    * symmetric relation's size; at cluster scale the classic
-    * degree-ordering refinement (orient edges low→high degree) drops
-    * in here unchanged.
+  /** Triangle counting over an ordered `(doc_a < doc_b)` pair frame
+    * with the DEGREE-ORDERING refinement (Schank & Wagner 2005 /
+    * Suri & Vassilvitskii WWW'11): every edge is re-oriented from its
+    * (degree, id)-smaller endpoint to its larger one, and wedges are
+    * enumerated only at the smaller apex. A hub of degree d then
+    * contributes wedges bounded by its IN-orientation out-degree
+    * (≤ √m for any graph) instead of d² — the difference between a
+    * viral boilerplate doc costing ~10⁴ wedge rows and 10¹⁰ at
+    * cluster scale. Each triangle x ≺ y ≺ z is found exactly once at
+    * apex x (its two lower edges both orient out of x, the closing
+    * edge orients y→z), then credits its three members — one explode
+    * and a keyed count. Only docs in ≥1 triangle appear; results are
+    * identical to the plain ordered-pair enumeration (the oracle),
+    * orientation changes cost only.
     */
   def trianglesOver(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val p = pairs.toDF("doc_a", "doc_b").localCheckpoint()
-    val tri = p.as("e1")
-      .join(p.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
-      .join(p.as("e3"),
-        col("e1.doc_a") === col("e3.doc_a") && col("e2.doc_b") === col("e3.doc_b"))
-      .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"),
-        col("e2.doc_b").as("c"))
+    val p0 = pairs.toDF("doc_a", "doc_b")
+    val deg = p0.select($"doc_a".as("v")).union(p0.select($"doc_b"))
+      .groupBy($"v").agg(count(lit(1)).as("d"))
+    // orient toward the (deg, id)-lexicographically larger endpoint;
+    // carry the destination's degree so the wedge join can keep the
+    // same total order without a third join
+    val oriented = p0
+      .join(deg.select($"v".as("doc_a"), $"d".as("da")), Seq("doc_a"))
+      .join(deg.select($"v".as("doc_b"), $"d".as("db")), Seq("doc_b"))
+      .select(when($"da" < $"db" || ($"da" === $"db" && $"doc_a" < $"doc_b"),
+          struct($"doc_a".as("src"), $"doc_b".as("dst"), $"db".as("ddeg")))
+        .otherwise(
+          struct($"doc_b".as("src"), $"doc_a".as("dst"), $"da".as("ddeg"))).as("e"))
+      .select($"e.src", $"e.dst", $"e.ddeg")
+      .localCheckpoint()
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.src") === col("e2.src") &&
+        (col("e1.ddeg") < col("e2.ddeg") ||
+          (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))))
+      .join(oriented.as("e3"),
+        col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
     tri.select(explode(array($"a", $"b", $"c")).as("doc_id"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n_triangles"))
       .orderBy($"doc_id")
@@ -143,6 +213,36 @@ object Graph {
     Dedup.clustersOver(nodes,
       pairs.select($"doc_a".as("src"), $"doc_b".as("dst")),
       Dedup.ClusterMaxHops)
+  }
+
+  /** Per-CONTENT-FAMILY profile report — the data-card row each
+    * [[components]] family gets before a curation decision (keep one
+    * representative? down-weight the family? drop it?): member and
+    * source counts, token mass, char sizes, and the language mix
+    * (distinct langs + the alphabetically-first one as the family's
+    * headline language — min() not mode(), so the pick has a total
+    * order on both engines). One join of the component labels against
+    * `documents` and one keyed aggregate; the labels frame is the
+    * already-iterated [[components]] output, so profiling adds a
+    * single shuffle on `cluster_id`.
+    */
+  def familyProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang", $"source", $"n_chars",
+        size(split($"text", " ")).cast("long").as("n_tok"))
+    components(spark, dir)
+      .select($"doc_id", $"cluster_id")
+      .join(docs, Seq("doc_id"))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct($"source").as("n_sources"),
+        countDistinct($"lang").as("n_langs"),
+        min($"lang").as("first_lang"),
+        sum($"n_tok").as("total_tokens"),
+        sum($"n_chars").as("total_chars"),
+        max($"n_chars").as("max_chars"))
+      .orderBy($"cluster_id")
   }
 
   /** Fixed synchronous label-propagation round count (control-flow
@@ -227,8 +327,10 @@ object Graph {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_degree_histo" -> degreeHisto _,
     "graph_pagerank" -> pagerank _,
+    "graph_pagerank_weighted" -> pagerankWeighted _,
     "graph_triangles" -> triangles _,
     "graph_components" -> components _,
+    "graph_family_profile" -> familyProfile _,
     "graph_label_prop" -> labelProp _,
   )
 
@@ -268,7 +370,59 @@ object Graph {
        |  GROUP BY e.src, l.label) WHERE rn = 1)""".stripMargin
   }.mkString(",\n")
 
+  /** The [[PageRankIters]] unrolled WEIGHTED rounds — [[pagerankIterCtes]]
+    * with degree replaced by (weight, strength) in the exact same
+    * truncating-integer form.
+    */
+  private val pagerankWIterCtes = (1 to PageRankIters).map { i =>
+    s"""c$i AS (SELECT e.dst AS doc_id,
+       |          CAST(sum((m.mass * $DampNum * e.w) // ($DampDen * e.strength)) AS BIGINT) AS inm
+       |        FROM e JOIN it${i - 1} m ON m.doc_id = e.src GROUP BY 1),
+       |it$i AS (SELECT n.doc_id, $TeleportMass + coalesce(c$i.inm, 0) AS mass
+       |         FROM it0 n LEFT JOIN c$i ON n.doc_id = c$i.doc_id)""".stripMargin
+  }.mkString(",\n")
+
   val oracle: Map[String, String] = Map(
+    "graph_pagerank_weighted" ->
+      s"""WITH ${TextAnalysis.spanFpsCte},
+        |prw AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |          CAST(count(*) AS BIGINT) AS w
+        |        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |        JOIN kept k ON k.fp = a.fp GROUP BY 1, 2),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst, w FROM prw
+        |          UNION ALL SELECT doc_b, doc_a, w FROM prw),
+        |strs AS (SELECT src, CAST(sum(w) AS BIGINT) AS strength FROM edges GROUP BY 1),
+        |e AS (SELECT edges.src, edges.dst, edges.w, strs.strength
+        |      FROM edges JOIN strs USING (src)),
+        |it0 AS (SELECT src AS doc_id, CAST($BaseMass AS BIGINT) AS mass FROM strs),
+        |$pagerankWIterCtes
+        |SELECT s.src AS doc_id, s.strength, m.mass AS rank_ppm
+        |FROM strs s JOIN it$PageRankIters m ON m.doc_id = s.src
+        |ORDER BY doc_id""".stripMargin,
+    "graph_family_profile" ->
+      s"""WITH RECURSIVE $pairCte,
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+        |          UNION ALL SELECT doc_b, doc_a FROM pr),
+        |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        |walk(doc_id, label, depth) AS (
+        |  SELECT doc_id, doc_id, 0 FROM nodes
+        |  UNION
+        |  SELECT e.dst, w.label, w.depth + 1
+        |  FROM walk w JOIN edges e ON e.src = w.doc_id
+        |  WHERE w.depth < ${Dedup.ClusterMaxHops}),
+        |labels AS (SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY 1),
+        |d AS (SELECT doc_id, lang, source, n_chars,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |      FROM documents)
+        |SELECT l.cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+        |       CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+        |       CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+        |       min(d.lang) AS first_lang,
+        |       CAST(sum(d.n_tok) AS BIGINT) AS total_tokens,
+        |       CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+        |       CAST(max(d.n_chars) AS BIGINT) AS max_chars
+        |FROM labels l JOIN d USING (doc_id)
+        |GROUP BY 1 ORDER BY cluster_id""".stripMargin,
     "graph_degree_histo" -> {
       val powsList = (1 to 62).map(i => 1L << i).mkString("[", ", ", "]")
       s"""WITH $pairCte,

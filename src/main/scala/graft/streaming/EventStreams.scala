@@ -183,6 +183,28 @@ object EventStreams {
       .drop("__t", "__topc")
   }
 
+  /** Streaming TEMPERATURE gate — the streaming twin of
+    * `Corpus.temperature`'s application step (the r8 verdict's missing
+    * piece: the batch operator computes per-source keep rates, but a
+    * live ingest needs the gate on the stream). The `rates` frame is
+    * the small per-source `(source, rate_ppm)` table the batch job
+    * computed over yesterday's corpus — broadcast-joined onto the
+    * stream (stream–static joins are exactly Structured Streaming's
+    * supported shape for this), then the SAME deterministic
+    * content-hash threshold as the batch form: keep iff
+    * `hb · 10⁶ < rate_ppm · 2¹⁶` on the 16-bit md5 bucket. Stateless,
+    * no watermark, rerun-stable — a replayed doc gets the same
+    * verdict, so at-least-once upstream delivery cannot double-admit.
+    * An unknown source (absent from the rate table) is DROPPED — the
+    * conservative posture for a token-budgeted mix.
+    */
+  def temperatureGate(docs: DataFrame, rates: DataFrame): DataFrame =
+    docs
+      .withColumn("hb", expr("CAST(conv(substr(md5(text), 1, 4), 16, 10) AS BIGINT)"))
+      .join(broadcast(rates.select(col("source"), col("rate_ppm"))), Seq("source"))
+      .filter(col("hb") * lit(1000000L) < col("rate_ppm") * lit(65536L))
+      .drop("hb")
+
   /** Streaming COMPLIANCE scan — the redaction pass applied at ingest
     * time instead of in the nightly batch: `Redaction.piiScan` and the
     * Luhn card check are pure row-local projections, so the SAME

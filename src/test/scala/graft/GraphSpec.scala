@@ -107,6 +107,60 @@ class GraphSpec extends SparkSpec {
     assert(got.values.map(_._1).sum === pr.size.toLong, "every linked doc binned")
   }
 
+  test("weighted pagerank on a weighted 3-path matches the hand-unrolled rounds") {
+    import spark.implicits._
+    val got = Graph.pagerankWeightedOver(
+      Seq((1L, 2L, 1L), (2L, 3L, 3L)).toDF("doc_a", "doc_b", "w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // strengths (1, 4, 3); 5 rounds of (mass·17·w) div (20·s) hop
+    // arithmetic, simulated independently in exact integers
+    assert(got.toSeq === Seq((1L, 1L, 409168L), (2L, 4L, 1663322L), (3L, 3L, 927505L)))
+  }
+
+  test("weighted pagerank with unit weights equals unweighted pagerank") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (2L, 5L))
+    val un = Graph.pagerankOver(pairs.toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val wt = Graph.pagerankWeightedOver(
+      pairs.map { case (a, b) => (a, b, 1L) }.toDF("doc_a", "doc_b", "w"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(wt.toSeq === un.toSeq)
+  }
+
+  test("degree-oriented triangles equal a brute-force count on a hub-heavy graph") {
+    // hub 1 linked to everyone (degree 7), plus a clique {2,3,4} and
+    // edge (5,6): triangles (1,2,3) (1,2,4) (1,3,4) (2,3,4) (1,5,6)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L), (1L, 7L),
+      (2L, 3L), (2L, 4L), (3L, 4L), (5L, 6L))
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keys.toSeq.sorted
+    val brute = (for {
+      a <- nodes; b <- nodes if a < b && adj(a)(b)
+      c <- nodes if b < c && adj(a)(c) && adj(b)(c)
+    } yield Seq(a, b, c)).flatten.groupBy(identity)
+      .map { case (d, xs) => d -> xs.size.toLong }
+    val got = Graph.trianglesOver(pairsOf(edges: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === brute)
+  }
+
+  test("family profile aggregates every component member exactly once") {
+    val comp = Graph.components(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byCluster = comp.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val prof = Graph.familyProfile(spark, dir).collect()
+    assert(prof.map(_.getLong(0)).toSet === byCluster.keySet)
+    prof.foreach { r =>
+      assert(r.getLong(1) === byCluster(r.getLong(0)), "n_members per cluster")
+      assert(r.getLong(2) >= 1L && r.getLong(3) >= 1L)
+      assert(r.getLong(5) >= r.getLong(1), "total tokens >= one per member")
+      assert(r.getLong(7) <= r.getLong(6), "max_chars <= total_chars")
+    }
+    assert(prof.map(_.getLong(1)).sum === comp.length.toLong)
+  }
+
   test("corpus pagerank covers exactly the span-linked docs, above teleport mass") {
     val pr = Graph.pagerank(spark, dir).collect()
     assert(pr.nonEmpty, "span graph should be non-empty at sf0.001")

@@ -216,6 +216,36 @@ class StreamingSpec extends SparkSpec {
       (3L, "boilerplate", false), (4L, "keep", true), (5L, "too_short", false)))
   }
 
+  test("streaming temperature gate admits exactly the batch gate's docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // the batch-computed per-source rate table a live ingest would load
+    val rates = graft.operators.Corpus.temperature(spark, dir)
+      .select("source", "rate_ppm")
+    val batch = graft.operators.Corpus.temperatureGateBatch(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batch.nonEmpty)
+    // replay the fixture docs through the streaming gate
+    val docs = graft.engine.Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val stream = MemoryStream[(Long, String, String)]
+    val q = EventStreams.temperatureGate(
+        stream.toDF().toDF("doc_id", "source", "text"), rates)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("tgate")
+      .option("checkpointLocation", ckpt()).start()
+    stream.addData(docs.toSeq)
+    // an unknown source must be dropped, not passed or crashed
+    stream.addData(Seq((-1L, "no-such-source", "some text")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("tgate").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got === batch)
+  }
+
   test("streaming compliance scan matches the batch piiScan row for row") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
