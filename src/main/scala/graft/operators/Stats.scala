@@ -292,7 +292,45 @@ object Stats {
       .orderBy($"priority")
   }
 
+  /** DISTRIBUTION-DRIFT report per event type — the monitoring verb a
+    * training-data pipeline runs between two ingest windows ("did this
+    * source's value distribution move?"): events are split into the
+    * first and second half of the observed time range, each half's
+    * `floor(value)` bucket distribution is expressed in integer ppm,
+    * and the drift is the TOTAL VARIATION distance
+    * `Σ|p₁−p₂| div 2` — the exact-arithmetic sibling of PSI/KL (those
+    * hang on an IEEE log; TV is pure integer compare, so both engines
+    * agree to the last ppm). Scale shape: one scan with a broadcast
+    * (min, max) scalar fan-out, one (type, bucket) keyed aggregate,
+    * one bounded per-type rollup — partial aggregation end to end,
+    * no windows, no data-scaled collect.
+    */
+  def tvDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .select($"event_type",
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"),
+        expr("CAST(floor(value) AS BIGINT)").as("bucket"))
+    val bounds = ev.agg(min($"us").as("__lo"), max($"us").as("__hi"))
+    val cells = ev.crossJoin(broadcast(bounds))
+      .withColumn("h1", ($"us" * 2 <= $"__lo" + $"__hi").cast("long"))
+      .groupBy($"event_type", $"bucket")
+      .agg(sum($"h1").as("n1"), (count(lit(1)) - sum($"h1")).as("n2"))
+    val tot = cells.groupBy($"event_type")
+      .agg(sum($"n1").as("t1"), sum($"n2").as("t2"))
+    cells.join(broadcast(tot), Seq("event_type"))
+      .withColumn("p1", expr("(n1 * 1000000) div t1"))
+      .withColumn("p2", expr(
+        "CASE WHEN t2 = 0 THEN CAST(0 AS BIGINT) ELSE (n2 * 1000000) div t2 END"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_buckets"), sum($"n1").as("n_first"),
+        sum($"n2").as("n_second"),
+        expr("sum(abs(p1 - p2)) div 2").as("tv_ppm"))
+      .orderBy($"event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tv_drift" -> tvDrift _,
     "q_winsorized" -> winsorized _,
     "q_trend_slope" -> trendSlope _,
     "q_mad_outliers" -> madOutliers _,
@@ -304,6 +342,26 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_tv_drift" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+        |             CAST(floor(value) AS BIGINT) AS bucket
+        |           FROM events),
+        |b AS (SELECT min(us) AS lo, max(us) AS hi FROM e),
+        |c AS (SELECT event_type, bucket,
+        |        CAST(sum(CASE WHEN us * 2 <= lo + hi THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |        CAST(sum(CASE WHEN us * 2 <= lo + hi THEN 0 ELSE 1 END) AS BIGINT) AS n2
+        |      FROM e, b GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n1) AS BIGINT) AS t1,
+        |        CAST(sum(n2) AS BIGINT) AS t2 FROM c GROUP BY 1),
+        |p AS (SELECT c.event_type, n1, n2,
+        |        (n1 * 1000000) // t.t1 AS p1,
+        |        CASE WHEN t.t2 = 0 THEN 0 ELSE (n2 * 1000000) // t.t2 END AS p2
+        |      FROM c JOIN t USING (event_type))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+        |       CAST(sum(n1) AS BIGINT) AS n_first,
+        |       CAST(sum(n2) AS BIGINT) AS n_second,
+        |       CAST(sum(abs(p1 - p2)) // 2 AS BIGINT) AS tv_ppm
+        |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_winsorized" ->
       s"""WITH o AS (SELECT o_orderpriority AS priority,
         |             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents

@@ -208,6 +208,36 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("tvDrift equals an exact driver recompute of half-split TV distance") {
+    import spark.implicits._
+    val raw = graft.engine.Tables.load(spark, dir, "events")
+      .select($"event_type",
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"),
+        expr("CAST(floor(value) AS BIGINT)").as("bucket"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val lo = raw.map(_._2).min
+    val hi = raw.map(_._2).max
+    val expected = raw.groupBy(_._1).map { case (tpe, rows) =>
+      val (h1, h2) = rows.partition(r => r._2 * 2 <= lo + hi)
+      val c1 = h1.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      val c2 = h2.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      val (t1, t2) = (h1.length.toLong, h2.length.toLong)
+      val tv = (c1.keySet ++ c2.keySet).toSeq.map { b =>
+        val p1 = c1.getOrElse(b, 0L) * 1000000L / t1
+        val p2 = if (t2 == 0) 0L else c2.getOrElse(b, 0L) * 1000000L / t2
+        math.abs(p1 - p2)
+      }.sum / 2
+      tpe -> ((c1.keySet ++ c2.keySet).size.toLong, t1, t2, tv)
+    }
+    val got = Stats.tvDrift(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got === expected)
+    // the split accounts every event and drift stays in [0, 1e6]
+    assert(got.values.map(v => v._2 + v._3).sum === raw.length.toLong)
+    got.values.foreach(v => assert(v._4 >= 0L && v._4 <= 1000000L))
+  }
+
   test("piiScan finds exactly the planted PII and redacts to the Java-regex reference") {
     import spark.implicits._
     val lines = Redaction.logLines(spark, dir).orderBy($"event_id").limit(50).collect()
