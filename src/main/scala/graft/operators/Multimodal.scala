@@ -394,14 +394,85 @@ object Multimodal {
       .select($"q_id", $"vec_id".as("media_id"), $"cos", $"rnk")
   }
 
+  /** Frame size / keep-stride for [[frameSampleQuery]] (mirrored in
+    * the oracle SQL).
+    */
+  val FrameBytes = 32
+  val FrameStride = 4
+
+  /** [[frameSample]] over the synthesized media table as an
+    * oracle-checked query: every kept frame's index, byte length and
+    * content hash. The oracle replays the byte slicing as character
+    * substr — equal because the fixture text is ASCII (the same
+    * 1-byte-per-char premise `mm_binary_stats`'s md5(text) parity
+    * already rests on).
+    */
+  def frameSampleQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    frameSample(fromDocuments(spark, dir).toDF(), FrameBytes, FrameStride)
+      .select($"media_id", $"kind", $"frame_idx".cast("long").as("frame_idx"),
+        length($"frame").cast("long").as("frame_bytes"),
+        md5($"frame").as("frame_md5"))
+      .orderBy($"media_id", $"frame_idx")
+  }
+
+  /** Clamp dimension for [[resizeMetaQuery]] (mirrored in the oracle). */
+  val ResizeMaxDim = 256
+
+  /** [[resizeMeta]] over the synthesized media table as an
+    * oracle-checked query. The scale is an IEEE double on both engines
+    * (identical division/multiply), and the truncating int cast is
+    * made explicit in the oracle (`trunc` before CAST — DuckDB's bare
+    * double→INT cast ROUNDS where Spark's truncates).
+    */
+  def resizeMetaQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    resizeMeta(fromDocuments(spark, dir).toDF(), ResizeMaxDim)
+      .select($"media_id", $"kind", $"width", $"height", $"duration_ms")
+      .orderBy($"media_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_stats" -> binaryStats _,
     "mm_ahash" -> aHash _,
     "mm_ahash_pairs" -> aHashPairs _,
     "mm_feature_topk" -> mediaFeatureTopK _,
+    "mm_frame_sample" -> frameSampleQuery _,
+    "mm_resize_meta" -> resizeMetaQuery _,
   )
 
   val oracle: Map[String, String] = Map(
+    "mm_frame_sample" ->
+      s"""WITH m AS (SELECT doc_id AS media_id,
+        |             CASE doc_id % 3 WHEN 0 THEN 'image'
+        |                  WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |             text,
+        |             CAST(ceil(strlen(text) / $FrameBytes.0) AS INT) AS n_frames
+        |           FROM documents),
+        |fr AS (SELECT media_id, kind, text,
+        |         unnest(generate_series(0, n_frames - 1)) AS frame_idx
+        |       FROM m WHERE n_frames > 0)
+        |SELECT media_id, kind, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |       CAST(strlen(substr(text, frame_idx * $FrameBytes + 1, $FrameBytes)) AS BIGINT) AS frame_bytes,
+        |       md5(substr(text, frame_idx * $FrameBytes + 1, $FrameBytes)) AS frame_md5
+        |FROM fr WHERE frame_idx % $FrameStride = 0
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    "mm_resize_meta" ->
+      s"""WITH m AS (SELECT doc_id AS media_id,
+        |             CASE doc_id % 3 WHEN 0 THEN 'image'
+        |                  WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |             CAST(n_chars % 640 AS INT) AS width,
+        |             CAST(n_chars % 480 AS INT) AS height,
+        |             CAST(n_chars * 10 AS BIGINT) AS duration_ms
+        |           FROM documents),
+        |s AS (SELECT *,
+        |        least(1.0, $ResizeMaxDim.0 / greatest(width, height, 1)) AS scale
+        |      FROM m)
+        |SELECT media_id, kind,
+        |       CAST(trunc(width * scale) AS INT) AS width,
+        |       CAST(trunc(height * scale) AS INT) AS height,
+        |       duration_ms
+        |FROM s ORDER BY media_id""".stripMargin,
     "mm_ahash" ->
       s"""WITH b AS (
         |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n,
