@@ -88,6 +88,29 @@ object Layouts {
       .write.mode("overwrite")
       .parquet(out)
 
+  /** Materialize the winnow span-sharing pair graph ONCE —
+    * `(doc_a, doc_b, n_shared_spans)`, range-clustered on `doc_a` —
+    * so every graph consumer (pagerank, weighted pagerank, triangles,
+    * components, label prop, family profile) reads a parquet relation
+    * instead of re-deriving fingerprints + posting lists per query.
+    * At 100 TB the fingerprint pass is a full-corpus scan + shuffle;
+    * amortizing it across the graph family is the difference between
+    * one ingest-time job and N of them. The `*Over` seams on every
+    * graph operator exist exactly so this swap is a call-site change:
+    * `Graph.pagerankOver(Layouts.readSpanPairs(spark, out))` is
+    * plan-for-plan the post-scan part of `Graph.pagerank`, and
+    * LayoutsSpec asserts result equality plus the absence of any
+    * fingerprint recompute in the read plan.
+    */
+  def writeSpanPairs(spark: SparkSession, dir: String, out: String,
+      files: Int = 8): Unit =
+    rangeWrite(graft.operators.TextAnalysis.sharedSpans(spark, dir),
+      out, "doc_a", files)
+
+  /** Read back [[writeSpanPairs]]'s materialized pair relation. */
+  def readSpanPairs(spark: SparkSession, out: String): DataFrame =
+    spark.read.parquet(out)
+
   /** Revenue per order over the bucketed tables — shuffle-free join. */
   def bucketedOrderRevenue(spark: SparkSession): DataFrame = {
     import spark.implicits._

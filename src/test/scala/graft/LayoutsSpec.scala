@@ -122,6 +122,26 @@ class LayoutsSpec extends SparkSpec {
     } finally prior.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("materialized span-pair graph replays every graph operator exactly, scan-only") {
+    val out = Files.createTempDirectory("graft-spanpairs").toString + "/span_pairs"
+    val dir = "/root/testdata/sf0.001"
+    Layouts.writeSpanPairs(spark, dir, out)
+    val pairs = Layouts.readSpanPairs(spark, out)
+    // the read plan is a parquet scan — no fingerprint/posting recompute
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan parquet") && !plan.contains("Generate"),
+      s"span-pair read should be scan-only:\n$plan")
+    // the amortized form is row-identical to the per-query derivation
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(graft.operators.Graph.pagerankOver(pairs.select("doc_a", "doc_b")))
+      === rows(graft.operators.Graph.pagerank(spark, dir)))
+    assert(rows(graft.operators.Graph.pagerankWeightedOver(pairs))
+      === rows(graft.operators.Graph.pagerankWeighted(spark, dir)))
+    assert(rows(graft.operators.Graph.trianglesOver(pairs.select("doc_a", "doc_b")))
+      === rows(graft.operators.Graph.triangles(spark, dir)))
+  }
+
   test("bucketed orders x lineitem join has no shuffle exchange") {
     // the session is shared across suites — restore the PRIOR values,
     // not hardcoded defaults, or later suites run misconfigured
