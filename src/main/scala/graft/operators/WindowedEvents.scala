@@ -259,7 +259,33 @@ object WindowedEvents {
       .orderBy($"user_id")
   }
 
+  /** Hourly DRIFT monitor — the batch backfill of the streaming drift
+    * sink: per (hour window, event type), the total-variation distance
+    * (integer ppm) between the hour's `floor(value)` bucket
+    * distribution and the corpus-wide baseline distribution. The
+    * rollup step is [[graft.streaming.EventStreams.tvAgainstBaseline]],
+    * SHARED with the streaming `driftCells` sink's foreachBatch body —
+    * live and backfill agree by construction (the trendingHourly
+    * pattern); the corpus-scaled work is two keyed aggregates, the
+    * baseline is broadcast.
+    */
+  def driftHourly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"event_type", window($"ts", "1 hour")("start").as("window_start"),
+        expr("CAST(floor(value) AS BIGINT)").as("bucket"))
+    val cells = ev.groupBy($"window_start", $"event_type", $"bucket")
+      .agg(count(lit(1)).as("n"))
+    val base0 = ev.groupBy($"event_type", $"bucket").agg(count(lit(1)).as("c"))
+    val baseline = base0
+      .join(broadcast(base0.groupBy($"event_type").agg(sum($"c").as("ct"))),
+        Seq("event_type"))
+      .select($"event_type", $"bucket", expr("(c * 1000000) div ct").as("base_ppm"))
+    graft.streaming.EventStreams.tvAgainstBaseline(cells, baseline)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_drift_hourly" -> driftHourly _,
     "q_user_first_last" -> userFirstLast _,
     "q_retention" -> retentionCohorts _,
     "q_dau_wau" -> dauWau _,
@@ -286,6 +312,36 @@ object WindowedEvents {
       |      FROM w)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "s_drift_hourly" ->
+      """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS window_start,
+        |             CAST(floor(value) AS BIGINT) AS bucket
+        |           FROM events),
+        |cells AS (SELECT window_start, event_type, bucket,
+        |            CAST(count(*) AS BIGINT) AS n
+        |          FROM e GROUP BY 1, 2, 3),
+        |b0 AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS c
+        |       FROM e GROUP BY 1, 2),
+        |bt AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS ct FROM b0 GROUP BY 1),
+        |base AS (SELECT b0.event_type, b0.bucket, (b0.c * 1000000) // bt.ct AS base_ppm
+        |         FROM b0 JOIN bt USING (event_type)),
+        |st AS (SELECT event_type, CAST(sum(base_ppm) AS BIGINT) AS base_total_ppm
+        |       FROM base GROUP BY 1),
+        |th AS (SELECT window_start, event_type, CAST(sum(n) AS BIGINT) AS t_h
+        |       FROM cells GROUP BY 1, 2),
+        |sc AS (SELECT c.window_start, c.event_type, c.n,
+        |         (c.n * 1000000) // th.t_h AS p_h,
+        |         coalesce(b.base_ppm, 0) AS base_ppm
+        |       FROM cells c JOIN th USING (window_start, event_type)
+        |       LEFT JOIN base b ON b.event_type = c.event_type AND b.bucket = c.bucket),
+        |agg AS (SELECT window_start, event_type,
+        |          CAST(sum(n) AS BIGINT) AS n_events,
+        |          CAST(sum(abs(p_h - base_ppm)) AS BIGINT) AS sum_abs,
+        |          CAST(sum(base_ppm) AS BIGINT) AS seen_base
+        |        FROM sc GROUP BY 1, 2)
+        |SELECT a.window_start, a.event_type, a.n_events,
+        |       CAST((a.sum_abs + (s.base_total_ppm - a.seen_base)) // 2 AS BIGINT) AS tv_ppm
+        |FROM agg a JOIN st s USING (event_type)
+        |ORDER BY window_start, event_type""".stripMargin,
     "q_dau_wau" ->
       """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
         |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),

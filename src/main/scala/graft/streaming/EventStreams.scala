@@ -205,6 +205,63 @@ object EventStreams {
       .filter(col("hb") * lit(1000000L) < col("rate_ppm") * lit(65536L))
       .drop("hb")
 
+  /** Shared TV-DRIFT rollup — the monitoring step both the batch
+    * backfill (`WindowedEvents.driftHourly`) and the streaming sink's
+    * foreachBatch body run over closed windows, so live and backfilled
+    * drift rows agree by construction (the `rankClosedWindows`
+    * pattern). `cells` is the windowed bucket-count relation
+    * `(window_start, event_type, bucket, n)`; `baseline` the reference
+    * distribution `(event_type, bucket, base_ppm)` a batch job
+    * computed over the trusted corpus (small: types × buckets —
+    * broadcast). Per (window, type) the total-variation distance in
+    * ppm accounts mass on BOTH sides: observed buckets contribute
+    * `|p_h − p_base|`, baseline buckets the window never saw
+    * contribute their full base mass (`base_total − seen_base`), and
+    * the sum halves — all truncating-integer arithmetic, so the
+    * DuckDB oracle matches exactly.
+    */
+  def tvAgainstBaseline(cells: DataFrame, baseline: DataFrame): DataFrame = {
+    val sTot = baseline.groupBy(col("event_type"))
+      .agg(sum(col("base_ppm")).as("base_total_ppm"))
+    // the per-(window, type) totals come from the SAME cells frame the
+    // join probes — rename the keys so the self-join resolves without
+    // ambiguity (Seq-based using-joins hit conflicting-reference
+    // resolution here when cells is a sink-backed view)
+    val t = cells
+      .select(col("window_start").as("__ws"), col("event_type").as("__et"), col("n"))
+      .groupBy(col("__ws"), col("__et")).agg(sum(col("n")).as("t_h"))
+    cells
+      .join(broadcast(baseline), Seq("event_type", "bucket"), "left")
+      .withColumn("base_ppm", coalesce(col("base_ppm"), lit(0L)))
+      .join(t, col("window_start") === col("__ws") && col("event_type") === col("__et"))
+      .drop("__ws", "__et")
+      .withColumn("p_h", expr("(n * 1000000) div t_h"))
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(expr("abs(p_h - base_ppm)")).as("__sum_abs"),
+        sum(col("base_ppm")).as("__seen_base"))
+      .join(broadcast(sTot), Seq("event_type"))
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        expr("(__sum_abs + (base_total_ppm - __seen_base)) div 2").as("tv_ppm"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** The streaming half of the drift monitor: watermarked tumbling
+    * windows × (event_type, floor(value) bucket) counts. Append mode
+    * emits each cell once its window closes; the foreachBatch sink
+    * (or any downstream batch step) then applies
+    * [[tvAgainstBaseline]] with the broadcast baseline — state per
+    * open window is the bucket-count map, evicted at the watermark.
+    */
+  def driftCells(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"),
+        expr("CAST(floor(value) AS BIGINT)").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("bucket"), col("n"))
+
   /** Streaming COMPLIANCE scan — the redaction pass applied at ingest
     * time instead of in the nightly batch: `Redaction.piiScan` and the
     * Luhn card check are pure row-local projections, so the SAME

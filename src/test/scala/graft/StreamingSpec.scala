@@ -311,6 +311,42 @@ class StreamingSpec extends SparkSpec {
     assert(r.getLong(5) === 4L && r.getLong(6) === 1600L)
   }
 
+  test("streaming drift cells + shared TV rollup match a hand-computed drift row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = stream.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventStreams.driftCells(events, watermark = "0 seconds")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("drift_cells")
+      .option("checkpointLocation", ckpt()).start()
+    stream.addData(Seq(
+      (1L, Timestamp.valueOf("2024-05-01 10:00:00"), "click", 1.0),
+      (2L, Timestamp.valueOf("2024-05-01 10:10:00"), "click", 1.7),
+      (3L, Timestamp.valueOf("2024-05-01 10:20:00"), "click", 2.5),
+      (4L, Timestamp.valueOf("2024-05-01 10:30:00"), "click", 2.9)))
+    // later events both advance the watermark (closing hour 10) and
+    // contribute to the baseline the monitor compares against
+    stream.addData(Seq(
+      (5L, Timestamp.valueOf("2024-05-01 12:30:00"), "click", 1.2),
+      (6L, Timestamp.valueOf("2024-05-01 12:40:00"), "click", 5.5)))
+    q.processAllAvailable()
+    q.stop()
+    val cells = spark.table("drift_cells")
+    assert(cells.count() === 2, "hour 10 closes into two bucket cells")
+    // baseline over ALL six events: bucket 1 -> 3/6, 2 -> 2/6, 5 -> 1/6
+    val baseline = Seq(("click", 1L, 500000L), ("click", 2L, 333333L),
+      ("click", 5L, 166666L)).toDF("event_type", "bucket", "base_ppm")
+    val got = EventStreams.tvAgainstBaseline(cells, baseline).collect()
+    assert(got.length === 1)
+    val r = got.head
+    // hour 10: buckets (1 -> 2/4 = 500000, 2 -> 2/4 = 500000);
+    // TV = (|500000-500000| + |500000-333333| + unseen 166666) div 2
+    assert(r.getAs[String]("event_type") === "click")
+    assert(r.getAs[Long]("n_events") === 4L)
+    assert(r.getAs[Long]("tv_ppm") === 166666L)
+  }
+
   test("streaming trending top-k over closed windows equals the batch twin's ranking") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
