@@ -329,7 +329,39 @@ object Stats {
       .orderBy($"event_type")
   }
 
+  /** MERGEABLE distinct-user rollup — the sketch-partial pattern that
+    * makes "distinct users per day AND total" one pass at any scale:
+    * each day aggregates to a DataSketches HLL sketch
+    * (`hll_sketch_agg`, lgK 14), the total is the UNION of the daily
+    * sketches (`hll_union_agg`) — never a second full-data distinct.
+    * This is the shape a streaming rollup maintains incrementally
+    * (yesterday's sketches are immutable partials; today's union is
+    * cheap), where exact distinct would need the full key set again.
+    * Union-of-partials equals the one-shot sketch BY CONSTRUCTION
+    * (same lgK, deterministic — spec-pinned), so serving from the
+    * rollup loses nothing vs re-scanning. Per-day exact counts ride
+    * along for the audit column; no DuckDB oracle (sketch binaries are
+    * engine-specific) — the driver records the rows-only check and the
+    * ScalaTest pins mergeability + the error envelope.
+    */
+  def sketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .select(to_date($"ts").as("day"), $"user_id")
+      .groupBy($"day")
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+        countDistinct($"user_id").as("exact_users"))
+    val perDay = daily.select($"day".cast("string").as("day"),
+      expr("hll_sketch_estimate(sk)").as("approx_users"), $"exact_users")
+    val total = daily
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"))
+      .select(lit("TOTAL").as("day"), $"approx_users",
+        lit(null).cast("long").as("exact_users"))
+    perDay.unionByName(total).orderBy($"day")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sketch_rollup" -> sketchRollup _,
     "q_tv_drift" -> tvDrift _,
     "q_winsorized" -> winsorized _,
     "q_trend_slope" -> trendSlope _,

@@ -569,8 +569,17 @@ class ExtensionSpec extends SparkSpec {
   test("lsh recall table equals a driver recompute and is perfect for exact dups") {
     val cand = Dedup.minhashLsh(spark, dir)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the same deterministic 1-in-RecallSampleMod truth sample the
+    // operator applies (4th md5 hex nibble of "a:b")
+    def sampled(p: (Long, Long)): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${p._1}:${p._2}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Character.digit(hex.charAt(3), 16) % Dedup.RecallSampleMod == 0
+    }
     val truth = Dedup.ngramJaccard(spark, dir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getDouble(3)))
+      .filter(t => sampled(t._1))
     val expect = truth.groupBy { case (_, inter, jac) =>
       10L * inter / math.round(inter / jac)
     }.view.mapValues { g =>

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.{Graph, Multimodal, Stats, WindowedEvents}
+
+/** Round-9 plan-shape assertions for the new operators. */
+class PlanAudit9Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("tvDrift fans the min/max scalar out by broadcast and never sort-merges") {
+    val df = Stats.tvDrift(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the (lo, hi) scalar enters as a broadcast nested-loop (1-row
+    // cross), the per-type totals as a broadcast hash join — the only
+    // data-scaled exchange is the (type, bucket) aggregate
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"broadcast fan-out missing:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no sort-merge join belongs here:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("driftHourly broadcasts the baseline and the per-type totals") {
+    val df = WindowedEvents.driftHourly(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"baseline must broadcast:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("degree-oriented triangles plan hash joins, never a cartesian product") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val plan = Graph.trianglesOver(pairs).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"wedge enumeration must stay an equi-join:\n$plan")
+  }
+
+  test("weighted pagerank carries weights on the edge relation without extra shuffles") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, 3L), (2L, 3L, 1L)).toDF("doc_a", "doc_b", "w")
+    // shape parity with the unweighted core: same number of exchanges
+    // in one mass-passing round (the weight is a carried column, not a
+    // join)
+    val w = Graph.pagerankWeightedOver(pairs).queryExecution.executedPlan.toString
+    val u = Graph.pagerankOver(pairs.select("doc_a", "doc_b"))
+      .queryExecution.executedPlan.toString
+    def exchanges(p: String) = p.split("Exchange").length - 1
+    assert(exchanges(w) <= exchanges(u) + 1,
+      s"weighted form grew the shuffle count: ${exchanges(w)} vs ${exchanges(u)}")
+  }
+
+  test("frame sampler query is generate + project over the scan (no mid-plan aggregate)") {
+    val df = Multimodal.frameSampleQuery(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), "frame explode missing")
+    assert(!plan.contains("HashAggregate"),
+      s"a pure sampler must not aggregate:\n$plan")
+    assert(df.count() > 0)
+  }
+}

@@ -238,6 +238,28 @@ class StatsSpec extends SparkSpec {
     got.values.foreach(v => assert(v._4 >= 0L && v._4 <= 1000000L))
   }
 
+  test("sketch rollup: union of daily partials equals the one-shot sketch, within HLL error") {
+    import spark.implicits._
+    val rows = Stats.sketchRollup(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    val (totals, days) = rows.partition(_._1 == "TOTAL")
+    assert(totals.length === 1 && days.nonEmpty)
+    // mergeability: the unioned-partials total must equal a direct
+    // one-shot sketch over all users (same lgK, deterministic)
+    val direct = graft.engine.Tables.load(spark, dir, "events")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))")).head.getLong(0)
+    assert(totals.head._2 === direct, "union of partials != one-shot sketch")
+    // error envelope: lgK 14 keeps relative error ~0.8%; allow 5%
+    days.foreach { case (day, approx, exact) =>
+      assert(math.abs(approx - exact) <= math.max(1L, exact / 20),
+        s"day $day approx $approx vs exact $exact")
+    }
+    val exactTotal = graft.engine.Tables.load(spark, dir, "events")
+      .select("user_id").distinct().count()
+    assert(math.abs(totals.head._2 - exactTotal) <= math.max(1L, exactTotal / 20))
+  }
+
   test("piiScan finds exactly the planted PII and redacts to the Java-regex reference") {
     import spark.implicits._
     val lines = Redaction.logLines(spark, dir).orderBy($"event_id").limit(50).collect()
