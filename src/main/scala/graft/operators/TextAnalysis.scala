@@ -235,6 +235,51 @@ object TextAnalysis {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** INCREMENTAL span-graph maintenance — the daily-ingest twin of
+    * [[sharedSpans]], completing the materialize-once story
+    * (`Layouts.writeSpanPairs` holds yesterday's pair relation; this
+    * emits exactly the NEW pair rows today's batch adds, so the graph
+    * is appended to instead of recomputed): an incoming `(doc_id,
+    * text)` batch is winnow-fingerprinted and (a) joined against the
+    * persisted `(doc_id, fp)` fingerprint store for new↔store links,
+    * (b) run through the [[sharedSpansOf]] posting-pair core for
+    * new↔new links. Both arms keep the boilerplate cap: a fingerprint
+    * over [[MaxSpanDf]] docs on EITHER side is dropped (same hazard,
+    * same rule — a viral span in the store would otherwise join every
+    * incoming doc). Scale shape: one fp-keyed join (store side
+    * pre-filtered by its df), one posting-list pass over the batch —
+    * the store relation itself is never rescanned per pair, and
+    * nothing touches yesterday's pairs.
+    */
+  def spanPairsIncremental(newDocs: DataFrame, store: DataFrame): DataFrame = {
+    import newDocs.sparkSession.implicits._
+    val fpsNew = winnowOf(newDocs)
+    val cn = fpsNew.groupBy($"fp").agg(count(lit(1)).as("cn"))
+    val cs = store.groupBy($"fp").agg(count(lit(1)).as("cs"))
+    val newStore = fpsNew.as("n")
+      .join(cn.filter($"cn" <= MaxSpanDf), Seq("fp"))
+      .join(store.as("s").join(cs.filter($"cs" <= MaxSpanDf), Seq("fp")),
+        Seq("fp"))
+      .select(least(col("n.doc_id"), col("s.doc_id")).as("doc_a"),
+        greatest(col("n.doc_id"), col("s.doc_id")).as("doc_b"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_shared_spans"))
+    sharedSpansOf(fpsNew).unionByName(newStore)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** [[spanPairsIncremental]] over the fixture split by doc parity
+    * (odd docs are "today's batch", even docs the persisted store) —
+    * the oracle-checked registration.
+    */
+  def spansIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    spanPairsIncremental(
+      d.filter($"doc_id" % 2 === 1),
+      winnowOf(d.filter($"doc_id" % 2 === 0)))
+  }
+
   /** Term-frequency surface: per-doc top-3 terms (stopwords excluded)
     * with corpus document-frequency — the TF side of TF-IDF (IDF's log
     * is left to callers: libm vs JVM log differ at the ulp, which would
@@ -852,6 +897,7 @@ object TextAnalysis {
     "text_repetition" -> repetition _,
     "text_winnow" -> winnowFingerprint _,
     "text_shared_spans" -> sharedSpans _,
+    "text_spans_incremental" -> spansIncremental _,
     "text_top_terms" -> topTerms _,
     "text_tfidf" -> tfidf _,
     "text_lm_surprise" -> lmSurprise _,
@@ -1173,6 +1219,28 @@ object TextAnalysis {
         |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |JOIN kept k ON k.fp = a.fp
         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+    "text_spans_incremental" ->
+      s"""WITH $spanFpsCte,
+        |fn AS (SELECT doc_id, fp FROM fps WHERE doc_id % 2 = 1),
+        |fs AS (SELECT doc_id, fp FROM fps WHERE doc_id % 2 = 0),
+        |cn AS (SELECT fp, count(*) AS c FROM fn GROUP BY 1),
+        |cs AS (SELECT fp, count(*) AS c FROM fs GROUP BY 1),
+        |nn AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(count(*) AS BIGINT) AS n_shared_spans
+        |       FROM fn a JOIN fn b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |       JOIN cn ON cn.fp = a.fp AND cn.c BETWEEN 2 AND $MaxSpanDf
+        |       GROUP BY 1, 2),
+        |ns AS (SELECT least(a.doc_id, b.doc_id) AS doc_a,
+        |         greatest(a.doc_id, b.doc_id) AS doc_b,
+        |         CAST(count(*) AS BIGINT) AS n_shared_spans
+        |       FROM fn a JOIN fs b ON a.fp = b.fp
+        |       JOIN cn ON cn.fp = a.fp AND cn.c <= $MaxSpanDf
+        |       JOIN cs ON cs.fp = a.fp AND cs.c <= $MaxSpanDf
+        |       GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared_spans FROM nn
+        |UNION ALL
+        |SELECT doc_a, doc_b, n_shared_spans FROM ns
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "text_top_terms" ->
       """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |f AS (SELECT doc_id, term, count(*) AS tf FROM terms

@@ -10,6 +10,25 @@ import graft.operators.{Dedup, Similarity, TextAnalysis}
 class ExtensionSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
+  test("incremental span pairs cover the batch half and always touch a batch doc") {
+    import spark.implicits._
+    val d = graft.engine.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val inc = TextAnalysis.spansIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(inc.nonEmpty)
+    // nothing re-emits a store-internal pair: every row links the batch
+    inc.foreach { case (a, b, _) =>
+      assert(a % 2 == 1 || b % 2 == 1, s"store-only pair ($a, $b) emitted") }
+    // the batch-internal arm IS sharedSpansOf on the batch half
+    val nn = TextAnalysis.sharedSpansOf(
+      TextAnalysis.winnowOf(d.filter($"doc_id" % 2 === 1))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc.filter(t => t._1 % 2 == 1 && t._2 % 2 == 1).toSet === nn)
+    // and no pair appears twice across the two arms
+    assert(inc.map(t => (t._1, t._2)).distinct.length === inc.length)
+  }
+
   test("minhash LSH candidates recall every true near-dup pair (jaccard >= 0.8)") {
     val cand = Dedup.minhashLsh(spark, dir)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
