@@ -39,7 +39,17 @@ object Bench {
     // r5, both times exceeding the round-over-round delta), so a
     // median is what makes BENCH_r{N} deltas attributable to code
     val timedRuns = 3
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to named queries —
+    // the dev loop for timing one operator family without the full
+    // 15-minute sweep. Filtered runs skip the bench_lines.jsonl append
+    // (partial lines would poison round-over-round diffs).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val benched = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    val results = benched.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.catalog.clearCache()
       System.gc()
       val ok = run(name, fn)
@@ -79,7 +89,7 @@ object Bench {
     // JSON object per run) where the next round can diff it
     // anchor at the repo root via an env override so the append can't land
     // in whatever CWD the driver launched sbt from
-    try {
+    if (only.isEmpty) try {
       val benchDir = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/root/repo/bench"))
       java.nio.file.Files.createDirectories(benchDir)

@@ -182,6 +182,22 @@ object TextAnalysis {
     import d.sparkSession.implicits._
     d.select($"doc_id", tok.as("t"))
       .filter(size($"t") >= 3)
+      .select($"doc_id",
+        explode(graft.plans.ArrayExpressions.winnow($"t")).as("fp"))
+      .orderBy($"doc_id", $"fp")
+  }
+
+  /** The stock-Catalyst HOF chain [[winnowOf]]'s native kernel
+    * replaced — kept as the differential-spec twin (the kernel must
+    * stay bit-equal to this forever; ArrayExpressionsSpec enforces
+    * it). Three intermediate arrays per row and per-element lambda
+    * dispatch made this the measured hot path of the whole span
+    * family.
+    */
+  private[graft] def winnowOfHof(d: DataFrame): DataFrame = {
+    import d.sparkSession.implicits._
+    d.select($"doc_id", tok.as("t"))
+      .filter(size($"t") >= 3)
       .withColumn("vals",
         expr("transform(t, x -> CAST(conv(substr(md5(x), 1, 4), 16, 10) AS BIGINT))"))
       .withColumn("hs", expr(

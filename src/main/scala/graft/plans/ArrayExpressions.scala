@@ -145,6 +145,41 @@ object ArrayExpressions {
       copy(child = newChild)
   }
 
+  /** Winnowing fingerprints of a token array — the span-evidence hot
+    * path shared by `text_winnow`, `text_shared_spans` and the whole
+    * graph family, collapsed into ONE pass: per token the 16-bit md5
+    * prefix, per position the rolling trigram hash, per 4-window the
+    * min, distinct-preserving-first-occurrence — exactly the
+    * `TextAnalysis.winnowOfHof` HOF chain (spec-pinned bit-equal),
+    * without materialising the three intermediate arrays per row or
+    * paying per-element lambda dispatch. Null for arrays under 3
+    * tokens (the HOF twin's callers filter those; the kernel makes the
+    * contract explicit). Null ELEMENTS hash as empty strings — a
+    * domain the engine never produces (token arrays come from
+    * splitting non-null text), same caveat as [[DotProductD]].
+    */
+  case class Winnow(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_winnow"
+
+    override def nullSafeEval(a: Any): Any =
+      SimHashUtil.winnow(a.asInstanceOf[ArrayData])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""
+           |${ev.value} = graft.plans.SimHashUtil.winnow($c);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Column builders (usable without any session registration). */
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProductD(Bridge.expression(a), Bridge.expression(b)))
@@ -157,6 +192,9 @@ object ArrayExpressions {
 
   def minhash16(features: Column): Column =
     Bridge.column(MinHash16(Bridge.expression(features)))
+
+  def winnow(tokens: Column): Column =
+    Bridge.column(Winnow(Bridge.expression(tokens)))
 }
 
 /** Row-level SimHash kernel called from both interpreted eval and the
@@ -249,6 +287,52 @@ object SimHashUtil {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Winnowing-fingerprint kernel — one pass over the token array:
+    * 16-bit md5 prefixes, rolling trigram hashes
+    * `(v[i-1]·66049 + v[i]·257 + v[i+1]) mod 1000003`, 4-window mins,
+    * distinct in first-occurrence order. Arithmetic and window
+    * clipping replicate the HOF chain exactly (1-based `slice(hs, j,
+    * 4)` over `j = 1..max(|hs|−3, 1)`); null for under-3-token arrays.
+    */
+  def winnow(arr: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = arr.numElements()
+    if (n < 3) return null
+    val md = digests.get()
+    val vals = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val h =
+        if (arr.isNullAt(i)) md.digest(Array.emptyByteArray)
+        else md.digest(arr.getUTF8String(i).getBytes)
+      vals(i) = (((h(0) & 0xff) << 8) | (h(1) & 0xff)).toLong
+      i += 1
+    }
+    val m = n - 2
+    val hs = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      hs(i) = (vals(i) * 66049L + vals(i + 1) * 257L + vals(i + 2)) % 1000003L
+      i += 1
+    }
+    val w = math.max(m - 3, 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j < w) {
+      var mn = Long.MaxValue
+      var k = j
+      val end = math.min(j + 4, m)
+      while (k < end) { if (hs(k) < mn) mn = hs(k); k += 1 }
+      seen.add(mn)
+      j += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** SQL-name registration via SparkSessionExtensions — enable with
@@ -280,7 +364,11 @@ object GraftExtensions {
     (FunctionIdentifier("graft_minhash16"),
       new ExpressionInfo(classOf[ArrayExpressions.MinHash16].getName, "graft_minhash16"),
       (children: Seq[Expression]) =>
-        ArrayExpressions.MinHash16(children(0))))
+        ArrayExpressions.MinHash16(children(0))),
+    (FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[ArrayExpressions.Winnow].getName, "graft_winnow"),
+      (children: Seq[Expression]) =>
+        ArrayExpressions.Winnow(children(0))))
 
   /** Register into a live session (withExtensions only applies at
     * construction time).

@@ -72,4 +72,30 @@ class ArrayExpressionsSpec extends SparkSpec {
     // all-null features must yield null, never an array of null elements
     assert(r.isNullAt(2))
   }
+
+  test("native winnow kernel matches the HOF chain bit for bit on corpus and edges") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the whole fixture corpus
+    val docs = graft.engine.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    assert(rows(graft.operators.TextAnalysis.winnowOf(docs))
+      === rows(graft.operators.TextAnalysis.winnowOfHof(docs)))
+    // window-clipping edges: 3..8 tokens spans |hs| = 1..6 (short
+    // single-window cases and the first multi-window sizes), plus
+    // repeated tokens exercising the distinct
+    val edges = (3 to 8).map { k =>
+      (k.toLong, (1 to k).map(i => s"w${i % 3}").mkString(" "))
+    } :+ (99L, "a a a a a a a a a a")
+    val edf = edges.toDF("doc_id", "text")
+    val native = rows(graft.operators.TextAnalysis.winnowOf(edf))
+    assert(native === rows(graft.operators.TextAnalysis.winnowOfHof(edf)))
+    assert(native.nonEmpty)
+    // under-3-token arrays yield null (callers filter; the kernel must
+    // not emit phantom fingerprints)
+    val nul = spark.sql("SELECT graft_winnow(array('a', 'b')) AS f").collect()(0)
+    assert(nul.isNullAt(0))
+  }
 }
