@@ -71,6 +71,20 @@ object Dedup {
   private def tokenized(spark: SparkSession, dir: String): DataFrame =
     tokenizedOf(docs(spark, dir))
 
+  /** The stock-expression twin of the `graft_shingle_keys` kernel —
+    * kept for the differential spec (kernel must stay bit-equal
+    * forever): HOF shingle array → explode → md5/conv 60-bit key, and
+    * the per-doc count as `size` of the same array.
+    */
+  private[graft] def shingleKeysHof(d: DataFrame): (DataFrame, DataFrame) = {
+    import d.sparkSession.implicits._
+    val toks = tokenizedOf(d)
+    (toks.select($"doc_id", explode(shingleArrayExpr).as("shingle"))
+      .select($"doc_id",
+        expr("CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT)").as("sk")),
+      toks.select($"doc_id", size(shingleArrayExpr).cast("long").as("n")))
+  }
+
   /** (doc_id, shingle) — exploded form. */
   private def shingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -786,13 +800,16 @@ object Dedup {
     // collision would merge two shingles' postings — deterministically
     // and IDENTICALLY in the DuckDB oracle (same md5 arithmetic), so
     // results still hash-match; at 2^60 key space the corpus-level
-    // collision odds are ~10^-5.
-    val sh = toks.select($"doc_id", explode(shingleArrayExpr).as("shingle"))
-      .select($"doc_id",
-        expr("CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT)").as("sk"))
-    // per-doc shingle counts as a pure projection (no second explode +
-    // shuffle over the shingle relation), from the same definition
-    val sizes = toks.select($"doc_id", size(shingleArrayExpr).cast("long").as("n"))
+    // collision odds are ~10^-5. Since r9 the scan step is the native
+    // graft_shingle_keys kernel (one pass, no HOF shingle array);
+    // DedupDifferentialSpec pins it to the expression twin
+    // [[shingleKeysHof]].
+    val sh = toks.select($"doc_id",
+      explode(graft.plans.ArrayExpressions.shingleKeys($"t")).as("sk"))
+    // per-doc shingle counts from the same kernel output (distinct
+    // shingle strings == kernel array length by construction)
+    val sizes = toks.select($"doc_id",
+      size(graft.plans.ArrayExpressions.shingleKeys($"t")).cast("long").as("n"))
     val pairs = sh
       .groupBy($"sk")
       .agg(sort_array(collect_list($"doc_id")).as("ds"))

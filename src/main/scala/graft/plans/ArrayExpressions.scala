@@ -180,6 +180,39 @@ object ArrayExpressions {
       copy(child = newChild)
   }
 
+  /** Distinct word-3-gram 60-bit posting keys of a token array — the
+    * shingle pair core's scan step (`Dedup.shinglePairCounts`) in one
+    * pass: per position the `"a b c"` shingle, distinct by STRING (not
+    * by key — a key collision must merge postings identically to the
+    * DuckDB oracle, which also keys distinct strings), each hashed to
+    * the first 15 md5 hex chars as a long. Replaces the HOF
+    * shingle-array build + per-element explode + md5/conv projection;
+    * also serves `size()` for the per-doc shingle counts, so both
+    * consumers read one expression. Null for under-3-token arrays
+    * (callers filter; [[Winnow]]'s contract).
+    */
+  case class ShingleKeys(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_shingle_keys"
+
+    override def nullSafeEval(a: Any): Any =
+      SimHashUtil.shingleKeys(a.asInstanceOf[ArrayData])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""
+           |${ev.value} = graft.plans.SimHashUtil.shingleKeys($c);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Column builders (usable without any session registration). */
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProductD(Bridge.expression(a), Bridge.expression(b)))
@@ -195,6 +228,9 @@ object ArrayExpressions {
 
   def winnow(tokens: Column): Column =
     Bridge.column(Winnow(Bridge.expression(tokens)))
+
+  def shingleKeys(tokens: Column): Column =
+    Bridge.column(ShingleKeys(Bridge.expression(tokens)))
 }
 
 /** Row-level SimHash kernel called from both interpreted eval and the
@@ -333,6 +369,45 @@ object SimHashUtil {
     while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Shingle-key kernel: distinct `"a b c"` word trigrams (first-
+    * occurrence order, distinct by string so md5-key collisions merge
+    * postings exactly like the string-keyed oracle), each mapped to
+    * `conv(substr(md5(s), 1, 15), 16, 10)` — the 60-bit value of the
+    * first 15 hex chars: bytes 0–6 big-endian, then the high nibble
+    * of byte 7.
+    */
+  def shingleKeys(arr: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = arr.numElements()
+    if (n < 3) return null
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + 2 < n) {
+      val sb = new java.lang.StringBuilder()
+      sb.append(if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString)
+      sb.append(' ')
+      sb.append(if (arr.isNullAt(i + 1)) "" else arr.getUTF8String(i + 1).toString)
+      sb.append(' ')
+      sb.append(if (arr.isNullAt(i + 2)) "" else arr.getUTF8String(i + 2).toString)
+      seen.add(sb.toString)
+      i += 1
+    }
+    val md = digests.get()
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) {
+      md.reset()
+      val h = md.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (h(b) & 0xffL); b += 1 }
+      v = (v << 4) | ((h(7) >> 4) & 0xfL)
+      out(o) = v
+      o += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** SQL-name registration via SparkSessionExtensions — enable with
@@ -368,7 +443,11 @@ object GraftExtensions {
     (FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[ArrayExpressions.Winnow].getName, "graft_winnow"),
       (children: Seq[Expression]) =>
-        ArrayExpressions.Winnow(children(0))))
+        ArrayExpressions.Winnow(children(0))),
+    (FunctionIdentifier("graft_shingle_keys"),
+      new ExpressionInfo(classOf[ArrayExpressions.ShingleKeys].getName, "graft_shingle_keys"),
+      (children: Seq[Expression]) =>
+        ArrayExpressions.ShingleKeys(children(0))))
 
   /** Register into a live session (withExtensions only applies at
     * construction time).

@@ -2,6 +2,8 @@ package graft
 
 import java.security.MessageDigest
 
+import org.apache.spark.sql.functions.{explode, size, split}
+
 import graft.operators.Dedup
 
 /** Driver-side naive recompute of chunk-level dedup over the real
@@ -15,6 +17,33 @@ class DedupDifferentialSpec extends SparkSpec {
   private def md5hex(s: String): String =
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
+
+  test("shingle-key kernel matches the HOF twin on corpus and short-token edges") {
+    import spark.implicits._
+    val docs = graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    val (shHof, sizesHof) = Dedup.shingleKeysHof(docs)
+    def keyBag(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted.toList
+    val shKernel = docs.select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 3)
+      .select($"doc_id",
+        explode(graft.plans.ArrayExpressions.shingleKeys($"t")).as("sk"))
+    assert(keyBag(shKernel) === keyBag(shHof), "posting multisets must be identical")
+    val sizesKernel = docs.select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 3)
+      .select($"doc_id",
+        size(graft.plans.ArrayExpressions.shingleKeys($"t")).cast("long").as("n"))
+    assert(keyBag(sizesKernel) === keyBag(sizesHof), "distinct counts must be identical")
+    // edge: exactly 3 tokens = one shingle; repeated trigrams dedupe
+    val edge = Seq((1L, "a b c"), (2L, "a b c a b c a b c")).toDF("doc_id", "text")
+    val got = edge.select($"doc_id",
+        graft.plans.ArrayExpressions.shingleKeys(split($"text", " ")).as("ks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(got(1L).size === 1)
+    // doc 2's 7 positional trigrams collapse to the 3 distinct rotations
+    assert(got(2L).size === 3 && got(2L).contains(got(1L).head))
+  }
 
   test("chunkDedupApply keeps exactly one occurrence per fingerprint and rebuilds intact docs") {
     import spark.implicits._
