@@ -112,7 +112,8 @@ object Dedup {
     import d.sparkSession.implicits._
     tokenizedOf(d)
       .select($"doc_id",
-        graft.plans.ArrayExpressions.minhash16(shingleArrayExpr).as("sig"))
+        graft.plans.ArrayExpressions.minhash16(
+          graft.plans.ArrayExpressions.shingles($"t")).as("sig"))
   }
 
   /** (doc_id, band, band_key) — each doc's [[NumHashes]]/[[BandSize]]
@@ -222,7 +223,8 @@ object Dedup {
     import spark.implicits._
     tokenized(spark, dir)
       .select($"doc_id",
-        graft.plans.ArrayExpressions.simhash64(shingleArrayExpr).as("s"))
+        graft.plans.ArrayExpressions.simhash64(
+          graft.plans.ArrayExpressions.shingles($"t")).as("s"))
       .select($"doc_id",
         $"s.hi".as("simhash_hi"),
         $"s.lo".as("simhash_lo"),

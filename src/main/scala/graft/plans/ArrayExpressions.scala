@@ -213,6 +213,36 @@ object ArrayExpressions {
       copy(child = newChild)
   }
 
+  /** Distinct word-3-gram STRING shingles of a token array — the
+    * feature input of the minhash/simhash signature kernels, built in
+    * one pass instead of the HOF transform + array_distinct chain.
+    * Same distinct-by-string first-occurrence order as the expression
+    * twin (order is immaterial to the min/fold consumers, but equality
+    * keeps the differential spec exact). Null for under-3-token
+    * arrays.
+    */
+  case class Shingles(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_shingles"
+
+    override def nullSafeEval(a: Any): Any =
+      SimHashUtil.shingles(a.asInstanceOf[ArrayData])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""
+           |${ev.value} = graft.plans.SimHashUtil.shingles($c);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Column builders (usable without any session registration). */
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProductD(Bridge.expression(a), Bridge.expression(b)))
@@ -231,6 +261,9 @@ object ArrayExpressions {
 
   def shingleKeys(tokens: Column): Column =
     Bridge.column(ShingleKeys(Bridge.expression(tokens)))
+
+  def shingles(tokens: Column): Column =
+    Bridge.column(Shingles(Bridge.expression(tokens)))
 }
 
 /** Row-level SimHash kernel called from both interpreted eval and the
@@ -370,16 +403,12 @@ object SimHashUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  /** Shingle-key kernel: distinct `"a b c"` word trigrams (first-
-    * occurrence order, distinct by string so md5-key collisions merge
-    * postings exactly like the string-keyed oracle), each mapped to
-    * `conv(substr(md5(s), 1, 15), 16, 10)` — the 60-bit value of the
-    * first 15 hex chars: bytes 0–6 big-endian, then the high nibble
-    * of byte 7.
+  /** Distinct `"a b c"` trigram strings in first-occurrence order —
+    * shared by [[shingleKeys]] (which hashes them) and the
+    * string-array kernel consumers.
     */
-  def shingleKeys(arr: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+  private def distinctShingles(arr: ArrayData): java.util.LinkedHashSet[String] = {
     val n = arr.numElements()
-    if (n < 3) return null
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0
     while (i + 2 < n) {
@@ -392,6 +421,35 @@ object SimHashUtil {
       seen.add(sb.toString)
       i += 1
     }
+    seen
+  }
+
+  /** String-shingle kernel: the distinct trigram set as an array of
+    * UTF8 strings (feature input for minhash16/simhash64).
+    */
+  def shingles(arr: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    if (arr.numElements() < 3) return null
+    val seen = distinctShingles(arr)
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) {
+      out(o) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      o += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Shingle-key kernel: distinct `"a b c"` word trigrams (first-
+    * occurrence order, distinct by string so md5-key collisions merge
+    * postings exactly like the string-keyed oracle), each mapped to
+    * `conv(substr(md5(s), 1, 15), 16, 10)` — the 60-bit value of the
+    * first 15 hex chars: bytes 0–6 big-endian, then the high nibble
+    * of byte 7.
+    */
+  def shingleKeys(arr: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    if (arr.numElements() < 3) return null
+    val seen = distinctShingles(arr)
     val md = digests.get()
     val out = new Array[Any](seen.size())
     val it = seen.iterator()
@@ -447,7 +505,11 @@ object GraftExtensions {
     (FunctionIdentifier("graft_shingle_keys"),
       new ExpressionInfo(classOf[ArrayExpressions.ShingleKeys].getName, "graft_shingle_keys"),
       (children: Seq[Expression]) =>
-        ArrayExpressions.ShingleKeys(children(0))))
+        ArrayExpressions.ShingleKeys(children(0))),
+    (FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ArrayExpressions.Shingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) =>
+        ArrayExpressions.Shingles(children(0))))
 
   /** Register into a live session (withExtensions only applies at
     * construction time).

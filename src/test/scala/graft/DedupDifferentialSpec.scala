@@ -45,6 +45,22 @@ class DedupDifferentialSpec extends SparkSpec {
     assert(got(2L).size === 3 && got(2L).contains(got(1L).head))
   }
 
+  test("string-shingle kernel equals the HOF shingle array element for element") {
+    import spark.implicits._
+    val docs = graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text").limit(200)
+    val toks = docs.select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 3)
+    val hof = toks.select($"doc_id", org.apache.spark.sql.functions.expr(
+        """array_distinct(transform(sequence(0, size(t)-3),
+          |  i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))""".stripMargin).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    val kern = toks.select($"doc_id",
+        graft.plans.ArrayExpressions.shingles($"t").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(kern === hof, "same strings in the same first-occurrence order")
+  }
+
   test("chunkDedupApply keeps exactly one occurrence per fingerprint and rebuilds intact docs") {
     import spark.implicits._
     val texts = graft.engine.Tables.load(spark, dir, "documents")
