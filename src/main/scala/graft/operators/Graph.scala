@@ -76,7 +76,9 @@ object Graph {
   def pagerankOver(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edges0 = pairs.toDF("doc_a", "doc_b")
+    // materialize before the symmetrizing union — both branches would
+    // otherwise re-derive the span subtree
+    val edges0 = pairs.toDF("doc_a", "doc_b").localCheckpoint()
     val sym = edges0.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(edges0.select($"doc_b", $"doc_a"))
       .localCheckpoint()
@@ -124,7 +126,8 @@ object Graph {
   def pagerankWeightedOver(weighted: DataFrame): DataFrame = {
     val spark = weighted.sparkSession
     import spark.implicits._
-    val edges0 = weighted.toDF("doc_a", "doc_b", "w")
+    // materialize before the symmetrizing union (see pagerankOver)
+    val edges0 = weighted.toDF("doc_a", "doc_b", "w").localCheckpoint()
     val sym = edges0.select($"doc_a".as("src"), $"doc_b".as("dst"), $"w")
       .union(edges0.select($"doc_b", $"doc_a", $"w"))
       .localCheckpoint()
@@ -170,7 +173,13 @@ object Graph {
   def trianglesOver(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val p0 = pairs.toDF("doc_a", "doc_b")
+    // the pair relation feeds the degree count AND both sides of the
+    // orientation join — materialize once so the span-derivation
+    // subtree cannot replay per consumer (AQE reuses identical
+    // exchanges, but the branches' projections differ; measured ~1.3s
+    // off triangles at sf0.1, and at 100 TB the derivation is a
+    // full-corpus scan no runtime reuse should be trusted to dedup)
+    val p0 = pairs.toDF("doc_a", "doc_b").localCheckpoint()
     val deg = p0.select($"doc_a".as("v")).union(p0.select($"doc_b"))
       .groupBy($"v").agg(count(lit(1)).as("d"))
     // orient toward the (deg, id)-lexicographically larger endpoint;
@@ -207,7 +216,7 @@ object Graph {
     */
   def components(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = spanPairs(spark, dir)
+    val pairs = spanPairs(spark, dir).localCheckpoint()
     val nodes = pairs.select($"doc_a".as("doc_id"))
       .union(pairs.select($"doc_b")).distinct()
     Dedup.clustersOver(nodes,
@@ -279,7 +288,8 @@ object Graph {
     val spark = pairs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val edges0 = pairs.toDF("doc_a", "doc_b")
+    // materialize before the symmetrizing union (see pagerankOver)
+    val edges0 = pairs.toDF("doc_a", "doc_b").localCheckpoint()
     val sym = edges0.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(edges0.select($"doc_b", $"doc_a"))
       .localCheckpoint()
@@ -312,7 +322,7 @@ object Graph {
     */
   def degreeHisto(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = spanPairs(spark, dir)
+    val pairs = spanPairs(spark, dir).localCheckpoint()
     val pows = (1 to 62).map(i => 1L << i)
     pairs.select($"doc_a".as("src")).union(pairs.select($"doc_b"))
       .groupBy($"src").agg(count(lit(1)).as("deg"))
