@@ -231,10 +231,13 @@ object Similarity {
   /** [[ivfTopK]] over ANY (id, array<double>) frame (spec seam and
     * media-feature path, mirroring [[cosineTopKOver]]).
     */
-  def ivfTopKOver(e0: DataFrame, idCol: String, embCol: String,
-      numCentroids: Int = IvfNumCentroids, nProbe: Int = IvfNProbe,
-      iters: Int = IvfKmeansIters, numQueries: Int = NumQueries,
-      topK: Int = TopK): DataFrame = {
+  /** Train + assign: the quantized/cached corpus frame, the trained
+    * centroid vectors, and the `(vec_id, emb, nrm, cent_id)`
+    * assignment — the IVF steps [[ivfTopKOver]] (probe search) and
+    * [[ivfBalance]] (index health) share.
+    */
+  private def ivfAssignOver(e0: DataFrame, idCol: String, embCol: String,
+      numCentroids: Int, iters: Int): (DataFrame, Seq[Seq[Long]], DataFrame) = {
     val spark = e0.sparkSession
     import spark.implicits._
     // cache = a projection-collapse BARRIER, not just reuse: without
@@ -255,6 +258,43 @@ object Similarity {
     val cid = coalesce(cents.indices.map(i => when(col(s"d$i") === m, i)): _*)
     val assign = withD.withColumn("cent_id", cid)
       .select($"vec_id", $"emb", $"nrm", $"cent_id")
+    (e, cents, assign)
+  }
+
+  /** IVF INDEX-HEALTH report — the list-balance table an IVF rollout
+    * is judged by before it serves traffic: per centroid the assigned
+    * vector count and its load in ppm of perfect balance (1e6 = the
+    * exact fair share; a 4e6 list is a hot shard that slows every
+    * probe hitting it, a 0 list wastes a probe). Empty centroids are
+    * reported, not dropped. One keyed count over the assignment plus
+    * a broadcast total — the corpus never shuffles on anything but
+    * cent_id.
+    */
+  def ivfBalance(spark: SparkSession, dir: String,
+      numCentroids: Int = IvfNumCentroids, iters: Int = IvfKmeansIters): DataFrame = {
+    import spark.implicits._
+    val (_, cents, assign) = ivfAssignOver(
+      Tables.load(spark, dir, "embeddings")
+        .select($"vec_id", Vectors.toDouble($"embedding").as("emb")),
+      "vec_id", "emb", numCentroids, iters)
+    val counts = assign.groupBy($"cent_id").agg(count(lit(1)).as("n_vecs"))
+    spark.range(cents.length).select($"id".cast("int").as("cent_id"))
+      .join(counts, Seq("cent_id"), "left")
+      .withColumn("n_vecs", coalesce($"n_vecs", lit(0L)))
+      .crossJoin(broadcast(assign.agg(count(lit(1)).as("__t"))))
+      .withColumn("load_ppm",
+        expr(s"(n_vecs * ${cents.length} * 1000000) div __t"))
+      .drop("__t")
+      .orderBy($"cent_id")
+  }
+
+  def ivfTopKOver(e0: DataFrame, idCol: String, embCol: String,
+      numCentroids: Int = IvfNumCentroids, nProbe: Int = IvfNProbe,
+      iters: Int = IvfKmeansIters, numQueries: Int = NumQueries,
+      topK: Int = TopK): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    val (e, cents, assign) = ivfAssignOver(e0, idCol, embCol, numCentroids, iters)
     // probe ranking runs over queries × k rows only — the full corpus
     // never sees a window here
     val centDf = broadcast(cents.zipWithIndex
@@ -961,6 +1001,7 @@ object Similarity {
     "ann_lsh_topk" -> ((s: SparkSession, d: String) => lshTopK(s, d)),
     "ann_lsh_multiprobe" -> ((s: SparkSession, d: String) => lshTopKMultiProbe(s, d)),
     "ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
+    "ann_ivf_balance" -> ((s: SparkSession, d: String) => ivfBalance(s, d)),
     "ann_rrf_fusion" -> rrfFusion _,
     "ann_pq_topk" -> ((s: SparkSession, d: String) => pqTopK(s, d)),
     "ann_recall_report" -> recallReport _,
@@ -1147,6 +1188,17 @@ object Similarity {
     "ann_pq_topk" -> pqOracle,
     "ann_lsh_multiprobe" -> multiprobeOracle,
     "ann_ivf_topk" -> ivfOracle,
+    "ann_ivf_balance" ->
+      s"""WITH $ivfAssignCtes,
+        |counts AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vecs
+        |           FROM assign GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM assign),
+        |ids AS (SELECT unnest(generate_series(0, $IvfNumCentroids - 1)) AS cent_id)
+        |SELECT CAST(ids.cent_id AS INT) AS cent_id,
+        |       coalesce(c.n_vecs, 0) AS n_vecs,
+        |       (coalesce(c.n_vecs, 0) * $IvfNumCentroids * 1000000) // t.tot AS load_ppm
+        |FROM ids LEFT JOIN counts c ON c.cent_id = ids.cent_id, t
+        |ORDER BY cent_id""".stripMargin,
     "ann_recall_report" -> recallReportOracle,
   )
 
@@ -1370,7 +1422,11 @@ object Similarity {
     * tie-break, integer-mean update) is exact integer arithmetic, so
     * both engines train identical centroids.
     */
-  private def ivfOracle: String = {
+  /** The IVF training + final-assignment CTE chain (`nrm` … `assign`)
+    * — shared by [[ivfOracle]] (probe search) and the
+    * `ann_ivf_balance` oracle (index health over the same assignment).
+    */
+  private def ivfAssignCtes: String = {
     val k = IvfNumCentroids
     val dims = 64
     def distCte(name: String, cents: String, filter: String = "") =
@@ -1393,7 +1449,7 @@ object Similarity {
         |cents$t AS (SELECT c.cent_id, coalesce(nw.civ, c.civ) AS civ
         |  FROM cents${t - 1} c LEFT JOIN new$t nw USING (cent_id))""".stripMargin
     }.mkString(",\n")
-    s"""WITH nrm AS (SELECT vec_id, embedding,
+    s"""nrm AS (SELECT vec_id, embedding,
       |    sqrt(list_aggregate(list_transform(embedding,
       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
       |  FROM embeddings),
@@ -1406,7 +1462,11 @@ object Similarity {
       |${distCte("fdist", s"cents$IvfKmeansIters")},
       |assign AS (SELECT vec_id, cent_id FROM (SELECT vec_id, cent_id,
       |  row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
-      |  FROM fdist) WHERE rn = 1),
+      |  FROM fdist) WHERE rn = 1)""".stripMargin
+  }
+
+  private def ivfOracle: String = {
+    s"""WITH $ivfAssignCtes,
       |probes AS (SELECT vec_id AS q_id, cent_id FROM (SELECT vec_id, cent_id,
       |  row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
       |  FROM fdist WHERE vec_id < $NumQueries) WHERE rn <= $IvfNProbe),

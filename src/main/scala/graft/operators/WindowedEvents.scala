@@ -284,7 +284,32 @@ object WindowedEvents {
     graft.streaming.EventStreams.tvAgainstBaseline(cells, baseline)
   }
 
+  /** SESSION-SHAPE rollup — the engagement data-card row on top of
+    * [[sessionize]]: sessions binned by ⌊log₂ n_events⌋ (the exact
+    * powers-of-two device — no IEEE log), per bin the session count,
+    * total events, and the longest session duration in exact
+    * microseconds. Bin 0 is the one-event bounce population; the top
+    * bins are the power users a per-user state store must size for.
+    * One window pass (the sessionizer) + one bounded keyed aggregate.
+    */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pows = (1 to 62).map(i => 1L << i)
+    sessionize(spark, dir)
+      .withColumn("bin", size(filter(
+        array(pows.map(lit(_)): _*), p => p <= $"n_events")).cast("long"))
+      .withColumn("dur_us",
+        expr("unix_micros(CAST(session_end AS TIMESTAMP))" +
+          " - unix_micros(CAST(session_start AS TIMESTAMP))"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum($"n_events").as("total_events"),
+        max($"dur_us").as("max_duration_us"))
+      .orderBy($"bin")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_stats" -> sessionStats _,
     "s_drift_hourly" -> driftHourly _,
     "q_user_first_last" -> userFirstLast _,
     "q_retention" -> retentionCohorts _,
@@ -312,6 +337,20 @@ object WindowedEvents {
       |      FROM w)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_session_stats" -> {
+      val powsList = (1 to 62).map(i => 1L << i).mkString("[", ", ", "]")
+      s"""WITH $sessionCte,
+        |sess AS (SELECT user_id, sess_id, CAST(count(*) AS BIGINT) AS n_events,
+        |           epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+        |         FROM s GROUP BY 1, 2),
+        |b AS (SELECT n_events, dur_us,
+        |        CAST(len(list_filter($powsList, p -> p <= n_events)) AS BIGINT) AS bin
+        |      FROM sess)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(sum(n_events) AS BIGINT) AS total_events,
+        |       CAST(max(dur_us) AS BIGINT) AS max_duration_us
+        |FROM b GROUP BY 1 ORDER BY bin""".stripMargin
+    },
     "s_drift_hourly" ->
       """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS window_start,
         |             CAST(floor(value) AS BIGINT) AS bucket

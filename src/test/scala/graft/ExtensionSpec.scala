@@ -29,6 +29,34 @@ class ExtensionSpec extends SparkSpec {
     assert(inc.map(t => (t._1, t._2)).distinct.length === inc.length)
   }
 
+  test("ivf balance accounts every vector once and loads average to the fair share") {
+    import graft.operators.Similarity
+    val rows = Similarity.ivfBalance(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === Similarity.IvfNumCentroids)
+    assert(rows.map(_._1).toSeq === (0 until Similarity.IvfNumCentroids))
+    val total = graft.engine.Tables.load(spark, dir, "embeddings").count()
+    assert(rows.map(_._2).sum === total, "every vector assigned exactly once")
+    // Σ load_ppm = k · 1e6 up to truncation dust
+    val loadSum = rows.map(_._3).sum
+    val target = Similarity.IvfNumCentroids * 1000000L
+    assert(loadSum <= target && loadSum > target - Similarity.IvfNumCentroids,
+      s"load sum $loadSum vs $target")
+  }
+
+  test("session stats bins account every session and event of the sessionizer") {
+    import graft.operators.WindowedEvents
+    val sessions = WindowedEvents.sessionize(spark, dir).collect()
+      .map(r => r.getLong(2))
+    val got = WindowedEvents.sessionStats(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._2).sum === sessions.length.toLong)
+    assert(got.map(_._3).sum === sessions.sum)
+    got.foreach { case (bin, _, _, maxDur) =>
+      assert(bin >= 0L && maxDur >= 0L)
+    }
+  }
+
   test("minhash LSH candidates recall every true near-dup pair (jaccard >= 0.8)") {
     val cand = Dedup.minhashLsh(spark, dir)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
