@@ -635,6 +635,28 @@ object Similarity {
   def pqTopK(spark: SparkSession, dir: String,
       numQueries: Int = NumQueries, k: Int = TopK): DataFrame = {
     import spark.implicits._
+    val coded = pqCodedFrame(spark, dir)
+    val books = trainPqBooks(coded)
+    val enc = pqEnc(coded, books)
+    val lut = pqLut(coded, books, numQueries)
+    val cand = broadcast(lut).join(enc, Seq("m", "scode"))
+      .filter($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id")
+      .agg(sum($"pts").as("adc"))
+      .withColumn("crnk",
+        row_number().over(Window.partitionBy($"q_id").orderBy($"adc".desc, $"vec_id")))
+      .filter($"crnk" <= PqCandK)
+      .select($"q_id", $"vec_id")
+    pqExactRerank(cand, coded, numQueries, k)
+  }
+
+  /** The int8-coded corpus `(vec_id, vc)` — [[quantize]]'s per-dim
+    * min/max 0..255 codes, localCheckpointed because it feeds
+    * training, encoding, and the query LUT (the rpTopK
+    * materialization-barrier lesson).
+    */
+  private def pqCodedFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val e0 = Tables.load(spark, dir, "embeddings")
       .select($"vec_id", Vectors.toDouble($"embedding").as("emb"))
     val stats = e0.select(posexplode($"emb").as(Seq("dim", "x")))
@@ -649,15 +671,30 @@ object Similarity {
       when(mx === mn, lit(0L))
         .otherwise(least(floor((x - mn) * 255.0 / (mx - mn)), lit(255.0)).cast("long"))
     })
-    // localCheckpoint: vc feeds training, encoding, and the query LUT
-    // (the rpTopK materialization-barrier lesson)
-    val coded = e0.select($"vec_id", codes.as("vc")).localCheckpoint()
-    val books = trainPqBooks(coded)
-    val enc = withSubCodes(coded, books)
+    e0.select($"vec_id", codes.as("vc")).localCheckpoint()
+  }
+
+  /** PQ ENCODING `(vec_id, m, scode)` — each vector reduced to its
+    * [[PqSubspaces]] nearest-codebook-entry ids, a map-side projection
+    * against driver-literal codebooks.
+    */
+  private def pqEnc(coded: DataFrame,
+      books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]): DataFrame = {
+    import coded.sparkSession.implicits._
+    withSubCodes(coded, books)
       .select($"vec_id", posexplode(array(
         (0 until PqSubspaces).map(m => col(s"sc$m").cast("long")): _*))
         .as(Seq("m", "scode")))
       .select($"vec_id", $"m".cast("long").as("m"), $"scode")
+  }
+
+  /** Per-query ADC LOOKUP TABLE `(q_id, m, scode, pts)` — the dot of
+    * every query subvector with every codebook entry; queries × M × K
+    * rows, broadcast-sized by construction.
+    */
+  private def pqLut(coded: DataFrame,
+      books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]], numQueries: Int): DataFrame = {
+    import coded.sparkSession.implicits._
     val qsubs = coded.filter($"vec_id" < numQueries)
       .select($"vec_id".as("q_id"), posexplode(expr(
         s"""transform(sequence(0, ${PqSubspaces - 1}),
@@ -667,18 +704,19 @@ object Similarity {
     val bookDf = (for {
       m <- 0 until PqSubspaces; c <- 0 until PqCentroids
     } yield (m.toLong, c.toLong, books(m)(c).toArray)).toDF("m", "scode", "civ")
-    val lut = qsubs.join(broadcast(bookDf), Seq("m"))
+    qsubs.join(broadcast(bookDf), Seq("m"))
       .withColumn("pts", expr(
         "aggregate(zip_with(qsub, civ, (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x)"))
       .select($"q_id", $"m", $"scode", $"pts")
-    val cand = broadcast(lut).join(enc, Seq("m", "scode"))
-      .filter($"vec_id" =!= $"q_id")
-      .groupBy($"q_id", $"vec_id")
-      .agg(sum($"pts").as("adc"))
-      .withColumn("crnk",
-        row_number().over(Window.partitionBy($"q_id").orderBy($"adc".desc, $"vec_id")))
-      .filter($"crnk" <= PqCandK)
-      .select($"q_id", $"vec_id")
+  }
+
+  /** The exact-tail refine stage shared by the PQ cascades: the ADC
+    * shortlist `(q_id, vec_id)` re-ranked by the exact full-width code
+    * dot, top `k` per query.
+    */
+  private def pqExactRerank(cand: DataFrame, coded: DataFrame,
+      numQueries: Int, k: Int): DataFrame = {
+    import coded.sparkSession.implicits._
     cand
       .join(coded, Seq("vec_id"))
       .join(broadcast(coded.filter($"vec_id" < numQueries)
@@ -691,6 +729,67 @@ object Similarity {
       .filter($"rnk" <= k)
       .select($"q_id", $"vec_id", $"score", $"rnk")
       .orderBy($"q_id", $"rnk")
+  }
+
+  /** IVF+PQ composed ANN — the IndexIVFPQ serving shape (Jégou et al.
+    * TPAMI 2011 §V; FAISS IndexIVFPQ with `by_residual=false`): the
+    * trained coarse quantizer ([[trainIvfCentroidsOver]]) routes each
+    * query to its [[IvfNProbe]] nearest inverted lists, and ONLY the
+    * vectors in those lists are ADC-scored against the per-query
+    * codebook LUT, then the shortlist is re-ranked by the exact code
+    * dot. [[pqTopK]] scans every vector's codes; this composition
+    * scans ~nProbe/k of them — the structure that serves
+    * billion-vector indexes, because the ADC scan cost becomes
+    * proportional to the probed lists, not the corpus.
+    *
+    * Scale shape: coarse assignment and PQ encoding are both map-side
+    * projections against driver-literal models; the candidate join
+    * distributes on cent_id (list-partitioned, how a cluster shards an
+    * IVF index); the LUT join is a broadcast on (q_id, m, scode); ADC
+    * is 8 integer adds per candidate in compressed space; both rank
+    * filters compile to WindowGroupLimit. Integer-exact end to end, so
+    * the DuckDB oracle replays coarse training, PQ training, routing,
+    * ADC, and the refine bit-for-bit.
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String,
+      numQueries: Int = NumQueries, k: Int = TopK,
+      nProbe: Int = IvfNProbe): DataFrame = {
+    import spark.implicits._
+    val e0 = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", Vectors.toDouble($"embedding").as("emb"))
+    val (e, cents, assign) = ivfAssignOver(e0, "vec_id", "emb",
+      IvfNumCentroids, IvfKmeansIters)
+    val coded = pqCodedFrame(spark, dir)
+    val books = trainPqBooks(coded)
+    val enc = pqEnc(coded, books)
+    val lut = pqLut(coded, books, numQueries)
+    // coarse routing: each query's nProbe nearest lists (queries × k
+    // centroid rows only — the corpus never sees this window)
+    val centDf = broadcast(cents.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toDF("cent_id", "civ"))
+    val probes = e.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("q_id"), $"iv")
+      .crossJoin(centDf)
+      .withColumn("d", expr("aggregate(zip_with(iv, civ, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (s, t) -> s + t)"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"d", $"cent_id")))
+      .filter($"crnk" <= nProbe)
+      .select($"q_id", $"cent_id")
+    // the probed inverted lists — the ONLY vectors ADC ever touches
+    val clist = broadcast(probes)
+      .join(assign.select($"vec_id", $"cent_id"), Seq("cent_id"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id")
+    val cand = clist
+      .join(enc, Seq("vec_id"))
+      .join(broadcast(lut), Seq("q_id", "m", "scode"))
+      .groupBy($"q_id", $"vec_id")
+      .agg(sum($"pts").as("adc"))
+      .withColumn("crnk",
+        row_number().over(Window.partitionBy($"q_id").orderBy($"adc".desc, $"vec_id")))
+      .filter($"crnk" <= PqCandK)
+      .select($"q_id", $"vec_id")
+    pqExactRerank(cand, coded, numQueries, k)
   }
 
   /** Embedding-space OUTLIERS per class — the "these examples don't
@@ -1004,6 +1103,7 @@ object Similarity {
     "ann_ivf_balance" -> ((s: SparkSession, d: String) => ivfBalance(s, d)),
     "ann_rrf_fusion" -> rrfFusion _,
     "ann_pq_topk" -> ((s: SparkSession, d: String) => pqTopK(s, d)),
+    "ann_ivfpq_topk" -> ((s: SparkSession, d: String) => ivfPqTopK(s, d)),
     "ann_recall_report" -> recallReport _,
     "ann_recall_quantized" -> recallQuantized _,
   )
@@ -1186,6 +1286,7 @@ object Similarity {
     "ann_lsh_topk" -> lshOracle,
     "ann_rrf_fusion" -> rrfOracle,
     "ann_pq_topk" -> pqOracle,
+    "ann_ivfpq_topk" -> ivfPqOracle,
     "ann_lsh_multiprobe" -> multiprobeOracle,
     "ann_ivf_topk" -> ivfOracle,
     "ann_ivf_balance" ->
@@ -1345,19 +1446,59 @@ object Similarity {
     * floor `//` agree on the centroid means).
     */
   private def pqOracle: String = {
-    val codesCte =
-      """d AS (
-        |  SELECT i - 1 AS dim,
-        |         min(CAST(embedding[i] AS DOUBLE)) AS mn,
-        |         max(CAST(embedding[i] AS DOUBLE)) AS mx
-        |  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
-        |  GROUP BY 1),
-        |codes AS (
-        |  SELECT e.vec_id, list(CASE WHEN mx = mn THEN 0
-        |      ELSE CAST(least(floor((CAST(embedding[d.dim + 1] AS DOUBLE) - mn) * 255.0
-        |                            / (mx - mn)), 255.0) AS BIGINT) END ORDER BY d.dim) AS vc
-        |  FROM embeddings e CROSS JOIN d GROUP BY e.vec_id)""".stripMargin
-    def subCtes(m: Int): String = {
+    val subAll = (0 until PqSubspaces).map(pqSubCtes).mkString(",\n")
+    s"""WITH $pqCodesCte,
+      |$subAll,
+      |u AS (
+      |  $pqAdcUnions),
+      |sc AS (SELECT q_id, vec_id, CAST(sum(pts) AS BIGINT) AS adc
+      |       FROM u WHERE vec_id <> q_id GROUP BY 1, 2),
+      |cand AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS crnk
+      |  FROM sc) WHERE crnk <= $PqCandK),
+      |$pqRerankCtes
+      |SELECT q_id, vec_id, score, rnk FROM r WHERE rnk <= $TopK
+      |ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** The int8-code CTEs (`d`, `codes`) shared by the PQ-family
+    * oracles — [[pqCodedFrame]]'s replay. */
+  private def pqCodesCte: String =
+    """d AS (
+      |  SELECT i - 1 AS dim,
+      |         min(CAST(embedding[i] AS DOUBLE)) AS mn,
+      |         max(CAST(embedding[i] AS DOUBLE)) AS mx
+      |  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+      |  GROUP BY 1),
+      |codes AS (
+      |  SELECT e.vec_id, list(CASE WHEN mx = mn THEN 0
+      |      ELSE CAST(least(floor((CAST(embedding[d.dim + 1] AS DOUBLE) - mn) * 255.0
+      |                            / (mx - mn)), 255.0) AS BIGINT) END ORDER BY d.dim) AS vc
+      |  FROM embeddings e CROSS JOIN d GROUP BY e.vec_id)""".stripMargin
+
+  /** Per-(query, candidate, subspace) ADC points: `lut$m ⋈ enc$m` per
+    * subspace, unioned — each pair surfaces exactly [[PqSubspaces]]
+    * rows. Shared by [[pqOracle]] and [[ivfPqOracle]]. */
+  private def pqAdcUnions: String =
+    (0 until PqSubspaces).map(m =>
+      s"SELECT l.q_id, e.vec_id, l.pts FROM lut$m l JOIN enc$m e ON e.scode = l.scode")
+      .mkString("\n  UNION ALL ")
+
+  /** The exact-code-dot refine CTEs (`dots`, `r`) over a `cand`
+    * shortlist — [[pqExactRerank]]'s replay. */
+  private def pqRerankCtes: String =
+    s"""dots AS (SELECT c.q_id, c.vec_id,
+      |    CAST(list_aggregate(list_transform(generate_series(1, 64),
+      |      i -> q.vc[i] * v.vc[i]), 'sum') AS BIGINT) AS score
+      |  FROM cand c JOIN codes q ON q.vec_id = c.q_id
+      |              JOIN codes v ON v.vec_id = c.vec_id),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+      |        ORDER BY score DESC, vec_id) AS BIGINT) AS rnk FROM dots)""".stripMargin
+
+  /** One subspace's training + encoding + LUT CTE chain (`s$m` …
+    * `enc$m`, `lut$m`) — [[trainPqBooks]] / [[pqEnc]] / [[pqLut]]
+    * replayed per subspace. */
+  private def pqSubCtes(m: Int): String = {
       val lo = m * PqSubDims + 1
       val hi = (m + 1) * PqSubDims
       def dist(name: String, cents: String) =
@@ -1391,27 +1532,34 @@ object Similarity {
         |    CAST(list_aggregate(list_transform(generate_series(1, $PqSubDims),
         |      i -> q.iv[i] * c.civ[i]), 'sum') AS BIGINT) AS pts
         |  FROM s$m q CROSS JOIN m${m}c$PqIters c WHERE q.vec_id < $NumQueries)""".stripMargin
-    }
-    val subAll = (0 until PqSubspaces).map(subCtes).mkString(",\n")
-    val unions = (0 until PqSubspaces).map(m =>
-      s"SELECT l.q_id, e.vec_id, l.pts FROM lut$m l JOIN enc$m e ON e.scode = l.scode")
-      .mkString("\n  UNION ALL ")
-    s"""WITH $codesCte,
+  }
+
+  /** [[ivfPqTopK]]'s oracle: [[ivfAssignCtes]]'s coarse training +
+    * assignment composed with the PQ CTE chains — probes route each
+    * query to its nProbe lists, `cl` restricts the ADC union to the
+    * probed lists' vectors, and the shortlist re-ranks by the exact
+    * code dot. The two CTE families share no names, so the
+    * composition is literal concatenation.
+    */
+  private def ivfPqOracle: String = {
+    val subAll = (0 until PqSubspaces).map(pqSubCtes).mkString(",\n")
+    s"""WITH $ivfAssignCtes,
+      |$pqCodesCte,
       |$subAll,
+      |probes AS (SELECT vec_id AS q_id, cent_id FROM (SELECT vec_id, cent_id,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+      |  FROM fdist WHERE vec_id < $NumQueries) WHERE rn <= $IvfNProbe),
+      |cl AS (SELECT p.q_id, a.vec_id FROM probes p
+      |  JOIN assign a ON p.cent_id = a.cent_id AND a.vec_id <> p.q_id),
       |u AS (
-      |  $unions),
-      |sc AS (SELECT q_id, vec_id, CAST(sum(pts) AS BIGINT) AS adc
-      |       FROM u WHERE vec_id <> q_id GROUP BY 1, 2),
+      |  $pqAdcUnions),
+      |sc AS (SELECT u.q_id, u.vec_id, CAST(sum(u.pts) AS BIGINT) AS adc
+      |       FROM u JOIN cl ON cl.q_id = u.q_id AND cl.vec_id = u.vec_id
+      |       GROUP BY 1, 2),
       |cand AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
       |    row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS crnk
       |  FROM sc) WHERE crnk <= $PqCandK),
-      |dots AS (SELECT c.q_id, c.vec_id,
-      |    CAST(list_aggregate(list_transform(generate_series(1, 64),
-      |      i -> q.vc[i] * v.vc[i]), 'sum') AS BIGINT) AS score
-      |  FROM cand c JOIN codes q ON q.vec_id = c.q_id
-      |              JOIN codes v ON v.vec_id = c.vec_id),
-      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
-      |        ORDER BY score DESC, vec_id) AS BIGINT) AS rnk FROM dots)
+      |$pqRerankCtes
       |SELECT q_id, vec_id, score, rnk FROM r WHERE rnk <= $TopK
       |ORDER BY q_id, rnk""".stripMargin
   }
