@@ -659,19 +659,61 @@ object Similarity {
     import spark.implicits._
     val e0 = Tables.load(spark, dir, "embeddings")
       .select($"vec_id", Vectors.toDouble($"embedding").as("emb"))
+    val (mns, mxs) = pqStatsOf(e0)
+    e0.select($"vec_id", pqCodesCol(mns, mxs).as("vc")).localCheckpoint()
+  }
+
+  /** The quantizer bounds — per-dim min/max over the corpus, the
+    * model half the codebooks are trained against. */
+  private def pqStatsOf(e0: DataFrame): (Seq[Double], Seq[Double]) = {
+    import e0.sparkSession.implicits._
     val stats = e0.select(posexplode($"emb").as(Seq("dim", "x")))
       .groupBy($"dim").agg(min($"x").as("mn"), max($"x").as("mx"))
       .collect().sortBy(_.getInt(0))
-    val mns = lit(stats.map(_.getDouble(1)))
-    val mxs = lit(stats.map(_.getDouble(2)))
-    val codes = transform(sequence(lit(0), lit(stats.length - 1)), i => {
-      val x = element_at($"emb", i + 1)
+    (stats.map(_.getDouble(1)).toSeq, stats.map(_.getDouble(2)).toSeq)
+  }
+
+  /** The 0..255 quantize projection over an `emb` column, against
+    * LITERAL bounds — pure, so it runs identically on batch and
+    * streaming frames. */
+  private def pqCodesCol(mnsV: Seq[Double], mxsV: Seq[Double]): Column = {
+    val mns = lit(mnsV.toArray)
+    val mxs = lit(mxsV.toArray)
+    transform(sequence(lit(0), lit(mnsV.length - 1)), i => {
+      val x = element_at(col("emb"), i + 1)
       val mn = element_at(mns, i + 1)
       val mx = element_at(mxs, i + 1)
       when(mx === mn, lit(0L))
         .otherwise(least(floor((x - mn) * 255.0 / (mx - mn)), lit(255.0)).cast("long"))
     })
-    e0.select($"vec_id", codes.as("vc")).localCheckpoint()
+  }
+
+  /** The FROZEN serving model of the PQ index — quantizer bounds +
+    * trained sub-codebooks — as driver literals, the artifact an
+    * index build publishes and every encoder (batch backfill or
+    * streaming ingest) applies unchanged.
+    */
+  private[graft] def trainedPqModel(spark: SparkSession, dir: String):
+      (Seq[Double], Seq[Double], IndexedSeq[IndexedSeq[IndexedSeq[Long]]]) = {
+    import spark.implicits._
+    val e0 = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", Vectors.toDouble($"embedding").as("emb"))
+    val (mns, mxs) = pqStatsOf(e0)
+    val coded = e0.select($"vec_id", pqCodesCol(mns, mxs).as("vc")).localCheckpoint()
+    (mns, mxs, trainPqBooks(coded))
+  }
+
+  /** Map-side PQ ENCODER against a frozen model: any `(vec_id, emb)`
+    * frame → `(vec_id, m, scode)` sub-codes. Every step (quantize,
+    * per-subspace distances, argmin) is a projection against driver
+    * literals — no state, no shuffle — so it works VERBATIM on a
+    * structured stream: this is how an ANN index ingests new vectors
+    * without retraining (`EventStreams.encodeVectorStream`).
+    */
+  def pqEncodeWith(vecs: DataFrame, mns: Seq[Double], mxs: Seq[Double],
+      books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]): DataFrame = {
+    import vecs.sparkSession.implicits._
+    pqEnc(vecs.select($"vec_id", pqCodesCol(mns, mxs).as("vc")), books)
   }
 
   /** PQ ENCODING `(vec_id, m, scode)` — each vector reduced to its
@@ -728,6 +770,44 @@ object Similarity {
           .cast("long"))
       .filter($"rnk" <= k)
       .select($"q_id", $"vec_id", $"score", $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
+  /** FILTERED ANN — vector search under a metadata predicate, the
+    * production retrieval verb every vector store grows next
+    * (category-scoped product search, label-scoped hard-negative
+    * mining, tenant-scoped RAG): each query's top-k cosine neighbours
+    * among ONLY the vectors sharing its `label`. The predicate is not
+    * a post-filter over an unfiltered top-k (which under-fills k when
+    * the label is rare — the classic filtered-ANN recall bug); it is
+    * the candidate-generation JOIN KEY, so the scan partitions on
+    * label and each query scores exactly its label's vectors.
+    *
+    * Scale shape: queries broadcast (query-sized), the corpus side
+    * shuffles on label only if the join doesn't broadcast — with a
+    * bounded label domain this is the label-sharded layout a filtered
+    * index uses; rank filter compiles to WindowGroupLimit. At 100 TB
+    * the label join composes with any of the index cascades (route
+    * the IVF/PQ scan per label partition) — this operator pins the
+    * semantics those compositions must preserve.
+    */
+  def filteredTopK(spark: SparkSession, dir: String,
+      numQueries: Int = NumQueries, k: Int = TopK): DataFrame = {
+    import spark.implicits._
+    val e = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"label".cast("long").as("label"),
+        Vectors.toDouble($"embedding").as("emb"))
+      .withColumn("nrm", Vectors.norm($"emb"))
+    val q = e.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("q_id"), $"label", $"emb".as("qe"), $"nrm".as("nq"))
+    broadcast(q).join(e, Seq("label"))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("cos", round(ArrayExpressions.dot($"qe", $"emb") / ($"nq" * $"nrm"), 6))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id"))
+          .cast("long"))
+      .filter($"rnk" <= k)
+      .select($"q_id", $"label", $"vec_id", $"cos", $"rnk")
       .orderBy($"q_id", $"rnk")
   }
 
@@ -790,6 +870,78 @@ object Similarity {
       .filter($"crnk" <= PqCandK)
       .select($"q_id", $"vec_id")
     pqExactRerank(cand, coded, numQueries, k)
+  }
+
+  /** MMR candidate-pool depth and the λ=7/10 relevance/diversity
+    * trade-off as exact integers (mmr = 7·sim(q,d) − 3·max_sel sim). */
+  val MmrCand = 20
+  val MmrLambdaNum = 7
+  val MmrLambdaDen = 10
+
+  /** MAXIMAL-MARGINAL-RELEVANCE diversified top-k (Carbonell &
+    * Goldstein, SIGIR 1998) — the diversity-aware selection verb a
+    * training-data pipeline runs where plain top-k returns five copies
+    * of the same boilerplate: greedily pick the candidate maximizing
+    * λ·sim(query, d) − (1−λ)·max_{s∈selected} sim(d, s), so each pick
+    * is relevant AND far from what's already chosen (diverse few-shot
+    * example selection, dedup-aware retrieval, eval-set curation).
+    *
+    * Similarity is the int8 code dot ([[sqTopK]]'s integer score) and
+    * λ = [[MmrLambdaNum]]/[[MmrLambdaDen]], so every MMR score is an
+    * exact BIGINT and the oracle replays the greedy rounds
+    * bit-for-bit (ties → lowest vec_id; the empty-selection max is 0,
+    * safe because code dots are non-negative).
+    *
+    * Scale shape: the corpus-sized work is ONE scored scan per query
+    * batch (broadcast queries, rank filter → WindowGroupLimit) that
+    * bounds the pool to [[MmrCand]] per query; the pairwise-sim
+    * relation and the k greedy rounds run over queries × C(C−1) rows —
+    * METADATA, localCheckpointed once, control-only loop (the
+    * pagerank precedent). The O(C²) never touches the corpus.
+    */
+  def mmrTopK(spark: SparkSession, dir: String,
+      numQueries: Int = NumQueries, k: Int = TopK): DataFrame = {
+    import spark.implicits._
+    val coded = pqCodedFrame(spark, dir)
+    val codeDot = expr(
+      "aggregate(zip_with(qc, vc, (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x)")
+    val q = coded.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("q_id"), $"vc".as("qc"))
+    val cand = broadcast(q).join(coded, $"vec_id" =!= $"q_id")
+      .withColumn("qsim", codeDot)
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"q_id").orderBy($"qsim".desc, $"vec_id")))
+      .filter($"rn" <= MmrCand)
+      .select($"q_id", $"vec_id", $"qsim", $"vc")
+      .localCheckpoint()
+    val pair = cand.select($"q_id", $"vec_id".as("d"), $"vc".as("qc")).as("a")
+      .join(cand.select($"q_id", $"vec_id".as("s"), $"vc").as("b"), Seq("q_id"))
+      .filter($"d" =!= $"s")
+      .withColumn("ds", codeDot)
+      .select($"q_id", $"d", $"s", $"ds")
+      .localCheckpoint()
+    val pool = cand.select($"q_id", $"vec_id", $"qsim")
+    var sel = spark.emptyDataFrame
+    for (t <- 1 to k) {
+      val rem =
+        if (t == 1) pool
+        else pool.join(sel.select($"q_id", $"vec_id"), Seq("q_id", "vec_id"), "left_anti")
+      val ms =
+        if (t == 1) rem.withColumn("ms", lit(0L))
+        else rem.join(
+          pair.join(sel.select($"q_id", $"vec_id".as("s")), Seq("q_id", "s"))
+            .groupBy($"q_id", $"d".as("vec_id")).agg(max($"ds").as("msel")),
+          Seq("q_id", "vec_id"), "left")
+          .withColumn("ms", coalesce($"msel", lit(0L)))
+      val win = ms
+        .withColumn("mmr", expr(s"$MmrLambdaNum * qsim - ${MmrLambdaDen - MmrLambdaNum} * ms"))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy($"q_id").orderBy($"mmr".desc, $"vec_id")))
+        .filter($"rn" === 1)
+        .select($"q_id", $"vec_id", $"mmr", lit(t.toLong).as("rnd"))
+      sel = (if (t == 1) win else sel.unionByName(win)).localCheckpoint()
+    }
+    sel.orderBy($"q_id", $"rnd")
   }
 
   /** Embedding-space OUTLIERS per class — the "these examples don't
@@ -1104,6 +1256,8 @@ object Similarity {
     "ann_rrf_fusion" -> rrfFusion _,
     "ann_pq_topk" -> ((s: SparkSession, d: String) => pqTopK(s, d)),
     "ann_ivfpq_topk" -> ((s: SparkSession, d: String) => ivfPqTopK(s, d)),
+    "ann_filtered_topk" -> ((s: SparkSession, d: String) => filteredTopK(s, d)),
+    "ann_mmr_topk" -> ((s: SparkSession, d: String) => mmrTopK(s, d)),
     "ann_recall_report" -> recallReport _,
     "ann_recall_quantized" -> recallQuantized _,
   )
@@ -1287,6 +1441,8 @@ object Similarity {
     "ann_rrf_fusion" -> rrfOracle,
     "ann_pq_topk" -> pqOracle,
     "ann_ivfpq_topk" -> ivfPqOracle,
+    "ann_filtered_topk" -> filteredOracle,
+    "ann_mmr_topk" -> mmrOracle,
     "ann_lsh_multiprobe" -> multiprobeOracle,
     "ann_ivf_topk" -> ivfOracle,
     "ann_ivf_balance" ->
@@ -1322,6 +1478,26 @@ object Similarity {
       |                       ORDER BY round(dot/(nq*nv), 6) DESC, vec_id) AS BIGINT) AS rnk
       |           FROM dots)
       |SELECT q_id, vec_id, cos, rnk FROM scored WHERE rnk <= 5
+      |ORDER BY q_id, rnk""".stripMargin
+
+  /** [[filteredTopK]]'s oracle — the cosine oracle with the label
+    * equi-predicate inside candidate generation. */
+  private def filteredOracle: String =
+    """WITH q AS (SELECT vec_id AS q_id, CAST(label AS BIGINT) AS label, embedding AS qe
+      |           FROM embeddings WHERE vec_id < 5),
+      |pairs AS (SELECT q_id, q.label, e.vec_id, qe, e.embedding AS ve
+      |          FROM q JOIN embeddings e ON CAST(e.label AS BIGINT) = q.label
+      |          WHERE e.vec_id <> q_id),
+      |flat AS (SELECT q_id, label, vec_id, CAST(unnest(qe) AS DOUBLE) AS x,
+      |                CAST(unnest(ve) AS DOUBLE) AS y FROM pairs),
+      |dots AS (SELECT q_id, label, vec_id, sum(x*y) AS dot,
+      |                sqrt(sum(x*x)) AS nq, sqrt(sum(y*y)) AS nv
+      |         FROM flat GROUP BY 1, 2, 3),
+      |scored AS (SELECT q_id, label, vec_id, round(dot/(nq*nv), 6) AS cos,
+      |                  CAST(row_number() OVER (PARTITION BY q_id
+      |                       ORDER BY round(dot/(nq*nv), 6) DESC, vec_id) AS BIGINT) AS rnk
+      |           FROM dots)
+      |SELECT q_id, label, vec_id, cos, rnk FROM scored WHERE rnk <= 5
       |ORDER BY q_id, rnk""".stripMargin
 
   private def lshOracle: String =
@@ -1532,6 +1708,50 @@ object Similarity {
         |    CAST(list_aggregate(list_transform(generate_series(1, $PqSubDims),
         |      i -> q.iv[i] * c.civ[i]), 'sum') AS BIGINT) AS pts
         |  FROM s$m q CROSS JOIN m${m}c$PqIters c WHERE q.vec_id < $NumQueries)""".stripMargin
+  }
+
+  /** [[mmrTopK]]'s oracle: the candidate pool and pairwise code dots
+    * as CTEs, then the greedy selection unrolled one CTE round per
+    * pick — every MMR score exact BIGINT, ties on vec_id. The t≥2
+    * max-to-selected join is inner (every remaining candidate has a
+    * pair row to every selected one — both live in the pool), the
+    * same totality the Spark side's coalesce never fires on.
+    */
+  private def mmrOracle: String = {
+    def codeDot(a: String, b: String) =
+      s"CAST(list_aggregate(list_transform(generate_series(1, 64), " +
+        s"i -> $a.vc[i] * $b.vc[i]), 'sum') AS BIGINT)"
+    val mmrExpr = s"$MmrLambdaNum * qsim - ${MmrLambdaDen - MmrLambdaNum} * ms"
+    val rounds = (2 to TopK).map { t =>
+      s"""r$t AS (SELECT c.* FROM cand c WHERE NOT EXISTS
+        |  (SELECT 1 FROM a${t - 1} s WHERE s.q_id = c.q_id AND s.vec_id = c.vec_id)),
+        |m$t AS (SELECT r.q_id, r.vec_id, r.qsim, max(p.ds) AS ms
+        |  FROM r$t r JOIN pr p ON p.q_id = r.q_id AND p.d = r.vec_id
+        |  JOIN a${t - 1} s ON s.q_id = p.q_id AND s.vec_id = p.s
+        |  GROUP BY 1, 2, 3),
+        |w$t AS (SELECT q_id, vec_id, CAST($mmrExpr AS BIGINT) AS mmr,
+        |    CAST($t AS BIGINT) AS rnd
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY $mmrExpr DESC, vec_id) AS rn FROM m$t) WHERE rn = 1),
+        |a$t AS (SELECT * FROM a${t - 1} UNION ALL SELECT * FROM w$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $pqCodesCte,
+      |q AS (SELECT vec_id AS q_id, vc FROM codes WHERE vec_id < $NumQueries),
+      |sc0 AS (SELECT q.q_id, c.vec_id, ${codeDot("q", "c")} AS qsim
+      |  FROM q JOIN codes c ON c.vec_id <> q.q_id),
+      |cand AS (SELECT q_id, vec_id, qsim FROM (SELECT *, row_number() OVER
+      |    (PARTITION BY q_id ORDER BY qsim DESC, vec_id) AS rn FROM sc0)
+      |  WHERE rn <= $MmrCand),
+      |pr AS (SELECT a.q_id, a.vec_id AS d, b.vec_id AS s, ${codeDot("ca", "cb")} AS ds
+      |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+      |  JOIN codes ca ON ca.vec_id = a.vec_id
+      |  JOIN codes cb ON cb.vec_id = b.vec_id),
+      |a1 AS (SELECT q_id, vec_id, CAST($MmrLambdaNum * qsim AS BIGINT) AS mmr,
+      |    CAST(1 AS BIGINT) AS rnd
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+      |        ORDER BY $MmrLambdaNum * qsim DESC, vec_id) AS rn FROM cand) WHERE rn = 1),
+      |$rounds
+      |SELECT q_id, vec_id, mmr, rnd FROM a$TopK ORDER BY q_id, rnd""".stripMargin
   }
 
   /** [[ivfPqTopK]]'s oracle: [[ivfAssignCtes]]'s coarse training +

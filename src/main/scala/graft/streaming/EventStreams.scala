@@ -120,6 +120,21 @@ object EventStreams {
           .join(store.select(col("fingerprint")), Seq("fingerprint"), "left_anti"))
   }
 
+  /** Streaming ANN index INGEST: new vectors PQ-encoded map-side
+    * against the FROZEN serving model (quantizer bounds + trained
+    * sub-codebooks as driver literals — `Similarity.trainedPqModel`'s
+    * artifact). Stateless: no watermark, no shuffle, no retraining —
+    * each micro-batch's vectors become `(vec_id, m, scode)` rows ready
+    * to append to the code relation the ADC scan reads. Batch ≡
+    * stream by construction (the encoder is one shared projection;
+    * StreamingSpec pins row-set equality), which is the property an
+    * always-on index relies on: a vector gets the same codes whether
+    * it arrived in the nightly backfill or ten seconds ago.
+    */
+  def encodeVectorStream(vecs: DataFrame, mns: Seq[Double], mxs: Seq[Double],
+      books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]): DataFrame =
+    graft.operators.Similarity.pqEncodeWith(vecs, mns, mxs, books)
+
   /** Streaming document INGEST pipeline — the streaming twin of
     * `graft.Pipeline`'s front half: quality-gate incoming docs by
     * token count (the batch filter's cheap core — a map-only

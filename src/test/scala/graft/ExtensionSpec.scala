@@ -802,6 +802,59 @@ class ExtensionSpec extends SparkSpec {
     assert(ivf.nonEmpty)
   }
 
+  test("filtered ann returns only same-label neighbours, full k when the label allows") {
+    import spark.implicits._
+    val labels = graft.engine.Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"label".cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Similarity.filteredTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    // the predicate is structural: every neighbour shares the query's label
+    got.foreach { case (q, lab, v, _, _) =>
+      assert(labels(q) === lab, s"query $q label")
+      assert(labels(v) === lab, s"neighbour $v of query $q crossed labels")
+      assert(v !== q)
+    }
+    // no under-filled k when the label population supports it (the
+    // post-filter bug this operator exists to avoid)
+    got.groupBy(_._1).foreach { case (q, g) =>
+      val popMinusSelf = labels.values.count(_ == labels(q)) - 1
+      assert(g.length === math.min(5, popMinusSelf), s"query $q under-filled")
+      assert(g.map(_._5).sorted.toSeq === (1L to g.length).toSeq)
+    }
+  }
+
+  test("mmr picks the most relevant first, then trades relevance for diversity") {
+    val got = Similarity.mmrTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).distinct.length === 5)
+    got.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._4).sorted.toSeq === (1L to 5L).toSeq)
+      // a pick never repeats
+      assert(g.map(_._2).distinct.length === g.length)
+    }
+    // round 1 is pure relevance: it must equal the top-1 of the exact
+    // code-dot ranking (sqTopK's score space)
+    val sq = Similarity.sqTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._4 == 1L).map(r => r._1 -> (r._2, r._3)).toMap
+    got.filter(_._4 == 1L).foreach { case (q, v, mmr, _) =>
+      val (tv, ts) = sq(q)
+      assert(v === tv, s"query $q round-1 pick")
+      assert(mmr === 7L * ts, s"query $q round-1 score is λ-scaled relevance")
+    }
+    // scores within a query never increase across rounds: each later
+    // pick is at most as good under the same objective (greedy MMR)
+    got.groupBy(_._1).values.foreach { g =>
+      val byRound = g.sortBy(_._4).map(_._3).toSeq
+      assert(byRound.sliding(2).forall {
+        case Seq(a, b) => a >= b
+        case _ => true
+      }, s"mmr scores increased across rounds: $byRound")
+    }
+  }
+
   test("ann recall report equals driver-computed recall of each index vs brute force") {
     val truth = Similarity.cosineTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -47,6 +47,19 @@ class PlanAudit9Spec extends SparkSpec {
       s"weighted form grew the shuffle count: ${exchanges(w)} vs ${exchanges(u)}")
   }
 
+  test("ivfpq scan joins the LUT by broadcast and rank-filters via WindowGroupLimit") {
+    val df = graft.operators.Similarity.ivfPqTopK(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // probes and the ADC LUT are query-sized — they must enter the
+    // candidate scan as broadcasts, never shuffle the list side
+    assert(plan.contains("BroadcastHashJoin"), s"LUT/probe broadcast missing:\n$plan")
+    // both the ADC shortlist and the final top-k are rank filters over
+    // a per-query window — the map-side k-heap form
+    assert(plan.contains("WindowGroupLimit"), s"rank filters must push:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"nothing here may go quadratic:\n$plan")
+  }
+
   test("frame sampler query is generate + project over the scan (no mid-plan aggregate)") {
     val df = Multimodal.frameSampleQuery(spark, dir)
     val plan = df.queryExecution.executedPlan.toString

@@ -246,6 +246,35 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("streaming PQ encoder assigns exactly the batch encoder's sub-codes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // the frozen serving model a live ingest would load
+    val (mns, mxs, books) = graft.operators.Similarity.trainedPqModel(spark, dir)
+    val vecs = graft.engine.Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", graft.functions.Vectors.toDouble($"embedding").as("emb"))
+    val batch = graft.operators.Similarity.pqEncodeWith(vecs, mns, mxs, books)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty)
+    // replay the same vectors through the streaming encoder
+    val rows = vecs.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q = EventStreams.encodeVectorStream(
+        stream.toDF().toDF("vec_id", "emb"), mns, mxs, books)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("pqenc")
+      .option("checkpointLocation", ckpt()).start()
+    stream.addData(rows.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("pqenc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === batch)
+    // every vector carries exactly one code per subspace
+    assert(got.size === rows.length * graft.operators.Similarity.PqSubspaces)
+  }
+
   test("streaming compliance scan matches the batch piiScan row for row") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
