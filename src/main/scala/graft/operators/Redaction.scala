@@ -289,14 +289,51 @@ object Redaction {
   def domainEvents(spark: SparkSession, dir: String): DataFrame =
     domainStats(logLines(spark, dir), "user_id", "msg")
 
+  /** Default k for [[smallCells]] — the k-anonymity release bar. */
+  val KAnonThreshold = 5
+
+  /** K-ANONYMITY SMALL-CELL report — the release gate an aggregate
+    * export runs before leaving the fence: every (event_type, day)
+    * quasi-identifier cell with its event count and DISTINCT-user
+    * count, and whether it clears the k-anonymity bar ([[KAnonThreshold]]
+    * users). A cell only 1–4 people occupy re-identifies them even
+    * "aggregated"; the standard mitigation is suppress-or-coarsen,
+    * and this table is the suppression worklist (released = false
+    * rows). Cells are REPORTED, not silently dropped — governance
+    * wants the audit trail.
+    *
+    * Scale shape: one keyed aggregate over (type, day) — the
+    * distinct-user count rides the same shuffle as the cell key, and
+    * the domain (types × days) is bounded, so the report is
+    * metadata-sized at any corpus.
+    */
+  def smallCells(spark: SparkSession, dir: String,
+      k: Int = KAnonThreshold): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .select($"event_type",
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"),
+        $"user_id")
+      .groupBy($"event_type", $"day")
+      .agg(countDistinct($"user_id").as("n_users"), count(lit(1)).as("n_events"))
+      .withColumn("released", $"n_users" >= k)
+      .orderBy($"event_type", $"day")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pii" -> piiEvents _,
     "text_cc_luhn" -> ccEvents _,
     "text_domains" -> domainEvents _,
     "text_url_canon" -> urlEvents _,
+    "gov_small_cells" -> ((s: SparkSession, d: String) => smallCells(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
+    "gov_small_cells" ->
+      s"""SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |       count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+        |       count(DISTINCT user_id) >= $KAnonThreshold AS released
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
     "text_pii" ->
       s"""WITH lines AS (
         |  SELECT event_id, $duckLineSql AS msg FROM events)

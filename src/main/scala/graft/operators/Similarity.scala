@@ -944,6 +944,42 @@ object Similarity {
     sel.orderBy($"q_id", $"rnd")
   }
 
+  /** IVF SCAN-FRACTION report — the efficiency table that justifies
+    * routing: per query, how many vectors its [[IvfNProbe]] probed
+    * lists actually contain (`n_cand`) against the corpus size, in
+    * ppm. This is the number an IVF rollout watches next to
+    * [[ivfBalance]]: balance says the lists are even, scan-fraction
+    * says each query touches ~nProbe/k of the data — together they
+    * are the capacity model (`expected scan cost = scan_ppm × corpus
+    * bytes`). Lists are disjoint (each vector lives in exactly one),
+    * so the count needs no distinct.
+    */
+  def ivfPqScanFrac(spark: SparkSession, dir: String,
+      numQueries: Int = NumQueries, nProbe: Int = IvfNProbe): DataFrame = {
+    import spark.implicits._
+    val (e, cents, assign) = ivfAssignOver(
+      Tables.load(spark, dir, "embeddings")
+        .select($"vec_id", Vectors.toDouble($"embedding").as("emb")),
+      "vec_id", "emb", IvfNumCentroids, IvfKmeansIters)
+    val centDf = broadcast(cents.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toDF("cent_id", "civ"))
+    val probes = e.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("q_id"), $"iv")
+      .crossJoin(centDf)
+      .withColumn("d", expr("aggregate(zip_with(iv, civ, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (s, t) -> s + t)"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"d", $"cent_id")))
+      .filter($"crnk" <= nProbe)
+      .select($"q_id", $"cent_id")
+    broadcast(probes)
+      .join(assign.select($"vec_id", $"cent_id"), Seq("cent_id"))
+      .filter($"vec_id" =!= $"q_id")
+      .groupBy($"q_id").agg(count(lit(1)).as("n_cand"))
+      .crossJoin(broadcast(assign.agg(count(lit(1)).as("n_corpus"))))
+      .withColumn("scan_ppm", expr("n_cand * 1000000 div n_corpus"))
+      .orderBy($"q_id")
+  }
+
   /** Embedding-space OUTLIERS per class — the "these examples don't
     * belong to their label" audit a curation pass runs before
     * training: every vector is reduced to [[quantize]]'s int8 codes,
@@ -1258,6 +1294,7 @@ object Similarity {
     "ann_ivfpq_topk" -> ((s: SparkSession, d: String) => ivfPqTopK(s, d)),
     "ann_filtered_topk" -> ((s: SparkSession, d: String) => filteredTopK(s, d)),
     "ann_mmr_topk" -> ((s: SparkSession, d: String) => mmrTopK(s, d)),
+    "ann_ivfpq_scanfrac" -> ((s: SparkSession, d: String) => ivfPqScanFrac(s, d)),
     "ann_recall_report" -> recallReport _,
     "ann_recall_quantized" -> recallQuantized _,
   )
@@ -1443,6 +1480,7 @@ object Similarity {
     "ann_ivfpq_topk" -> ivfPqOracle,
     "ann_filtered_topk" -> filteredOracle,
     "ann_mmr_topk" -> mmrOracle,
+    "ann_ivfpq_scanfrac" -> scanFracOracle,
     "ann_lsh_multiprobe" -> multiprobeOracle,
     "ann_ivf_topk" -> ivfOracle,
     "ann_ivf_balance" ->
@@ -1753,6 +1791,20 @@ object Similarity {
       |$rounds
       |SELECT q_id, vec_id, mmr, rnd FROM a$TopK ORDER BY q_id, rnd""".stripMargin
   }
+
+  /** [[ivfPqScanFrac]]'s oracle — the shared assignment chain plus
+    * the probe join, counted per query. */
+  private def scanFracOracle: String =
+    s"""WITH $ivfAssignCtes,
+      |probes AS (SELECT vec_id AS q_id, cent_id FROM (SELECT vec_id, cent_id,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+      |  FROM fdist WHERE vec_id < $NumQueries) WHERE rn <= $IvfNProbe),
+      |cl AS (SELECT p.q_id, a.vec_id FROM probes p
+      |  JOIN assign a ON p.cent_id = a.cent_id AND a.vec_id <> p.q_id),
+      |n AS (SELECT count(*) AS n_corpus FROM assign)
+      |SELECT q_id, count(*) AS n_cand, n.n_corpus,
+      |       CAST(count(*) * 1000000 // n.n_corpus AS BIGINT) AS scan_ppm
+      |FROM cl CROSS JOIN n GROUP BY q_id, n.n_corpus ORDER BY q_id""".stripMargin
 
   /** [[ivfPqTopK]]'s oracle: [[ivfAssignCtes]]'s coarse training +
     * assignment composed with the PQ CTE chains — probes route each

@@ -855,6 +855,40 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("ivfpq scan fraction accounts every probed vector and stays under the probe budget") {
+    val rows = Similarity.ivfPqScanFrac(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === (0L until 5L))
+    val corpus = rows.head._3
+    rows.foreach { case (q, nCand, nCorpus, ppm) =>
+      assert(nCorpus === corpus)
+      assert(nCand > 0 && nCand < nCorpus, s"query $q scans nothing or everything")
+      assert(ppm === nCand * 1000000L / nCorpus, s"query $q ppm")
+    }
+    // the report must agree with the candidate relation ivfPqTopK scans:
+    // its shortlist can never exceed the scan count it reports
+    val topk = Similarity.ivfPqTopK(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    rows.foreach { case (q, nCand, _, _) =>
+      assert(topk(q) <= nCand, s"query $q returned more than it scanned")
+    }
+  }
+
+  test("small-cell gate releases exactly the cells clearing the k-anonymity bar") {
+    import spark.implicits._
+    val rows = graft.operators.Redaction.smallCells(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    // the flag is exactly the threshold predicate, and users ≤ events
+    rows.foreach { case (t, d, nUsers, nEvents, released) =>
+      assert(released === (nUsers >= 5L), s"cell ($t, $d)")
+      assert(nUsers <= nEvents, s"cell ($t, $d) users exceed events")
+    }
+    // cells partition the table: event masses sum to the row count
+    val total = graft.engine.Tables.load(spark, dir, "events").count()
+    assert(rows.map(_._4).sum === total)
+  }
+
   test("ann recall report equals driver-computed recall of each index vs brute force") {
     val truth = Similarity.cosineTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
