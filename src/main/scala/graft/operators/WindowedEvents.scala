@@ -259,6 +259,61 @@ object WindowedEvents {
       .orderBy($"user_id")
   }
 
+  /** EVENT-TRANSITION matrix — the first-order Markov step behind
+    * every "what do users do next" product question and behind
+    * sequence-model training-data QA (a transition that never occurs
+    * in the corpus can't be learned): per (src, dst) adjacent-event
+    * pair within a user's ts-ordered stream, the count and its share
+    * of the source type's outgoing transitions in ppm.
+    *
+    * Scale shape: one user-partitioned LEAD (the sessionize shuffle),
+    * then a (src, dst) aggregate whose result is |types|² rows —
+    * metadata; the per-source totals aggregate THAT and broadcast
+    * back. Ties inside a user's stream break on event_id, the corpus
+    * convention.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables.load(spark, dir, "events")
+      .withColumn("dst", lead($"event_type", 1).over(
+        Window.partitionBy($"user_id").orderBy($"ts", $"event_id")))
+      .filter($"dst".isNotNull)
+      .groupBy($"event_type".as("src_type"), $"dst".as("dst_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val tot = t.groupBy($"src_type").agg(sum($"n_trans").as("tot"))
+    t.join(broadcast(tot), Seq("src_type"))
+      .withColumn("share_ppm", expr("n_trans * 1000000 div tot"))
+      .select($"src_type", $"dst_type", $"n_trans", $"share_ppm")
+      .orderBy($"src_type", $"dst_type")
+  }
+
+  /** AUDIENCE-OVERLAP matrix — per event-type pair, how many distinct
+    * users do BOTH, with each side's audience size and the Jaccard in
+    * ppm: the cohort-intersection table behind "are error-ers also
+    * signup-ers", feature-cooccurrence QA, and dataset-slice overlap
+    * audits. Exact (the theta-sketch verb before sketches are
+    * needed): the distinct (user, type) relation self-joins on
+    * user_id — each user expands to at most |types|·(|types|−1)/2
+    * pairs, so the join output is corpus-bounded with a bounded
+    * constant, and the pair aggregate's result is |types|² rows.
+    */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ut = Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_type").distinct()
+    val sz = ut.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(sz.select($"event_type".as("type_a"), $"n".as("n_a"))), Seq("type_a"))
+      .join(broadcast(sz.select($"event_type".as("type_b"), $"n".as("n_b"))), Seq("type_b"))
+      .withColumn("jaccard_ppm", expr("n_both * 1000000 div (n_a + n_b - n_both)"))
+      .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_both", $"jaccard_ppm")
+      .orderBy($"type_a", $"type_b")
+  }
+
   /** Hourly DRIFT monitor — the batch backfill of the streaming drift
     * sink: per (hour window, event type), the total-variation distance
     * (integer ppm) between the hour's `floor(value)` bucket
@@ -315,6 +370,8 @@ object WindowedEvents {
     "q_retention" -> retentionCohorts _,
     "q_dau_wau" -> dauWau _,
     "q_event_paths" -> eventPaths _,
+    "q_event_transitions" -> eventTransitions _,
+    "q_audience_overlap" -> audienceOverlap _,
     "q_sessionize" -> sessionize _,
     "s_session_window" -> sessionWindow _,
     "q_funnel" -> funnel _,
@@ -406,6 +463,29 @@ object WindowedEvents {
         |       arg_max(event_type, ts) AS last_type,
         |       epoch_us(max(ts)) - epoch_us(min(ts)) AS span_micros
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_event_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |t AS (SELECT event_type AS src_type, dst AS dst_type, count(*) AS n_trans
+        |      FROM s WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT src_type, CAST(sum(n_trans) AS BIGINT) AS tot FROM t GROUP BY 1)
+        |SELECT t.src_type, t.dst_type, t.n_trans,
+        |       CAST(t.n_trans * 1000000 // tot.tot AS BIGINT) AS share_ppm
+        |FROM t JOIN tot USING (src_type)
+        |ORDER BY src_type, dst_type""".stripMargin,
+    "q_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |sz AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+        |      FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |        AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+        |       CAST(n_both * 1000000 // (sa.n + sb.n - n_both) AS BIGINT) AS jaccard_ppm
+        |FROM p JOIN sz sa ON sa.event_type = p.type_a
+        |       JOIN sz sb ON sb.event_type = p.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
     "q_event_paths" ->
       s"""WITH r AS (SELECT user_id, event_type, ts, event_id,
         |             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,

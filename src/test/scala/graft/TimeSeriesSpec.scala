@@ -291,6 +291,36 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("event transitions conserve mass: shares sum to ~1e6 and counts to n - users-with-1") {
+    import spark.implicits._
+    val rows = graft.operators.WindowedEvents.eventTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // per source, shares are a floor-division partition of 1e6
+    rows.groupBy(_._1).values.foreach { g =>
+      val s = g.map(_._4).sum
+      assert(s <= 1000000L && s > 1000000L - g.length,
+        s"share mass $s out of bounds for ${g.head._1}")
+    }
+    // every adjacent pair is counted once: Σ n_trans = Σ_users (n_u − 1)
+    val ev = graft.engine.Tables.load(spark, dir, "events")
+    val expected = ev.groupBy($"user_id").count()
+      .agg(sum(col("count") - 1)).collect()(0).getLong(0)
+    assert(rows.map(_._3).sum === expected)
+  }
+
+  test("audience overlap bounds: n_both <= min side, jaccard within [0, 1e6]") {
+    val rows = graft.operators.WindowedEvents.audienceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, nA, nB, both, j) =>
+      assert(both <= math.min(nA, nB), s"($a,$b) overlap exceeds a side")
+      assert(j >= 0L && j <= 1000000L, s"($a,$b) jaccard $j")
+      assert(j === both * 1000000L / (nA + nB - both), s"($a,$b) jaccard formula")
+    }
+  }
+
   test("globalRowNumber equals a single-window row_number on random frames") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
