@@ -549,6 +549,48 @@ object EventStreams {
       }
   }
 
+  final case class Transition(user_id: Long, src_type: String, dst_type: String)
+
+  /** Streaming EVENT-TRANSITION extractor — the live twin of
+    * `WindowedEvents.eventTransitions`' pair step: per user, the
+    * carried state is just the LAST event seen `(ts_micros, event_id,
+    * type)`, and each micro-batch emits one `(src, dst)` row per
+    * adjacent pair (Append mode — a transition, once emitted, is a
+    * fact). The count/share rollup stays in the sink's foreachBatch,
+    * SHARED with the batch twin (the trendingHourly pattern), so the
+    * live matrix and the backfill agree by construction.
+    *
+    * Ordering contract: rows are sorted by (ts, event_id) WITHIN each
+    * batch, and adjacency across batches is exact when each user's
+    * events arrive in non-decreasing event order across batches — the
+    * guarantee a user-keyed Kafka partition provides. State is one
+    * tuple per user — bounded by the user population, not the stream
+    * length.
+    */
+  def transitionStream(events: DataFrame): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tsu"),
+        col("event_id").cast("long").as("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[(Long, Long, String)]) =>
+          val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+          var last = state.getOption
+          val out = Seq.newBuilder[Transition]
+          sorted.foreach { r =>
+            last.foreach(l => out += Transition(userId, l._3, r._4))
+            last = Some((r._2, r._3, r._4))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Watermarked stream-stream interval join: each left row picks up
     * every right row of the same `key` with `right ts ∈
     * [left ts − window, left ts]` (both ends inclusive — the streaming

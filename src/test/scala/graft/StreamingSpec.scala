@@ -275,6 +275,43 @@ class StreamingSpec extends SparkSpec {
     assert(got.size === rows.length * graft.operators.Similarity.PqSubspaces)
   }
 
+  test("streaming transitions equal the batch matrix when users arrive in order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.operators.WindowedEvents.eventTransitions(spark, dir)
+      .select("src_type", "dst_type", "n_trans").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(batch.nonEmpty)
+    // feed the fixture in global (ts, event_id) order, split across
+    // two batches — the per-user cross-batch order a user-keyed
+    // Kafka partition guarantees
+    val rows = graft.engine.Tables.load(spark, dir, "events")
+      .select($"user_id",
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tsu"),
+        $"event_id", $"event_type")
+      .orderBy($"tsu", $"event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val stream = MemoryStream[(Long, Long, Long, String)]
+    val src = stream.toDF().toDF("user_id", "tsu", "event_id", "event_type")
+      .select($"user_id",
+        expr("timestampadd(MICROSECOND, tsu, TIMESTAMP_NTZ '1970-01-01')").as("ts"),
+        $"event_id", $"event_type")
+    val q = EventStreams.transitionStream(src)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("trans")
+      .option("checkpointLocation", ckpt()).start()
+    stream.addData(b1.toSeq)
+    q.processAllAvailable()
+    stream.addData(b2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("trans").groupBy("src_type", "dst_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === batch)
+  }
+
   test("streaming compliance scan matches the batch piiScan row for row") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
