@@ -980,6 +980,71 @@ object Similarity {
       .orderBy($"q_id")
   }
 
+  /** Power-iteration rounds and the fixed-point scale of the iterated
+    * direction vector. The scale bounds the accumulators: with codes
+    * centered into [−255, 255] and |v| ≤ [[PowerScale]], per-row
+    * projections stay ≤ 64·255·10³ ≈ 1.6e7 and the per-dim aggregate
+    * ≤ N·4.2e9 — inside BIGINT up to N ≈ 2·10⁹ vectors; beyond that,
+    * pre-scale the projections down one decade. */
+  val PowerIters = 3
+  val PowerScale = 1000L
+
+  /** TOP PRINCIPAL DIRECTION of the embedding distribution by
+    * MATRIX-FREE POWER ITERATION — the anisotropy probe an embedding
+    * pipeline runs before trusting cosine distances (a collapsed or
+    * rogue dominant direction makes every similarity score lie; cf.
+    * the representation-degeneration literature): iterate
+    * v ← Xᵀ(X v) over the CENTERED int8 codes without ever
+    * materializing the 64×64 covariance, renormalizing each round to
+    * fixed-point scale [[PowerScale]] by the max |component|.
+    *
+    * All-integer end to end — centering by the floor per-dim mean,
+    * projections and aggregates exact BIGINT, normalization as
+    * sign(u)·((|u|·scale) div max|u|) (abs-first, so Spark's
+    * truncating div and DuckDB's floor `//` agree on negatives) — so
+    * the DuckDB oracle replays every iteration bit-for-bit.
+    *
+    * Scale shape: each round is ONE corpus scan — a per-row fold
+    * against the driver-literal v (codegen'd, no join), then a
+    * 64-row per-dim aggregate collected driver-side (model-sized, the
+    * k-means precedent). T rounds = T scans; nothing shuffles but the
+    * 64-row aggregate. This is exactly how distributed PCA/power
+    * methods run on a 1000-executor cluster.
+    */
+  def principalDir(spark: SparkSession, dir: String,
+      iters: Int = PowerIters): DataFrame = {
+    import spark.implicits._
+    val coded = pqCodedFrame(spark, dir)
+    // center: floor per-dim mean of the codes (non-negative sums —
+    // truncating and floor division agree)
+    val means = coded.select(posexplode($"vc").as(Seq("dim", "x")))
+      .groupBy($"dim").agg(sum($"x").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1) / r.getLong(2)).toMap
+    val meanArr = (0 until means.size).map(means)
+    val cv = coded
+      .select($"vec_id", expr(
+        s"zip_with(vc, array(${meanArr.mkString(", ")}), (a, b) -> a - b)").as("cvc"))
+      .localCheckpoint()
+    var v: IndexedSeq[Long] = IndexedSeq.fill(means.size)(1L)
+    for (_ <- 1 to iters) {
+      val u = cv
+        .withColumn("s", expr(
+          s"aggregate(zip_with(cvc, array(${v.mkString(", ")}), (a, b) -> a * b), " +
+            "CAST(0 AS BIGINT), (s, x) -> s + x)"))
+        .select($"s", posexplode($"cvc").as(Seq("dim", "x")))
+        .groupBy($"dim").agg(sum($"s" * $"x").as("u"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val m = u.values.map(math.abs).max
+      require(m > 0, "degenerate direction: all components zero")
+      v = (0 until means.size).map { d =>
+        val ud = u(d)
+        if (ud < 0) -((-ud) * PowerScale / m) else ud * PowerScale / m
+      }
+    }
+    v.zipWithIndex.map { case (c, d) => (d.toLong, c) }
+      .toDF("dim", "v").orderBy($"dim")
+  }
+
   /** Embedding-space OUTLIERS per class — the "these examples don't
     * belong to their label" audit a curation pass runs before
     * training: every vector is reduced to [[quantize]]'s int8 codes,
@@ -1295,6 +1360,7 @@ object Similarity {
     "ann_filtered_topk" -> ((s: SparkSession, d: String) => filteredTopK(s, d)),
     "ann_mmr_topk" -> ((s: SparkSession, d: String) => mmrTopK(s, d)),
     "ann_ivfpq_scanfrac" -> ((s: SparkSession, d: String) => ivfPqScanFrac(s, d)),
+    "emb_principal_dir" -> ((s: SparkSession, d: String) => principalDir(s, d)),
     "ann_recall_report" -> recallReport _,
     "ann_recall_quantized" -> recallQuantized _,
   )
@@ -1481,6 +1547,7 @@ object Similarity {
     "ann_filtered_topk" -> filteredOracle,
     "ann_mmr_topk" -> mmrOracle,
     "ann_ivfpq_scanfrac" -> scanFracOracle,
+    "emb_principal_dir" -> principalDirOracle,
     "ann_lsh_multiprobe" -> multiprobeOracle,
     "ann_ivf_topk" -> ivfOracle,
     "ann_ivf_balance" ->
@@ -1790,6 +1857,38 @@ object Similarity {
       |        ORDER BY $MmrLambdaNum * qsim DESC, vec_id) AS rn FROM cand) WHERE rn = 1),
       |$rounds
       |SELECT q_id, vec_id, mmr, rnd FROM a$TopK ORDER BY q_id, rnd""".stripMargin
+  }
+
+  /** [[principalDir]]'s oracle — centering, then each power round as
+    * a CTE pair (projection scan + per-dim aggregate) with the
+    * abs-first normalization, replayed to the same integers. */
+  private def principalDirOracle: String = {
+    val rounds = (1 to PowerIters).map { t =>
+      s"""s$t AS (SELECT vec_id, cvc,
+        |  CAST(list_aggregate(list_transform(generate_series(1, 64),
+        |    i -> cvc[i] * vr${t - 1}.v[i]), 'sum') AS BIGINT) AS s
+        |  FROM cv, vr${t - 1}),
+        |u$t AS (SELECT i AS dim, CAST(sum(s * cvc[i]) AS BIGINT) AS u
+        |  FROM s$t CROSS JOIN generate_series(1, 64) AS g(i) GROUP BY 1),
+        |mx$t AS (SELECT max(abs(u)) AS m FROM u$t),
+        |w$t AS (SELECT dim, CASE WHEN u < 0
+        |    THEN -(((-u) * $PowerScale) // m)
+        |    ELSE (u * $PowerScale) // m END AS vv
+        |  FROM u$t, mx$t),
+        |vr$t AS (SELECT list(CAST(vv AS BIGINT) ORDER BY dim) AS v FROM w$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $pqCodesCte,
+      |mn AS (SELECT i AS dim, CAST(sum(vc[i]) AS BIGINT) // count(*) AS mu
+      |  FROM codes CROSS JOIN generate_series(1, 64) AS g(i) GROUP BY 1),
+      |mnl AS (SELECT list(mu ORDER BY dim) AS mu FROM mn),
+      |cv AS (SELECT vec_id,
+      |    list_transform(generate_series(1, 64), i -> vc[i] - mnl.mu[i]) AS cvc
+      |  FROM codes, mnl),
+      |vr0 AS (SELECT list_transform(generate_series(1, 64),
+      |    i -> CAST(1 AS BIGINT)) AS v),
+      |$rounds
+      |SELECT CAST(dim - 1 AS BIGINT) AS dim, CAST(vv AS BIGINT) AS v
+      |FROM w$PowerIters ORDER BY dim""".stripMargin
   }
 
   /** [[ivfPqScanFrac]]'s oracle — the shared assignment chain plus

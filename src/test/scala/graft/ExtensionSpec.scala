@@ -889,6 +889,40 @@ class ExtensionSpec extends SparkSpec {
     assert(rows.map(_._4).sum === total)
   }
 
+  test("principal direction equals a driver-side power iteration on the same codes") {
+    import spark.implicits._
+    val got = Similarity.principalDir(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._1).toSeq === (0L until 64L))
+    // the renormalization pins the max |component| to the scale
+    assert(got.map(t => math.abs(t._2)).max === Similarity.PowerScale)
+    // exact driver recompute from the quantized codes
+    val e = graft.engine.Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", graft.functions.Vectors.toDouble($"embedding").as("emb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val dims = 64
+    val mins = (0 until dims).map(d => e.values.map(_(d)).min)
+    val maxs = (0 until dims).map(d => e.values.map(_(d)).max)
+    val codes = e.values.toArray.map { v =>
+      (0 until dims).map { d =>
+        if (maxs(d) == mins(d)) 0L
+        else math.min(math.floor((v(d) - mins(d)) * 255.0 / (maxs(d) - mins(d))), 255.0).toLong
+      }.toArray
+    }
+    val mu = (0 until dims).map(d => codes.map(_(d)).sum / codes.length)
+    val cvc = codes.map(row => (0 until dims).map(d => row(d) - mu(d)).toArray)
+    var v = Array.fill(dims)(1L)
+    for (_ <- 1 to Similarity.PowerIters) {
+      val s = cvc.map(row => (0 until dims).map(d => row(d) * v(d)).sum)
+      val u = (0 until dims).map(d =>
+        cvc.indices.map(i => s(i) * cvc(i)(d)).sum).toArray
+      val m = u.map(math.abs).max
+      v = u.map(ud =>
+        if (ud < 0) -((-ud) * Similarity.PowerScale / m) else ud * Similarity.PowerScale / m)
+    }
+    assert(got.map(_._2).toSeq === v.toSeq)
+  }
+
   test("ann recall report equals driver-computed recall of each index vs brute force") {
     val truth = Similarity.cosineTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

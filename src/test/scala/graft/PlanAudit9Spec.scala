@@ -60,6 +60,25 @@ class PlanAudit9Spec extends SparkSpec {
       s"nothing here may go quadratic:\n$plan")
   }
 
+  test("event transitions: one user window exchange, totals re-enter by broadcast") {
+    val df = WindowedEvents.eventTransitions(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-source totals must broadcast back, not sort-merge:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no data-sized join belongs here:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("audience overlap: the self-join keys on user_id, sizes enter by broadcast") {
+    val df = WindowedEvents.audienceOverlap(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"pair expansion must stay an equi-join on user_id:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"audience sizes must broadcast:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("frame sampler query is generate + project over the scan (no mid-plan aggregate)") {
     val df = Multimodal.frameSampleQuery(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
