@@ -1014,6 +1014,17 @@ object Similarity {
   def principalDir(spark: SparkSession, dir: String,
       iters: Int = PowerIters): DataFrame = {
     import spark.implicits._
+    val (_, v) = centeredAndDirection(spark, dir, iters)
+    v.zipWithIndex.map { case (c, d) => (d.toLong, c) }
+      .toDF("dim", "v").orderBy($"dim")
+  }
+
+  /** The centered-code frame `(vec_id, cvc)` (localCheckpointed) and
+    * the power-iterated direction — shared by [[principalDir]] and
+    * [[anisotropy]]. */
+  private def centeredAndDirection(spark: SparkSession, dir: String,
+      iters: Int): (DataFrame, IndexedSeq[Long]) = {
+    import spark.implicits._
     val coded = pqCodedFrame(spark, dir)
     // center: floor per-dim mean of the codes (non-negative sums —
     // truncating and floor division agree)
@@ -1041,8 +1052,35 @@ object Similarity {
         if (ud < 0) -((-ud) * PowerScale / m) else ud * PowerScale / m
       }
     }
-    v.zipWithIndex.map { case (c, d) => (d.toLong, c) }
-      .toDF("dim", "v").orderBy($"dim")
+    (cv, v)
+  }
+
+  /** ANISOTROPY report — the one-row verdict on [[principalDir]]'s
+    * probe: how much of the total variance the top direction
+    * captures, as the exact Rayleigh-quotient ratio
+    * Σ(x·v)² / (|v|²·Σ|x|²) in ppm (≤ 10⁶ by Cauchy–Schwarz). A
+    * healthy isotropic embedding sits near 1/64·10⁶ ≈ 15625; a
+    * collapsed one nears 10⁶ — the "all my cosines are 0.9"
+    * pathology. Per-row products stay in BIGINT (|s| ≤ 1.6e7); the
+    * corpus sums ride DECIMAL(38,0), so no overflow at any N.
+    */
+  def anisotropy(spark: SparkSession, dir: String,
+      iters: Int = PowerIters): DataFrame = {
+    import spark.implicits._
+    val (cv, v) = centeredAndDirection(spark, dir, iters)
+    val vv = v.map(x => x * x).sum
+    cv
+      .withColumn("s", expr(
+        s"aggregate(zip_with(cvc, array(${v.mkString(", ")}), (a, b) -> a * b), " +
+          "CAST(0 AS BIGINT), (s, x) -> s + x)"))
+      .withColumn("xx", expr(
+        "aggregate(zip_with(cvc, cvc, (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x)"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr("CAST(s * s AS DECIMAL(38,0))")).as("ss"),
+        sum(expr("CAST(xx AS DECIMAL(38,0))")).as("xx"))
+      .select($"n_vecs",
+        expr(s"CAST((ss * 1000000) div (CAST($vv AS DECIMAL(38,0)) * xx) AS BIGINT)")
+          .as("explained_ppm"))
   }
 
   /** Embedding-space OUTLIERS per class — the "these examples don't
@@ -1361,6 +1399,7 @@ object Similarity {
     "ann_mmr_topk" -> ((s: SparkSession, d: String) => mmrTopK(s, d)),
     "ann_ivfpq_scanfrac" -> ((s: SparkSession, d: String) => ivfPqScanFrac(s, d)),
     "emb_principal_dir" -> ((s: SparkSession, d: String) => principalDir(s, d)),
+    "emb_anisotropy" -> ((s: SparkSession, d: String) => anisotropy(s, d)),
     "ann_recall_report" -> recallReport _,
     "ann_recall_quantized" -> recallQuantized _,
   )
@@ -1548,6 +1587,7 @@ object Similarity {
     "ann_mmr_topk" -> mmrOracle,
     "ann_ivfpq_scanfrac" -> scanFracOracle,
     "emb_principal_dir" -> principalDirOracle,
+    "emb_anisotropy" -> anisotropyOracle,
     "ann_lsh_multiprobe" -> multiprobeOracle,
     "ann_ivf_topk" -> ivfOracle,
     "ann_ivf_balance" ->
@@ -1862,7 +1902,31 @@ object Similarity {
   /** [[principalDir]]'s oracle — centering, then each power round as
     * a CTE pair (projection scan + per-dim aggregate) with the
     * abs-first normalization, replayed to the same integers. */
-  private def principalDirOracle: String = {
+  private def principalDirOracle: String =
+    s"""WITH $powerCtes
+      |SELECT CAST(dim - 1 AS BIGINT) AS dim, CAST(vv AS BIGINT) AS v
+      |FROM w$PowerIters ORDER BY dim""".stripMargin
+
+  /** [[anisotropy]]'s oracle — the shared power chain, one more
+    * projection scan against the final direction, and the HUGEINT
+    * Rayleigh ratio. */
+  private def anisotropyOracle: String =
+    s"""WITH $powerCtes,
+      |sf AS (SELECT vec_id, cvc,
+      |  CAST(list_aggregate(list_transform(generate_series(1, 64),
+      |    i -> cvc[i] * vr$PowerIters.v[i]), 'sum') AS BIGINT) AS s
+      |  FROM cv, vr$PowerIters),
+      |r AS (SELECT count(*) AS n_vecs, sum(s * s) AS ss,
+      |  sum(CAST(list_aggregate(list_transform(generate_series(1, 64),
+      |    i -> cvc[i] * cvc[i]), 'sum') AS BIGINT)) AS xx FROM sf),
+      |vsq AS (SELECT CAST(list_aggregate(list_transform(v, y -> y * y),
+      |    'sum') AS HUGEINT) AS vv FROM vr$PowerIters)
+      |SELECT n_vecs, CAST((ss * 1000000) // (vv * xx) AS BIGINT) AS explained_ppm
+      |FROM r, vsq""".stripMargin
+
+  /** The centering + power-round CTE chain through `w$T` / `vr$T` —
+    * shared by [[principalDirOracle]] and [[anisotropyOracle]]. */
+  private def powerCtes: String = {
     val rounds = (1 to PowerIters).map { t =>
       s"""s$t AS (SELECT vec_id, cvc,
         |  CAST(list_aggregate(list_transform(generate_series(1, 64),
@@ -1877,7 +1941,7 @@ object Similarity {
         |  FROM u$t, mx$t),
         |vr$t AS (SELECT list(CAST(vv AS BIGINT) ORDER BY dim) AS v FROM w$t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $pqCodesCte,
+    s"""$pqCodesCte,
       |mn AS (SELECT i AS dim, CAST(sum(vc[i]) AS BIGINT) // count(*) AS mu
       |  FROM codes CROSS JOIN generate_series(1, 64) AS g(i) GROUP BY 1),
       |mnl AS (SELECT list(mu ORDER BY dim) AS mu FROM mn),
@@ -1886,9 +1950,7 @@ object Similarity {
       |  FROM codes, mnl),
       |vr0 AS (SELECT list_transform(generate_series(1, 64),
       |    i -> CAST(1 AS BIGINT)) AS v),
-      |$rounds
-      |SELECT CAST(dim - 1 AS BIGINT) AS dim, CAST(vv AS BIGINT) AS v
-      |FROM w$PowerIters ORDER BY dim""".stripMargin
+      |$rounds""".stripMargin
   }
 
   /** [[ivfPqScanFrac]]'s oracle — the shared assignment chain plus

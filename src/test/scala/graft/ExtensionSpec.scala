@@ -923,6 +923,17 @@ class ExtensionSpec extends SparkSpec {
     assert(got.map(_._2).toSeq === v.toSeq)
   }
 
+  test("anisotropy ratio is a valid Rayleigh fraction and beats the isotropic floor") {
+    val r = Similarity.anisotropy(spark, dir).collect()
+    assert(r.length === 1)
+    val ppm = r(0).getLong(1)
+    // Cauchy–Schwarz upper bound, and the TOP direction can't capture
+    // less than the 1/64 an average direction would
+    assert(ppm > 1000000L / 64 && ppm <= 1000000L,
+      s"explained_ppm $ppm outside (15625, 1e6]")
+    assert(r(0).getLong(0) > 0)
+  }
+
   test("ann recall report equals driver-computed recall of each index vs brute force") {
     val truth = Similarity.cosineTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
