@@ -944,6 +944,36 @@ object Similarity {
     sel.orderBy($"q_id", $"rnd")
   }
 
+  /** Map-side IVF ASSIGNER against FROZEN centroids: any `(vec_id,
+    * emb)` frame → `(vec_id, cent_id)` — the list-routing step an IVF
+    * index applies to every newly ingested vector, published-model
+    * form (the coarse twin of [[pqEncodeWith]]). Pure projections
+    * against driver literals, so it runs VERBATIM on a structured
+    * stream (`EventStreams.assignVectorStream`).
+    *
+    * Stream-safety note: the batch path ([[ivfAssignOver]]) uses
+    * `.cache()` as a projection-collapse barrier so the norm fold
+    * isn't re-inlined into every per-centroid distance lambda (the
+    * r2/r4 HOF trap) — a stream can't cache. Here the norm enters the
+    * quantizer as a COLLECTION ARGUMENT (`array_repeat(nrm, …)`),
+    * which Spark evaluates once per row, so the expression is safe
+    * without a barrier; the arithmetic is bit-identical to [[ivCol]]'s
+    * (same divide, floor, shift per element).
+    */
+  def ivfAssignWith(vecs: DataFrame, cents: Seq[Seq[Long]]): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val e = vecs
+      .withColumn("nrm", Vectors.norm($"emb"))
+      .withColumn("iv", expr(
+        s"zip_with(emb, array_repeat(nrm, size(emb)), " +
+          s"(x, n) -> CAST(floor(x / n * $IvfScale) AS BIGINT) + $IvfShift)"))
+    val dists = cents.zipWithIndex.map { case (c, i) => sqDistTo(c).as(s"d$i") }
+    val withD = e.select(($"vec_id" +: dists): _*)
+    val m = least(cents.indices.map(i => col(s"d$i")): _*)
+    val cid = coalesce(cents.indices.map(i => when(col(s"d$i") === m, i)): _*)
+    withD.withColumn("cent_id", cid).select($"vec_id", $"cent_id")
+  }
+
   /** IVF SCAN-FRACTION report — the efficiency table that justifies
     * routing: per query, how many vectors its [[IvfNProbe]] probed
     * lists actually contain (`n_cand`) against the corpus size, in

@@ -135,6 +135,18 @@ object EventStreams {
       books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]): DataFrame =
     graft.operators.Similarity.pqEncodeWith(vecs, mns, mxs, books)
 
+  /** Streaming IVF list ROUTING — the coarse half of the index-ingest
+    * pair ([[encodeVectorStream]] is the code half): each arriving
+    * vector map-side-assigned to its nearest frozen centroid's
+    * inverted list. Stateless, shuffle-free, replay-stable — append
+    * the (vec_id, cent_id) rows to the assignment relation the probe
+    * join reads and the new vector is immediately searchable.
+    * Batch ≡ stream by construction (StreamingSpec pins the per-list
+    * populations against `Similarity.ivfBalance`).
+    */
+  def assignVectorStream(vecs: DataFrame, cents: Seq[Seq[Long]]): DataFrame =
+    graft.operators.Similarity.ivfAssignWith(vecs, cents)
+
   /** Streaming document INGEST pipeline — the streaming twin of
     * `graft.Pipeline`'s front half: quality-gate incoming docs by
     * token count (the batch filter's cheap core — a map-only

@@ -312,6 +312,35 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("streaming IVF assigner routes exactly the batch index's list populations") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val cents = graft.operators.Similarity.trainIvfCentroids(spark, dir)
+    val batch = graft.operators.Similarity.ivfBalance(spark, dir)
+      .select("cent_id", "n_vecs").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rows = graft.engine.Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", graft.functions.Vectors.toDouble($"embedding").as("emb"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q = EventStreams.assignVectorStream(
+        stream.toDF().toDF("vec_id", "emb"), cents)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ivfassign")
+      .option("checkpointLocation", ckpt()).start()
+    stream.addData(rows.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ivfassign").groupBy("cent_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // every vector routed exactly once, to the batch index's list
+    assert(got.values.sum === rows.length.toLong)
+    batch.filter(_._2 > 0).foreach { case (c, n) =>
+      assert(got.getOrElse(c, 0L) === n, s"list $c population")
+    }
+  }
+
   test("streaming compliance scan matches the batch piiScan row for row") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
