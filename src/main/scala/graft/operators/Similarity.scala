@@ -944,6 +944,104 @@ object Similarity {
     sel.orderBy($"q_id", $"rnd")
   }
 
+  /** RESIDUAL-encoding IVF+PQ — the ACTUAL IndexIVFPQ default (Jégou
+    * et al. TPAMI 2011 §V-A; FAISS `by_residual=true`): PQ codebooks
+    * are trained on the RESIDUALS x − c(x) of each vector to its
+    * coarse centroid, which concentrates the quantizer's budget on
+    * the within-list variation (the part the coarse step didn't
+    * explain) — the fidelity step that separates a toy IVFPQ from the
+    * shipping one. Each query builds ONE ADC LUT PER PROBED LIST
+    * (its residual differs per centroid), scores only that list's
+    * codes, and the shortlist re-ranks by the exact fixed-point L2
+    * (shift-invariant — the +[[IvfShift]] offset cancels in a − b).
+    *
+    * Everything runs in the [[ivCol]] fixed-point integer space —
+    * residuals are SIGNED, so the codebook mean-update uses
+    * truncating division on both engines (Scala `/` truncates; the
+    * oracle spells the floor-vs-trunc difference out as an abs-first
+    * CASE). Codebooks/centroids are driver literals; encoding and
+    * routing are map-side; the LUT is queries × nProbe × M × K rows —
+    * broadcast; ADC is 8 integer adds per candidate. Scale shape
+    * identical to [[ivfPqTopK]] with a per-(q, list) LUT key.
+    */
+  def ivfPqResidualTopK(spark: SparkSession, dir: String,
+      numQueries: Int = NumQueries, k: Int = TopK,
+      nProbe: Int = IvfNProbe): DataFrame = {
+    import spark.implicits._
+    val (e, cents, assign) = ivfAssignOver(
+      Tables.load(spark, dir, "embeddings")
+        .select($"vec_id", Vectors.toDouble($"embedding").as("emb")),
+      "vec_id", "emb", IvfNumCentroids, IvfKmeansIters)
+    val centsArrSql = s"array(${cents.map(c => s"array(${c.mkString(", ")})").mkString(", ")})"
+    // residuals in fixed-point space, re-labelled `vc` so the PQ
+    // trainer/encoder run unchanged; localCheckpoint = the barrier
+    // (feeds training, encoding, and the exact-L2 refine)
+    val rcv = e.select($"vec_id", $"iv")
+      .join(assign.select($"vec_id", $"cent_id"), Seq("vec_id"))
+      .withColumn("vc", expr(
+        s"zip_with(iv, element_at($centsArrSql, cent_id + 1), (a, b) -> a - b)"))
+      .select($"vec_id", $"cent_id", $"iv", $"vc")
+      .localCheckpoint()
+    val books = trainPqBooks(rcv.select($"vec_id", $"vc"))
+    val enc = pqEnc(rcv.select($"vec_id", $"vc"), books)
+    // coarse routing (same probe rule as ivfPqTopK)
+    val centDf = broadcast(cents.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toDF("cent_id", "civ"))
+    val probes = e.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("q_id"), $"iv")
+      .crossJoin(centDf)
+      .withColumn("d", expr("aggregate(zip_with(iv, civ, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (s, t) -> s + t)"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"d", $"cent_id")))
+      .filter($"crnk" <= nProbe)
+      .select($"q_id", $"cent_id", $"iv")
+    // one LUT per (query, probed list): the query's residual w.r.t.
+    // THAT list's centroid, dotted with every codebook entry
+    val bookDf = (for {
+      m <- 0 until PqSubspaces; c <- 0 until PqCentroids
+    } yield (m.toLong, c.toLong, books(m)(c).toArray)).toDF("m", "scode", "bciv")
+    val lut = probes.join(centDf, Seq("cent_id"))
+      .withColumn("rq", expr("zip_with(iv, civ, (a, b) -> a - b)"))
+      .select($"q_id", $"cent_id", posexplode(expr(
+        s"""transform(sequence(0, ${PqSubspaces - 1}),
+           |  m -> slice(rq, CAST(m * $PqSubDims + 1 AS INT), $PqSubDims))""".stripMargin))
+        .as(Seq("m", "qsub")))
+      .select($"q_id", $"cent_id", $"m".cast("long").as("m"), $"qsub")
+      .join(broadcast(bookDf), Seq("m"))
+      // L2 ADC (the FAISS form): per-subspace SQUARED DISTANCE of the
+      // query residual to each codebook entry — within a shared list
+      // Σₘ ‖rq_m − code_m‖² approximates ‖x − y‖² exactly up to code
+      // error, because x − y = rx − ry under the same centroid
+      .withColumn("pts", expr(
+        "aggregate(zip_with(qsub, bciv, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (s, x) -> s + x)"))
+      .select($"q_id", $"cent_id", $"m", $"scode", $"pts")
+    // scan: only the probed lists' codes, keyed by (q, list, m, scode)
+    val cand = broadcast(probes.select($"q_id", $"cent_id"))
+      .join(rcv.select($"vec_id", $"cent_id"), Seq("cent_id"))
+      .filter($"vec_id" =!= $"q_id")
+      .join(enc, Seq("vec_id"))
+      .join(broadcast(lut), Seq("q_id", "cent_id", "m", "scode"))
+      .groupBy($"q_id", $"vec_id")
+      .agg(sum($"pts").as("adc"))
+      .withColumn("crnk",
+        row_number().over(Window.partitionBy($"q_id").orderBy($"adc", $"vec_id")))
+      .filter($"crnk" <= PqCandK)
+      .select($"q_id", $"vec_id")
+    // exact refine: fixed-point L2 (the shift cancels), rank ascending
+    cand
+      .join(rcv.select($"vec_id", $"iv"), Seq("vec_id"))
+      .join(broadcast(rcv.filter($"vec_id" < numQueries)
+        .select($"vec_id".as("q_id"), $"iv".as("qiv"))), Seq("q_id"))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(qiv, iv, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (s, x) -> s + x)"))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy($"q_id").orderBy($"dist", $"vec_id"))
+          .cast("long"))
+      .filter($"rnk" <= k)
+      .select($"q_id", $"vec_id", $"dist", $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
   /** Map-side IVF ASSIGNER against FROZEN centroids: any `(vec_id,
     * emb)` frame → `(vec_id, cent_id)` — the list-routing step an IVF
     * index applies to every newly ingested vector, published-model
@@ -1429,6 +1527,7 @@ object Similarity {
     "ann_mmr_topk" -> ((s: SparkSession, d: String) => mmrTopK(s, d)),
     "ann_ivfpq_scanfrac" -> ((s: SparkSession, d: String) => ivfPqScanFrac(s, d)),
     "emb_principal_dir" -> ((s: SparkSession, d: String) => principalDir(s, d)),
+    "ann_ivfpq_residual_topk" -> ((s: SparkSession, d: String) => ivfPqResidualTopK(s, d)),
     "emb_anisotropy" -> ((s: SparkSession, d: String) => anisotropy(s, d)),
     "ann_recall_report" -> recallReport _,
     "ann_recall_quantized" -> recallQuantized _,
@@ -1617,6 +1716,7 @@ object Similarity {
     "ann_mmr_topk" -> mmrOracle,
     "ann_ivfpq_scanfrac" -> scanFracOracle,
     "emb_principal_dir" -> principalDirOracle,
+    "ann_ivfpq_residual_topk" -> ivfPqResidualOracle,
     "emb_anisotropy" -> anisotropyOracle,
     "ann_lsh_multiprobe" -> multiprobeOracle,
     "ann_ivf_topk" -> ivfOracle,
@@ -1981,6 +2081,102 @@ object Similarity {
       |vr0 AS (SELECT list_transform(generate_series(1, 64),
       |    i -> CAST(1 AS BIGINT)) AS v),
       |$rounds""".stripMargin
+  }
+
+  /** [[ivfPqResidualTopK]]'s oracle: the coarse chain, residuals
+    * against the trained centroids, per-subspace residual codebook
+    * training with the SIGN-SAFE mean update (residual sums can be
+    * negative — Scala `/` truncates toward zero while DuckDB `//`
+    * floors, so the CASE spells out abs-first truncation), the
+    * per-(query, probed-list) L2 LUT, list-restricted ADC, and the
+    * exact fixed-point-L2 refine. All CTEs prefixed `x` — disjoint
+    * from the coarse chain's names by construction.
+    */
+  private def ivfPqResidualOracle: String = {
+    // The coarse chain and the residual relation are referenced by
+    // all 8 subspace chains + the LUTs; DuckDB inlines single-WITH
+    // CTEs by default, re-running the whole k-means chain per
+    // reference — measured ~9 min vs 0.4 s at sf0.001 with explicit
+    // MATERIALIZED hints on the shared prefixes.
+    def materialize(sql: String): String =
+      (Seq("nrm", "iv", "fdist", "assign", "xr", "probes") ++
+        (0 to IvfKmeansIters).map(t => s"cents$t"))
+        .foldLeft(sql)((s, n) => s.replaceFirst(
+          java.util.regex.Pattern.quote(s"$n AS ("), s"$n AS MATERIALIZED ("))
+    def subCtes(m: Int): String = {
+      val lo = m * PqSubDims + 1
+      val hi = (m + 1) * PqSubDims
+      def dist(name: String, cents: String) =
+        s"""$name AS (SELECT v.vec_id, c.cent_id,
+          |  list_aggregate(list_transform(generate_series(1, $PqSubDims),
+          |    i -> (v.rv[i] - c.civ[i]) * (v.rv[i] - c.civ[i])), 'sum') AS d
+          |  FROM xs$m v CROSS JOIN $cents c)""".stripMargin
+      val iters = (1 to PqIters).map { t =>
+        s"""${dist(s"xm${m}d$t", s"xm${m}c${t - 1}")},
+          |xm${m}a$t AS (SELECT vec_id, cent_id FROM (SELECT vec_id, cent_id,
+          |  row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+          |  FROM xm${m}d$t) WHERE rn = 1),
+          |xm${m}u$t AS (SELECT a.cent_id, i AS dim, CAST(sum(v.rv[i]) AS BIGINT) AS s,
+          |    count(*) AS cnt
+          |  FROM xm${m}a$t a JOIN xs$m v USING (vec_id)
+          |  CROSS JOIN generate_series(1, $PqSubDims) AS g(i)
+          |  GROUP BY 1, 2),
+          |xm${m}n$t AS (SELECT cent_id, list(CASE WHEN s < 0
+          |    THEN -((-s) // cnt) ELSE s // cnt END ORDER BY dim) AS civ
+          |  FROM xm${m}u$t GROUP BY cent_id),
+          |xm${m}c$t AS (SELECT c.cent_id, coalesce(nw.civ, c.civ) AS civ
+          |  FROM xm${m}c${t - 1} c LEFT JOIN xm${m}n$t nw USING (cent_id))""".stripMargin
+      }.mkString(",\n")
+      s"""xs$m AS (SELECT vec_id, vc[$lo:$hi] AS rv FROM xr),
+        |xm${m}c0 AS (SELECT vec_id AS cent_id, rv AS civ FROM xs$m WHERE vec_id < $PqCentroids),
+        |$iters,
+        |${dist(s"xm${m}fd", s"xm${m}c$PqIters")},
+        |xe$m AS (SELECT vec_id, cent_id AS scode FROM (SELECT vec_id, cent_id,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+        |  FROM xm${m}fd) WHERE rn = 1),
+        |xl$m AS (SELECT p.q_id, p.cent_id, b.cent_id AS scode,
+        |    CAST(list_aggregate(list_transform(generate_series(1, $PqSubDims),
+        |      i -> (q.iv[$lo + i - 1] - cc.civ[$lo + i - 1] - b.civ[i])
+        |         * (q.iv[$lo + i - 1] - cc.civ[$lo + i - 1] - b.civ[i])), 'sum')
+        |      AS BIGINT) AS pts
+        |  FROM probes p JOIN iv q ON q.vec_id = p.q_id
+        |       JOIN cents$IvfKmeansIters cc ON cc.cent_id = p.cent_id
+        |       CROSS JOIN xm${m}c$PqIters b)""".stripMargin
+    }
+    val subAll = (0 until PqSubspaces).map(subCtes).mkString(",\n")
+    val unions = (0 until PqSubspaces).map(m =>
+      s"SELECT l.q_id, l.cent_id, e.vec_id, l.pts FROM xl$m l JOIN xe$m e ON e.scode = l.scode")
+      .mkString("\n  UNION ALL ")
+    val sql = s"""WITH $ivfAssignCtes,
+      |xr AS (SELECT v.vec_id, a.cent_id,
+      |    list_transform(generate_series(1, 64), i -> v.iv[i] - c.civ[i]) AS vc
+      |  FROM iv v JOIN assign a USING (vec_id)
+      |       JOIN cents$IvfKmeansIters c ON c.cent_id = a.cent_id),
+      |probes AS (SELECT vec_id AS q_id, cent_id FROM (SELECT vec_id, cent_id,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+      |  FROM fdist WHERE vec_id < $NumQueries) WHERE rn <= $IvfNProbe),
+      |$subAll,
+      |xu AS (
+      |  $unions),
+      |xc AS (SELECT p.q_id, p.cent_id, r.vec_id FROM probes p
+      |  JOIN xr r ON r.cent_id = p.cent_id AND r.vec_id <> p.q_id),
+      |xsc AS (SELECT u.q_id, u.vec_id, CAST(sum(u.pts) AS BIGINT) AS adc
+      |  FROM xu u JOIN xc ON xc.q_id = u.q_id AND xc.cent_id = u.cent_id
+      |    AND xc.vec_id = u.vec_id
+      |  GROUP BY 1, 2),
+      |xcand AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS crnk
+      |  FROM xsc) WHERE crnk <= $PqCandK),
+      |xdots AS (SELECT c.q_id, c.vec_id,
+      |    CAST(list_aggregate(list_transform(generate_series(1, 64),
+      |      i -> (q.iv[i] - v.iv[i]) * (q.iv[i] - v.iv[i])), 'sum') AS BIGINT) AS dist
+      |  FROM xcand c JOIN iv q ON q.vec_id = c.q_id
+      |               JOIN iv v ON v.vec_id = c.vec_id),
+      |xrank AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+      |        ORDER BY dist, vec_id) AS BIGINT) AS rnk FROM xdots)
+      |SELECT q_id, vec_id, dist, rnk FROM xrank WHERE rnk <= $TopK
+      |ORDER BY q_id, rnk""".stripMargin
+    materialize(sql)
   }
 
   /** [[ivfPqScanFrac]]'s oracle — the shared assignment chain plus

@@ -934,6 +934,35 @@ class ExtensionSpec extends SparkSpec {
     assert(r(0).getLong(0) > 0)
   }
 
+  test("residual ivfpq refines by the exact fixed-point L2 the driver can recompute") {
+    import spark.implicits._
+    val got = Similarity.ivfPqResidualTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).distinct.length === 5)
+    got.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._4).toSeq
+      assert(sorted.map(_._4) === (1L to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall {
+        case Seq(a, b) => a._3 <= b._3
+        case _ => true
+      }, "L2 refine must be non-decreasing in rank")
+    }
+    // the refine metric is the exact fixed-point L2 — recompute it
+    // driver-side from the raw embeddings (same left-fold order, same
+    // IEEE ops, so the integers match exactly)
+    val iv = graft.engine.Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", graft.functions.Vectors.toDouble($"embedding").as("emb"))
+      .collect().map { r =>
+        val v = r.getSeq[Double](1)
+        val nrm = math.sqrt(v.foldLeft(0.0)((s, x) => s + x * x))
+        r.getLong(0) -> v.map(x => math.floor(x / nrm * 10000).toLong + 1000000L).toArray
+      }.toMap
+    got.foreach { case (q, v, d, _) =>
+      val expect = iv(q).zip(iv(v)).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(d === expect, s"dist of ($q,$v)")
+    }
+  }
+
   test("ann recall report equals driver-computed recall of each index vs brute force") {
     val truth = Similarity.cosineTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
