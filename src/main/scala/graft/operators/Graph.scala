@@ -334,7 +334,75 @@ object Graph {
       .orderBy($"bin")
   }
 
+  /** Wedge-center degree cap for [[commonNeighbors]]: centers above
+    * this degree are excluded from wedge enumeration. A capped center
+    * is a HUB — a boilerplate/template doc linked to a large slice of
+    * the corpus — and being co-linked through it says almost nothing
+    * about a candidate pair (the stopword of link prediction), while
+    * contributing deg² wedge rows. The cap bounds per-center expansion
+    * at [[MaxCenterDeg]]², making total wedge cost O(E · cap) instead
+    * of O(Σ deg²) — the same df-cap defense as
+    * [[Dedup]].`MaxShingleDf`. (Resource-allocation-style indices
+    * down-weight hubs by 1/deg for the same reason; dropping them is
+    * the exact-integer analog.)
+    */
+  val MaxCenterDeg = 64L
+
+  /** Result size of [[commonNeighbors]] (top candidate pairs). */
+  val LinkPredTopK = 100
+
+  /** LINK PREDICTION by common neighbors — for every pair of docs NOT
+    * directly span-linked, how many shared neighbours the span graph
+    * gives them, plus the neighbourhood-Jaccard score in ppm:
+    * `cn·10⁶ div (deg_a + deg_b − cn)`. In a pretraining corpus a
+    * high-scoring non-edge is a near-miss duplicate family member —
+    * two docs that each share spans with the same third docs but not
+    * (yet) with each other — exactly the pair a second, cheaper dedup
+    * pass should probe. Top [[LinkPredTopK]] pairs by (count, score),
+    * totally ordered.
+    *
+    * Scale shape: wedge enumeration via self-join of the hub-capped
+    * adjacency on the CENTER key (one shuffle), in-row pair emission,
+    * keyed count; the candidate anti-join against the edge relation
+    * and the two degree joins are all on data-scaled keys; the final
+    * top-k is `orderBy.limit` → TakeOrderedAndProject (per-partition
+    * k-heaps + driver merge of k rows, never a global sort).
+    */
+  def commonNeighbors(spark: SparkSession, dir: String): DataFrame =
+    commonNeighborsOver(spanPairs(spark, dir))
+
+  /** [[commonNeighbors]]'s core over an arbitrary `(doc_a, doc_b)`
+    * undirected pair frame (doc_a < doc_b, distinct).
+    */
+  def commonNeighborsOver(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // materialized once: feeds the symmetrize union, the anti-join,
+    // and (via sym) degrees + centers — 4 consumers of one derivation
+    val edges0 = pairs.toDF("doc_a", "doc_b").localCheckpoint()
+    val sym = edges0.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(edges0.select($"doc_b", $"doc_a"))
+      .localCheckpoint()
+    val deg = sym.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val centers = sym.join(deg.filter($"deg" <= MaxCenterDeg), Seq("src"))
+      .select($"src", $"dst")
+    val wedges = centers.as("x").join(centers.as("y"),
+        $"x.src" === $"y.src" && $"x.dst" < $"y.dst")
+      .select($"x.dst".as("doc_a"), $"y.dst".as("doc_b"))
+    val cn = wedges.groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_common"))
+      .join(edges0, Seq("doc_a", "doc_b"), "left_anti")
+    cn.join(deg.select($"src".as("doc_a"), $"deg".as("deg_a")), Seq("doc_a"))
+      .join(deg.select($"src".as("doc_b"), $"deg".as("deg_b")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b", $"n_common", $"deg_a", $"deg_b",
+        expr("(n_common * 1000000) div (deg_a + deg_b - n_common)")
+          .as("jaccard_ppm"))
+      .orderBy($"n_common".desc, $"jaccard_ppm".desc, $"doc_a", $"doc_b")
+      .limit(LinkPredTopK)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_common_neighbors" -> commonNeighbors _,
     "graph_degree_histo" -> degreeHisto _,
     "graph_pagerank" -> pagerank _,
     "graph_pagerank_weighted" -> pagerankWeighted _,
@@ -393,6 +461,30 @@ object Graph {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "graph_common_neighbors" ->
+      s"""WITH $pairCte,
+        |cnsym AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+        |          UNION ALL SELECT doc_b, doc_a FROM pr),
+        |cndeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+        |          FROM cnsym GROUP BY 1),
+        |cncent AS (SELECT s.src, s.dst FROM cnsym s
+        |           JOIN cndeg d ON d.src = s.src AND d.deg <= $MaxCenterDeg),
+        |cncn AS (SELECT x.dst AS doc_a, y.dst AS doc_b,
+        |           CAST(count(*) AS BIGINT) AS n_common
+        |         FROM cncent x JOIN cncent y
+        |           ON x.src = y.src AND x.dst < y.dst
+        |         GROUP BY 1, 2),
+        |cnne AS (SELECT c.* FROM cncn c
+        |         WHERE NOT EXISTS (SELECT 1 FROM pr p
+        |                           WHERE p.doc_a = c.doc_a AND p.doc_b = c.doc_b))
+        |SELECT n.doc_a, n.doc_b, n.n_common, da.deg AS deg_a, db.deg AS deg_b,
+        |       CAST((n.n_common * 1000000) // (da.deg + db.deg - n.n_common)
+        |            AS BIGINT) AS jaccard_ppm
+        |FROM cnne n
+        |JOIN cndeg da ON da.src = n.doc_a
+        |JOIN cndeg db ON db.src = n.doc_b
+        |ORDER BY n_common DESC, jaccard_ppm DESC, doc_a, doc_b
+        |LIMIT $LinkPredTopK""".stripMargin,
     "graph_pagerank_weighted" ->
       s"""WITH ${TextAnalysis.spanFpsCte},
         |prw AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

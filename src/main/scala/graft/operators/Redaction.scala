@@ -320,12 +320,54 @@ object Redaction {
       .orderBy($"event_type", $"day")
   }
 
+  /** Default l for [[lDiversity]] — distinct sensitive values a cell
+    * must exhibit before release.
+    */
+  val LDiversityThreshold = 3
+
+  /** L-DIVERSITY release gate — the companion check to [[smallCells]]
+    * (Machanavajjhala et al., ICDE'06): k-anonymity alone fails when a
+    * cell's members all SHARE the sensitive value (5 users in a cell
+    * is "anonymous", but if all 5 carry the same diagnosis the
+    * attribute leaks anyway). Here the sensitive attribute is the
+    * event's value bucket (`floor(value)` — whole units, exact
+    * integers): a (event_type, day) cell is released only if it holds
+    * ≥ k distinct users AND ≥ l distinct sensitive buckets. Both
+    * verdicts plus the combined release flag are reported per cell —
+    * the suppress-or-coarsen worklist, with the audit trail of WHICH
+    * bar each suppressed cell missed.
+    *
+    * Scale shape: one keyed aggregate over the bounded (type, day)
+    * domain; the two count-distincts ride one shuffle via Expand (a
+    * constant ×2 of the input rows, metadata-sized output). At 100 TB
+    * the exact distincts swap for `approx_count_distinct` with the
+    * thresholds padded by the HLL error margin.
+    */
+  def lDiversity(spark: SparkSession, dir: String,
+      k: Int = KAnonThreshold, l: Int = LDiversityThreshold): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .select($"event_type",
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"),
+        $"user_id",
+        expr("CAST(floor(value) AS BIGINT)").as("sens"))
+      .groupBy($"event_type", $"day")
+      .agg(countDistinct($"user_id").as("n_users"),
+        countDistinct($"sens").as("n_sensitive"),
+        count(lit(1)).as("n_events"))
+      .withColumn("k_ok", $"n_users" >= k)
+      .withColumn("l_ok", $"n_sensitive" >= l)
+      .withColumn("released", $"k_ok" && $"l_ok")
+      .orderBy($"event_type", $"day")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pii" -> piiEvents _,
     "text_cc_luhn" -> ccEvents _,
     "text_domains" -> domainEvents _,
     "text_url_canon" -> urlEvents _,
     "gov_small_cells" -> ((s: SparkSession, d: String) => smallCells(s, d)),
+    "gov_l_diversity" -> ((s: SparkSession, d: String) => lDiversity(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -333,6 +375,17 @@ object Redaction {
       s"""SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |       count(DISTINCT user_id) AS n_users, count(*) AS n_events,
         |       count(DISTINCT user_id) >= $KAnonThreshold AS released
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+    "gov_l_diversity" ->
+      s"""SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |       count(DISTINCT user_id) AS n_users,
+        |       count(DISTINCT CAST(floor(value) AS BIGINT)) AS n_sensitive,
+        |       count(*) AS n_events,
+        |       count(DISTINCT user_id) >= $KAnonThreshold AS k_ok,
+        |       count(DISTINCT CAST(floor(value) AS BIGINT)) >= $LDiversityThreshold AS l_ok,
+        |       count(DISTINCT user_id) >= $KAnonThreshold
+        |         AND count(DISTINCT CAST(floor(value) AS BIGINT)) >= $LDiversityThreshold
+        |         AS released
         |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
     "text_pii" ->
       s"""WITH lines AS (

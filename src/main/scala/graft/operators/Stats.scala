@@ -257,6 +257,90 @@ object Stats {
       .orderBy($"z", $"p_partkey")
   }
 
+  /** Rows-per-zone divisor for [[zoneMap]]: zone = z div [[ZoneWidth]]. */
+  val ZoneWidth = 64L
+
+  /** The p_size literal [[zoneMap]]'s skip-demo column evaluates. */
+  val ZoneProbeSize = 7L
+
+  /** ZONE-MAP construction over the Z-ordered `part` layout — the
+    * data-skipping index a 100 TB lakehouse writes next to every file:
+    * rows are binned by Morton-key range (`z div` [[ZoneWidth]], the
+    * value-range analog of a file boundary after a Z-order rewrite)
+    * and each zone records count + min/max of every clustered column.
+    * A scan with a predicate consults ONLY this metadata table to
+    * prune zones; `scan_for_size_7` demonstrates it for
+    * `p_size = ` [[ZoneProbeSize]] — false rows are whole files never
+    * opened. Because the key interleaves both dimensions, BOTH
+    * `p_size` and `pk_mod` ranges stay narrow per zone (the point of
+    * Z-order vs a single-column sort).
+    *
+    * Scale shape: one keyed aggregate on the map-side-computed zone id
+    * — partial aggregation all the way, output is zones-count-sized
+    * metadata at any corpus.
+    */
+  def zoneMap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "part")
+      .select($"p_partkey", $"p_size".cast("long").as("p_size"),
+        expr("p_partkey % 64").as("pk_mod"))
+      .withColumn("z", ZOrder.morton("p_size", "pk_mod"))
+      .withColumn("zone", expr(s"z div $ZoneWidth"))
+      .groupBy($"zone")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"z").as("z_min"), max($"z").as("z_max"),
+        min($"p_size").as("size_min"), max($"p_size").as("size_max"),
+        min($"pk_mod").as("mod_min"), max($"pk_mod").as("mod_max"),
+        min($"p_partkey").as("pk_min"), max($"p_partkey").as("pk_max"))
+      .withColumn("scan_for_size_7",
+        $"size_min" <= lit(ZoneProbeSize) && $"size_max" >= lit(ZoneProbeSize))
+      .orderBy($"zone")
+  }
+
+  /** Columns [[tableStats]] profiles (integer / string / timestamp —
+    * no raw doubles, whose min/max string rendering is engine-
+    * formatting-sensitive).
+    */
+  val StatsColumns: Seq[String] = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey",
+    "l_returnflag", "l_linestatus", "l_shipdate")
+
+  /** ANALYZE-style column statistics over `lineitem` — the table
+    * profile a cost-based optimizer persists (NDV for join-order and
+    * selectivity estimates, null counts, min/max for range pruning),
+    * surfaced as a query so the numbers themselves are oracle-pinned.
+    * One wide aggregate computes every column's stats in a single
+    * pass, then `stack` unpivots to one row per column. min/max are
+    * taken on the NATIVE type and cast to string after (lexicographic
+    * min of digit strings would disagree with numeric min); the
+    * timestamp column goes through `unix_micros` so no engine's
+    * timestamp-rendering enters the hashed contract.
+    *
+    * Scale note: NDV here is an exact `count(DISTINCT)` so DuckDB can
+    * replay it; Spark plans multiple distincts via one Expand (a
+    * constant input blow-up, not a join). The 100 TB production form
+    * swaps in `approx_count_distinct` (HLL, single pass, no Expand) —
+    * same plan shape otherwise, and CBO stats tolerate ±2% NDV.
+    */
+  def tableStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    def extremum(f: String, c: String) =
+      if (c == "l_shipdate") s"CAST(unix_micros(CAST($f(`$c`) AS TIMESTAMP)) AS STRING)"
+      else s"CAST($f(`$c`) AS STRING)"
+    val aggs = StatsColumns.flatMap { c =>
+      Seq(expr(s"CAST(count(DISTINCT `$c`) AS BIGINT)").as(s"ndv_$c"),
+        expr(s"CAST(count(CASE WHEN `$c` IS NULL THEN 1 END) AS BIGINT)").as(s"nulls_$c"),
+        expr(extremum("min", c)).as(s"min_$c"),
+        expr(extremum("max", c)).as(s"max_$c"))
+    }
+    val stackArgs = StatsColumns.map(c =>
+      s"'$c', ndv_$c, nulls_$c, min_$c, max_$c").mkString(", ")
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${StatsColumns.size}, $stackArgs)" +
+        " AS (column_name, ndv, n_nulls, min_value, max_value)"))
+      .orderBy("column_name")
+  }
+
   /** Winsorization tail fractions (p05 / p95). */
   val WinsorLo = 0.05
   val WinsorHi = 0.95
@@ -371,6 +455,8 @@ object Stats {
     "q_mode_value" -> modeValue _,
     "q_spike_minutes" -> spikeMinutes _,
     "q_zorder_key" -> zorderParts _,
+    "q_zone_map" -> zoneMap _,
+    "q_table_stats" -> tableStats _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -512,5 +598,33 @@ object Stats {
         |       p_partkey % 64 AS pk_mod,
         |       ${ZOrder.duckFragment("CAST(p_size AS BIGINT)", "p_partkey % 64")} AS z
         |FROM part ORDER BY z, p_partkey""".stripMargin,
+    "q_zone_map" ->
+      s"""WITH zk AS (
+        |  SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+        |         p_partkey % 64 AS pk_mod,
+        |         ${ZOrder.duckFragment("CAST(p_size AS BIGINT)", "p_partkey % 64")} AS z
+        |  FROM part)
+        |SELECT z // $ZoneWidth AS zone, count(*) AS n_rows,
+        |       min(z) AS z_min, max(z) AS z_max,
+        |       min(p_size) AS size_min, max(p_size) AS size_max,
+        |       min(pk_mod) AS mod_min, max(pk_mod) AS mod_max,
+        |       min(p_partkey) AS pk_min, max(p_partkey) AS pk_max,
+        |       min(p_size) <= $ZoneProbeSize AND max(p_size) >= $ZoneProbeSize
+        |         AS scan_for_size_7
+        |FROM zk GROUP BY 1 ORDER BY zone""".stripMargin,
+    "q_table_stats" -> {
+      val arms = StatsColumns.map { c =>
+        val mn = if (c == "l_shipdate") s"CAST(epoch_us(min($c)) AS VARCHAR)"
+                 else s"CAST(min($c) AS VARCHAR)"
+        val mx = if (c == "l_shipdate") s"CAST(epoch_us(max($c)) AS VARCHAR)"
+                 else s"CAST(max($c) AS VARCHAR)"
+        s"""SELECT '$c' AS column_name,
+           |       CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+           |       CAST(count(CASE WHEN $c IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+           |       $mn AS min_value, $mx AS max_value
+           |FROM lineitem""".stripMargin
+      }
+      arms.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
   )
 }

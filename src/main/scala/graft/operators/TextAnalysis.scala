@@ -897,7 +897,66 @@ object TextAnalysis {
       .orderBy($"source", $"verdict")
   }
 
+  /** Stopword set for the Gopher rule "document contains ≥ 2 of a
+    * small stop-word list" (Rae et al. 2021 use {the, be, to, of, and,
+    * that, have, with}; swapped "have"→"a" here because this corpus'
+    * function-word inventory is {the, a} — [[quality]]'s stop set —
+    * and a rule that can never fire pins nothing).
+    */
+  val GopherStops: Seq[String] =
+    Seq("the", "a", "be", "to", "of", "and", "that", "with")
+
+  /** GOPHER-RULE quality gate (Rae et al., arXiv:2112.11446 §A1.1 —
+    * the rule set most large-corpus pipelines start from), evaluated
+    * per document with every ratio restated as exact integer
+    * cross-multiplication so no IEEE division enters the verdict:
+    *
+    *  - `rule_word_count`: 50 ≤ words ≤ 100 000
+    *  - `rule_mean_len`:   3 ≤ mean word length ≤ 10
+    *    (as `3·n ≤ Σlen ≤ 10·n`; Σlen is `length(replace(text,' ',''))`
+    *    — exactly the sum of token lengths under the space split)
+    *  - `rule_symbol`:     (#'#' + #'...') / words < 0.1  (as `10·sym < n`)
+    *  - `rule_alpha`:      ≥ 70 % of words contain a letter (as `10·a ≥ 7·n`)
+    *  - `rule_stop`:       ≥ 2 distinct [[GopherStops]] present
+    *
+    * Per-rule booleans are REPORTED alongside the combined `keep` —
+    * a filtering run wants the why (which gate fired) for its drop
+    * audit, not just the verdict; [[dropReasons]] is the aggregated
+    * view of the same idea.
+    *
+    * Scale shape: map-only — one projection pass, no shuffle at all
+    * except the presentation sort; every rule is a codegen'd
+    * expression over the token array.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stopSum = GopherStops
+      .map(w => s"CAST(array_contains(t, '$w') AS INT)").mkString(" + ")
+    docs(spark, dir)
+      .select($"doc_id", tok.as("t"), $"text")
+      .select($"doc_id",
+        size($"t").cast("long").as("n_words"),
+        length(regexp_replace($"text", " ", "")).cast("long").as("sum_word_len"),
+        expr("CAST(size(regexp_extract_all(text, '#|\\\\.\\\\.\\\\.', 0)) AS BIGINT)")
+          .as("n_symbols"),
+        expr("CAST(size(filter(t, x -> x rlike '[a-zA-Z]')) AS BIGINT)")
+          .as("n_alpha_words"),
+        expr(s"CAST($stopSum AS BIGINT)").as("n_stop_kinds"))
+      .withColumn("rule_word_count", $"n_words" >= 50L && $"n_words" <= 100000L)
+      .withColumn("rule_mean_len",
+        lit(3L) * $"n_words" <= $"sum_word_len" &&
+          $"sum_word_len" <= lit(10L) * $"n_words")
+      .withColumn("rule_symbol", lit(10L) * $"n_symbols" < $"n_words")
+      .withColumn("rule_alpha", lit(10L) * $"n_alpha_words" >= lit(7L) * $"n_words")
+      .withColumn("rule_stop", $"n_stop_kinds" >= 2L)
+      .withColumn("keep",
+        $"rule_word_count" && $"rule_mean_len" && $"rule_symbol" &&
+          $"rule_alpha" && $"rule_stop")
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_gopher_rules" -> gopherRules _,
     "text_fertility" -> fertility _,
     "text_surprise_filter" -> surpriseFilter _,
     "text_chunk_windows" -> chunkWindows _,
@@ -1301,6 +1360,31 @@ object TextAnalysis {
         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank,
         |       term, cnt, df, cnt * 1.0 / (SELECT t FROM tot) AS share
         |FROM top ORDER BY rank""".stripMargin,
+    "text_gopher_rules" -> {
+      val stopSum = GopherStops
+        .map(w => s"CAST(list_contains(t, '$w') AS INT)").mkString(" + ")
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+        |base AS (
+        |  SELECT doc_id,
+        |         len(t) AS n_words,
+        |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS sum_word_len,
+        |         CAST(len(regexp_extract_all(text, '#|\\.\\.\\.', 0)) AS BIGINT) AS n_symbols,
+        |         CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
+        |         CAST($stopSum AS BIGINT) AS n_stop_kinds
+        |  FROM toks)
+        |SELECT doc_id, n_words, sum_word_len, n_symbols, n_alpha_words, n_stop_kinds,
+        |       n_words >= 50 AND n_words <= 100000 AS rule_word_count,
+        |       3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words AS rule_mean_len,
+        |       10 * n_symbols < n_words AS rule_symbol,
+        |       10 * n_alpha_words >= 7 * n_words AS rule_alpha,
+        |       n_stop_kinds >= 2 AS rule_stop,
+        |       (n_words >= 50 AND n_words <= 100000)
+        |         AND (3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words)
+        |         AND (10 * n_symbols < n_words)
+        |         AND (10 * n_alpha_words >= 7 * n_words)
+        |         AND (n_stop_kinds >= 2) AS keep
+        |FROM base ORDER BY doc_id""".stripMargin
+    },
     "text_token_stats" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents)
         |SELECT doc_id,

@@ -889,6 +889,45 @@ class ExtensionSpec extends SparkSpec {
     assert(rows.map(_._4).sum === total)
   }
 
+  test("l-diversity gate requires BOTH bars and matches the small-cell k verdict") {
+    import spark.implicits._
+    val ld = graft.operators.Redaction.lDiversity(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))).toMap
+    assert(ld.nonEmpty)
+    ld.foreach { case (cell, (nUsers, nSens, nEvents, kOk, lOk, rel)) =>
+      assert(kOk === (nUsers >= 5L), s"cell $cell k bar")
+      assert(lOk === (nSens >= 3L), s"cell $cell l bar")
+      assert(rel === (kOk && lOk), s"cell $cell combined")
+      assert(nSens <= nEvents, s"cell $cell sensitive cardinality bound")
+    }
+    // the k verdicts agree with the small-cell report on every cell
+    val sc = graft.operators.Redaction.smallCells(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getBoolean(4))).toMap
+    assert(ld.keySet === sc.keySet)
+    ld.foreach { case (cell, t) => assert(t._4 === sc(cell), s"cell $cell") }
+  }
+
+  test("gopher rules report integer evidence consistent with each verdict") {
+    val rows = graft.operators.TextAnalysis.gopherRules(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, sumLen, nSym, nAlpha, nStop) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nAlpha <= n); assert(nStop <= 8L)
+      assert(r.getBoolean(6) === (n >= 50L && n <= 100000L))
+      assert(r.getBoolean(7) === (3 * n <= sumLen && sumLen <= 10 * n))
+      assert(r.getBoolean(8) === (10 * nSym < n))
+      assert(r.getBoolean(9) === (10 * nAlpha >= 7 * n))
+      assert(r.getBoolean(10) === (nStop >= 2L))
+      assert(r.getBoolean(11) === (6 to 10).forall(r.getBoolean))
+    }
+    // the gate discriminates on this corpus (both verdicts occur)
+    assert(rows.exists(_.getBoolean(11)) )
+    assert(rows.exists(!_.getBoolean(11)))
+  }
+
   test("principal direction equals a driver-side power iteration on the same codes") {
     import spark.implicits._
     val got = Similarity.principalDir(spark, dir).collect()

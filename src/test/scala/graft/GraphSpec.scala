@@ -173,4 +173,27 @@ class GraphSpec extends SparkSpec {
       assert(r.getLong(2) >= Graph.TeleportMass)
     }
   }
+
+  test("common neighbors scores exactly the non-edges of a diamond") {
+    val got = Graph.commonNeighborsOver(
+      pairsOf((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // Only non-edge: (1,4); common neighbours {2,3} → 2; deg(1)=2,
+    // deg(4)=2 → jaccard = 2·10⁶ div (2+2−2) = 10⁶.
+    assert(got.toSeq === Seq((1L, 4L, 2L, 2L, 2L, 1000000L)))
+  }
+
+  test("common neighbors excludes hub centers above the degree cap") {
+    // star: hub 100 linked to 1..70 (deg 70 > cap) — every leaf pair is
+    // co-linked ONLY through the hub, so no candidate survives
+    val star = (1L to 70L).map(i => (i, 100L))
+    assert(Graph.commonNeighborsOver(pairsOf(star: _*)).collect().isEmpty)
+    // with 3 leaves (deg 3 ≤ cap) all 3 leaf pairs score 1 common
+    val small = Graph.commonNeighborsOver(
+      pairsOf((1L, 100L), (2L, 100L), (3L, 100L))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(small.toSeq === Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
 }

@@ -87,4 +87,26 @@ class PlanAudit9Spec extends SparkSpec {
       s"a pure sampler must not aggregate:\n$plan")
     assert(df.count() > 0)
   }
+
+  test("common neighbors: equi-joined wedges, top-k via TakeOrdered, no cartesian") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val df = Graph.commonNeighborsOver(pairs)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"wedge join must key on the center:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a k-heap, not a global sort:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("zone map is a single keyed aggregate over the map-side zone id") {
+    val df = Stats.zoneMap(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // exactly one aggregate pair (partial+final) — one grouping key
+    assert(plan.contains("HashAggregate"), s"keyed aggregate missing:\n$plan")
+    assert(!plan.contains("Join"), s"a zone map needs no join:\n$plan")
+    assert(df.count() > 0)
+  }
 }

@@ -410,4 +410,45 @@ class StatsSpec extends SparkSpec {
     val zs = out.map(r => (r.getLong(3), r.getLong(0))).toSeq
     assert(zs == zs.sorted)
   }
+
+  test("zone map partitions the table and its skip flag matches the ranges") {
+    val parts = graft.engine.Tables.load(spark, dir, "part")
+    val zones = Stats.zoneMap(spark, dir).collect()
+    assert(zones.nonEmpty)
+    // zones partition the table
+    assert(zones.map(_.getLong(1)).sum === parts.count())
+    zones.foreach { r =>
+      val (zone, zMin, zMax) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      // every z in the zone falls in [zone·W, (zone+1)·W)
+      assert(zMin / Stats.ZoneWidth === zone)
+      assert(zMax / Stats.ZoneWidth === zone)
+      assert(r.getLong(4) <= r.getLong(5)) // size range ordered
+      // skip flag is exactly the range predicate
+      assert(r.getBoolean(10) ===
+        (r.getLong(4) <= Stats.ZoneProbeSize && r.getLong(5) >= Stats.ZoneProbeSize))
+    }
+    // pruning must actually bite: some zone is skippable for size=7
+    assert(zones.exists(r => !r.getBoolean(10)))
+  }
+
+  test("table stats agree with directly-computed per-column profiles") {
+    import spark.implicits._
+    val li = graft.engine.Tables.load(spark, dir, "lineitem")
+    val got = Stats.tableStats(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toMap
+    assert(got.keySet === Stats.StatsColumns.toSet)
+    val (ndvRf, minRf, maxRf) = (
+      li.select($"l_returnflag").distinct().count(),
+      li.agg(org.apache.spark.sql.functions.min($"l_returnflag")).head.getString(0),
+      li.agg(org.apache.spark.sql.functions.max($"l_returnflag")).head.getString(0))
+    assert(got("l_returnflag") === ((ndvRf, 0L, minRf, maxRf)))
+    // orderkey min/max come back as the NUMERIC extrema rendered as
+    // strings (not lexicographic string extrema)
+    val (loOk, hiOk) = (
+      li.agg(org.apache.spark.sql.functions.min($"l_orderkey")).head.getLong(0),
+      li.agg(org.apache.spark.sql.functions.max($"l_orderkey")).head.getLong(0))
+    assert(got("l_orderkey")._3 === loOk.toString)
+    assert(got("l_orderkey")._4 === hiOk.toString)
+  }
 }
