@@ -793,8 +793,17 @@ object Dedup {
     * (the vast majority) are dropped before any pair exists. Skewed
     * postings (boilerplate shingles) are the quadratic hazard at
     * scale — [[MaxShingleDf]] caps them; AQE splits what remains.
+    *
+    * `pairKeep`: an optional predicate over (doc_a, doc_b) applied to
+    * the EXPLODED pair stream, before the intersection-count shuffle.
+    * Only sound for predicates that depend on the pair key alone
+    * (e.g. [[lshRecall]]'s hash-sample) — those commute with the
+    * count aggregate, so pushing them down drops the discarded
+    * pairs' shuffle volume instead of aggregating and then
+    * discarding them.
     */
-  private def shinglePairCounts(d: DataFrame): DataFrame = {
+  private def shinglePairCounts(d: DataFrame,
+      pairKeep: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import d.sparkSession.implicits._
     val toks = tokenizedOf(d)
     // posting key = the shingle's md5 prefix as a 60-bit integer: an
@@ -821,7 +830,7 @@ object Dedup {
           |  i -> transform(slice(ds, i + 2, size(ds) - i - 1),
           |       x -> struct(ds[i] AS doc_a, x AS doc_b))))""".stripMargin)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
-    pairs
+    pairKeep.fold(pairs)(pairs.filter)
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("intersection"))
       .join(sizes.as("sa"), $"doc_a" === col("sa.doc_id"))
@@ -893,18 +902,22 @@ object Dedup {
     */
   def lshRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val truth = shinglePairCounts(docs(spark, dir))
+    // deterministic 1-in-RecallSampleMod hash-sample of the truth
+    // pairs (r8 advice): a recall ESTIMATE is the production posture —
+    // the full truth set scales with the corpus's duplicate density
+    // (this fixture's regeneration grew it 10×), where a hash-sample
+    // bounds the probe at any corpus. Content-keyed (md5 of the pair
+    // ids), so rerun-stable and engine-identical; per-decile recall
+    // stays unbiased because the sample key is independent of the
+    // Jaccard value. The predicate depends only on the pair key, so
+    // it is pushed BELOW the intersection-count aggregate
+    // ([[shinglePairCounts]]'s `pairKeep`): 1-1/mod of the pair
+    // stream never shuffles at all.
+    val sampleKeep = expr(
+      s"conv(substr(md5(concat(doc_a, ':', doc_b)), 4, 1), 16, 10)" +
+        s" % $RecallSampleMod = 0")
+    val truth = shinglePairCounts(docs(spark, dir), Some(sampleKeep))
       .filter($"intersection" * 2 >= $"na" + $"nb" - $"intersection")
-      // deterministic 1-in-RecallSampleMod hash-sample of the truth
-      // pairs BEFORE the probe join (r8 advice): a recall ESTIMATE is
-      // the production posture — the full truth set scales with the
-      // corpus's duplicate density (this fixture's regeneration grew
-      // it 10×), where a hash-sample bounds the probe at any corpus.
-      // Content-keyed (md5 of the pair ids), so rerun-stable and
-      // engine-identical; per-decile recall stays unbiased because
-      // the sample key is independent of the Jaccard value.
-      .filter(expr(s"conv(substr(md5(concat(doc_a, ':', doc_b)), 4, 1), 16, 10)" +
-        s" % $RecallSampleMod = 0"))
       .select($"doc_a", $"doc_b",
         expr("(intersection * 10) div (na + nb - intersection)").as("jac_decile"))
     val cand = minhashLsh(spark, dir)

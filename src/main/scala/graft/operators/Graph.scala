@@ -401,7 +401,69 @@ object Graph {
       .limit(LinkPredTopK)
   }
 
+  /** Minimum within-subgraph degree for [[kcore]] survival. */
+  val KCoreK = 3L
+
+  /** Peeling rounds [[kcore]] runs (mirrored by the oracle's unrolled
+    * CTE chain). Full coreness peels to a fixpoint — a data-dependent
+    * round count no cross-engine oracle can replay — so this is the
+    * BOUNDED-round variant: after [[KCorePeelRounds]] synchronous
+    * peels the survivor set is already exact for every graph whose
+    * peel cascade is shorter (hand-verified in GraphSpec: a chain that
+    * needs 4 cascading rounds converges), and an unconverged residue
+    * only ever OVER-approximates the core (never drops a true member).
+    */
+  val KCorePeelRounds = 6
+
+  /** Bounded k-CORE peeling of the span-sharing graph — the density
+    * filter of the dedup family toolkit: the k-core (maximal subgraph
+    * where every member keeps ≥ k neighbours INSIDE the subgraph) is
+    * where mutually-copying template families live, while chain-ish
+    * syndication paths and one-off quotes peel away. Complements
+    * [[triangles]] (local clique evidence) with a global cohesion
+    * verdict. Emits each survivor with its original degree and its
+    * residual within-core degree.
+    *
+    * Scale shape: each round is one semi-join of the edge relation
+    * against the surviving-node set (both endpoints) plus a keyed
+    * degree count — the [[pagerankOver]] loop shape, constant round
+    * count, `localCheckpoint` lineage cuts per round; survivors only
+    * shrink, so per-round cost is monotone non-increasing.
+    */
+  def kcore(spark: SparkSession, dir: String): DataFrame =
+    kcoreOver(spanPairs(spark, dir))
+
+  /** [[kcore]]'s peeling core over an arbitrary `(doc_a, doc_b)`
+    * undirected pair frame (doc_a < doc_b, distinct).
+    */
+  def kcoreOver(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges0 = pairs.toDF("doc_a", "doc_b").localCheckpoint()
+    val sym = edges0.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(edges0.select($"doc_b", $"doc_a"))
+      .localCheckpoint()
+    val deg0 = sym.groupBy($"src").agg(count(lit(1)).as("deg0"))
+      .localCheckpoint()
+    var edges = sym
+    for (_ <- 1 to KCorePeelRounds) {
+      val alive = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+        .filter($"d" >= KCoreK)
+        .select($"src".as("keep"))
+      edges = edges
+        .join(alive, edges("src") === alive("keep")).drop("keep")
+        .join(alive, edges("dst") === alive("keep")).drop("keep")
+        .localCheckpoint()
+    }
+    edges.groupBy($"src".as("doc_id")).agg(count(lit(1)).as("core_deg"))
+      .filter($"core_deg" >= KCoreK)
+      .join(deg0.select($"src".as("doc_id"), $"deg0"), Seq("doc_id"))
+      .select($"doc_id", $"deg0", $"core_deg")
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_kcore" -> kcore _,
     "graph_common_neighbors" -> commonNeighbors _,
     "graph_degree_histo" -> degreeHisto _,
     "graph_pagerank" -> pagerank _,
@@ -461,6 +523,28 @@ object Graph {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "graph_kcore" -> {
+      // every ke CTE is referenced 3× by the next round — MATERIALIZED
+      // hints are load-bearing (DuckDB re-inlines per reference; the
+      // un-hinted chain re-derives the span pairs 3^rounds times)
+      val rounds = (1 to KCorePeelRounds).map { i =>
+        s"""ka$i AS MATERIALIZED (SELECT src FROM ke${i - 1} GROUP BY src
+           |         HAVING count(*) >= $KCoreK),
+           |ke$i AS MATERIALIZED (SELECT e.src, e.dst FROM ke${i - 1} e
+           |         JOIN ka$i x ON x.src = e.src
+           |         JOIN ka$i y ON y.src = e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $pairCte,
+        |ke0 AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pr
+        |        UNION ALL SELECT doc_b, doc_a FROM pr),
+        |kdeg0 AS (SELECT src, CAST(count(*) AS BIGINT) AS deg0
+        |          FROM ke0 GROUP BY 1),
+        |$rounds
+        |SELECT e.src AS doc_id, d.deg0, CAST(count(*) AS BIGINT) AS core_deg
+        |FROM ke$KCorePeelRounds e JOIN kdeg0 d ON d.src = e.src
+        |GROUP BY 1, 2 HAVING count(*) >= $KCoreK
+        |ORDER BY doc_id""".stripMargin
+    },
     "graph_common_neighbors" ->
       s"""WITH $pairCte,
         |cnsym AS (SELECT doc_a AS src, doc_b AS dst FROM pr

@@ -361,7 +361,43 @@ object Redaction {
       .orderBy($"event_type", $"day")
   }
 
+  /** Tombstone predicate modulus for [[erasureAudit]] — the
+    * deterministic stand-in for a real deletion-request list
+    * (`user_id % ErasureMod == 0` plays the list's membership test).
+    */
+  val ErasureMod = 97L
+
+  /** RIGHT-TO-ERASURE audit — the report a GDPR/CCPA deletion batch
+    * produces BEFORE rewriting anything: per event type, how many rows
+    * and distinct users the tombstone list removes and how many
+    * survive. The deterministic `user_id % 97` set stands in for the
+    * real request list; in production the membership test is a
+    * broadcast join against the tombstone table (or its bloom
+    * prefilter — [[graft.operators.Dedup]]'s `dedupDocsWithBloom`
+    * pattern — when even the list is large), and the apply step is
+    * the same predicate driving a partition rewrite. Audit first,
+    * rewrite second: the numbers are the sign-off artifact.
+    *
+    * Scale shape: map-side flagging + one keyed aggregate; the two
+    * distinct-user counts share the shuffle via Expand. Output is
+    * |event types|-sized.
+    */
+  def erasureAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .select($"event_type", $"user_id",
+        ($"user_id" % ErasureMod === 0L).as("tomb"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"tomb", 1L).otherwise(0L)).as("n_purged"),
+        sum(when($"tomb", 0L).otherwise(1L)).as("n_kept"),
+        countDistinct(when($"tomb", $"user_id")).as("n_purged_users"),
+        countDistinct(when(!$"tomb", $"user_id")).as("n_kept_users"))
+      .orderBy($"event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gov_erasure_audit" -> erasureAudit _,
     "text_pii" -> piiEvents _,
     "text_cc_luhn" -> ccEvents _,
     "text_domains" -> domainEvents _,
@@ -376,6 +412,13 @@ object Redaction {
         |       count(DISTINCT user_id) AS n_users, count(*) AS n_events,
         |       count(DISTINCT user_id) >= $KAnonThreshold AS released
         |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+    "gov_erasure_audit" ->
+      s"""SELECT event_type, count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN user_id % $ErasureMod = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+        |       CAST(sum(CASE WHEN user_id % $ErasureMod = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+        |       count(DISTINCT CASE WHEN user_id % $ErasureMod = 0 THEN user_id END) AS n_purged_users,
+        |       count(DISTINCT CASE WHEN user_id % $ErasureMod <> 0 THEN user_id END) AS n_kept_users
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "gov_l_diversity" ->
       s"""SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |       count(DISTINCT user_id) AS n_users,

@@ -955,7 +955,58 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** CROSS-DOC duplicate n-gram coverage (the RefinedWeb /
+    * MassiveText "duplicate n-gram character fraction" restated over
+    * token positions, arXiv:2306.01116 §G): per document, the ppm of
+    * trigram POSITIONS whose word-trigram also occurs in at least one
+    * OTHER document. [[repetition]] measures intra-doc self-repetition;
+    * this measures how much of a doc is corpus-duplicated material —
+    * the signal behind "remove docs that are mostly boilerplate even
+    * if no single whole-doc duplicate exists". Every occurrence
+    * position counts (not distinct shingles): a doc that repeats one
+    * syndicated paragraph ten times is 10× covered by it.
+    *
+    * Scale shape: the duplicated-shingle set comes from one
+    * distinct-(doc, shingle) aggregate with distinct-doc df ≥ 2 — a
+    * posting count, no pair expansion, so no df cap is needed (unlike
+    * the pair cores, a semi-join can't go quadratic on a hot
+    * shingle); position coverage is a shingle-keyed semi-join back,
+    * then a per-doc count. Three shuffles total, all on data-scaled
+    * keys. At 100 TB the shingle strings ride as the 60-bit md5-prefix
+    * keys ([[Dedup]]'s posting-key compression) — kept as strings here
+    * so the metric stays self-contained.
+    */
+  def dupCoverage(spark: SparkSession, dir: String): DataFrame =
+    dupCoverageOf(docs(spark, dir))
+
+  /** [[dupCoverage]]'s core over any `(doc_id, text)` frame. */
+  def dupCoverageOf(d: DataFrame): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val toks = d.select($"doc_id", tok.as("t"))
+    // all trigram positions (i = 1 .. n-2), occurrence-counted
+    val pos = toks.filter(size($"t") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(t) - 2), i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"))
+        .as("shingle"))
+    val nPos = toks.select($"doc_id",
+      greatest(size($"t") - 2, lit(0)).cast("long").as("n_pos"))
+    // shingles appearing in ≥ 2 DISTINCT docs
+    val dup = pos.select($"doc_id", $"shingle").distinct()
+      .groupBy($"shingle").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2).select($"shingle")
+    val covered = pos.join(dup, Seq("shingle"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_dup_pos"))
+    nPos.join(covered, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_pos",
+        coalesce($"n_dup_pos", lit(0L)).as("n_dup_pos"))
+      .withColumn("dup_ppm", expr(
+        "CAST(CASE WHEN n_pos = 0 THEN 0 ELSE (n_dup_pos * 1000000) div n_pos END AS BIGINT)"))
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_dup_coverage" -> dupCoverage _,
     "text_gopher_rules" -> gopherRules _,
     "text_fertility" -> fertility _,
     "text_surprise_filter" -> surpriseFilter _,
@@ -1360,6 +1411,27 @@ object TextAnalysis {
         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank,
         |       term, cnt, df, cnt * 1.0 / (SELECT t FROM tot) AS share
         |FROM top ORDER BY rank""".stripMargin,
+    "text_dup_coverage" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |dcpos AS (SELECT doc_id,
+        |            unnest(list_transform(generate_series(1, len(t) - 2),
+        |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |          FROM toks WHERE len(t) >= 3),
+        |dcnp AS (SELECT doc_id,
+        |           CAST(CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END AS BIGINT) AS n_pos
+        |         FROM toks),
+        |dcdup AS (SELECT shingle FROM (SELECT DISTINCT doc_id, shingle FROM dcpos)
+        |          GROUP BY shingle HAVING count(*) >= 2),
+        |dccov AS (SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_dup_pos
+        |          FROM dcpos p JOIN dcdup d ON d.shingle = p.shingle
+        |          GROUP BY 1)
+        |SELECT n.doc_id, n.n_pos,
+        |       COALESCE(c.n_dup_pos, 0) AS n_dup_pos,
+        |       CAST(CASE WHEN n.n_pos = 0 THEN 0
+        |            ELSE (COALESCE(c.n_dup_pos, 0) * 1000000) // n.n_pos
+        |       END AS BIGINT) AS dup_ppm
+        |FROM dcnp n LEFT JOIN dccov c ON c.doc_id = n.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
     "text_gopher_rules" -> {
       val stopSum = GopherStops
         .map(w => s"CAST(list_contains(t, '$w') AS INT)").mkString(" + ")

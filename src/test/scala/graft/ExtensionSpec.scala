@@ -909,6 +909,43 @@ class ExtensionSpec extends SparkSpec {
     ld.foreach { case (cell, t) => assert(t._4 === sc(cell), s"cell $cell") }
   }
 
+  test("dup coverage counts exactly the positions of cross-doc trigrams") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.dupCoverageOf(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // only "a b c" is shared (docs 1+2); each doc has 2 positions
+    assert(got.toSeq === Seq(
+      (1L, 2L, 1L, 500000L), (2L, 2L, 1L, 500000L), (3L, 2L, 0L, 0L)))
+  }
+
+  test("dup coverage counts every occurrence position, not distinct shingles") {
+    import spark.implicits._
+    val d = Seq((1L, "p q r p q r p q r"), (2L, "p q r s"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.dupCoverageOf(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1 has 7 positions; "p q r" occurs at i=1,4,7 (3 occurrences,
+    // each counted) — the only cross-doc trigram
+    assert(got(1L) === ((7L, 3L)))
+    assert(got(2L) === ((2L, 1L)))
+  }
+
+  test("erasure audit splits rows and users exactly by the tombstone predicate") {
+    import spark.implicits._
+    val rows = graft.operators.Redaction.erasureAudit(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2) + r.getLong(3),
+        s"${r.getString(0)}: purged+kept must partition rows")
+    }
+    val ev = graft.engine.Tables.load(spark, dir, "events")
+    assert(rows.map(_.getLong(2)).sum ===
+      ev.filter($"user_id" % graft.operators.Redaction.ErasureMod === 0L).count())
+    assert(rows.map(_.getLong(1)).sum === ev.count())
+  }
+
   test("gopher rules report integer evidence consistent with each verdict") {
     val rows = graft.operators.TextAnalysis.gopherRules(spark, dir).collect()
     assert(rows.nonEmpty)

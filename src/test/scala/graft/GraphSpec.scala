@@ -185,6 +185,23 @@ class GraphSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 4L, 2L, 2L, 2L, 1000000L)))
   }
 
+  test("kcore peels a 3-round cascade down to the exact K4 core") {
+    // K4 {1,2,3,4} + path 5(-1,-2,-6) + 6(-7,-8): 7,8 peel first
+    // (deg 1), stranding 6 (→1), then 5 (→2) — three cascading
+    // rounds, well inside the bounded count
+    val got = Graph.kcoreOver(pairsOf(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (2L, 5L), (5L, 6L), (6L, 7L), (6L, 8L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 4L, 3L), (2L, 4L, 3L), (3L, 3L, 3L), (4L, 3L, 3L)))
+  }
+
+  test("kcore of a triangle-free sparse graph is empty") {
+    // a path has no 3-core
+    assert(Graph.kcoreOver(pairsOf((1L, 2L), (2L, 3L), (3L, 4L)))
+      .collect().isEmpty)
+  }
+
   test("common neighbors excludes hub centers above the degree cap") {
     // star: hub 100 linked to 1..70 (deg 70 > cap) — every leaf pair is
     // co-linked ONLY through the hub, so no candidate survives
