@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** ENTITY RESOLUTION (record linkage) over the `part` catalog — the
+  * pipeline verb that reconciles free-text mentions against a clean
+  * entity catalog (vendor feeds vs a product master, author strings vs
+  * an author registry, …). The classic distributed recipe, each step
+  * its own bounded-cost relational shape:
+  *
+  *  1. CANDIDATE GENERATION by MULTI-KEY BLOCKING: every string emits
+  *     one posting per normalized token, and a mention meets a
+  *     catalog entity iff they share ≥ 1 key — an equi-join on the
+  *     token, never the all-pairs cross product. Multiple keys per
+  *     string is the point: single-key blocking misses any mention
+  *     whose one key was corrupted (a swapped word order changes the
+  *     "first word" key; sharing EITHER word still blocks).
+  *  2. SCORING: Levenshtein distance on the case-folded strings,
+  *     computed only for blocked pairs.
+  *  3. ELECTION: per mention the nearest candidate (ties → lowest
+  *     entity id), a per-mention-partitioned rank-1 filter that
+  *     compiles to WindowGroupLimit (map-side top-1 heaps, no global
+  *     sort).
+  *
+  * The raw fixture has no noisy mentions, so the surfaced query
+  * PLANTS them deterministically (the dedup-cascade convention): every
+  * part re-arrives as a mention corrupted by `p_partkey mod 3` —
+  * last character dropped / uppercased / word order swapped — so both
+  * engines replay the identical corruption and the match outcome is
+  * exactly checkable, including a per-mention `correct` verdict
+  * against the planted truth.
+  *
+  * Scale shape: postings are |strings|·|tokens| rows keyed by token;
+  * hot blocking keys are the skew hazard (a token shared by half the
+  * catalog regenerates the cross product), so keys whose candidate
+  * posting exceeds [[ErMaxBlock]] are dropped wholesale — the
+  * [[Dedup.MaxShingleDf]] posture; [[blockProfile]] is the audit that
+  * shows what the cap cost. Catalog-side work runs on the
+  * DISTINCT-name table (entity-domain-sized, not mention-sized).
+  */
+object EntityResolution {
+
+  /** Blocking keys whose catalog posting exceeds this are dropped
+    * (skew guard, mirrored in the oracle).
+    */
+  val ErMaxBlock = 1000L
+
+  private def parts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "part").select($"p_partkey", $"p_name")
+  }
+
+  /** Clean entity catalog: one row per DISTINCT name, entity id = the
+    * lowest part key bearing it (the min-id keeper election every
+    * dedup family here uses).
+    */
+  private def catalog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    parts(spark, dir)
+      .groupBy($"p_name".as("ent_name"))
+      .agg(min($"p_partkey").as("ent_id"))
+  }
+
+  /** Deterministically corrupted mention per part:
+    * mod 0 → last character dropped, mod 1 → uppercased,
+    * mod 2 → the two words swapped.
+    */
+  private def mentions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    parts(spark, dir).select(
+      $"p_partkey".as("mention_id"),
+      $"p_name".as("true_name"),
+      when($"p_partkey" % 3 === 0,
+          expr("substr(p_name, 1, length(p_name) - 1)"))
+        .when($"p_partkey" % 3 === 1, upper($"p_name"))
+        .otherwise(concat(substring_index($"p_name", " ", -1), lit(" "),
+          substring_index($"p_name", " ", 1))).as("mention"))
+  }
+
+  /** Per-string normalized token postings: `(key, …)` one row per
+    * distinct lowercase token.
+    */
+  private def keysOf(d: DataFrame, strCol: String): DataFrame =
+    d.select(col("*"), explode(array_distinct(split(lower(col(strCol)), " "))).as("key"))
+
+  /** BLOCKING-HEALTH audit — per blocking key, how many catalog
+    * entities and mentions post to it, the pair fan-out it would
+    * generate, and whether the [[ErMaxBlock]] cap keeps it. The table
+    * an ER rollout reads before trusting recall: dropped hot keys are
+    * lost-candidate mass, a huge kept key is the next cost cliff.
+    */
+  def blockProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ck = keysOf(catalog(spark, dir), "ent_name")
+      .groupBy($"key").agg(count(lit(1)).as("n_entities"))
+    val mk = keysOf(mentions(spark, dir), "mention")
+      .groupBy($"key").agg(count(lit(1)).as("n_mentions"))
+    ck.join(mk, Seq("key"), "full")
+      .select($"key",
+        coalesce($"n_entities", lit(0L)).as("n_entities"),
+        coalesce($"n_mentions", lit(0L)).as("n_mentions"))
+      .withColumn("n_pairs", $"n_entities" * $"n_mentions")
+      .withColumn("kept", $"n_entities" <= ErMaxBlock)
+      .orderBy($"key")
+  }
+
+  /** The match table: every mention, its elected nearest catalog
+    * entity among block-mates (Levenshtein on case-folded strings,
+    * ties → lowest ent_id), the distance, and whether the election
+    * recovered the planted truth. Mentions whose every blocking key
+    * was dropped (or that share no key) are reported with a null
+    * match — silent row loss is how ER failures hide.
+    */
+  def matchMentions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = catalog(spark, dir)
+    val ck = keysOf(cat, "ent_name").select($"key", $"ent_id", $"ent_name")
+    val keptKeys = ck.groupBy($"key").agg(count(lit(1)).as("n"))
+      .filter($"n" <= ErMaxBlock).select($"key")
+    val m = mentions(spark, dir)
+    val mk = keysOf(m, "mention").select($"key", $"mention_id")
+    val cand = mk.join(keptKeys, Seq("key"))
+      .join(ck, Seq("key"))
+      .select($"mention_id", $"ent_id", $"ent_name").distinct()
+    val scored = cand
+      .join(m, Seq("mention_id"))
+      .withColumn("dist", levenshtein(lower($"mention"), lower($"ent_name")).cast("long"))
+    val elected = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"mention_id").orderBy($"dist", $"ent_id")))
+      .filter($"rn" === 1)
+      .select($"mention_id", $"ent_id".as("matched_id"),
+        $"ent_name".as("matched_name"), $"dist")
+    m.join(elected, Seq("mention_id"), "left")
+      .select($"mention_id", $"mention", $"matched_id", $"dist",
+        coalesce($"matched_name" === $"true_name", lit(false)).as("correct"))
+      .orderBy($"mention_id")
+  }
+
+  /** The release yardstick: match accuracy and mean distance per
+    * corruption class — the table that says WHICH noise the blocking
+    * + scorer recipe survives (swapped words land far in edit
+    * distance; the multi-key blocking still finds them, and this
+    * report proves whether the scorer then elects right).
+    */
+  def matchQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    matchMentions(spark, dir)
+      .withColumn("noise_class",
+        when($"mention_id" % 3 === 0, "drop_char")
+          .when($"mention_id" % 3 === 1, "uppercase")
+          .otherwise("word_swap"))
+      .groupBy($"noise_class")
+      .agg(count(lit(1)).as("n_mentions"),
+        sum(when($"correct", 1L).otherwise(0L)).as("n_correct"),
+        sum(coalesce($"dist", lit(0L))).as("total_dist"),
+        sum(when($"matched_id".isNull, 1L).otherwise(0L)).as("n_unmatched"))
+      .withColumn("acc_ppm", expr("(n_correct * 1000000) div n_mentions"))
+      .orderBy($"noise_class")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_block_profile" -> blockProfile _,
+    "er_match" -> matchMentions _,
+    "er_match_quality" -> matchQuality _)
+
+  /** Shared oracle CTE prefix: catalog, planted mentions, postings. */
+  private val erCte: String =
+    s"""ecat AS (SELECT p_name AS ent_name, CAST(min(p_partkey) AS BIGINT) AS ent_id
+      |          FROM part GROUP BY 1),
+      |emen AS (SELECT CAST(p_partkey AS BIGINT) AS mention_id, p_name AS true_name,
+      |           CASE WHEN p_partkey % 3 = 0 THEN substr(p_name, 1, len(p_name) - 1)
+      |                WHEN p_partkey % 3 = 1 THEN upper(p_name)
+      |                ELSE string_split(p_name, ' ')[-1] || ' ' || split_part(p_name, ' ', 1)
+      |           END AS mention
+      |         FROM part),
+      |eck AS (SELECT ent_id, ent_name, unnest(list_distinct(string_split(lower(ent_name), ' '))) AS key
+      |        FROM ecat),
+      |emk AS (SELECT mention_id, unnest(list_distinct(string_split(lower(mention), ' '))) AS key
+      |        FROM emen)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "er_block_profile" ->
+      s"""WITH $erCte,
+        |ec AS (SELECT key, CAST(count(*) AS BIGINT) AS n_entities FROM eck GROUP BY 1),
+        |em AS (SELECT key, CAST(count(*) AS BIGINT) AS n_mentions FROM emk GROUP BY 1)
+        |SELECT COALESCE(ec.key, em.key) AS key,
+        |       COALESCE(n_entities, 0) AS n_entities,
+        |       COALESCE(n_mentions, 0) AS n_mentions,
+        |       COALESCE(n_entities, 0) * COALESCE(n_mentions, 0) AS n_pairs,
+        |       COALESCE(n_entities, 0) <= $ErMaxBlock AS kept
+        |FROM ec FULL JOIN em ON em.key = ec.key
+        |ORDER BY key""".stripMargin,
+    "er_match" ->
+      s"""WITH $erCte,
+        |ekept AS (SELECT key FROM eck GROUP BY key HAVING count(*) <= $ErMaxBlock),
+        |ecand AS (SELECT DISTINCT k.mention_id, c.ent_id, c.ent_name
+        |          FROM emk k JOIN ekept USING (key) JOIN eck c USING (key)),
+        |escored AS (SELECT c.mention_id, c.ent_id, c.ent_name,
+        |              CAST(levenshtein(lower(m.mention), lower(c.ent_name)) AS BIGINT) AS dist
+        |            FROM ecand c JOIN emen m USING (mention_id)),
+        |eel AS (SELECT * FROM (SELECT *, row_number() OVER
+        |               (PARTITION BY mention_id ORDER BY dist, ent_id) AS rn
+        |             FROM escored) WHERE rn = 1)
+        |SELECT m.mention_id, m.mention, e.ent_id AS matched_id, e.dist,
+        |       COALESCE(e.ent_name = m.true_name, false) AS correct
+        |FROM emen m LEFT JOIN eel e USING (mention_id)
+        |ORDER BY mention_id""".stripMargin,
+    "er_match_quality" ->
+      s"""WITH $erCte,
+        |ekept AS (SELECT key FROM eck GROUP BY key HAVING count(*) <= $ErMaxBlock),
+        |ecand AS (SELECT DISTINCT k.mention_id, c.ent_id, c.ent_name
+        |          FROM emk k JOIN ekept USING (key) JOIN eck c USING (key)),
+        |escored AS (SELECT c.mention_id, c.ent_id, c.ent_name,
+        |              CAST(levenshtein(lower(m.mention), lower(c.ent_name)) AS BIGINT) AS dist
+        |            FROM ecand c JOIN emen m USING (mention_id)),
+        |eel AS (SELECT * FROM (SELECT *, row_number() OVER
+        |               (PARTITION BY mention_id ORDER BY dist, ent_id) AS rn
+        |             FROM escored) WHERE rn = 1),
+        |ematch AS (SELECT m.mention_id, e.ent_id AS matched_id, e.dist,
+        |             COALESCE(e.ent_name = m.true_name, false) AS correct
+        |           FROM emen m LEFT JOIN eel e USING (mention_id))
+        |SELECT CASE WHEN mention_id % 3 = 0 THEN 'drop_char'
+        |            WHEN mention_id % 3 = 1 THEN 'uppercase'
+        |            ELSE 'word_swap' END AS noise_class,
+        |       CAST(count(*) AS BIGINT) AS n_mentions,
+        |       CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |       CAST(sum(COALESCE(dist, 0)) AS BIGINT) AS total_dist,
+        |       CAST(sum(CASE WHEN matched_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
+        |       CAST((sum(CASE WHEN correct THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS acc_ppm
+        |FROM ematch GROUP BY 1 ORDER BY noise_class""".stripMargin)
+}

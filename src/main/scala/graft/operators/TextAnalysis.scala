@@ -639,6 +639,31 @@ object TextAnalysis {
     */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    trainBpeMerges(spark, dir).toDF("iter", "sym_a", "sym_b", "n_pair")
+      .orderBy($"iter")
+  }
+
+  /** The greedy left-to-right merge fold: rebuild the `$S`-joined
+    * representation in `repCol`, fusing every (a, b) adjacency —
+    * shared verbatim by the trainer's re-representation step and
+    * [[bpeEncode]]'s application step so the two can never drift.
+    */
+  private def bpeMergeFold(a: String, b: String): org.apache.spark.sql.Column = {
+    val S = BpeSep
+    expr(
+      s"""aggregate(slice(syms, 2, size(syms) - 1), element_at(syms, 1),
+         |  (acc, s) -> CASE WHEN (acc = '$a' OR endswith(acc, '$S$a')) AND s = '$b'
+         |                   THEN concat(acc, '$b')
+         |                   ELSE concat(acc, '$S', s) END)""".stripMargin)
+  }
+
+  /** [[bpeTrain]]'s loop, returning the merge table as driver values
+    * (model-sized — [[BpeMerges]] rows — the PQ-codebook collect
+    * precedent) so [[bpeEncode]] can apply the trained merges.
+    */
+  private[graft] def trainBpeMerges(spark: SparkSession,
+      dir: String): Seq[(Long, String, String, Long)] = {
+    import spark.implicits._
     val S = BpeSep
     val words = docs(spark, dir)
       .select(explode(tok).as("w"))
@@ -663,15 +688,53 @@ object TextAnalysis {
       val Array(a, b) = top.getString(0).split(S)
       merges += ((it.toLong, a, b, top.getLong(1)))
       reps = reps.withColumn("syms", split($"rep", S))
-        .withColumn("rep", expr(
-          s"""aggregate(slice(syms, 2, size(syms) - 1), element_at(syms, 1),
-             |  (acc, s) -> CASE WHEN (acc = '$a' OR endswith(acc, '$S$a')) AND s = '$b'
-             |                   THEN concat(acc, '$b')
-             |                   ELSE concat(acc, '$S', s) END)""".stripMargin))
+        .withColumn("rep", bpeMergeFold(a, b))
         .select($"freq", $"rep")
         .localCheckpoint()
     }
-    merges.toSeq.toDF("iter", "sym_a", "sym_b", "n_pair").orderBy($"iter")
+    merges.toSeq
+  }
+
+  /** BPE ENCODING — the tokenizer-APPLICATION verb ([[bpeTrain]]
+    * ships the merge table; this runs it over the corpus): every
+    * word is re-segmented under the [[BpeMerges]] trained merges and
+    * each document reports its word, character, and BPE-token counts
+    * plus tokens-per-character in ppm — the compression yardstick
+    * (chars-per-token is the capacity currency that decides how much
+    * text fits a context window, and a corpus whose ppm drifts up is
+    * drifting away from the tokenizer's training distribution).
+    *
+    * Scale shape: the merge fold runs over the DISTINCT-word
+    * vocabulary (vocab-sized, never corpus-sized — the same frame the
+    * trainer folds), then per-doc counts come from one explode + an
+    * equi-join on the word + a doc-keyed aggregate. The merge table
+    * itself is [[BpeMerges]] driver literals baked into the fold
+    * expressions — nothing joins against it.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val S = BpeSep
+    val merges = trainBpeMerges(spark, dir)
+    val occ = docs(spark, dir)
+      .select($"doc_id", explode(tok).as("w"))
+      .filter(length($"w") > 0)
+    var reps = occ.select($"w").distinct()
+      .select($"w", array_join(split($"w", ""), S).as("rep"))
+    for ((_, a, b, _) <- merges)
+      reps = reps.withColumn("syms", split($"rep", S))
+        .withColumn("rep", bpeMergeFold(a, b))
+        .select($"w", $"rep")
+    val wlen = reps.select($"w",
+      length($"w").cast("long").as("n_chars"),
+      size(split($"rep", S)).cast("long").as("n_sym"))
+    occ.join(wlen, Seq("w"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"n_chars").as("n_chars"),
+        sum($"n_sym").as("n_bpe_tokens"))
+      .withColumn("tok_per_char_ppm",
+        expr("(n_bpe_tokens * 1000000) div n_chars"))
+      .orderBy($"doc_id")
   }
 
   /** Quality-gate DROP-REASON report per source — the data-card table
@@ -1006,6 +1069,7 @@ object TextAnalysis {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_encode" -> bpeEncode _,
     "text_dup_coverage" -> dupCoverage _,
     "text_gopher_rules" -> gopherRules _,
     "text_fertility" -> fertility _,
@@ -1117,7 +1181,56 @@ object TextAnalysis {
       |ORDER BY iter""".stripMargin
   }
 
+  /** [[bpeEncode]]'s oracle: the training rounds re-derived (same
+    * unrolling as [[bpeTrainOracle]], MATERIALIZED because every
+    * round's tables are referenced twice — once by the next training
+    * round, once by the vocabulary-encode chain), then the same
+    * greedy fold applied per DISTINCT word and joined back to word
+    * occurrences.
+    */
+  private def bpeEncodeOracle: String = {
+    val S = BpeSep
+    def round(t: Int) =
+      s"""pc$t AS (SELECT pk, CAST(sum(freq) AS BIGINT) AS n FROM (
+        |  SELECT freq, unnest(list_transform(generate_series(1, len(string_split(rep, '$S')) - 1),
+        |    i -> string_split(rep, '$S')[i] || '$S' || string_split(rep, '$S')[i+1])) AS pk
+        |  FROM r${t - 1}) GROUP BY 1),
+        |top$t AS MATERIALIZED (SELECT split_part(pk, '$S', 1) AS a, split_part(pk, '$S', 2) AS b, n
+        |          FROM (SELECT *, row_number() OVER (ORDER BY n DESC, pk) AS rn FROM pc$t)
+        |          WHERE rn = 1),
+        |r$t AS MATERIALIZED (SELECT freq, list_reduce(string_split(rep, '$S'),
+        |          (acc, s) -> CASE WHEN (acc = p.a OR ends_with(acc, '$S' || p.a)) AND s = p.b
+        |                           THEN acc || p.b ELSE acc || '$S' || s END) AS rep
+        |        FROM r${t - 1}, top$t p),
+        |v$t AS MATERIALIZED (SELECT w, list_reduce(string_split(rep, '$S'),
+        |          (acc, s) -> CASE WHEN (acc = p.a OR ends_with(acc, '$S' || p.a)) AND s = p.b
+        |                           THEN acc || p.b ELSE acc || '$S' || s END) AS rep
+        |        FROM v${t - 1}, top$t p)""".stripMargin
+    val rounds = (1 to BpeMerges).map(round).mkString(",\n")
+    s"""WITH wrd AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |       FROM documents),
+      |wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM wrd
+      |       WHERE len(w) > 0 GROUP BY 1),
+      |r0 AS MATERIALIZED (SELECT freq,
+      |         array_to_string(list_transform(generate_series(1, len(w)), i -> w[i]), '$S') AS rep
+      |       FROM wf),
+      |v0 AS MATERIALIZED (SELECT w,
+      |         array_to_string(list_transform(generate_series(1, len(w)), i -> w[i]), '$S') AS rep
+      |       FROM wf),
+      |$rounds,
+      |wl AS (SELECT w, CAST(len(w) AS BIGINT) AS n_chars,
+      |         CAST(len(string_split(rep, '$S')) AS BIGINT) AS n_sym
+      |       FROM v$BpeMerges)
+      |SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |       CAST(sum(l.n_chars) AS BIGINT) AS n_chars,
+      |       CAST(sum(l.n_sym) AS BIGINT) AS n_bpe_tokens,
+      |       CAST((sum(l.n_sym) * 1000000) // sum(l.n_chars) AS BIGINT) AS tok_per_char_ppm
+      |FROM wrd o JOIN wl l ON l.w = o.w
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "text_bpe_encode" -> bpeEncodeOracle,
     "text_chunk_windows" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |x AS (SELECT doc_id, t,

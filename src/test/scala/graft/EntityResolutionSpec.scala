@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EntityResolution
+
+class EntityResolutionSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every planted mention is matched and uppercase noise matches exactly") {
+    import spark.implicits._
+    val m = EntityResolution.matchMentions(spark, dir).cache()
+    val n = m.count()
+    assert(n > 0)
+    // two-word color/noun names always share a key with their catalog
+    // entity under every corruption class — nothing may go unmatched
+    assert(m.filter($"matched_id".isNull).count() === 0)
+    // case folding makes uppercase corruption free: dist 0, correct
+    val upper = m.filter($"mention_id" % 3 === 1)
+    assert(upper.count() > 0)
+    assert(upper.filter(!$"correct" || $"dist" =!= 0L).count() === 0)
+    // dropped-char mentions sit exactly 1 edit from their truth, and
+    // the nearest candidate can never be further than that
+    val dropped = m.filter($"mention_id" % 3 === 0)
+    assert(dropped.filter($"dist" > 1L).count() === 0)
+    m.unpersist()
+  }
+
+  test("match quality partitions the mention set and bounds accuracy") {
+    import spark.implicits._
+    val q = EntityResolution.matchQuality(spark, dir).collect()
+    assert(q.map(_.getAs[String]("noise_class")).sorted ===
+      Array("drop_char", "uppercase", "word_swap"))
+    val total = q.map(_.getAs[Long]("n_mentions")).sum
+    assert(total === EntityResolution.matchMentions(spark, dir).count())
+    q.foreach { r =>
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_mentions"))
+      assert(r.getAs[Long]("acc_ppm") ===
+        r.getAs[Long]("n_correct") * 1000000L / r.getAs[Long]("n_mentions"))
+    }
+    // uppercase class must be perfectly recovered
+    val up = q.find(_.getAs[String]("noise_class") == "uppercase").get
+    assert(up.getAs[Long]("n_correct") === up.getAs[Long]("n_mentions"))
+  }
+
+  test("block profile pair fan-out is entities x mentions and the cap is honest") {
+    import spark.implicits._
+    val p = EntityResolution.blockProfile(spark, dir).collect()
+    assert(p.nonEmpty)
+    p.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") ===
+        r.getAs[Long]("n_entities") * r.getAs[Long]("n_mentions"))
+      assert(r.getAs[Boolean]("kept") ===
+        (r.getAs[Long]("n_entities") <= EntityResolution.ErMaxBlock))
+    }
+    // corrupted last words (dropped char) produce mention-only keys
+    assert(p.exists(r => r.getAs[Long]("n_entities") === 0L))
+  }
+
+  test("nearest-candidate election compiles to WindowGroupLimit") {
+    val plan = EntityResolution.matchMentions(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-mention rank-1 must run as map-side top-1 heaps, got:\n$plan")
+  }
+}

@@ -932,6 +932,28 @@ class ExtensionSpec extends SparkSpec {
     assert(got(2L) === ((2L, 1L)))
   }
 
+  test("bpe encode is consistent with raw counts and the trained merges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val enc = graft.operators.TextAnalysis.bpeEncode(spark, dir).cache()
+    val raw = graft.engine.Tables.load(spark, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("e_words"), sum(length($"w")).cast("long").as("e_chars"))
+    val j = enc.join(raw, Seq("doc_id")).cache()
+    assert(j.count() === enc.count() && enc.count() > 0)
+    // word and char totals must equal a direct recompute; each word is
+    // at least one symbol and merging can only shrink the symbol count
+    assert(j.filter($"n_words" =!= $"e_words" || $"n_chars" =!= $"e_chars").count() === 0)
+    assert(j.filter($"n_bpe_tokens" > $"n_chars" || $"n_bpe_tokens" < $"n_words").count() === 0)
+    // merges fired: the corpus-wide symbol count is strictly below the
+    // char count (BpeMerges > 0 and the top pair always has support)
+    val tot = enc.agg(sum($"n_bpe_tokens"), sum($"n_chars")).collect()(0)
+    assert(tot.getLong(0) < tot.getLong(1))
+    enc.unpersist(); j.unpersist()
+  }
+
   test("erasure audit splits rows and users exactly by the tombstone predicate") {
     import spark.implicits._
     val rows = graft.operators.Redaction.erasureAudit(spark, dir).collect()
