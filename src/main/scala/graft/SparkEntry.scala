@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CoreQueries, Corpus, Dedup, EntityResolution, Graph, Multimodal, Redaction, Similarity, Stats, TextAnalysis, TimeSeries, WindowedEvents}
+import graft.operators.{CoreQueries, Corpus, DataQuality, Dedup, EntityResolution, Graph, Multimodal, Redaction, Similarity, Stats, TextAnalysis, TimeSeries, WindowedEvents}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,12 +21,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.all ++ WindowedEvents.all ++ TextAnalysis.all ++ Dedup.all ++
       Similarity.all ++ Multimodal.all ++ Corpus.all ++ TimeSeries.all ++
-      Stats.all ++ Redaction.all ++ Pipeline.all ++ Graph.all ++ EntityResolution.all
+      Stats.all ++ Redaction.all ++ Pipeline.all ++ Graph.all ++ EntityResolution.all ++ DataQuality.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ WindowedEvents.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ Multimodal.oracle ++ Corpus.oracle ++ TimeSeries.oracle ++
-      Stats.oracle ++ Redaction.oracle ++ Pipeline.oracle ++ Graph.oracle ++ EntityResolution.oracle
+      Stats.oracle ++ Redaction.oracle ++ Pipeline.oracle ++ Graph.oracle ++ EntityResolution.oracle ++ DataQuality.oracle
 }

@@ -163,9 +163,61 @@ object EntityResolution {
       .orderBy($"noise_class")
   }
 
+  /** STREAM-SAFE matcher core: every mention scored against the FULL
+    * catalog carried as a DRIVER-LITERAL array (the centroid/bloom
+    * model precedent — an ER serving tier pins a broadcast-sized
+    * catalog shard per executor; here it is an expression literal so
+    * the matcher is a PURE stateless PROJECTION, which is what lets
+    * it run unchanged on a streaming frame with no watermark and
+    * replay-stable results). One `transform` computes each
+    * candidate's distance exactly once (the distances array is the
+    * fold's COLLECTION argument — an in-lambda levenshtein would be
+    * re-evaluated per comparison, the r2 HOF-inlining trap), then an
+    * argmin fold with the same (dist, ent_id) tie rule as
+    * [[matchMentions]]. No blocking: the literal-catalog contract IS
+    * the bound on per-row work.
+    */
+  def erEnrich(mentions: DataFrame, catalog: Seq[(Long, String)]): DataFrame = {
+    val catArr = array(catalog.map { case (id, nm) =>
+      struct(lit(id).as("id"), lit(nm).as("nm"))
+    }: _*)
+    mentions
+      .withColumn("__cat", catArr)
+      .withColumn("__best", expr(
+        """aggregate(
+          |  transform(__cat, c -> named_struct(
+          |    'id', c.id, 'nm', c.nm,
+          |    'd', CAST(levenshtein(lower(mention), lower(c.nm)) AS BIGINT))),
+          |  named_struct('id', CAST(-1 AS BIGINT), 'nm', CAST(NULL AS STRING),
+          |               'd', CAST(1073741824 AS BIGINT)),
+          |  (s, x) -> CASE WHEN x.d < s.d OR (x.d = s.d AND x.id < s.id)
+          |                 THEN x ELSE s END)""".stripMargin))
+      .withColumn("matched_id", col("__best.id"))
+      .withColumn("matched_name", col("__best.nm"))
+      .withColumn("dist", col("__best.d"))
+      .drop("__cat", "__best")
+  }
+
+  /** [[erEnrich]]'s surfaced batch twin (oracle query): the planted
+    * mentions matched against the whole literal catalog — the exact
+    * relation the streaming enrichment emits, so the stream parity
+    * spec and the DuckDB oracle pin the same rows.
+    */
+  def matchFull(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = catalog(spark, dir).select($"ent_id", $"ent_name")
+      .orderBy($"ent_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    erEnrich(mentions(spark, dir), cat)
+      .select($"mention_id", $"mention", $"matched_id", $"dist",
+        ($"matched_name" === $"true_name").as("correct"))
+      .orderBy($"mention_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_block_profile" -> blockProfile _,
     "er_match" -> matchMentions _,
+    "er_match_full" -> matchFull _,
     "er_match_quality" -> matchQuality _)
 
   /** Shared oracle CTE prefix: catalog, planted mentions, postings. */
@@ -210,6 +262,17 @@ object EntityResolution {
         |       COALESCE(e.ent_name = m.true_name, false) AS correct
         |FROM emen m LEFT JOIN eel e USING (mention_id)
         |ORDER BY mention_id""".stripMargin,
+    "er_match_full" ->
+      s"""WITH $erCte,
+        |efs AS (SELECT m.mention_id, m.mention, m.true_name, c.ent_id, c.ent_name,
+        |          CAST(levenshtein(lower(m.mention), lower(c.ent_name)) AS BIGINT) AS dist
+        |        FROM emen m CROSS JOIN ecat c),
+        |efe AS (SELECT * FROM (SELECT *, row_number() OVER
+        |            (PARTITION BY mention_id ORDER BY dist, ent_id) AS rn FROM efs)
+        |        WHERE rn = 1)
+        |SELECT mention_id, mention, ent_id AS matched_id, dist,
+        |       ent_name = true_name AS correct
+        |FROM efe ORDER BY mention_id""".stripMargin,
     "er_match_quality" ->
       s"""WITH $erCte,
         |ekept AS (SELECT key FROM eck GROUP BY key HAVING count(*) <= $ErMaxBlock),

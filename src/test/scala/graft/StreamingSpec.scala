@@ -246,6 +246,37 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("streaming ER enrichment matches exactly the batch full-catalog matcher") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.operators.EntityResolution.matchFull(spark, dir)
+      .select("mention_id", "matched_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty)
+    // the frozen catalog shard a serving tier would pin per executor
+    val cat = graft.engine.Tables.load(spark, dir, "part")
+      .groupBy($"p_name").agg(org.apache.spark.sql.functions.min($"p_partkey").as("id"))
+      .orderBy($"id").collect().map(r => (r.getLong(1), r.getString(0))).toSeq
+    // replay the planted mentions through the stateless stream matcher
+    val mentions = graft.operators.EntityResolution.matchFull(spark, dir)
+      .select("mention_id", "mention").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.operators.EntityResolution.erEnrich(
+        stream.toDF().toDF("mention_id", "mention"), cat)
+      .select("mention_id", "matched_id", "dist")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("erenrich")
+      .option("checkpointLocation", ckpt()).start()
+    stream.addData(mentions.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("erenrich").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === batch)
+  }
+
   test("streaming PQ encoder assigns exactly the batch encoder's sub-codes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
