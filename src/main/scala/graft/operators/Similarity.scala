@@ -288,6 +288,55 @@ object Similarity {
       .orderBy($"cent_id")
   }
 
+  /** Tombstone modulus for [[ivfCompact]] (deterministic stand-in for
+    * the index's delete queue) and the deleted-fraction bar above
+    * which a list is flagged for compaction (5% in ppm).
+    */
+  val CompactTombMod = 17L
+  val CompactBarPpm = 50000L
+
+  /** IVF DELETE/COMPACT report — the missing half of the index
+    * lifecycle (train [[trainIvfCentroids]] / serve [[ivfTopK]] /
+    * ingest [[ivfAssignWith]] / balance [[ivfBalance]] cover the
+    * rest): deletes against a serving ANN index are TOMBSTONED, not
+    * applied — scoring skips tombstoned ids and each inverted list is
+    * physically rewritten only when its dead fraction crosses a bar.
+    * This query is the table that drives that trigger: per list the
+    * live/dead membership, the deleted fraction in ppm, the
+    * post-compaction load share, and the rewrite flag. The
+    * `vec_id mod 17` set stands in for the delete queue; production
+    * swaps in an anti-join against the tombstone table (or its bloom
+    * prefilter). One keyed aggregate over the assignment — the
+    * corpus shuffles once on cent_id, the report is k rows.
+    */
+  def ivfCompact(spark: SparkSession, dir: String,
+      numCentroids: Int = IvfNumCentroids, iters: Int = IvfKmeansIters): DataFrame = {
+    import spark.implicits._
+    val (_, cents, assign) = ivfAssignOver(
+      Tables.load(spark, dir, "embeddings")
+        .select($"vec_id", Vectors.toDouble($"embedding").as("emb")),
+      "vec_id", "emb", numCentroids, iters)
+    val flagged = assign.select($"vec_id", $"cent_id",
+      ($"vec_id" % CompactTombMod === 0L).as("tomb"))
+    val counts = flagged.groupBy($"cent_id")
+      .agg(count(lit(1)).as("n_before"),
+        sum(when($"tomb", 1L).otherwise(0L)).as("n_deleted"))
+    spark.range(cents.length).select($"id".cast("int").as("cent_id"))
+      .join(counts, Seq("cent_id"), "left")
+      .select($"cent_id",
+        coalesce($"n_before", lit(0L)).as("n_before"),
+        coalesce($"n_deleted", lit(0L)).as("n_deleted"))
+      .withColumn("n_after", $"n_before" - $"n_deleted")
+      .withColumn("del_ppm", expr(
+        "CASE WHEN n_before = 0 THEN 0 ELSE (n_deleted * 1000000) div n_before END"))
+      .withColumn("needs_compact", $"del_ppm" >= CompactBarPpm)
+      .crossJoin(broadcast(flagged.filter(!$"tomb").agg(count(lit(1)).as("__t"))))
+      .withColumn("load_ppm_after",
+        expr(s"(n_after * ${cents.length} * 1000000) div __t"))
+      .drop("__t")
+      .orderBy($"cent_id")
+  }
+
   def ivfTopKOver(e0: DataFrame, idCol: String, embCol: String,
       numCentroids: Int = IvfNumCentroids, nProbe: Int = IvfNProbe,
       iters: Int = IvfKmeansIters, numQueries: Int = NumQueries,
@@ -1520,6 +1569,7 @@ object Similarity {
     "ann_lsh_multiprobe" -> ((s: SparkSession, d: String) => lshTopKMultiProbe(s, d)),
     "ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
     "ann_ivf_balance" -> ((s: SparkSession, d: String) => ivfBalance(s, d)),
+    "ann_ivf_compact" -> ((s: SparkSession, d: String) => ivfCompact(s, d)),
     "ann_rrf_fusion" -> rrfFusion _,
     "ann_pq_topk" -> ((s: SparkSession, d: String) => pqTopK(s, d)),
     "ann_ivfpq_topk" -> ((s: SparkSession, d: String) => ivfPqTopK(s, d)),
@@ -1732,6 +1782,28 @@ object Similarity {
         |FROM ids LEFT JOIN counts c ON c.cent_id = ids.cent_id, t
         |ORDER BY cent_id""".stripMargin,
     "ann_recall_report" -> recallReportOracle,
+    "ann_ivf_compact" ->
+      s"""WITH $ivfAssignCtes,
+        |cfl AS (SELECT vec_id, cent_id, vec_id % $CompactTombMod = 0 AS tomb FROM assign),
+        |cc AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS n_before,
+        |         CAST(sum(CASE WHEN tomb THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted
+        |       FROM cfl GROUP BY 1),
+        |ct AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM cfl WHERE NOT tomb),
+        |cids AS (SELECT unnest(generate_series(0, $IvfNumCentroids - 1)) AS cent_id)
+        |SELECT CAST(cids.cent_id AS INT) AS cent_id,
+        |       coalesce(cc.n_before, 0) AS n_before,
+        |       coalesce(cc.n_deleted, 0) AS n_deleted,
+        |       coalesce(cc.n_before, 0) - coalesce(cc.n_deleted, 0) AS n_after,
+        |       CASE WHEN coalesce(cc.n_before, 0) = 0 THEN 0
+        |            ELSE (coalesce(cc.n_deleted, 0) * 1000000) // cc.n_before
+        |       END AS del_ppm,
+        |       CASE WHEN coalesce(cc.n_before, 0) = 0 THEN 0
+        |            ELSE (coalesce(cc.n_deleted, 0) * 1000000) // cc.n_before
+        |       END >= $CompactBarPpm AS needs_compact,
+        |       ((coalesce(cc.n_before, 0) - coalesce(cc.n_deleted, 0))
+        |         * $IvfNumCentroids * 1000000) // ct.tot AS load_ppm_after
+        |FROM cids LEFT JOIN cc ON cc.cent_id = cids.cent_id, ct
+        |ORDER BY cent_id""".stripMargin,
   )
 
   /** The brute-force / LSH oracle bodies live in named vals so

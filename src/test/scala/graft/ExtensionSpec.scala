@@ -954,6 +954,22 @@ class ExtensionSpec extends SparkSpec {
     enc.unpersist(); j.unpersist()
   }
 
+  test("ivf compact partitions every list into live and tombstoned mass") {
+    import spark.implicits._
+    val rows = graft.operators.Similarity.ivfCompact(spark, dir).collect()
+    assert(rows.length === graft.operators.Similarity.IvfNumCentroids)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_after") ===
+        r.getAs[Long]("n_before") - r.getAs[Long]("n_deleted"))
+      assert(r.getAs[Boolean]("needs_compact") ===
+        (r.getAs[Long]("del_ppm") >= graft.operators.Similarity.CompactBarPpm))
+    }
+    val emb = graft.engine.Tables.load(spark, dir, "embeddings")
+    assert(rows.map(_.getAs[Long]("n_before")).sum === emb.count())
+    assert(rows.map(_.getAs[Long]("n_deleted")).sum ===
+      emb.filter($"vec_id" % graft.operators.Similarity.CompactTombMod === 0L).count())
+  }
+
   test("erasure audit splits rows and users exactly by the tombstone predicate") {
     import spark.implicits._
     val rows = graft.operators.Redaction.erasureAudit(spark, dir).collect()
