@@ -432,16 +432,181 @@ object Multimodal {
       .orderBy($"media_id")
   }
 
+  /** Fixed-point scale for [[whashOf]]'s block means (mirrored in the
+    * oracle): mean_i = (bsum_i · 1024) div bcnt_i.
+    */
+  val WHashMeanScale = 1024L
+
+  /** WALSH–HADAMARD spectral hash — the pHash idea (perceptual hash =
+    * sign bits of a payload's low-frequency transform) restated with
+    * an INTEGER-EXACT transform: the classic pHash takes a DCT, whose
+    * cosine coefficients are IEEE doubles no cross-engine oracle can
+    * pin; the 16-point Walsh–Hadamard transform spans the same
+    * "global structure vs local detail" decomposition with ±1
+    * coefficients only, so every output is an exact integer sum of
+    * fixed-point block means. Bit k (k = 1..15; the DC term is
+    * excluded — it is always positive) is set iff
+    * `Σ_i (−1)^popcount(k AND i) · mean_i > 0`. Compared to
+    * [[aHash]] (threshold-vs-mean per block) the WHT bits are
+    * BASIS-FUNCTION signs — robust to uniform brightness shifts that
+    * flip many aHash bits at once. Empty blocks (payloads under 16
+    * bytes) contribute mean 0.
+    */
+  private[graft] def whashOf(payload: Array[Byte]): Long = {
+    val n = payload.length
+    val sums = new Array[Long](AHashBlocks)
+    val cnts = new Array[Long](AHashBlocks)
+    var i = 0
+    while (i < n) {
+      val b = (i.toLong * AHashBlocks / n).toInt
+      sums(b) += (payload(i) & 0xff).toLong
+      cnts(b) += 1L
+      i += 1
+    }
+    val means = Array.tabulate(AHashBlocks)(j =>
+      if (cnts(j) == 0L) 0L else sums(j) * WHashMeanScale / cnts(j))
+    var bits = 0L
+    var k = 1
+    while (k < AHashBlocks) {
+      var coef = 0L
+      var j = 0
+      while (j < AHashBlocks) {
+        if (java.lang.Long.bitCount((k & j).toLong) % 2 == 0) coef += means(j)
+        else coef -= means(j)
+        j += 1
+      }
+      if (coef > 0L) bits |= 1L << k
+      k += 1
+    }
+    bits
+  }
+
+  /** [[whashOf]] surfaced as the grouped near-dup query ([[aHash]]'s
+    * shape: signature + sharing count; the banded pairing step drops
+    * in unchanged because the signature domain is the same 16 bits).
+    */
+  def wHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = Tables.load(spark, dir, "documents")
+      .select($"doc_id", expr("CAST(text AS BINARY)").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        if (payload.isEmpty) None else Some((id, whashOf(payload)))
+      })
+      .toDF("doc_id", "whash")
+    val groups = sig.groupBy($"whash").agg(count(lit(1)).as("n_sharing"))
+    sig.join(broadcast(groups), "whash")
+      .select($"doc_id", $"whash", $"n_sharing")
+      .orderBy($"doc_id")
+  }
+
+  /** Per-sampled-frame DSP features over the opaque payload — the
+    * audio-flavored half of the multimodal plumbing ([[frameSample]]
+    * is the sampler; this is what a feature extractor computes per
+    * frame): scaled variance ENERGY `Σ (b·n − s)²` and mean-centered
+    * ZERO CROSSINGS (adjacent deviations with strictly opposite
+    * signs) — both exact integers (b·n ≤ 255·32, the squared term
+    * ×32 stays far under 2⁶³). Centering on the frame's OWN mean
+    * (cross-multiplied, never a division) is what makes crossings
+    * meaningful on unsigned bytes. Map-only: sampler explode + two
+    * in-row folds, zero shuffle at any corpus size.
+    */
+  def frameEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    frameSample(fromDocuments(spark, dir).toDF(), FrameBytes, FrameStride)
+      .withColumn("bs", expr(
+        "transform(sequence(1, octet_length(frame)), i -> " +
+          "CAST(conv(hex(substring(frame, i, 1)), 16, 10) AS BIGINT))"))
+      .withColumn("n", size($"bs").cast("long"))
+      .withColumn("s", expr("aggregate(bs, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("energy", expr(
+        "aggregate(transform(bs, x -> (x * n - s) * (x * n - s)), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("crossings", expr(
+        "aggregate(zip_with(slice(bs, 1, CAST(n - 1 AS INT)), slice(bs, 2, CAST(n - 1 AS INT)), " +
+          "(x, y) -> CASE WHEN (x * n - s) * (y * n - s) < 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .select($"media_id", $"frame_idx".cast("long").as("frame_idx"),
+        $"n".as("frame_bytes"), $"energy", $"crossings")
+      .orderBy($"media_id", $"frame_idx")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_stats" -> binaryStats _,
     "mm_ahash" -> aHash _,
     "mm_ahash_pairs" -> aHashPairs _,
+    "mm_whash" -> wHash _,
+    "mm_frame_energy" -> frameEnergy _,
     "mm_feature_topk" -> mediaFeatureTopK _,
     "mm_frame_sample" -> frameSampleQuery _,
     "mm_resize_meta" -> resizeMetaQuery _,
   )
 
+  /** [[wHash]]'s oracle: the aHash block machinery densified to all
+    * 16 blocks (absent blocks → mean 0), then the 15 WHT coefficients
+    * as literal ±-sign sums generated from the same popcount parity
+    * the Scala side uses — the transform is unrolled into the SQL, so
+    * any drift in the sign matrix breaks the hash compare.
+    */
+  private def whashOracle: String = {
+    val k = AHashBlocks
+    val coefExprs = (1 until k).map { kk =>
+      val terms = (0 until k).map { j =>
+        val sgn = if (java.lang.Long.bitCount((kk & j).toLong) % 2 == 0) "+" else "-"
+        s"$sgn m[${j + 1}]"
+      }.mkString(" ")
+      s"CASE WHEN ($terms) > 0 THEN (CAST(1 AS BIGINT) << $kk) ELSE CAST(0 AS BIGINT) END"
+    }.mkString("\n|          + ")
+    s"""WITH b AS (
+      |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n,
+      |         unnest(generate_series(0, octet_length(encode(text)) - 1)) AS idx,
+      |         unnest(list_transform(generate_series(1, octet_length(encode(text))),
+      |           i -> 16 * (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i-1, 1)) - 1)
+      |              + (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i, 1)) - 1))) AS byte
+      |  FROM documents),
+      |blk AS (SELECT doc_id, (idx * $AHashBlocks) // n AS block,
+      |          CAST(sum(byte) AS BIGINT) AS bsum, count(*) AS bcnt
+      |        FROM b GROUP BY 1, 2),
+      |dgrid AS (SELECT DISTINCT doc_id FROM blk),
+      |dense AS (SELECT g.doc_id, gs.block,
+      |            coalesce((blk.bsum * $WHashMeanScale) // blk.bcnt, 0) AS ms
+      |          FROM dgrid g
+      |          CROSS JOIN (SELECT unnest(generate_series(0, ${k - 1})) AS block) gs
+      |          LEFT JOIN blk ON blk.doc_id = g.doc_id AND blk.block = gs.block),
+      |mv AS (SELECT doc_id, list(ms ORDER BY block) AS m FROM dense GROUP BY 1),
+      |sig AS (SELECT doc_id, CAST($coefExprs AS BIGINT) AS whash FROM mv),
+      |wg AS (SELECT whash, count(*) AS n_sharing FROM sig GROUP BY 1)
+      |SELECT doc_id, whash, n_sharing
+      |FROM sig JOIN wg USING (whash)
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "mm_whash" -> whashOracle,
+    "mm_frame_energy" ->
+      s"""WITH m AS (SELECT doc_id AS media_id, text,
+        |             CAST(ceil(strlen(text) / $FrameBytes.0) AS INT) AS n_frames
+        |           FROM documents),
+        |fr AS (SELECT media_id,
+        |         unnest(generate_series(0, n_frames - 1)) AS frame_idx, text
+        |       FROM m WHERE n_frames > 0),
+        |fx AS (SELECT media_id, frame_idx,
+        |         substr(text, frame_idx * $FrameBytes + 1, $FrameBytes) AS fe
+        |       FROM fr WHERE frame_idx % $FrameStride = 0),
+        |fb AS (SELECT media_id, frame_idx,
+        |         CAST(strlen(fe) AS BIGINT) AS n,
+        |         list_transform(generate_series(1, strlen(fe)),
+        |           i -> CAST(ascii(substr(fe, i, 1)) AS BIGINT)) AS bs
+        |       FROM fx),
+        |fs AS (SELECT *, CAST(list_aggregate(bs, 'sum') AS BIGINT) AS s FROM fb)
+        |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx, n AS frame_bytes,
+        |       CAST(list_aggregate(list_transform(bs,
+        |         x -> (x * n - s) * (x * n - s)), 'sum') AS BIGINT) AS energy,
+        |       CAST(coalesce(list_aggregate(list_transform(
+        |           generate_series(1, CAST(n - 1 AS INT)),
+        |           i -> CASE WHEN (bs[i] * n - s) * (bs[i+1] * n - s) < 0
+        |                     THEN 1 ELSE 0 END), 'sum'), 0) AS BIGINT) AS crossings
+        |FROM fs ORDER BY media_id, frame_idx""".stripMargin,
     "mm_frame_sample" ->
       s"""WITH m AS (SELECT doc_id AS media_id,
         |             CASE doc_id % 3 WHEN 0 THEN 'image'

@@ -225,6 +225,51 @@ class MultimodalSpec extends SparkSpec {
     fast.foreach(r => assert(r.getLong(1) === expected(r.getLong(0))))
   }
 
+  test("whash bits equal an independent Hadamard matrix-multiply recompute") {
+    // independent construction: H(k,j) via explicit parity loop over
+    // the AND bits (not Long.bitCount, which whashOf itself uses)
+    def parity(x: Int): Int = {
+      var p = 0; var v = x
+      while (v != 0) { p ^= (v & 1); v >>= 1 }
+      p
+    }
+    def reference(payload: Array[Byte]): Long = {
+      val n = payload.length
+      val sums = new Array[Long](16); val cnts = new Array[Long](16)
+      payload.indices.foreach { i =>
+        val b = (i.toLong * 16 / n).toInt
+        sums(b) += (payload(i) & 0xff).toLong; cnts(b) += 1L
+      }
+      val means = (0 until 16).map(j =>
+        if (cnts(j) == 0) 0L else sums(j) * 1024L / cnts(j))
+      (1 until 16).map { k =>
+        val coef = (0 until 16).map(j =>
+          if (parity(k & j) == 0) means(j) else -means(j)).sum
+        if (coef > 0) 1L << k else 0L
+      }.sum
+    }
+    for (s <- Seq("hello world this is a payload of some length",
+        "aaaa", "x", "the quick brown fox jumps over the lazy dog " * 4)) {
+      val p = s.getBytes("UTF-8")
+      assert(Multimodal.whashOf(p) === reference(p), s"payload: $s")
+    }
+    // DC bit never set, bits confined to 1..15
+    assert((Multimodal.whashOf("abc".getBytes) & 1L) === 0L)
+    assert(Multimodal.whashOf("abcdefgh".getBytes) < (1L << 16))
+  }
+
+  test("frame energy is zero iff the frame is constant and crossings are bounded") {
+    import spark.implicits._
+    val rows = Multimodal.frameEnergy(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("energy") >= 0L)
+      assert(r.getAs[Long]("crossings") <= math.max(0L, r.getAs[Long]("frame_bytes") - 1L))
+      // zero variance forces zero mean-crossings
+      if (r.getAs[Long]("energy") === 0L) assert(r.getAs[Long]("crossings") === 0L)
+    }
+  }
+
   test("aHash one-pass form equals the posexplode mirror and generates no per-byte rows") {
     val fast = Multimodal.aHash(spark, dir)
     val mirror = Multimodal.aHashExplode(spark, dir)
