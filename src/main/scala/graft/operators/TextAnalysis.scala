@@ -1068,7 +1068,49 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Id shift for [[codeDetect]]'s planted pseudo-code docs and the
+    * code-score release bar (ppm of characters that are code
+    * punctuation).
+    */
+  val CodePlantShift = 9000000L
+  val CodeBarPpm = 30000L
+
+  /** CODE-vs-PROSE detector — the corpus-routing verb behind The
+    * Stack / StarCoder-style pipelines (code and prose need different
+    * dedup, quality, and mixing treatment, so a corpus build SPLITS
+    * them first): per doc the counts of code punctuation ({ } ( ) ; =)
+    * as exact character arithmetic (`length(text) − length(replace(…))`
+    * per glyph — no regex, both engines replay it), the combined
+    * code-punctuation ppm, and the routing verdict against
+    * [[CodeBarPpm]]. The word-soup fixture is pure prose, so the
+    * surfaced query PLANTS deterministic pseudo-code (the established
+    * planting convention): every 25th doc (mod 11) re-arrives
+    * brace-wrapped with a `;` suffixed to every word — both engines
+    * rebuild the identical planted text, and the detector must route
+    * every plant to `code` and every original to `prose` (spec-pinned).
+    * A pure projection: zero shuffle at any corpus size.
+    */
+  def codeDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = docs(spark, dir).select($"doc_id", $"text")
+    val planted = base.filter($"doc_id" % 25 === 11)
+      .select(($"doc_id" + CodePlantShift).as("doc_id"),
+        concat(lit("{ "),
+          array_join(expr("transform(split(text, ' '), w -> concat(w, ';'))"), " "),
+          lit(" }")).as("text"))
+    def occ(ch: String) =
+      (length($"text") - length(expr(s"replace(text, '$ch', '')"))).cast("long")
+    base.unionAll(planted)
+      .select($"doc_id", length($"text").cast("long").as("n_chars"),
+        (occ("{") + occ("}") + occ("(") + occ(")") + occ(";") + occ("=")).as("n_code_chars"))
+      .withColumn("code_ppm", expr(
+        "CASE WHEN n_chars = 0 THEN 0 ELSE (n_code_chars * 1000000) div n_chars END"))
+      .withColumn("is_code", $"code_ppm" >= CodeBarPpm)
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_code_detect" -> codeDetect _,
     "text_bpe_encode" -> bpeEncode _,
     "text_dup_coverage" -> dupCoverage _,
     "text_gopher_rules" -> gopherRules _,
@@ -1230,6 +1272,27 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "text_code_detect" ->
+      s"""WITH cdbase AS (SELECT doc_id, text FROM documents),
+        |cdplant AS (SELECT doc_id + $CodePlantShift AS doc_id,
+        |              '{ ' || array_to_string(list_transform(string_split(text, ' '),
+        |                w -> w || ';'), ' ') || ' }' AS text
+        |            FROM cdbase WHERE doc_id % 25 = 11),
+        |cda AS (SELECT * FROM cdbase UNION ALL SELECT * FROM cdplant),
+        |cdc AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_chars,
+        |          CAST(strlen(text) - strlen(replace(text, '{', ''))
+        |             + strlen(text) - strlen(replace(text, '}', ''))
+        |             + strlen(text) - strlen(replace(text, '(', ''))
+        |             + strlen(text) - strlen(replace(text, ')', ''))
+        |             + strlen(text) - strlen(replace(text, ';', ''))
+        |             + strlen(text) - strlen(replace(text, '=', '')) AS BIGINT) AS n_code_chars
+        |        FROM cda)
+        |SELECT doc_id, n_chars, n_code_chars,
+        |       CAST(CASE WHEN n_chars = 0 THEN 0
+        |            ELSE (n_code_chars * 1000000) // n_chars END AS BIGINT) AS code_ppm,
+        |       CASE WHEN n_chars = 0 THEN 0
+        |            ELSE (n_code_chars * 1000000) // n_chars END >= $CodeBarPpm AS is_code
+        |FROM cdc ORDER BY doc_id""".stripMargin,
     "text_bpe_encode" -> bpeEncodeOracle,
     "text_chunk_windows" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -954,6 +954,21 @@ class ExtensionSpec extends SparkSpec {
     enc.unpersist(); j.unpersist()
   }
 
+  test("code detector routes every planted doc to code and every original to prose") {
+    import spark.implicits._
+    val rows = graft.operators.TextAnalysis.codeDetect(spark, dir).cache()
+    val plants = rows.filter($"doc_id" >= graft.operators.TextAnalysis.CodePlantShift)
+    val originals = rows.filter($"doc_id" < graft.operators.TextAnalysis.CodePlantShift)
+    assert(plants.count() > 0)
+    assert(plants.filter(!$"is_code").count() === 0, "every plant must route to code")
+    assert(originals.filter($"is_code").count() === 0,
+      "word-soup prose must never route to code")
+    // the verdict is exactly the documented bar
+    assert(rows.filter($"is_code" =!=
+      ($"code_ppm" >= graft.operators.TextAnalysis.CodeBarPpm)).count() === 0)
+    rows.unpersist()
+  }
+
   test("ivf compact partitions every list into live and tombstoned mass") {
     import spark.implicits._
     val rows = graft.operators.Similarity.ivfCompact(spark, dir).collect()
