@@ -87,8 +87,11 @@ object DataQuality {
     * event micros, lag behind the globally freshest event (a type
     * whose feed died shows a growing lag while the others advance),
     * and rows in the trailing day relative to the global watermark.
-    * Two keyed aggregates + a 1-row broadcast — monitoring metadata,
-    * never a second corpus pass.
+    * TWO corpus passes — the honest minimum, because the global
+    * watermark must exist before the trailing-day filter can run —
+    * plus 1-row broadcasts; the per-type rollup is localCheckpointed
+    * (it is consumed by both the global max and the final report, and
+    * is |types|-sized metadata).
     */
   def freshness(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -97,6 +100,7 @@ object DataQuality {
         expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
     val per = e.groupBy($"event_type")
       .agg(max($"us").as("latest_us"), count(lit(1)).as("n_rows"))
+      .localCheckpoint()
     val global = per.agg(max($"latest_us").as("__g"))
     val lastDay = e
       .crossJoin(broadcast(global))

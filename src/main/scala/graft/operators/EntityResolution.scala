@@ -29,7 +29,7 @@ import graft.engine.Tables
   * The raw fixture has no noisy mentions, so the surfaced query
   * PLANTS them deterministically (the dedup-cascade convention): every
   * part re-arrives as a mention corrupted by `p_partkey mod 3` —
-  * last character dropped / uppercased / word order swapped — so both
+  * last character dropped / uppercased / word order reversed — so both
   * engines replay the identical corruption and the match outcome is
   * exactly checkable, including a per-mention `correct` verdict
   * against the planted truth.
@@ -67,7 +67,9 @@ object EntityResolution {
 
   /** Deterministically corrupted mention per part:
     * mod 0 → last character dropped, mod 1 → uppercased,
-    * mod 2 → the two words swapped.
+    * mod 2 → word order REVERSED (lossless at any word count — a
+    * first/last swap would silently truncate 3+-word names if the
+    * fixture's name shape ever widens).
     */
   private def mentions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -77,8 +79,7 @@ object EntityResolution {
       when($"p_partkey" % 3 === 0,
           expr("substr(p_name, 1, length(p_name) - 1)"))
         .when($"p_partkey" % 3 === 1, upper($"p_name"))
-        .otherwise(concat(substring_index($"p_name", " ", -1), lit(" "),
-          substring_index($"p_name", " ", 1))).as("mention"))
+        .otherwise(array_join(reverse(split($"p_name", " ")), " ")).as("mention"))
   }
 
   /** Per-string normalized token postings: `(key, …)` one row per
@@ -227,7 +228,7 @@ object EntityResolution {
       |emen AS (SELECT CAST(p_partkey AS BIGINT) AS mention_id, p_name AS true_name,
       |           CASE WHEN p_partkey % 3 = 0 THEN substr(p_name, 1, len(p_name) - 1)
       |                WHEN p_partkey % 3 = 1 THEN upper(p_name)
-      |                ELSE string_split(p_name, ' ')[-1] || ' ' || split_part(p_name, ' ', 1)
+      |                ELSE array_to_string(list_reverse(string_split(p_name, ' ')), ' ')
       |           END AS mention
       |         FROM part),
       |eck AS (SELECT ent_id, ent_name, unnest(list_distinct(string_split(lower(ent_name), ' '))) AS key

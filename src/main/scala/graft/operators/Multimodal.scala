@@ -487,6 +487,8 @@ object Multimodal {
     */
   def wHash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // cache: sig feeds both the sharing aggregate and the final join —
+    // uncached, the per-payload JVM hash scan would run twice
     val sig = Tables.load(spark, dir, "documents")
       .select($"doc_id", expr("CAST(text AS BINARY)").as("payload"))
       .as[(Long, Array[Byte])]
@@ -494,6 +496,7 @@ object Multimodal {
         if (payload.isEmpty) None else Some((id, whashOf(payload)))
       })
       .toDF("doc_id", "whash")
+      .cache()
     val groups = sig.groupBy($"whash").agg(count(lit(1)).as("n_sharing"))
     sig.join(broadcast(groups), "whash")
       .select($"doc_id", $"whash", $"n_sharing")

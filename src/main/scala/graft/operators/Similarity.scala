@@ -331,8 +331,11 @@ object Similarity {
         "CASE WHEN n_before = 0 THEN 0 ELSE (n_deleted * 1000000) div n_before END"))
       .withColumn("needs_compact", $"del_ppm" >= CompactBarPpm)
       .crossJoin(broadcast(flagged.filter(!$"tomb").agg(count(lit(1)).as("__t"))))
-      .withColumn("load_ppm_after",
-        expr(s"(n_after * ${cents.length} * 1000000) div __t"))
+      // an all-tombstoned index has no live mass — report 0 load, not
+      // a division error / NULL (mirrored in the oracle)
+      .withColumn("load_ppm_after", expr(
+        s"CASE WHEN __t = 0 THEN CAST(0 AS BIGINT) " +
+          s"ELSE (n_after * ${cents.length} * 1000000) div __t END"))
       .drop("__t")
       .orderBy($"cent_id")
   }
@@ -1800,8 +1803,10 @@ object Similarity {
         |       CASE WHEN coalesce(cc.n_before, 0) = 0 THEN 0
         |            ELSE (coalesce(cc.n_deleted, 0) * 1000000) // cc.n_before
         |       END >= $CompactBarPpm AS needs_compact,
-        |       ((coalesce(cc.n_before, 0) - coalesce(cc.n_deleted, 0))
-        |         * $IvfNumCentroids * 1000000) // ct.tot AS load_ppm_after
+        |       CASE WHEN ct.tot = 0 THEN CAST(0 AS BIGINT)
+        |            ELSE ((coalesce(cc.n_before, 0) - coalesce(cc.n_deleted, 0))
+        |                   * $IvfNumCentroids * 1000000) // ct.tot
+        |       END AS load_ppm_after
         |FROM cids LEFT JOIN cc ON cc.cent_id = cids.cent_id, ct
         |ORDER BY cent_id""".stripMargin,
   )

@@ -4,9 +4,11 @@ package graft
   * may not grow new exchanges unnoticed — the quantitative counterpart
   * of the qualitative PlanAudit specs (a plan can keep "BroadcastHashJoin
   * present" true while silently adding a shuffle somewhere else). The
-  * budgets are the CURRENT measured exchange counts (test session, AQE
-  * off, 4 shuffle partitions); a future change that exceeds one fails
-  * here first with the full plan attached. Lower is always fine.
+  * budgets are the CURRENT measured shuffle counts of the INITIAL
+  * static plan in the test session (AQE at Spark's default — enabled —
+  * so the counts are pre-reoptimization; 4 shuffle partitions); a
+  * future change that exceeds one fails here first with the full plan
+  * attached. Lower is always fine.
   */
 class ExchangeBudgetSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
@@ -43,8 +45,8 @@ class ExchangeBudgetSpec extends SparkSpec {
     "corpus_sample" -> 1,
     "er_match" -> 7,
     // 7 relations × (parent distinct + join + 1-row agg) in the
-    // AQE-less static plan; at runtime AQE demotes the dimension
-    // joins to broadcasts
+    // initial static plan; AQE's runtime reoptimization demotes the
+    // dimension joins to broadcasts after the first stages finish
     "dq_fk_orphans" -> 21,
     "text_bpe_encode" -> 3,
     "mm_whash" -> 2,
