@@ -653,7 +653,59 @@ object CoreQueries {
       .orderBy($"revenue_e4".desc, $"n_name")
   }
 
+  /** Id shift for [[cdcMerge]]'s planted insert rows and the planted
+    * update price bump in whole cents.
+    */
+  val CdcInsertShift = 10000000L
+  val CdcBumpCents = 1000L
+
+  /** CDC MERGE — `MERGE INTO` semantics (the lakehouse table-
+    * maintenance verb: a change batch of upserts/deletes applied onto
+    * a keyed snapshot) surfaced as an oracle query. The fixture has
+    * no change feed, so the batch is PLANTED deterministically (the
+    * cascade convention): every 30th order (mod 7) re-arrives with
+    * its price bumped [[CdcBumpCents]], every 45th (mod 11) as a
+    * delete tombstone, every 60th (mod 13) as a brand-new key
+    * ([[CdcInsertShift]] + key). Matched-update wins over the
+    * snapshot row, tombstones drop it, unmatched inserts append —
+    * and the result is rolled up per op (`insert` / `update` /
+    * `delete` / `keep`) with row counts and cent mass, the audit row
+    * a MERGE job logs. Deletes report the REMOVED mass (what left
+    * the table), so the op masses reconcile old vs new totals.
+    *
+    * Scale shape: one key-keyed FULL OUTER join of snapshot vs batch
+    * + a 4-row aggregate — exactly the shuffle a distributed MERGE
+    * pays; at 100 TB the join prunes to touched files via the
+    * zone-map/Z-order layout machinery ([[graft.operators.Layouts]]).
+    */
+  def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val snap = t(spark, dir, "orders")
+      .select($"o_orderkey".as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val batch = snap.filter($"k" % 30 === 7)
+      .select($"k", lit("U").as("op"), ($"cents" + CdcBumpCents).as("new_cents"))
+      .unionAll(snap.filter($"k" % 45 === 11)
+        .select($"k", lit("D").as("op"), lit(null).cast("long").as("new_cents")))
+      .unionAll(snap.filter($"k" % 60 === 13)
+        .select(($"k" + CdcInsertShift).as("k"), lit("I").as("op"),
+          ($"cents" + CdcBumpCents).as("new_cents")))
+    snap.join(batch, Seq("k"), "full")
+      .select(
+        when($"op".isNull, "keep")
+          .when($"op" === "D", "delete")
+          .when($"op" === "I", "insert")
+          .otherwise("update").as("op_class"),
+        when($"op".isNull, $"cents")
+          .when($"op" === "D", $"cents")
+          .otherwise($"new_cents").as("mass"))
+      .groupBy($"op_class")
+      .agg(count(lit(1)).as("n_rows"), sum($"mass").as("sum_cents"))
+      .orderBy($"op_class")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_merge" -> cdcMerge _,
     "q_ship_priority" -> shipPriority _,
     "q_local_volume" -> localVolume _,
     "q1_hourly_latest" -> hourlyLatest _,
@@ -694,6 +746,27 @@ object CoreQueries {
       | * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_cdc_merge" ->
+      s"""WITH csnap AS (SELECT o_orderkey AS k,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |       FROM orders),
+        |cbatch AS (SELECT k, 'U' AS op, cents + $CdcBumpCents AS new_cents
+        |           FROM csnap WHERE k % 30 = 7
+        |           UNION ALL
+        |           SELECT k, 'D', CAST(NULL AS BIGINT) FROM csnap WHERE k % 45 = 11
+        |           UNION ALL
+        |           SELECT k + $CdcInsertShift, 'I', cents + $CdcBumpCents
+        |           FROM csnap WHERE k % 60 = 13)
+        |SELECT CASE WHEN b.op IS NULL THEN 'keep'
+        |            WHEN b.op = 'D' THEN 'delete'
+        |            WHEN b.op = 'I' THEN 'insert'
+        |            ELSE 'update' END AS op_class,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN b.op IS NULL THEN s.cents
+        |                     WHEN b.op = 'D' THEN s.cents
+        |                     ELSE b.new_cents END) AS BIGINT) AS sum_cents
+        |FROM csnap s FULL JOIN cbatch b ON b.k = s.k
+        |GROUP BY 1 ORDER BY op_class""".stripMargin,
     "q_ship_priority" ->
       s"""WITH li AS (SELECT l_orderkey, $revenueE4Sql AS rev
         |            FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-01-01')

@@ -954,6 +954,27 @@ class ExtensionSpec extends SparkSpec {
     enc.unpersist(); j.unpersist()
   }
 
+  test("cdc merge op classes partition the union of snapshot and planted batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, sum}
+    val rows = graft.operators.CoreQueries.cdcMerge(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet === Set("keep", "update", "delete", "insert"))
+    val orders = graft.engine.Tables.load(spark, dir, "orders")
+    val n = orders.count()
+    // every snapshot row lands in exactly one of keep/update/delete;
+    // inserts add on top
+    assert(rows("keep")._1 + rows("update")._1 + rows("delete")._1 === n)
+    assert(rows("insert")._1 ===
+      orders.filter($"o_orderkey" % 60 === 13).count())
+    // the bump is visible: update mass exceeds the same rows' old mass
+    val oldUpd = orders.filter($"o_orderkey" % 30 === 7)
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")))
+      .collect()(0).getLong(0)
+    assert(rows("update")._2 ===
+      oldUpd + rows("update")._1 * graft.operators.CoreQueries.CdcBumpCents)
+  }
+
   test("code detector routes every planted doc to code and every original to prose") {
     import spark.implicits._
     val rows = graft.operators.TextAnalysis.codeDetect(spark, dir).cache()
