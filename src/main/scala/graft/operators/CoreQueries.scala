@@ -653,10 +653,13 @@ object CoreQueries {
       .orderBy($"revenue_e4".desc, $"n_name")
   }
 
-  /** Id shift for [[cdcMerge]]'s planted insert rows and the planted
-    * update price bump in whole cents.
+  /** Planted update price bump for [[cdcMerge]] in whole cents.
+    * Insert keys are the NEGATION `-(k+1)` of a snapshot key — the
+    * snapshot's keys are non-negative at every scale factor, so the
+    * planted inserts are structurally collision-free (an additive
+    * shift would collide with real orderkeys once the fixture grows
+    * past it and silently corrupt the op classification).
     */
-  val CdcInsertShift = 10000000L
   val CdcBumpCents = 1000L
 
   /** CDC MERGE — `MERGE INTO` semantics (the lakehouse table-
@@ -665,8 +668,8 @@ object CoreQueries {
     * no change feed, so the batch is PLANTED deterministically (the
     * cascade convention): every 30th order (mod 7) re-arrives with
     * its price bumped [[CdcBumpCents]], every 45th (mod 11) as a
-    * delete tombstone, every 60th (mod 13) as a brand-new key
-    * ([[CdcInsertShift]] + key). Matched-update wins over the
+    * delete tombstone, every 60th (mod 13) as a brand-new
+    * negated key (see [[CdcBumpCents]]'s note). Matched-update wins over the
     * snapshot row, tombstones drop it, unmatched inserts append —
     * and the result is rolled up per op (`insert` / `update` /
     * `delete` / `keep`) with row counts and cent mass, the audit row
@@ -688,7 +691,7 @@ object CoreQueries {
       .unionAll(snap.filter($"k" % 45 === 11)
         .select($"k", lit("D").as("op"), lit(null).cast("long").as("new_cents")))
       .unionAll(snap.filter($"k" % 60 === 13)
-        .select(($"k" + CdcInsertShift).as("k"), lit("I").as("op"),
+        .select((-($"k" + 1)).as("k"), lit("I").as("op"),
           ($"cents" + CdcBumpCents).as("new_cents")))
     snap.join(batch, Seq("k"), "full")
       .select(
@@ -755,7 +758,7 @@ object CoreQueries {
         |           UNION ALL
         |           SELECT k, 'D', CAST(NULL AS BIGINT) FROM csnap WHERE k % 45 = 11
         |           UNION ALL
-        |           SELECT k + $CdcInsertShift, 'I', cents + $CdcBumpCents
+        |           SELECT -(k + 1), 'I', cents + $CdcBumpCents
         |           FROM csnap WHERE k % 60 = 13)
         |SELECT CASE WHEN b.op IS NULL THEN 'keep'
         |            WHEN b.op = 'D' THEN 'delete'

@@ -970,10 +970,13 @@ object Dedup {
           concat(upper($"text"), lit(" !!")).as("text")))
       .withColumn("fp", md5($"text"))
       .withColumn("nfp", md5(TextAnalysis.normalizedText($"text")))
-      // cache: consumed by BOTH keeper elections and the final join —
-      // uncached, the normalized-md5 projection (two regex passes over
-      // every payload) would run three times
-      .cache()
+      // materialize: consumed by BOTH keeper elections and the final
+      // join — unmaterialized, the normalized-md5 projection (two
+      // regex passes over every payload) would run three times.
+      // localCheckpoint, not cache: checkpoint RDDs are GC-reclaimed
+      // once unreferenced where CacheManager pins a cache() for the
+      // rest of the session
+      .localCheckpoint()
     val ex = corpus.groupBy($"fp").agg(min($"doc_id").as("ek"))
     val nx = corpus.groupBy($"nfp").agg(min($"doc_id").as("nk"))
     val labels = clusters(spark, dir).select($"doc_id", $"cluster_id")

@@ -144,7 +144,7 @@ object EntityResolution {
 
   /** The release yardstick: match accuracy and mean distance per
     * corruption class — the table that says WHICH noise the blocking
-    * + scorer recipe survives (swapped words land far in edit
+    * + scorer recipe survives (reversed word order lands far in edit
     * distance; the multi-key blocking still finds them, and this
     * report proves whether the scorer then elects right).
     */
@@ -154,7 +154,7 @@ object EntityResolution {
       .withColumn("noise_class",
         when($"mention_id" % 3 === 0, "drop_char")
           .when($"mention_id" % 3 === 1, "uppercase")
-          .otherwise("word_swap"))
+          .otherwise("word_reverse"))
       .groupBy($"noise_class")
       .agg(count(lit(1)).as("n_mentions"),
         sum(when($"correct", 1L).otherwise(0L)).as("n_correct"),
@@ -290,7 +290,7 @@ object EntityResolution {
         |           FROM emen m LEFT JOIN eel e USING (mention_id))
         |SELECT CASE WHEN mention_id % 3 = 0 THEN 'drop_char'
         |            WHEN mention_id % 3 = 1 THEN 'uppercase'
-        |            ELSE 'word_swap' END AS noise_class,
+        |            ELSE 'word_reverse' END AS noise_class,
         |       CAST(count(*) AS BIGINT) AS n_mentions,
         |       CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
         |       CAST(sum(COALESCE(dist, 0)) AS BIGINT) AS total_dist,

@@ -487,8 +487,10 @@ object Multimodal {
     */
   def wHash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // cache: sig feeds both the sharing aggregate and the final join —
-    // uncached, the per-payload JVM hash scan would run twice
+    // materialize: sig feeds both the sharing aggregate and the final
+    // join — unmaterialized, the per-payload JVM hash scan would run
+    // twice (localCheckpoint over cache for the same GC-reclaim
+    // reason as the cascade corpus)
     val sig = Tables.load(spark, dir, "documents")
       .select($"doc_id", expr("CAST(text AS BINARY)").as("payload"))
       .as[(Long, Array[Byte])]
@@ -496,7 +498,7 @@ object Multimodal {
         if (payload.isEmpty) None else Some((id, whashOf(payload)))
       })
       .toDF("doc_id", "whash")
-      .cache()
+      .localCheckpoint()
     val groups = sig.groupBy($"whash").agg(count(lit(1)).as("n_sharing"))
     sig.join(broadcast(groups), "whash")
       .select($"doc_id", $"whash", $"n_sharing")

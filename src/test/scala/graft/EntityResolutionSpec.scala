@@ -30,7 +30,7 @@ class EntityResolutionSpec extends SparkSpec {
     import spark.implicits._
     val q = EntityResolution.matchQuality(spark, dir).collect()
     assert(q.map(_.getAs[String]("noise_class")).sorted ===
-      Array("drop_char", "uppercase", "word_swap"))
+      Array("drop_char", "uppercase", "word_reverse"))
     val total = q.map(_.getAs[Long]("n_mentions")).sum
     assert(total === EntityResolution.matchMentions(spark, dir).count())
     q.foreach { r =>
