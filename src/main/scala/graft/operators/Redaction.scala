@@ -396,7 +396,44 @@ object Redaction {
       .orderBy($"event_type")
   }
 
+  /** Salt literal for [[pseudonymize]] — versioned so a salt rotation
+    * is an explicit, auditable change (rotating it re-keys every
+    * pseudonym, which is the point of rotation).
+    */
+  val PseudoSalt = "graft-v1"
+
+  /** PSEUDONYMIZATION audit — the GDPR-adjacent "replace direct
+    * identifiers with stable tokens" verb, surfaced as the sign-off
+    * table the re-keying job emits: per event type, rows, distinct
+    * real users, distinct pseudonyms, and collisions (distinct users
+    * minus distinct pseudonyms — a collision silently MERGES two
+    * people's histories, the failure mode this audit exists to
+    * catch). The pseudonym is the 60-bit integer prefix of
+    * `md5(salt:user_id)` — deterministic, so the same user re-keys
+    * identically across tables and runs (referential consistency is
+    * what separates pseudonymization from anonymization), and salted,
+    * so possession of a user_id alone does not let an outsider
+    * recompute the token. Production swaps md5 for keyed HMAC-SHA256
+    * with the salt in a KMS; the audit shape is identical. Map-side
+    * projection + one keyed aggregate (the three distinct counts
+    * share the shuffle via Expand).
+    */
+  def pseudonymize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .select($"event_type", $"user_id",
+        expr(s"CAST(conv(substr(md5(concat('$PseudoSalt', ':', user_id)), 1, 15), 16, 10) AS BIGINT)")
+          .as("pseudo"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"user_id").as("n_users"),
+        countDistinct($"pseudo").as("n_pseudonyms"))
+      .withColumn("n_collisions", $"n_users" - $"n_pseudonyms")
+      .orderBy($"event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gov_pseudonymize" -> pseudonymize _,
     "gov_erasure_audit" -> erasureAudit _,
     "text_pii" -> piiEvents _,
     "text_cc_luhn" -> ccEvents _,
@@ -412,6 +449,20 @@ object Redaction {
         |       count(DISTINCT user_id) AS n_users, count(*) AS n_events,
         |       count(DISTINCT user_id) >= $KAnonThreshold AS released
         |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+    "gov_pseudonymize" -> {
+      val hexSum = "(" + (0 until 15).map(i =>
+        s"(strpos('0123456789abcdef', substr(ph, ${i + 1}, 1)) - 1) * ${math.pow(16, 14 - i).toLong}")
+        .mkString(" + ") + ")"
+      s"""WITH pz AS (SELECT event_type, user_id,
+        |         md5('$PseudoSalt' || ':' || user_id) AS ph
+        |       FROM events),
+        |pk AS (SELECT event_type, user_id, $hexSum AS pseudo FROM pz)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |       count(DISTINCT user_id) AS n_users,
+        |       count(DISTINCT pseudo) AS n_pseudonyms,
+        |       count(DISTINCT user_id) - count(DISTINCT pseudo) AS n_collisions
+        |FROM pk GROUP BY 1 ORDER BY event_type""".stripMargin
+    },
     "gov_erasure_audit" ->
       s"""SELECT event_type, count(*) AS n_rows,
         |       CAST(sum(CASE WHEN user_id % $ErasureMod = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,

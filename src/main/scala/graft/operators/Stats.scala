@@ -394,17 +394,27 @@ object Stats {
     * one bounded per-type rollup — partial aggregation end to end,
     * no windows, no data-scaled collect.
     */
-  def tvDrift(spark: SparkSession, dir: String): DataFrame = {
+  /** (event_type, bucket, n1, n2) — each type's `floor(value)` bucket
+    * counts split at the observed time-range midpoint, the shared
+    * prelude of [[tvDrift]] (pointwise distance) and [[ksDrift]]
+    * (cumulative distance).
+    */
+  private def halfSplitCells(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = events(spark, dir)
       .select($"event_type",
         expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"),
         expr("CAST(floor(value) AS BIGINT)").as("bucket"))
     val bounds = ev.agg(min($"us").as("__lo"), max($"us").as("__hi"))
-    val cells = ev.crossJoin(broadcast(bounds))
+    ev.crossJoin(broadcast(bounds))
       .withColumn("h1", ($"us" * 2 <= $"__lo" + $"__hi").cast("long"))
       .groupBy($"event_type", $"bucket")
       .agg(sum($"h1").as("n1"), (count(lit(1)) - sum($"h1")).as("n2"))
+  }
+
+  def tvDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = halfSplitCells(spark, dir)
     val tot = cells.groupBy($"event_type")
       .agg(sum($"n1").as("t1"), sum($"n2").as("t2"))
     cells.join(broadcast(tot), Seq("event_type"))
@@ -415,6 +425,37 @@ object Stats {
       .agg(count(lit(1)).as("n_buckets"), sum($"n1").as("n_first"),
         sum($"n2").as("n_second"),
         expr("sum(abs(p1 - p2)) div 2").as("tv_ppm"))
+      .orderBy($"event_type")
+  }
+
+  /** KOLMOGOROV–SMIRNOV drift per event type — [[tvDrift]]'s
+    * cumulative sibling: the max over buckets of |CDF₁ − CDF₂| in
+    * integer ppm, over the same first-half/second-half split. TV sees
+    * pointwise reshuffling; KS sees LOCATION shifts TV can understate
+    * (a distribution sliding one bucket to the right moves every
+    * CDF step, and KS is the statistic the classical two-sample test
+    * thresholds). Exact integers throughout: cumulative counts are
+    * window sums over the BOUNDED bucket domain (partitioned by type
+    * — never a window over raw events), divided into ppm by
+    * truncation identically in both engines.
+    */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cells = halfSplitCells(spark, dir)
+    val tot = cells.groupBy($"event_type")
+      .agg(sum($"n1").as("t1"), sum($"n2").as("t2"))
+    val w = Window.partitionBy($"event_type").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(broadcast(tot), Seq("event_type"))
+      .withColumn("c1", sum($"n1").over(w))
+      .withColumn("c2", sum($"n2").over(w))
+      .withColumn("d", abs(
+        expr("(c1 * 1000000) div t1") -
+          expr("CASE WHEN t2 = 0 THEN CAST(0 AS BIGINT) ELSE (c2 * 1000000) div t2 END")))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_buckets"), max($"t1").as("n_first"),
+        max($"t2").as("n_second"), max($"d").as("ks_ppm"))
       .orderBy($"event_type")
   }
 
@@ -452,6 +493,7 @@ object Stats {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sketch_rollup" -> sketchRollup _,
     "q_tv_drift" -> tvDrift _,
+    "q_ks_drift" -> ksDrift _,
     "q_winsorized" -> winsorized _,
     "q_trend_slope" -> trendSlope _,
     "q_mad_outliers" -> madOutliers _,
@@ -465,6 +507,30 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ks_drift" ->
+      """WITH ke AS (SELECT event_type, epoch_us(ts) AS us,
+        |             CAST(floor(value) AS BIGINT) AS bucket
+        |           FROM events),
+        |kbd AS (SELECT min(us) AS lo, max(us) AS hi FROM ke),
+        |kc AS (SELECT event_type, bucket,
+        |        CAST(sum(CASE WHEN us * 2 <= lo + hi THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |        CAST(sum(CASE WHEN us * 2 <= lo + hi THEN 0 ELSE 1 END) AS BIGINT) AS n2
+        |      FROM ke, kbd GROUP BY 1, 2),
+        |kt AS (SELECT event_type, CAST(sum(n1) AS BIGINT) AS t1,
+        |         CAST(sum(n2) AS BIGINT) AS t2
+        |       FROM kc GROUP BY 1),
+        |kcum AS (SELECT kc.event_type,
+        |           CAST(sum(n1) OVER (PARTITION BY kc.event_type ORDER BY bucket
+        |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1,
+        |           CAST(sum(n2) OVER (PARTITION BY kc.event_type ORDER BY bucket
+        |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c2,
+        |           t1, t2
+        |         FROM kc JOIN kt USING (event_type))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+        |       CAST(max(t1) AS BIGINT) AS n_first, CAST(max(t2) AS BIGINT) AS n_second,
+        |       CAST(max(abs((c1 * 1000000) // t1 -
+        |         CASE WHEN t2 = 0 THEN 0 ELSE (c2 * 1000000) // t2 END)) AS BIGINT) AS ks_ppm
+        |FROM kcum GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_tv_drift" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS us,
         |             CAST(floor(value) AS BIGINT) AS bucket

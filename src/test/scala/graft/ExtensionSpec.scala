@@ -954,6 +954,29 @@ class ExtensionSpec extends SparkSpec {
     enc.unpersist(); j.unpersist()
   }
 
+  test("ks drift is bounded by tv drift and pseudonymization is collision-free here") {
+    import spark.implicits._
+    val ks = graft.operators.Stats.ksDrift(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    val tv = graft.operators.Stats.tvDrift(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(ks.nonEmpty && ks.keySet === tv.keySet)
+    // sup over prefixes <= sup over all sets = L1/2 (discrete TV);
+    // the slack covers per-bucket ppm truncation on the TV side
+    ks.foreach { case (t, (nb, k)) =>
+      assert(k <= tv(t) + nb + 2, s"$t: ks $k vs tv ${tv(t)} (+$nb slack)")
+    }
+    val pz = graft.operators.Redaction.pseudonymize(spark, dir).collect()
+    assert(pz.nonEmpty)
+    pz.foreach { r =>
+      assert(r.getAs[Long]("n_collisions") === 0L,
+        s"${r.getString(0)}: 60-bit pseudonyms must not collide at fixture scale")
+      assert(r.getAs[Long]("n_users") === r.getAs[Long]("n_pseudonyms"))
+    }
+    assert(pz.map(_.getAs[Long]("n_rows")).sum ===
+      graft.engine.Tables.load(spark, dir, "events").count())
+  }
+
   test("cdc merge op classes partition the union of snapshot and planted batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{expr, sum}
