@@ -381,6 +381,38 @@ object Stats {
       .orderBy($"priority")
   }
 
+  /** (event_type, bucket, n1, n2, t1, t2) — each type's
+    * `floor(value)` bucket counts split at the observed time-range
+    * midpoint, joined with the per-type half totals: the shared
+    * prelude of [[tvDrift]] (pointwise distance) and [[ksDrift]]
+    * (cumulative distance). Totals ride on every cell so both
+    * consumers and the shared [[halfPpm]] guard stay in one place.
+    */
+  private def halfSplitCells(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .select($"event_type",
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"),
+        expr("CAST(floor(value) AS BIGINT)").as("bucket"))
+    val bounds = ev.agg(min($"us").as("__lo"), max($"us").as("__hi"))
+    val cells = ev.crossJoin(broadcast(bounds))
+      .withColumn("h1", ($"us" * 2 <= $"__lo" + $"__hi").cast("long"))
+      .groupBy($"event_type", $"bucket")
+      .agg(sum($"h1").as("n1"), (count(lit(1)) - sum($"h1")).as("n2"))
+    val tot = cells.groupBy($"event_type")
+      .agg(sum($"n1").as("t1"), sum($"n2").as("t2"))
+    cells.join(broadcast(tot), Seq("event_type"))
+  }
+
+  /** Truncating ppm share `n·10⁶ div t`, guarded for an EMPTY half —
+    * the global midpoint means a type can have all its events in one
+    * half (t=0 on the other), which must report share 0, not a
+    * division error. One definition so tvDrift/ksDrift cannot drift
+    * apart on the guard.
+    */
+  private def halfPpm(n: String, t: String): String =
+    s"CASE WHEN $t = 0 THEN CAST(0 AS BIGINT) ELSE ($n * 1000000) div $t END"
+
   /** DISTRIBUTION-DRIFT report per event type — the monitoring verb a
     * training-data pipeline runs between two ingest windows ("did this
     * source's value distribution move?"): events are split into the
@@ -394,33 +426,11 @@ object Stats {
     * one bounded per-type rollup — partial aggregation end to end,
     * no windows, no data-scaled collect.
     */
-  /** (event_type, bucket, n1, n2) — each type's `floor(value)` bucket
-    * counts split at the observed time-range midpoint, the shared
-    * prelude of [[tvDrift]] (pointwise distance) and [[ksDrift]]
-    * (cumulative distance).
-    */
-  private def halfSplitCells(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val ev = events(spark, dir)
-      .select($"event_type",
-        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"),
-        expr("CAST(floor(value) AS BIGINT)").as("bucket"))
-    val bounds = ev.agg(min($"us").as("__lo"), max($"us").as("__hi"))
-    ev.crossJoin(broadcast(bounds))
-      .withColumn("h1", ($"us" * 2 <= $"__lo" + $"__hi").cast("long"))
-      .groupBy($"event_type", $"bucket")
-      .agg(sum($"h1").as("n1"), (count(lit(1)) - sum($"h1")).as("n2"))
-  }
-
   def tvDrift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val cells = halfSplitCells(spark, dir)
-    val tot = cells.groupBy($"event_type")
-      .agg(sum($"n1").as("t1"), sum($"n2").as("t2"))
-    cells.join(broadcast(tot), Seq("event_type"))
-      .withColumn("p1", expr("(n1 * 1000000) div t1"))
-      .withColumn("p2", expr(
-        "CASE WHEN t2 = 0 THEN CAST(0 AS BIGINT) ELSE (n2 * 1000000) div t2 END"))
+    halfSplitCells(spark, dir)
+      .withColumn("p1", expr(halfPpm("n1", "t1")))
+      .withColumn("p2", expr(halfPpm("n2", "t2")))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_buckets"), sum($"n1").as("n_first"),
         sum($"n2").as("n_second"),
@@ -442,17 +452,16 @@ object Stats {
   def ksDrift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val cells = halfSplitCells(spark, dir)
-    val tot = cells.groupBy($"event_type")
-      .agg(sum($"n1").as("t1"), sum($"n2").as("t2"))
-    val w = Window.partitionBy($"event_type").orderBy($"bucket")
+    // NULLS LAST pins the cumulative order cross-engine: Spark's
+    // default ascending window is NULLS FIRST where DuckDB's is NULLS
+    // LAST — a NULL value bucket would shift every CDF step
+    val w = Window.partitionBy($"event_type").orderBy($"bucket".asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cells.join(broadcast(tot), Seq("event_type"))
+    halfSplitCells(spark, dir)
       .withColumn("c1", sum($"n1").over(w))
       .withColumn("c2", sum($"n2").over(w))
       .withColumn("d", abs(
-        expr("(c1 * 1000000) div t1") -
-          expr("CASE WHEN t2 = 0 THEN CAST(0 AS BIGINT) ELSE (c2 * 1000000) div t2 END")))
+        expr(halfPpm("c1", "t1")) - expr(halfPpm("c2", "t2"))))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_buckets"), max($"t1").as("n_first"),
         max($"t2").as("n_second"), max($"d").as("ks_ppm"))
@@ -520,15 +529,16 @@ object Stats {
         |         CAST(sum(n2) AS BIGINT) AS t2
         |       FROM kc GROUP BY 1),
         |kcum AS (SELECT kc.event_type,
-        |           CAST(sum(n1) OVER (PARTITION BY kc.event_type ORDER BY bucket
+        |           CAST(sum(n1) OVER (PARTITION BY kc.event_type ORDER BY bucket NULLS LAST
         |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1,
-        |           CAST(sum(n2) OVER (PARTITION BY kc.event_type ORDER BY bucket
+        |           CAST(sum(n2) OVER (PARTITION BY kc.event_type ORDER BY bucket NULLS LAST
         |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c2,
         |           t1, t2
         |         FROM kc JOIN kt USING (event_type))
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
         |       CAST(max(t1) AS BIGINT) AS n_first, CAST(max(t2) AS BIGINT) AS n_second,
-        |       CAST(max(abs((c1 * 1000000) // t1 -
+        |       CAST(max(abs(
+        |         CASE WHEN t1 = 0 THEN 0 ELSE (c1 * 1000000) // t1 END -
         |         CASE WHEN t2 = 0 THEN 0 ELSE (c2 * 1000000) // t2 END)) AS BIGINT) AS ks_ppm
         |FROM kcum GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_tv_drift" ->
@@ -543,7 +553,7 @@ object Stats {
         |t AS (SELECT event_type, CAST(sum(n1) AS BIGINT) AS t1,
         |        CAST(sum(n2) AS BIGINT) AS t2 FROM c GROUP BY 1),
         |p AS (SELECT c.event_type, n1, n2,
-        |        (n1 * 1000000) // t.t1 AS p1,
+        |        CASE WHEN t.t1 = 0 THEN 0 ELSE (n1 * 1000000) // t.t1 END AS p1,
         |        CASE WHEN t.t2 = 0 THEN 0 ELSE (n2 * 1000000) // t.t2 END AS p2
         |      FROM c JOIN t USING (event_type))
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,

@@ -957,9 +957,10 @@ class ExtensionSpec extends SparkSpec {
   test("ks drift is bounded by tv drift and pseudonymization is collision-free here") {
     import spark.implicits._
     val ks = graft.operators.Stats.ksDrift(spark, dir).collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_buckets"), r.getAs[Long]("ks_ppm")))).toMap
     val tv = graft.operators.Stats.tvDrift(spark, dir).collect()
-      .map(r => r.getString(0) -> r.getLong(3)).toMap
+      .map(r => r.getString(0) -> r.getAs[Long]("tv_ppm")).toMap
     assert(ks.nonEmpty && ks.keySet === tv.keySet)
     // sup over prefixes <= sup over all sets = L1/2 (discrete TV);
     // the slack covers per-bucket ppm truncation on the TV side
