@@ -215,7 +215,56 @@ object EntityResolution {
       .orderBy($"mention_id")
   }
 
+  /** Same-entity distance bar and propagation-hop bound for
+    * [[clusterMentions]] (mirrored in the oracle's depth-bounded
+    * walk).
+    */
+  val ErClusterMaxDist = 3L
+  val ErClusterHops = 6
+
+  /** CATALOG-FREE mention clustering — the OTHER ER mode: with no
+    * master catalog to match against, duplicate records are resolved
+    * by clustering mentions among THEMSELVES (merging duplicate
+    * customer/product records is this verb). Recipe: the same
+    * multi-key blocking bounds candidate pairs, a pair becomes a
+    * same-entity edge iff its case-folded Levenshtein distance is ≤
+    * [[ErClusterMaxDist]], and connected components come from
+    * [[Dedup.clustersOver]]'s min-label propagation core UNCHANGED —
+    * the audited iteration schema that already serves minhash dedup,
+    * embedding dedup, and span families (the point of keeping that
+    * core graph-generic). Output is the label table (mention,
+    * cluster, keeper flag).
+    *
+    * The report faithfully shows the mode's failure surfaces: word-
+    * REVERSED mentions land far in edit distance and split off their
+    * entity's cluster (naive distance clustering misses
+    * transpositions), and short names of different entities within
+    * the bar merge across entities (the classic threshold tradeoff)
+    * — both deterministic, both replayed exactly by the oracle.
+    */
+  def clusterMentions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = mentions(spark, dir)
+    val kept = keysOf(m, "mention").groupBy($"key")
+      .agg(count(lit(1)).as("n")).filter($"n" <= ErMaxBlock).select($"key")
+    val kb = keysOf(m, "mention")
+      .select($"key", $"mention_id", $"mention")
+      .join(kept, Seq("key"))
+    val edges = kb.as("a")
+      .join(kb.as("b"), col("a.key") === col("b.key") &&
+        col("a.mention_id") < col("b.mention_id"))
+      .select(col("a.mention_id").as("src"), col("b.mention_id").as("dst"),
+        col("a.mention").as("ma"), col("b.mention").as("mb"))
+      .distinct()
+      .filter(levenshtein(lower($"ma"), lower($"mb")) <= ErClusterMaxDist)
+      .select($"src", $"dst")
+    Dedup.clustersOver(m.select($"mention_id".as("doc_id")), edges, ErClusterHops)
+      .select($"doc_id".as("mention_id"), $"cluster_id", $"is_keeper")
+      .orderBy($"mention_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_cluster" -> clusterMentions _,
     "er_block_profile" -> blockProfile _,
     "er_match" -> matchMentions _,
     "er_match_full" -> matchFull _,
@@ -237,6 +286,27 @@ object EntityResolution {
       |        FROM emen)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "er_cluster" ->
+      s"""WITH RECURSIVE $erCte,
+        |ekept AS (SELECT key FROM emk GROUP BY key HAVING count(*) <= $ErMaxBlock),
+        |ekb AS (SELECT k.key, k.mention_id, m.mention
+        |        FROM emk k JOIN ekept USING (key) JOIN emen m USING (mention_id)),
+        |epr AS (SELECT DISTINCT a.mention_id AS src, b.mention_id AS dst,
+        |          a.mention AS ma, b.mention AS mb
+        |        FROM ekb a JOIN ekb b
+        |          ON b.key = a.key AND a.mention_id < b.mention_id),
+        |ee0 AS (SELECT src, dst FROM epr
+        |        WHERE levenshtein(lower(ma), lower(mb)) <= $ErClusterMaxDist),
+        |ee AS (SELECT src, dst FROM ee0 UNION ALL SELECT dst, src FROM ee0),
+        |ewalk(id, label, depth) AS (
+        |  SELECT mention_id, mention_id, 0 FROM emen
+        |  UNION
+        |  SELECT e.dst, w.label, w.depth + 1
+        |  FROM ewalk w JOIN ee e ON e.src = w.id WHERE w.depth < $ErClusterHops),
+        |elab AS (SELECT id AS mention_id, min(label) AS cluster_id
+        |         FROM ewalk GROUP BY 1)
+        |SELECT mention_id, cluster_id, mention_id = cluster_id AS is_keeper
+        |FROM elab ORDER BY mention_id""".stripMargin,
     "er_block_profile" ->
       s"""WITH $erCte,
         |ec AS (SELECT key, CAST(count(*) AS BIGINT) AS n_entities FROM eck GROUP BY 1),

@@ -57,6 +57,35 @@ class EntityResolutionSpec extends SparkSpec {
     assert(p.exists(r => r.getAs[Long]("n_entities") === 0L))
   }
 
+  test("mention clustering merges an entity's case/char noise but not its reversals") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.countDistinct
+    val labels = EntityResolution.clusterMentions(spark, dir)
+    // rebuild (mention_id -> true_name, class) to audit the clusters
+    val truth = graft.engine.Tables.load(spark, dir, "part")
+      .select($"p_partkey".as("mention_id"), $"p_name".as("true_name"),
+        ($"p_partkey" % 3).as("cls"))
+    val j = labels.join(truth, Seq("mention_id")).cache()
+    // within one entity, every drop-char (cls 0) and uppercase (cls 1)
+    // mention shares a single cluster (dist <= 1 between all of them)
+    val perEntity = j.filter($"cls" =!= 2)
+      .groupBy($"true_name").agg(countDistinct($"cluster_id").as("nc"))
+    assert(perEntity.count() > 0)
+    assert(perEntity.filter($"nc" =!= 1L).count() === 0,
+      "case/char noise of one entity must resolve to one cluster")
+    // edit distance cannot see a transposition DIRECTLY, so at least
+    // part of the reversed population must split from its entity's
+    // case/char cluster (some reversals still merge TRANSITIVELY via
+    // cross-entity short-distance chains — that leakage is the
+    // documented threshold tradeoff, so "never joins" would be wrong)
+    val revSplit = j.filter($"cls" === 2).select($"true_name", $"cluster_id")
+      .join(j.filter($"cls" =!= 2).select($"true_name", $"cluster_id"),
+        Seq("true_name", "cluster_id"), "left_anti")
+    assert(revSplit.count() > 0,
+      "no reversed mention split off — the distance bar is not doing anything")
+    j.unpersist()
+  }
+
   test("nearest-candidate election compiles to WindowGroupLimit") {
     val plan = EntityResolution.matchMentions(spark, dir)
       .queryExecution.executedPlan.toString
