@@ -89,23 +89,36 @@ object Layouts {
       .parquet(out)
 
   /** Materialize the winnow span-sharing pair graph ONCE —
-    * `(doc_a, doc_b, n_shared_spans)`, range-clustered on `doc_a` —
-    * so every graph consumer (pagerank, weighted pagerank, triangles,
-    * components, label prop, family profile) reads a parquet relation
-    * instead of re-deriving fingerprints + posting lists per query.
-    * At 100 TB the fingerprint pass is a full-corpus scan + shuffle;
-    * amortizing it across the graph family is the difference between
-    * one ingest-time job and N of them. The `*Over` seams on every
-    * graph operator exist exactly so this swap is a call-site change:
-    * `Graph.pagerankOver(Layouts.readSpanPairs(spark, out))` is
-    * plan-for-plan the post-scan part of `Graph.pagerank`, and
+    * `(doc_a, doc_b, n_shared_spans, deg_a, deg_b)`, range-clustered
+    * on `doc_a` — so every graph consumer (pagerank, weighted
+    * pagerank, triangles, components, label prop, family profile)
+    * reads a parquet relation instead of re-deriving fingerprints +
+    * posting lists per query. At 100 TB the fingerprint pass is a
+    * full-corpus scan + shuffle; amortizing it across the graph
+    * family is the difference between one ingest-time job and N of
+    * them. The per-endpoint DEGREE rides the layout (one extra
+    * groupBy + two joins at WRITE time) so degree-ordered consumers —
+    * [[graft.operators.Graph.trianglesOverDeg]]'s orientation — become
+    * pure projections over the scan instead of re-joining degrees per
+    * query. The `*Over` seams on every graph operator exist exactly so
+    * this swap is a call-site change:
+    * `Graph.pagerankOver(Layouts.readSpanPairs(spark, out).select(…))`
+    * is plan-for-plan the post-scan part of the derivation, and
     * LayoutsSpec asserts result equality plus the absence of any
     * fingerprint recompute in the read plan.
     */
   def writeSpanPairs(spark: SparkSession, dir: String, out: String,
-      files: Int = 8): Unit =
-    rangeWrite(graft.operators.TextAnalysis.sharedSpans(spark, dir),
+      files: Int = 8): Unit = {
+    import spark.implicits._
+    val pairs = graft.operators.TextAnalysis.sharedSpans(spark, dir)
+      .localCheckpoint()
+    val deg = pairs.select($"doc_a".as("v")).union(pairs.select($"doc_b"))
+      .groupBy($"v").agg(count(lit(1)).as("d"))
+    rangeWrite(pairs
+      .join(deg.select($"v".as("doc_a"), $"d".as("deg_a")), Seq("doc_a"))
+      .join(deg.select($"v".as("doc_b"), $"d".as("deg_b")), Seq("doc_b")),
       out, "doc_a", files)
+  }
 
   /** Read back [[writeSpanPairs]]'s materialized pair relation. */
   def readSpanPairs(spark: SparkSession, out: String): DataFrame =

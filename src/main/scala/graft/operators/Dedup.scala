@@ -363,15 +363,19 @@ object Dedup {
       maxHops: Int): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    val sym = edges.union(edges.select($"dst", $"src")).toDF("src", "dst")
-      .localCheckpoint()
+    // materialize the edge subtree ONCE before symmetrizing — the
+    // union's two branches would each re-derive it (for er_cluster
+    // that subtree is the blocked self-join + levenshtein scoring;
+    // replaying it doubled the operator's cost), then cut the union's
+    // own lineage so each hop scans a flat relation
+    val e0 = edges.toDF("src", "dst").localCheckpoint()
+    val sym = e0.union(e0.select($"dst", $"src")).localCheckpoint()
     var labels = nodes
       .withColumn("cluster_id", $"doc_id")
       .localCheckpoint()
     // early exit: label propagation is monotone (labels only decrease),
     // so a round that changes nothing makes every later round a no-op —
-    // identical labels to the full maxHops run, at the cost of one tiny
-    // scan of the (checkpointed) label frame per round. Near-clique dup
+    // identical labels to the full maxHops run. Near-clique dup
     // components converge in 2-3 hops; the cap still bounds the
     // pathological chain exactly like the oracle's depth-bounded walk.
     var hop = 0
@@ -379,12 +383,16 @@ object Dedup {
     while (hop < maxHops && !converged) {
       val prop = labels.join(sym, labels("doc_id") === sym("src"))
         .groupBy($"dst").agg(min($"cluster_id").as("nl"))
+      // LAZY checkpoint + convergence count in ONE action: the count
+      // job computes every partition of `next`, which materializes the
+      // checkpoint as a side effect — one job per hop where an eager
+      // checkpoint followed by a separate convergence scan costs two.
       val next = labels.join(prop, labels("doc_id") === prop("dst"), "left")
         .select($"doc_id",
           least($"cluster_id", coalesce($"nl", $"cluster_id")).as("cluster_id"),
           (coalesce($"nl", $"cluster_id") < $"cluster_id").as("__changed"))
-        .localCheckpoint()
-      converged = next.filter($"__changed").isEmpty
+        .localCheckpoint(false)
+      converged = next.filter($"__changed").count() == 0L
       labels = next.drop("__changed")
       hop += 1
     }

@@ -49,6 +49,14 @@ object EntityResolution {
     */
   val ErMaxBlock = 1000L
 
+  /** [[erEnrich]]'s literal-catalog size cap — the bound on the
+    * model-sized-only contract (the centroid/bloom precedent: driver
+    * literals carry MODELS, never data). Enforced with a loud error
+    * rather than letting a data-sized catalog OOM the driver or hit
+    * Janino method-size fallbacks mid-analysis.
+    */
+  val ErEnrichMaxCatalog = 10000
+
   private def parts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "part").select($"p_partkey", $"p_name")
@@ -179,6 +187,18 @@ object EntityResolution {
     * the bound on per-row work.
     */
   def erEnrich(mentions: DataFrame, catalog: Seq[(Long, String)]): DataFrame = {
+    // literal-catalog contract, enforced: the catalog becomes one
+    // struct literal per entity inside a single array expression, so
+    // expression-tree size, analysis time, and codegen all grow
+    // linearly with it — past a few thousand entries Janino falls back
+    // off compiled code and the driver pays analysis blowup before any
+    // data is read. Fail LOUDLY instead; a catalog beyond the cap is
+    // the blocked-join regime ([[matchMentions]]), not the serving-tier
+    // literal regime.
+    require(catalog.size <= ErEnrichMaxCatalog,
+      s"erEnrich catalog has ${catalog.size} entries, over the literal-" +
+        s"expression cap of $ErEnrichMaxCatalog — use the blocked er_match " +
+        "path (EntityResolution.matchMentions) for large catalogs")
     val catArr = array(catalog.map { case (id, nm) =>
       struct(lit(id).as("id"), lit(nm).as("nm"))
     }: _*)
@@ -247,17 +267,25 @@ object EntityResolution {
     val m = mentions(spark, dir)
     val kept = keysOf(m, "mention").groupBy($"key")
       .agg(count(lit(1)).as("n")).filter($"n" <= ErMaxBlock).select($"key")
+    // blocked postings feed BOTH sides of the self-join — materialize
+    // once so the posting derivation cannot replay per side
     val kb = keysOf(m, "mention")
       .select($"key", $"mention_id", $"mention")
       .join(kept, Seq("key"))
+      .localCheckpoint()
+    // score BEFORE deduplicating: levenshtein is a map-side projection
+    // over the joined stream (a pair sharing k keys is scored k times,
+    // bounded by keys-per-name), so the distinct shuffle then hauls
+    // only the surviving bare (src, dst) pairs — not every candidate
+    // pair with both mention strings attached, which was the heaviest
+    // exchange in this operator
     val edges = kb.as("a")
       .join(kb.as("b"), col("a.key") === col("b.key") &&
         col("a.mention_id") < col("b.mention_id"))
-      .select(col("a.mention_id").as("src"), col("b.mention_id").as("dst"),
-        col("a.mention").as("ma"), col("b.mention").as("mb"))
+      .filter(levenshtein(lower(col("a.mention")), lower(col("b.mention")))
+        <= ErClusterMaxDist)
+      .select(col("a.mention_id").as("src"), col("b.mention_id").as("dst"))
       .distinct()
-      .filter(levenshtein(lower($"ma"), lower($"mb")) <= ErClusterMaxDist)
-      .select($"src", $"dst")
     Dedup.clustersOver(m.select($"mention_id".as("doc_id")), edges, ErClusterHops)
       .select($"doc_id".as("mention_id"), $"cluster_id", $"is_keeper")
       .orderBy($"mention_id")

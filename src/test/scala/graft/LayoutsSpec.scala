@@ -131,15 +131,33 @@ class LayoutsSpec extends SparkSpec {
     val plan = pairs.queryExecution.executedPlan.toString
     assert(plan.contains("FileScan parquet") && !plan.contains("Generate"),
       s"span-pair read should be scan-only:\n$plan")
-    // the amortized form is row-identical to the per-query derivation
+    // layout columns: the pair relation plus per-endpoint degree
+    assert(pairs.columns.toSet ===
+      Set("doc_a", "doc_b", "n_shared_spans", "deg_a", "deg_b"))
+    // the layout's degree columns equal the derivation's degree count
+    import spark.implicits._
+    val derived = graft.operators.TextAnalysis.sharedSpans(spark, dir)
+      .localCheckpoint()
+    val deg = derived.select($"doc_a".as("v")).union(derived.select($"doc_b"))
+      .groupBy($"v").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.collect().foreach { r =>
+      assert(r.getAs[Long]("deg_a") === deg(r.getAs[Long]("doc_a")))
+      assert(r.getAs[Long]("deg_b") === deg(r.getAs[Long]("doc_b")))
+    }
+    // the amortized form is row-identical to a FRESH per-query
+    // derivation (the surfaced Graph.* queries themselves read the
+    // layout now, so the reference side here must derive from scratch)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSeq
-    assert(rows(graft.operators.Graph.pagerankOver(pairs.select("doc_a", "doc_b")))
-      === rows(graft.operators.Graph.pagerank(spark, dir)))
-    assert(rows(graft.operators.Graph.pagerankWeightedOver(pairs))
-      === rows(graft.operators.Graph.pagerankWeighted(spark, dir)))
-    assert(rows(graft.operators.Graph.trianglesOver(pairs.select("doc_a", "doc_b")))
-      === rows(graft.operators.Graph.triangles(spark, dir)))
+    assert(rows(graft.operators.Graph.pagerank(spark, dir))
+      === rows(graft.operators.Graph.pagerankOver(derived.select("doc_a", "doc_b"))))
+    assert(rows(graft.operators.Graph.pagerankWeighted(spark, dir))
+      === rows(graft.operators.Graph.pagerankWeightedOver(
+        derived.select("doc_a", "doc_b", "n_shared_spans"))))
+    assert(rows(graft.operators.Graph.triangles(spark, dir))
+      === rows(graft.operators.Graph.trianglesOver(derived.select("doc_a", "doc_b"))))
   }
 
   test("bucketed orders x lineitem join has no shuffle exchange") {
