@@ -342,16 +342,25 @@ object CoreQueries {
 
   /** Approximate distinct counting (HLL++, `approx_count_distinct`) —
     * the at-scale variant of distinctUsers: one pass, fixed-size
-    * sketch state, no distinct expansion. Sketch values are
-    * implementation-specific, so this op has no cross-engine oracle
-    * (driver records the rows-only check); the spec asserts the
-    * estimate against the exact counts.
+    * sketch state, no distinct expansion. Sketch ESTIMATES are
+    * implementation-specific (no cross-engine value oracle), so the
+    * surfaced columns are the exact count plus an IN-ROW BOUND FLAG —
+    * `est_in_bound` is true iff the HLL++ estimate lands within 5% of
+    * the exact count (rsd 0.02, so 2.5σ — deterministic per dataset).
+    * The DuckDB oracle emits the exact counts with a literal `true`,
+    * which makes the driver's hash compare CARRY the error-envelope
+    * invariant the ScalaTest spec asserts: a drifting sketch flips the
+    * flag and fails the row hash.
     */
   def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     t(spark, dir, "events")
       .groupBy($"event_type")
-      .agg(approx_count_distinct($"user_id", 0.02).as("approx_distinct_users"))
+      .agg(countDistinct($"user_id").as("distinct_users"),
+        approx_count_distinct($"user_id", 0.02).as("__est"))
+      .select($"event_type", $"distinct_users",
+        (abs($"__est" - $"distinct_users") * 100L <= $"distinct_users" * 5L)
+          .as("est_in_bound"))
       .orderBy($"event_type")
   }
 
@@ -901,8 +910,14 @@ object CoreQueries {
       """SELECT event_id,
         |       CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
-    // q_approx_distinct_users intentionally has no oracle: HLL sketches
-    // are engine-specific (rows-only check).
+    // HLL estimates are engine-specific, so the oracle pins the exact
+    // counts and a literal true for the in-row bound flag — the hash
+    // compare then carries the error-envelope invariant.
+    "q_approx_distinct_users" ->
+      """SELECT event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
+        |       true AS est_in_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users, count(*) AS events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

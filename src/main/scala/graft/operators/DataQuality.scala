@@ -30,11 +30,15 @@ object DataQuality {
     ("nation", "n_regionkey", "region", "r_regionkey"))
 
   /** REFERENTIAL-INTEGRITY audit: per FK relation, child row count,
-    * orphaned child rows (no matching parent key), and distinct
-    * orphaned key values. A healthy snapshot is all zeros; a non-zero
-    * row names exactly which load to quarantine. NULL FKs count as
-    * orphans here (the strict posture — a fact row that cannot join
-    * its dimension is unusable regardless of why).
+    * orphaned child rows (no matching parent key), distinct orphaned
+    * key VALUES, and NULL-FK rows. A healthy snapshot is all zeros; a
+    * non-zero row names exactly which load to quarantine. NULL FKs
+    * count as orphans in `n_orphans` (the strict posture — a fact row
+    * that cannot join its dimension is unusable regardless of why),
+    * but `n_orphan_keys` counts distinct non-NULL values only —
+    * `n_null_fks` carries the NULL class explicitly so a relation
+    * whose only orphans are NULL FKs doesn't read as contradictory
+    * (n_orphans > 0 with n_orphan_keys = 0).
     *
     * Scale shape: per relation one LEFT JOIN against the parent's
     * DISTINCT key projection (dimension-sized for every relation
@@ -51,9 +55,10 @@ object DataQuality {
         .join(p, $"__fk" === $"__pk", "left")
         .agg(count(lit(1)).as("n_child_rows"),
           sum(when($"__pk".isNull, 1L).otherwise(0L)).as("n_orphans"),
-          countDistinct(when($"__pk".isNull, $"__fk")).as("n_orphan_keys"))
+          countDistinct(when($"__pk".isNull, $"__fk")).as("n_orphan_keys"),
+          sum(when($"__fk".isNull, 1L).otherwise(0L)).as("n_null_fks"))
         .select(lit(s"$child.$fk -> $parent.$pk").as("relation"),
-          $"n_child_rows", $"n_orphans", $"n_orphan_keys")
+          $"n_child_rows", $"n_orphans", $"n_orphan_keys", $"n_null_fks")
     }.reduce(_ unionAll _).orderBy($"relation")
   }
 
@@ -125,7 +130,8 @@ object DataQuality {
         s"""SELECT '$child.$fk -> $parent.$pk' AS relation,
            |  CAST(count(*) AS BIGINT) AS n_child_rows,
            |  CAST(sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
-           |  count(DISTINCT CASE WHEN p.__pk IS NULL THEN c.$fk END) AS n_orphan_keys
+           |  count(DISTINCT CASE WHEN p.__pk IS NULL THEN c.$fk END) AS n_orphan_keys,
+           |  CAST(sum(CASE WHEN c.$fk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fks
            |FROM $child c LEFT JOIN (SELECT DISTINCT $pk AS __pk FROM $parent) p
            |  ON c.$fk = p.__pk""".stripMargin
       }.mkString("\nUNION ALL\n")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
@@ -478,24 +478,43 @@ object Stats {
     * cheap), where exact distinct would need the full key set again.
     * Union-of-partials equals the one-shot sketch BY CONSTRUCTION
     * (same lgK, deterministic — spec-pinned), so serving from the
-    * rollup loses nothing vs re-scanning. Per-day exact counts ride
-    * along for the audit column; no DuckDB oracle (sketch binaries are
-    * engine-specific) — the driver records the rows-only check and the
-    * ScalaTest pins mergeability + the error envelope.
+    * rollup loses nothing vs re-scanning. Exact counts ride along as
+    * the audit column, and the estimate surfaces as an IN-ROW BOUND
+    * FLAG so the DuckDB oracle (exact counts + literal true) hash-pins
+    * the error envelope; the ScalaTest spec additionally asserts
+    * mergeability (union ≡ one-shot) on the raw sketches.
     */
   def sketchRollup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // daily partials feed both the per-day report and the union-total
+    // row — materialize the |days|-sized rollup once
     val daily = events(spark, dir)
       .select(to_date($"ts").as("day"), $"user_id")
       .groupBy($"day")
       .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
         countDistinct($"user_id").as("exact_users"))
-    val perDay = daily.select($"day".cast("string").as("day"),
-      expr("hll_sketch_estimate(sk)").as("approx_users"), $"exact_users")
+      .localCheckpoint()
+    // sketch ESTIMATES are engine-specific, so the surfaced columns
+    // are the exact count plus an in-row bound flag: est_in_bound is
+    // true iff the estimate (per-day sketch / union-of-partials for
+    // the TOTAL row) lands within 5% of exact (lgK 14 ⇒ rsd ~0.8%, so
+    // 5% is >6σ — deterministic per dataset). The oracle emits exact
+    // counts + literal true, making the driver's hash compare carry
+    // the error envelope the ScalaTest spec asserts.
+    def inBound(est: Column, exact: Column): Column =
+      (abs(est - exact) * 100L <= exact * 5L).as("est_in_bound")
+    val perDay = daily.select($"day".cast("string").as("day"), $"exact_users",
+      inBound(expr("hll_sketch_estimate(sk)"), $"exact_users"))
+    // the TOTAL row serves from the UNIONED partials (never a second
+    // full-data distinct at serving time); the exact total here is the
+    // audit column a backfill computes once
+    val exactTotal = events(spark, dir)
+      .agg(countDistinct($"user_id").as("exact_users"))
     val total = daily
-      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"))
-      .select(lit("TOTAL").as("day"), $"approx_users",
-        lit(null).cast("long").as("exact_users"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("__est"))
+      .crossJoin(broadcast(exactTotal))
+      .select(lit("TOTAL").as("day"), $"exact_users",
+        inBound($"__est", $"exact_users"))
     perDay.unionByName(total).orderBy($"day")
   }
 
@@ -516,6 +535,20 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    // HLL estimates are engine-specific: the oracle pins exact counts
+    // plus a literal true per bound flag (per-day AND the TOTAL row),
+    // so a drifting sketch flips est_in_bound and fails the row hash.
+    "q_sketch_rollup" ->
+      """WITH sd AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+        |            FROM events)
+        |SELECT CAST(day AS VARCHAR) AS day,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       true AS est_in_bound
+        |FROM sd GROUP BY day
+        |UNION ALL
+        |SELECT 'TOTAL', CAST(count(DISTINCT user_id) AS BIGINT), true
+        |FROM events
+        |ORDER BY day""".stripMargin,
     "q_ks_drift" ->
       """WITH ke AS (SELECT event_type, epoch_us(ts) AS us,
         |             CAST(floor(value) AS BIGINT) AS bucket

@@ -1068,11 +1068,14 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  /** Id shift for [[codeDetect]]'s planted pseudo-code docs and the
-    * code-score release bar (ppm of characters that are code
-    * punctuation).
+  /** [[codeDetect]]'s code-score release bar (ppm of characters that
+    * are code punctuation). Planted pseudo-code docs carry the NEGATED
+    * id `-(doc_id + 1)` — structurally collision-free against any
+    * non-negative fixture id (the [[CoreQueries]] cdcMerge convention;
+    * an additive shift would silently collide once real ids grow past
+    * it, and both engines would misreport identically so the oracle
+    * could not catch it).
     */
-  val CodePlantShift = 9000000L
   val CodeBarPpm = 30000L
 
   /** CODE-vs-PROSE detector — the corpus-routing verb behind The
@@ -1094,7 +1097,7 @@ object TextAnalysis {
     import spark.implicits._
     val base = docs(spark, dir).select($"doc_id", $"text")
     val planted = base.filter($"doc_id" % 25 === 11)
-      .select(($"doc_id" + CodePlantShift).as("doc_id"),
+      .select((-($"doc_id" + 1L)).as("doc_id"),
         concat(lit("{ "),
           array_join(expr("transform(split(text, ' '), w -> concat(w, ';'))"), " "),
           lit(" }")).as("text"))
@@ -1274,7 +1277,7 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "text_code_detect" ->
       s"""WITH cdbase AS (SELECT doc_id, text FROM documents),
-        |cdplant AS (SELECT doc_id + $CodePlantShift AS doc_id,
+        |cdplant AS (SELECT -(doc_id + 1) AS doc_id,
         |              '{ ' || array_to_string(list_transform(string_split(text, ' '),
         |                w -> w || ';'), ' ') || ' }' AS text
         |            FROM cdbase WHERE doc_id % 25 = 11),

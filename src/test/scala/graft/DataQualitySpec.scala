@@ -19,13 +19,17 @@ class DataQualitySpec extends SparkSpec {
     }
   }
 
-  test("fk audit counts planted orphans exactly") {
+  test("fk audit counts planted orphans exactly, NULL FKs in their own column") {
     import spark.implicits._
-    // shift every 5th lineitem's orderkey far past the orders domain
+    // shift some lineitems' orderkey far past the orders domain and
+    // NULL others (keyed on l_partkey so the plant is deterministic) —
+    // the two orphan classes must land in n_orphans together but
+    // split across n_orphan_keys / n_null_fks
     val dirTmp = java.nio.file.Files.createTempDirectory("graft-dq").toString
     val li = graft.engine.Tables.load(spark, dir, "lineitem")
       .withColumn("l_orderkey",
-        when(monotonically_increasing_id() % 5 === 0, $"l_orderkey" + 1000000000L)
+        when($"l_partkey" % 7 === 3, lit(null).cast("long"))
+          .when($"l_partkey" % 5 === 0, $"l_orderkey" + 1000000000L)
           .otherwise($"l_orderkey"))
     li.write.mode("overwrite").parquet(s"$dirTmp/lineitem.parquet")
     for (t <- Seq("orders", "part", "supplier", "customer", "nation", "region"))
@@ -33,10 +37,15 @@ class DataQualitySpec extends SparkSpec {
         .write.mode("overwrite").parquet(s"$dirTmp/$t.parquet")
     val r = DataQuality.fkOrphans(spark, dirTmp).collect()
       .find(_.getAs[String]("relation") == "lineitem.l_orderkey -> orders.o_orderkey").get
-    val expected = spark.read.parquet(s"$dirTmp/lineitem.parquet")
-      .filter($"l_orderkey" >= 1000000000L).count()
-    assert(expected > 0L)
-    assert(r.getAs[Long]("n_orphans") === expected)
+    val written = spark.read.parquet(s"$dirTmp/lineitem.parquet")
+    val shifted = written.filter($"l_orderkey" >= 1000000000L).count()
+    val nulled = written.filter($"l_orderkey".isNull).count()
+    assert(shifted > 0L && nulled > 0L)
+    assert(r.getAs[Long]("n_orphans") === shifted + nulled)
+    assert(r.getAs[Long]("n_orphan_keys") ===
+      written.filter($"l_orderkey" >= 1000000000L)
+        .select($"l_orderkey").distinct().count())
+    assert(r.getAs[Long]("n_null_fks") === nulled)
   }
 
   test("pk audit is internally consistent and clean on the fixture") {

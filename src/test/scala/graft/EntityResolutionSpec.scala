@@ -92,4 +92,21 @@ class EntityResolutionSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"per-mention rank-1 must run as map-side top-1 heaps, got:\n$plan")
   }
+
+  test("erEnrich refuses a catalog past the literal-expression cap, loudly") {
+    import spark.implicits._
+    val mentions = Seq((1L, "alpha")).toDF("mention_id", "mention")
+    val oversized = (0 to EntityResolution.ErEnrichMaxCatalog)
+      .map(i => (i.toLong, s"entity $i"))
+    val e = intercept[IllegalArgumentException] {
+      EntityResolution.erEnrich(mentions, oversized)
+    }
+    // the error must carry the cap AND point at the blocked-join path
+    assert(e.getMessage.contains(EntityResolution.ErEnrichMaxCatalog.toString))
+    assert(e.getMessage.contains("er_match"))
+    // a catalog AT the cap is the accepted contract
+    val ok = EntityResolution.erEnrich(mentions,
+      Seq((7L, "alpha"), (9L, "alphz")))
+    assert(ok.select("matched_id").head.getLong(0) === 7L)
+  }
 }

@@ -1002,8 +1002,10 @@ class ExtensionSpec extends SparkSpec {
   test("code detector routes every planted doc to code and every original to prose") {
     import spark.implicits._
     val rows = graft.operators.TextAnalysis.codeDetect(spark, dir).cache()
-    val plants = rows.filter($"doc_id" >= graft.operators.TextAnalysis.CodePlantShift)
-    val originals = rows.filter($"doc_id" < graft.operators.TextAnalysis.CodePlantShift)
+    // plants carry the negated id -(doc_id + 1): structurally
+    // collision-free against any non-negative fixture id
+    val plants = rows.filter($"doc_id" < 0)
+    val originals = rows.filter($"doc_id" >= 0)
     assert(plants.count() > 0)
     assert(plants.filter(!$"is_code").count() === 0, "every plant must route to code")
     assert(originals.filter($"is_code").count() === 0,

@@ -54,14 +54,17 @@ class OutputsSpec extends SparkSpec {
   }
 
   test("approx distinct users tracks exact counts within the configured error") {
+    // surfaced rows: (event_type, distinct_users exact, est_in_bound) —
+    // the exact column must match the exact query and every bound flag
+    // must hold (the invariant the DuckDB oracle now hash-pins)
     val exact = graft.operators.CoreQueries.distinctUsers(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val approx = graft.operators.CoreQueries.approxDistinctUsers(spark, "/root/testdata/sf0.001")
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     assert(exact.keySet === approx.keySet)
     exact.foreach { case (k, v) =>
-      assert(math.abs(approx(k) - v) <= math.max(2L, (v * 0.1).toLong),
-        s"$k: approx=${approx(k)} exact=$v")
+      assert(approx(k)._1 === v, s"$k: exact column drifted")
+      assert(approx(k)._2, s"$k: estimate outside 5% of exact $v")
     }
   }
 }

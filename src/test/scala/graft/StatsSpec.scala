@@ -240,24 +240,28 @@ class StatsSpec extends SparkSpec {
 
   test("sketch rollup: union of daily partials equals the one-shot sketch, within HLL error") {
     import spark.implicits._
+    // surfaced rows: (day, exact_users, est_in_bound) — every bound
+    // flag must hold (the same invariant the DuckDB oracle hash-pins)
     val rows = Stats.sketchRollup(spark, dir).collect()
-      .map(r => (r.getString(0), r.getLong(1),
-        if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
     val (totals, days) = rows.partition(_._1 == "TOTAL")
     assert(totals.length === 1 && days.nonEmpty)
-    // mergeability: the unioned-partials total must equal a direct
-    // one-shot sketch over all users (same lgK, deterministic)
-    val direct = graft.engine.Tables.load(spark, dir, "events")
-      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))")).head.getLong(0)
-    assert(totals.head._2 === direct, "union of partials != one-shot sketch")
-    // error envelope: lgK 14 keeps relative error ~0.8%; allow 5%
-    days.foreach { case (day, approx, exact) =>
-      assert(math.abs(approx - exact) <= math.max(1L, exact / 20),
-        s"day $day approx $approx vs exact $exact")
+    rows.foreach { case (day, exact, inBound) =>
+      assert(inBound, s"row $day: estimate outside 5% of exact $exact")
     }
+    // TOTAL's exact column is the global distinct
     val exactTotal = graft.engine.Tables.load(spark, dir, "events")
       .select("user_id").distinct().count()
-    assert(math.abs(totals.head._2 - exactTotal) <= math.max(1L, exactTotal / 20))
+    assert(totals.head._2 === exactTotal)
+    // mergeability on the raw sketches: the unioned-partials estimate
+    // must equal a direct one-shot sketch (same lgK, deterministic)
+    val e = graft.engine.Tables.load(spark, dir, "events")
+    val unioned = e.select(to_date($"ts").as("day"), $"user_id")
+      .groupBy($"day").agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).head.getLong(0)
+    val direct = e
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))")).head.getLong(0)
+    assert(unioned === direct, "union of partials != one-shot sketch")
   }
 
   test("piiScan finds exactly the planted PII and redacts to the Java-regex reference") {
