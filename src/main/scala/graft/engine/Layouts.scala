@@ -112,11 +112,18 @@ object Layouts {
     import spark.implicits._
     val pairs = graft.operators.TextAnalysis.sharedSpans(spark, dir)
       .localCheckpoint()
-    val deg = pairs.select($"doc_a".as("v")).union(pairs.select($"doc_b"))
-      .groupBy($"v").agg(count(lit(1)).as("d"))
+    // one endpoint pass computes BOTH degree and strength (sum of
+    // incident span weights) — pagerank consumes deg, weighted
+    // pagerank strength, triangles the (deg, id) orientation order
+    val stats = pairs
+      .select($"doc_a".as("v"), $"n_shared_spans".as("w"))
+      .union(pairs.select($"doc_b", $"n_shared_spans"))
+      .groupBy($"v").agg(count(lit(1)).as("d"), sum($"w").as("s"))
     rangeWrite(pairs
-      .join(deg.select($"v".as("doc_a"), $"d".as("deg_a")), Seq("doc_a"))
-      .join(deg.select($"v".as("doc_b"), $"d".as("deg_b")), Seq("doc_b")),
+      .join(stats.select($"v".as("doc_a"), $"d".as("deg_a"), $"s".as("str_a")),
+        Seq("doc_a"))
+      .join(stats.select($"v".as("doc_b"), $"d".as("deg_b"), $"s".as("str_b")),
+        Seq("doc_b")),
       out, "doc_a", files)
   }
 

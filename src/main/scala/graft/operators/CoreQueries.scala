@@ -370,7 +370,7 @@ object CoreQueries {
     * both surfaces are exposed, the exact one because it has a
     * cross-engine oracle (Spark and DuckDB share the linear-
     * interpolation definition) and the approximate one in
-    * [[approxDistinctUsers]]'s rows-only regime.
+    * [[approxDistinctUsers]]'s exact-plus-bound-flag regime.
     */
   def valuePercentiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

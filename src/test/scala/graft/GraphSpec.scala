@@ -14,6 +14,22 @@ class GraphSpec extends SparkSpec {
     ps.toDF("doc_a", "doc_b")
   }
 
+  test("graph queries share one materialized span-pair layout per session, scan-only") {
+    // derive-once, scan-many: two lookups return the SAME materialized
+    // files (the second call must not re-derive or re-write), and the
+    // frame every graph consumer starts from is a bare parquet scan —
+    // no winnow kernel, no posting-list expansion in its plan
+    val a = Graph.spanPairsLayout(spark, dir)
+    val b = Graph.spanPairsLayout(spark, dir)
+    assert(a.inputFiles.nonEmpty)
+    assert(a.inputFiles.toSet === b.inputFiles.toSet,
+      "second lookup materialized a new layout instead of reusing")
+    val plan = a.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan parquet"), s"not a scan:\n$plan")
+    assert(!plan.contains("graft_winnow") && !plan.contains("Generate"),
+      s"layout read re-derives the span graph:\n$plan")
+  }
+
   test("pagerank on a triangle is the exact fixed point (uniform mass forever)") {
     val got = Graph.pagerankOver(pairsOf((1L, 2L), (1L, 3L), (2L, 3L)))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -131,9 +131,10 @@ class LayoutsSpec extends SparkSpec {
     val plan = pairs.queryExecution.executedPlan.toString
     assert(plan.contains("FileScan parquet") && !plan.contains("Generate"),
       s"span-pair read should be scan-only:\n$plan")
-    // layout columns: the pair relation plus per-endpoint degree
+    // layout columns: the pair relation plus per-endpoint degree and
+    // strength (incident-weight sum)
     assert(pairs.columns.toSet ===
-      Set("doc_a", "doc_b", "n_shared_spans", "deg_a", "deg_b"))
+      Set("doc_a", "doc_b", "n_shared_spans", "deg_a", "deg_b", "str_a", "str_b"))
     // the layout's degree columns equal the derivation's degree count
     import spark.implicits._
     val derived = graft.operators.TextAnalysis.sharedSpans(spark, dir)
