@@ -163,6 +163,27 @@ object Similarity {
     expr(s"aggregate(zip_with(iv, array(${c.mkString(", ")}), " +
       "(a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (s, t) -> s + t)")
 
+  /** TRAIN-ONCE, SERVE-MANY model cache: (applicationId, trainer key)
+    * → frozen driver-literal model. Training (deterministic k-means
+    * over a fixture) is an INGEST-TIME job in any real index build —
+    * FAISS trains once and publishes; every query serves against the
+    * frozen artifact. Ten ANN queries each re-running the identical
+    * training rounds is pure redundant driver round-trip latency at
+    * sf0.1 and pure redundant corpus scans at 100 TB. Same precedent
+    * as [[Graph]]'s span-pair layout cache: keyed by application id so
+    * a fresh session (new fixture generation, tests) re-trains; the
+    * models are deterministic functions of (fixture, hyperparams), so
+    * a cache hit is bit-identical to retraining — results and oracles
+    * unchanged.
+    */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  private def trainOnce[T <: AnyRef](spark: SparkSession, key: String)(
+      train: => T): T =
+    modelCache.computeIfAbsent(
+      spark.sparkContext.applicationId + " " + key, _ => train).asInstanceOf[T]
+
   /** Deterministic k-means over the fixed-point vectors: init = the
     * first `k` vectors (content-seeded, oracle-replayable), then
     * `iters` rounds of nearest-centroid assignment (ties → lowest
@@ -178,7 +199,9 @@ object Similarity {
   private[graft] def trainIvfCentroids(spark: SparkSession, dir: String,
       k: Int = IvfNumCentroids, iters: Int = IvfKmeansIters): IndexedSeq[IndexedSeq[Long]] = {
     import spark.implicits._
-    trainIvfCentroidsOver(emb(spark, dir).select($"vec_id", ivCol.as("iv")), k, iters)
+    trainOnce(spark, s"ivf $dir $k $iters") {
+      trainIvfCentroidsOver(emb(spark, dir).select($"vec_id", ivCol.as("iv")), k, iters)
+    }
   }
 
   /** [[trainIvfCentroids]] over an arbitrary `(vec_id, iv)` frame. */
@@ -225,7 +248,8 @@ object Similarity {
     ivfTopKOver(
       Tables.load(spark, dir, "embeddings")
         .select($"vec_id", Vectors.toDouble($"embedding").as("emb")),
-      "vec_id", "emb", numCentroids, nProbe, iters)
+      "vec_id", "emb", numCentroids, nProbe, iters,
+      modelKey = Some(s"ivf $dir $numCentroids $iters"))
   }
 
   /** [[ivfTopK]] over ANY (id, array<double>) frame (spec seam and
@@ -237,7 +261,8 @@ object Similarity {
     * [[ivfBalance]] (index health) share.
     */
   private def ivfAssignOver(e0: DataFrame, idCol: String, embCol: String,
-      numCentroids: Int, iters: Int): (DataFrame, Seq[Seq[Long]], DataFrame) = {
+      numCentroids: Int, iters: Int,
+      modelKey: Option[String] = None): (DataFrame, Seq[Seq[Long]], DataFrame) = {
     val spark = e0.sparkSession
     import spark.implicits._
     // cache = a projection-collapse BARRIER, not just reuse: without
@@ -251,7 +276,14 @@ object Similarity {
       .withColumn("nrm", Vectors.norm($"emb"))
       .withColumn("iv", ivCol)
       .cache()
-    val cents = trainIvfCentroidsOver(e.select($"vec_id", $"iv"), numCentroids, iters)
+    // modelKey present = the standard fixture index: serve the frozen
+    // train-once model (see modelCache); absent = generic seam, train
+    val cents = modelKey match {
+      case Some(key) => trainOnce(spark, key)(
+        trainIvfCentroidsOver(e.select($"vec_id", $"iv"), numCentroids, iters))
+      case None =>
+        trainIvfCentroidsOver(e.select($"vec_id", $"iv"), numCentroids, iters)
+    }
     val dists = cents.zipWithIndex.map { case (c, i) => sqDistTo(c).as(s"d$i") }
     val withD = e.select(($"vec_id" +: $"emb" +: $"nrm" +: $"iv" +: dists): _*)
     val m = least(cents.indices.map(i => col(s"d$i")): _*)
@@ -276,7 +308,8 @@ object Similarity {
     val (_, cents, assign) = ivfAssignOver(
       Tables.load(spark, dir, "embeddings")
         .select($"vec_id", Vectors.toDouble($"embedding").as("emb")),
-      "vec_id", "emb", numCentroids, iters)
+      "vec_id", "emb", numCentroids, iters,
+      Some(s"ivf $dir $numCentroids $iters"))
     val counts = assign.groupBy($"cent_id").agg(count(lit(1)).as("n_vecs"))
     spark.range(cents.length).select($"id".cast("int").as("cent_id"))
       .join(counts, Seq("cent_id"), "left")
@@ -315,7 +348,8 @@ object Similarity {
     val (_, cents, assign) = ivfAssignOver(
       Tables.load(spark, dir, "embeddings")
         .select($"vec_id", Vectors.toDouble($"embedding").as("emb")),
-      "vec_id", "emb", numCentroids, iters)
+      "vec_id", "emb", numCentroids, iters,
+      Some(s"ivf $dir $numCentroids $iters"))
     val flagged = assign.select($"vec_id", $"cent_id",
       ($"vec_id" % CompactTombMod === 0L).as("tomb"))
     val counts = flagged.groupBy($"cent_id")
@@ -343,10 +377,11 @@ object Similarity {
   def ivfTopKOver(e0: DataFrame, idCol: String, embCol: String,
       numCentroids: Int = IvfNumCentroids, nProbe: Int = IvfNProbe,
       iters: Int = IvfKmeansIters, numQueries: Int = NumQueries,
-      topK: Int = TopK): DataFrame = {
+      topK: Int = TopK, modelKey: Option[String] = None): DataFrame = {
     val spark = e0.sparkSession
     import spark.implicits._
-    val (e, cents, assign) = ivfAssignOver(e0, idCol, embCol, numCentroids, iters)
+    val (e, cents, assign) =
+      ivfAssignOver(e0, idCol, embCol, numCentroids, iters, modelKey)
     // probe ranking runs over queries × k rows only — the full corpus
     // never sees a window here
     val centDf = broadcast(cents.zipWithIndex
@@ -688,7 +723,7 @@ object Similarity {
       numQueries: Int = NumQueries, k: Int = TopK): DataFrame = {
     import spark.implicits._
     val coded = pqCodedFrame(spark, dir)
-    val books = trainPqBooks(coded)
+    val books = trainOnce(spark, s"pq $dir")(trainPqBooks(coded))
     val enc = pqEnc(coded, books)
     val lut = pqLut(coded, books, numQueries)
     val cand = broadcast(lut).join(enc, Seq("m", "scode"))
@@ -752,7 +787,7 @@ object Similarity {
       .select($"vec_id", Vectors.toDouble($"embedding").as("emb"))
     val (mns, mxs) = pqStatsOf(e0)
     val coded = e0.select($"vec_id", pqCodesCol(mns, mxs).as("vc")).localCheckpoint()
-    (mns, mxs, trainPqBooks(coded))
+    (mns, mxs, trainOnce(spark, s"pq $dir")(trainPqBooks(coded)))
   }
 
   /** Map-side PQ ENCODER against a frozen model: any `(vec_id, emb)`
@@ -890,9 +925,10 @@ object Similarity {
     val e0 = Tables.load(spark, dir, "embeddings")
       .select($"vec_id", Vectors.toDouble($"embedding").as("emb"))
     val (e, cents, assign) = ivfAssignOver(e0, "vec_id", "emb",
-      IvfNumCentroids, IvfKmeansIters)
+      IvfNumCentroids, IvfKmeansIters,
+      Some(s"ivf $dir $IvfNumCentroids $IvfKmeansIters"))
     val coded = pqCodedFrame(spark, dir)
-    val books = trainPqBooks(coded)
+    val books = trainOnce(spark, s"pq $dir")(trainPqBooks(coded))
     val enc = pqEnc(coded, books)
     val lut = pqLut(coded, books, numQueries)
     // coarse routing: each query's nProbe nearest lists (queries × k
@@ -1023,7 +1059,8 @@ object Similarity {
     val (e, cents, assign) = ivfAssignOver(
       Tables.load(spark, dir, "embeddings")
         .select($"vec_id", Vectors.toDouble($"embedding").as("emb")),
-      "vec_id", "emb", IvfNumCentroids, IvfKmeansIters)
+      "vec_id", "emb", IvfNumCentroids, IvfKmeansIters,
+      Some(s"ivf $dir $IvfNumCentroids $IvfKmeansIters"))
     val centsArrSql = s"array(${cents.map(c => s"array(${c.mkString(", ")})").mkString(", ")})"
     // residuals in fixed-point space, re-labelled `vc` so the PQ
     // trainer/encoder run unchanged; localCheckpoint = the barrier
@@ -1034,7 +1071,8 @@ object Similarity {
         s"zip_with(iv, element_at($centsArrSql, cent_id + 1), (a, b) -> a - b)"))
       .select($"vec_id", $"cent_id", $"iv", $"vc")
       .localCheckpoint()
-    val books = trainPqBooks(rcv.select($"vec_id", $"vc"))
+    val books = trainOnce(spark, s"pq-residual $dir")(
+      trainPqBooks(rcv.select($"vec_id", $"vc")))
     val enc = pqEnc(rcv.select($"vec_id", $"vc"), books)
     // coarse routing (same probe rule as ivfPqTopK)
     val centDf = broadcast(cents.zipWithIndex
@@ -1140,7 +1178,8 @@ object Similarity {
     val (e, cents, assign) = ivfAssignOver(
       Tables.load(spark, dir, "embeddings")
         .select($"vec_id", Vectors.toDouble($"embedding").as("emb")),
-      "vec_id", "emb", IvfNumCentroids, IvfKmeansIters)
+      "vec_id", "emb", IvfNumCentroids, IvfKmeansIters,
+      Some(s"ivf $dir $IvfNumCentroids $IvfKmeansIters"))
     val centDf = broadcast(cents.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toDF("cent_id", "civ"))
     val probes = e.filter($"vec_id" < numQueries)
