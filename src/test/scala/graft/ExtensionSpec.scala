@@ -214,6 +214,27 @@ class ExtensionSpec extends SparkSpec {
     assert(recall(trained2) >= recall(sampled2))
   }
 
+  test("train-once model cache serves models bit-identical to fresh training") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // the cached (spark, dir) path must equal an inline re-train over
+    // the identical input — the invariant that makes serving a frozen
+    // model safe (deterministic k-means, same seeds, same rounds)
+    val cached = Similarity.trainIvfCentroids(spark, dir)
+    val fresh = Similarity.trainIvfCentroidsOver(
+      graft.engine.Tables.load(spark, dir, "embeddings")
+        .select($"vec_id",
+          graft.functions.Vectors.toDouble($"embedding").as("emb"))
+        .withColumn("nrm", graft.functions.Vectors.norm($"emb"))
+        .selectExpr("vec_id",
+          s"transform(emb, x -> CAST(floor(x / nrm * 10000) AS BIGINT) + 1000000) AS iv"),
+      Similarity.IvfNumCentroids, Similarity.IvfKmeansIters)
+    assert(cached === fresh, "cache hit diverged from fresh training")
+    // a second lookup is the SAME frozen object (no retraining)
+    assert(Similarity.trainIvfCentroids(spark, dir) eq
+      (Similarity.trainIvfCentroids(spark, dir)))
+  }
+
   test("k-means training is deterministic and moves centroids off the seed vectors") {
     val c1 = Similarity.trainIvfCentroids(spark, dir)
     val c2 = Similarity.trainIvfCentroids(spark, dir)
