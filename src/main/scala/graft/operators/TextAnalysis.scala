@@ -424,15 +424,36 @@ object TextAnalysis {
     * vs JVM ulp differences would break the cross-engine oracle; Gini
     * impurity `1 − Σ(cᵢ/n)²` ranks the same degenerate docs and is a
     * SINGLE division of exact integers — bit-identical anywhere.
-    * Shape: explode to chars, two keyed aggregations. A shuffle-free
-    * array_sort + run-length aggregate fold was tried and MEASURED
-    * SLOWER (≈2×, sf0.1): the fold's per-element named_struct state
-    * defeats codegen, while the exploded ints ride hash aggregates
-    * end to end — HOF folds with struct state are not free. The
-    * sequence guard (`greatest` + `slice`) keeps Spark's descending
-    * `sequence(1, 0)` from fabricating rows on an empty text.
+    * Shape: one codegen'd pass per row
+    * ([[graft.plans.ArrayExpressions.CharCounts]] computes (n, distinct,
+    * Σc²) where the characters already are) — ZERO shuffles, where the
+    * exploded form ships one row per character of the corpus through
+    * two keyed aggregations (kept as [[charDiversityExploded]],
+    * bit-equality differential-spec'd; an array_sort + run-length HOF
+    * fold was also tried in r-early and measured 2× SLOWER than the
+    * explode — struct-state folds defeat codegen; the native kernel
+    * beats both). Empty-text docs are excluded in both forms (the
+    * exploded form drops them structurally; the kernel form filters).
     */
   def charDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .filter(length($"text") > 0)
+      .select($"doc_id", graft.plans.ArrayExpressions.charCounts($"text").as("cc"))
+      .select($"doc_id",
+        $"cc.n_chars".as("n_chars"),
+        $"cc.n_distinct".as("n_distinct_chars"),
+        (($"cc.n_chars" * $"cc.n_chars" - $"cc.ss") * lit(1.0)
+          / ($"cc.n_chars" * $"cc.n_chars")).as("gini"))
+      .orderBy($"doc_id")
+  }
+
+  /** [[charDiversity]]'s stock-expression twin (explode → two keyed
+    * aggregations) — the differential reference for the native kernel.
+    * The sequence guard (`greatest` + `slice`) keeps Spark's
+    * descending `sequence(1, 0)` from fabricating rows on empty text.
+    */
+  private[graft] def charDiversityExploded(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val chars = docs(spark, dir).select($"doc_id", explode(expr(
       "slice(transform(sequence(1, greatest(length(text), 1)), i -> substr(text, i, 1)), 1, length(text))"))

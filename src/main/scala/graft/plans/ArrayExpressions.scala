@@ -243,6 +243,38 @@ object ArrayExpressions {
       copy(child = newChild)
   }
 
+  /** Per-string character statistics in ONE pass — `(n_chars,
+    * n_distinct, ss)` where ss = Σ count(c)² over distinct characters
+    * (code points, matching `substr(text, i, 1)` semantics): the
+    * in-row replacement for [[graft.operators.TextAnalysis.charDiversity]]'s
+    * explode → (doc, char) count → per-doc aggregate, which shuffles
+    * ONE ROW PER CHARACTER of the corpus. The Gini impurity downstream
+    * needs exactly these three integers; computing them where the
+    * characters already are makes the diversity score a projection
+    * with zero shuffles. Bit-equal to the exploded form (same
+    * grouping key: one code point ≡ one `substr` character) —
+    * differential-spec'd; the DuckDB oracle is untouched.
+    */
+  case class CharCounts(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_chars", LongType, nullable = false),
+      StructField("n_distinct", LongType, nullable = false),
+      StructField("ss", LongType, nullable = false)))
+    override def prettyName: String = "graft_char_counts"
+
+    override def nullSafeEval(a: Any): Any =
+      CharCountsUtil.compute(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.CharCountsUtil.compute($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Column builders (usable without any session registration). */
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProductD(Bridge.expression(a), Bridge.expression(b)))
@@ -264,6 +296,35 @@ object ArrayExpressions {
 
   def shingles(tokens: Column): Column =
     Bridge.column(Shingles(Bridge.expression(tokens)))
+
+  def charCounts(text: Column): Column =
+    Bridge.column(CharCounts(Bridge.expression(text)))
+}
+
+/** Row-level character-count kernel called from both interpreted eval
+  * and the generated code of [[ArrayExpressions.CharCounts]]. Counts
+  * per Unicode CODE POINT — identical grouping to the exploded
+  * `substr(text, i, 1)` form (UTF8String substring is code-point
+  * addressed), so the two paths are bit-equal on any input.
+  */
+object CharCountsUtil {
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): InternalRow = {
+    val str = s.toString
+    val counts = new java.util.HashMap[Integer, Array[Long]]()
+    var i = 0
+    var n = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      val slot = counts.get(cp)
+      if (slot == null) counts.put(cp, Array(1L)) else slot(0) += 1L
+    }
+    var ss = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next()(0); ss += c * c }
+    new GenericInternalRow(Array[Any](n, counts.size.toLong, ss))
+  }
 }
 
 /** Row-level SimHash kernel called from both interpreted eval and the
@@ -509,7 +570,11 @@ object GraftExtensions {
     (FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ArrayExpressions.Shingles].getName, "graft_shingles"),
       (children: Seq[Expression]) =>
-        ArrayExpressions.Shingles(children(0))))
+        ArrayExpressions.Shingles(children(0))),
+    (FunctionIdentifier("graft_char_counts"),
+      new ExpressionInfo(classOf[ArrayExpressions.CharCounts].getName, "graft_char_counts"),
+      (children: Seq[Expression]) =>
+        ArrayExpressions.CharCounts(children(0))))
 
   /** Register into a live session (withExtensions only applies at
     * construction time).

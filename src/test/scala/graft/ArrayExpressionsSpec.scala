@@ -98,4 +98,29 @@ class ArrayExpressionsSpec extends SparkSpec {
     val nul = spark.sql("SELECT graft_winnow(array('a', 'b')) AS f").collect()(0)
     assert(nul.isNullAt(0))
   }
+
+  test("native char-counts kernel matches the exploded form bit for bit") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // the full fixture: the surfaced query vs its exploded twin
+    val dir = "/root/testdata/sf0.001"
+    assert(rows(graft.operators.TextAnalysis.charDiversity(spark, dir))
+      === rows(graft.operators.TextAnalysis.charDiversityExploded(spark, dir)))
+    // edge strings directly against a driver recompute: repeats,
+    // single char, multi-byte code points (substr semantics are
+    // code-point addressed — the kernel must group identically)
+    val edge = Seq("aaaa", "a", "abab", "héllo wörld", "日本語 テスト 日本",
+      "x y z x y z x")
+    val got = edge.toDF("text")
+      .select(graft.plans.ArrayExpressions.charCounts($"text").as("c"))
+      .select($"c.n_chars", $"c.n_distinct", $"c.ss")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = edge.map { s =>
+      val cps = s.codePoints().toArray.toSeq
+      val byCp = cps.groupBy(identity).view.mapValues(_.size.toLong)
+      (cps.size.toLong, byCp.size.toLong, byCp.values.map(c => c * c).sum)
+    }
+    assert(got.toSeq === want)
+  }
 }
