@@ -89,7 +89,8 @@ object Layouts {
       .parquet(out)
 
   /** Materialize the winnow span-sharing pair graph ONCE —
-    * `(doc_a, doc_b, n_shared_spans, deg_a, deg_b)`, range-clustered
+    * `(doc_a, doc_b, n_shared_spans, deg_a, deg_b, str_a, str_b)`
+    * (per-endpoint degree AND strength), range-clustered
     * on `doc_a` — so every graph consumer (pagerank, weighted
     * pagerank, triangles, components, label prop, family profile)
     * reads a parquet relation instead of re-deriving fingerprints +

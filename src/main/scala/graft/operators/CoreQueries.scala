@@ -345,8 +345,10 @@ object CoreQueries {
     * sketch state, no distinct expansion. Sketch ESTIMATES are
     * implementation-specific (no cross-engine value oracle), so the
     * surfaced columns are the exact count plus an IN-ROW BOUND FLAG —
-    * `est_in_bound` is true iff the HLL++ estimate lands within 5% of
-    * the exact count (rsd 0.02, so 2.5σ — deterministic per dataset).
+    * `est_in_bound` is true iff the HLL++ estimate lands within 10% of
+    * the exact count (rsd 0.02, so 5σ — a bound a CORRECT sketch
+    * cannot realistically cross on any fixture, where a 5% bound at
+    * 2.5σ would spuriously flip ~1% of groups on a regenerated seed).
     * The DuckDB oracle emits the exact counts with a literal `true`,
     * which makes the driver's hash compare CARRY the error-envelope
     * invariant the ScalaTest spec asserts: a drifting sketch flips the
@@ -359,7 +361,7 @@ object CoreQueries {
       .agg(countDistinct($"user_id").as("distinct_users"),
         approx_count_distinct($"user_id", 0.02).as("__est"))
       .select($"event_type", $"distinct_users",
-        (abs($"__est" - $"distinct_users") * 100L <= $"distinct_users" * 5L)
+        (abs($"__est" - $"distinct_users") * 100L <= $"distinct_users" * 10L)
           .as("est_in_bound"))
       .orderBy($"event_type")
   }

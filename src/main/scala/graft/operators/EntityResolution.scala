@@ -284,11 +284,15 @@ object EntityResolution {
     // compare) and the THRESHOLD levenshtein variant, whose banded
     // O(len·k) algorithm returns −1 the moment the bar is exceeded
     // instead of filling the O(len²) table (measured ~25% off the
-    // dominant scan at sf0.1; same survivors, oracle untouched)
+    // dominant scan at sf0.1; same survivors, oracle untouched).
+    // The length guard measures the SAME lower()ed strings the
+    // distance compares — lowercasing can change code-point length
+    // (İ → i + combining dot), so a raw-length guard would not be a
+    // valid lower bound for the lowered distance
     val edges = kb.as("a")
       .join(kb.as("b"), col("a.key") === col("b.key") &&
         col("a.mention_id") < col("b.mention_id"))
-      .filter(abs(length(col("a.mention")) - length(col("b.mention")))
+      .filter(abs(length(lower(col("a.mention"))) - length(lower(col("b.mention"))))
         <= ErClusterMaxDist)
       .filter(levenshtein(lower(col("a.mention")), lower(col("b.mention")),
         ErClusterMaxDist.toInt) >= 0)

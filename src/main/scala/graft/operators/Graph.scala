@@ -55,7 +55,7 @@ object Graph {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The full materialized layout `(doc_a, doc_b, n_shared_spans,
-    * deg_a, deg_b)` — written once per (session, dir) via
+    * deg_a, deg_b, str_a, str_b)` — written once per (session, dir) via
     * [[graft.engine.Layouts.writeSpanPairs]], then a range-clustered
     * parquet scan for every graph consumer. On a cluster this is an
     * ingest-time table; here the first graph query of a session pays

@@ -505,16 +505,24 @@ object Stats {
       (abs(est - exact) * 100L <= exact * 5L).as("est_in_bound")
     val perDay = daily.select($"day".cast("string").as("day"), $"exact_users",
       inBound(expr("hll_sketch_estimate(sk)"), $"exact_users"))
-    // the TOTAL row serves from the UNIONED partials (never a second
-    // full-data distinct at serving time); the exact total here is the
-    // audit column a backfill computes once
+    // the TOTAL row's ESTIMATE serves from the UNIONED partials —
+    // that is the serving-path claim this query demonstrates. The
+    // exact global distinct alongside it makes this the AUDIT/BACKFILL
+    // twin of the serving rollup (the driver needs exact values to
+    // hash-verify the envelope): a pure serving query drops the exact
+    // columns and this full-corpus distinct with them; per-day exact
+    // counts cannot be merged into it, which is exactly why the
+    // sketches exist. An empty events table leaves the union estimate
+    // NULL — coalesce to "exact is 0 too" so the degenerate slice
+    // still matches the oracle's literal true.
     val exactTotal = events(spark, dir)
       .agg(countDistinct($"user_id").as("exact_users"))
     val total = daily
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("__est"))
       .crossJoin(broadcast(exactTotal))
       .select(lit("TOTAL").as("day"), $"exact_users",
-        inBound($"__est", $"exact_users"))
+        coalesce(inBound($"__est", $"exact_users"), $"exact_users" === 0L)
+          .as("est_in_bound"))
     perDay.unionByName(total).orderBy($"day")
   }
 

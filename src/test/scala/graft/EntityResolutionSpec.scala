@@ -104,7 +104,13 @@ class EntityResolutionSpec extends SparkSpec {
     // the error must carry the cap AND point at the blocked-join path
     assert(e.getMessage.contains(EntityResolution.ErEnrichMaxCatalog.toString))
     assert(e.getMessage.contains("er_match"))
-    // a catalog AT the cap is the accepted contract
+    // a catalog AT the cap is the accepted contract — pin the boundary
+    // itself (an off-by-one in the require must fail here), without
+    // paying execution of the 10k-literal plan
+    val atCap = (1 to EntityResolution.ErEnrichMaxCatalog)
+      .map(i => (i.toLong, s"entity $i"))
+    EntityResolution.erEnrich(mentions, atCap)
+    // and the small-catalog path still elects the nearest entity
     val ok = EntityResolution.erEnrich(mentions,
       Seq((7L, "alpha"), (9L, "alphz")))
     assert(ok.select("matched_id").head.getLong(0) === 7L)

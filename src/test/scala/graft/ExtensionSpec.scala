@@ -236,8 +236,19 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("k-means training is deterministic and moves centroids off the seed vectors") {
-    val c1 = Similarity.trainIvfCentroids(spark, dir)
-    val c2 = Similarity.trainIvfCentroids(spark, dir)
+    import spark.implicits._
+    // determinism must be shown on INDEPENDENT trainings — the cached
+    // (spark, dir) path would compare one frozen object with itself
+    def freshTrain() = Similarity.trainIvfCentroidsOver(
+      graft.engine.Tables.load(spark, dir, "embeddings")
+        .select($"vec_id",
+          graft.functions.Vectors.toDouble($"embedding").as("emb"))
+        .withColumn("nrm", graft.functions.Vectors.norm($"emb"))
+        .selectExpr("vec_id",
+          "transform(emb, x -> CAST(floor(x / nrm * 10000) AS BIGINT) + 1000000) AS iv"),
+      Similarity.IvfNumCentroids, Similarity.IvfKmeansIters)
+    val c1 = freshTrain()
+    val c2 = freshTrain()
     assert(c1 === c2)
     val seeds = Similarity.trainIvfCentroids(spark, dir, iters = 0)
     assert(c1 !== seeds, "3 rounds of k-means left every centroid exactly on its seed")

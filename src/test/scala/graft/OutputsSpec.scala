@@ -64,7 +64,7 @@ class OutputsSpec extends SparkSpec {
     assert(exact.keySet === approx.keySet)
     exact.foreach { case (k, v) =>
       assert(approx(k)._1 === v, s"$k: exact column drifted")
-      assert(approx(k)._2, s"$k: estimate outside 5% of exact $v")
+      assert(approx(k)._2, s"$k: estimate outside 10% of exact $v")
     }
   }
 }
