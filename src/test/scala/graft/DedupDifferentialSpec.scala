@@ -18,6 +18,17 @@ class DedupDifferentialSpec extends SparkSpec {
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  test("minhash-LSH layout read is row-identical to a fresh derivation") {
+    // the derive-once pair layout (Graph span-layout precedent) must
+    // serve exactly the rows the derivation produces
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val dir = "/root/testdata/sf0.001"
+    assert(rows(graft.operators.Dedup.minhashLsh(spark, dir))
+      === rows(graft.operators.Dedup.minhashLshDerive(spark, dir)
+        .orderBy("doc_a", "doc_b")))
+  }
+
   test("shingle-key kernel matches the HOF twin on corpus and short-token edges") {
     import spark.implicits._
     val docs = graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "documents")
