@@ -232,6 +232,19 @@ object TextAnalysis {
   def sharedSpans(spark: SparkSession, dir: String): DataFrame =
     sharedSpansOf(winnowFingerprint(spark, dir))
 
+  /** The SURFACED form of [[sharedSpans]]: reads the session's
+    * materialized span-pair layout ([[Graph.spanPairsLayout]] — whose
+    * WRITER calls the derivation above, so this must stay a separate
+    * entry point or materialization would recurse). Row-identical to
+    * the derivation (LayoutsSpec pins scan ≡ derivation); the pair
+    * relation is served, not re-derived, exactly like the nine graph
+    * consumers.
+    */
+  def sharedSpansServed(spark: SparkSession, dir: String): DataFrame =
+    Graph.spanPairsLayout(spark, dir)
+      .select("doc_a", "doc_b", "n_shared_spans")
+      .orderBy("doc_a", "doc_b")
+
   /** [[sharedSpans]] over an arbitrary `(doc_id, fp)` fingerprint
     * frame (each doc's fingerprints distinct, as [[winnowOf]] emits).
     */
@@ -1152,7 +1165,7 @@ object TextAnalysis {
     "text_vocab_coverage" -> vocabCoverage _,
     "text_repetition" -> repetition _,
     "text_winnow" -> winnowFingerprint _,
-    "text_shared_spans" -> sharedSpans _,
+    "text_shared_spans" -> sharedSpansServed _,
     "text_spans_incremental" -> spansIncremental _,
     "text_top_terms" -> topTerms _,
     "text_tfidf" -> tfidf _,
