@@ -88,6 +88,31 @@ object Layouts {
       .write.mode("overwrite")
       .parquet(out)
 
+  /** DERIVE-ONCE, SCAN-MANY session layouts: (applicationId, prefix,
+    * key) → a range-clustered parquet materialization of `derive`,
+    * written on first lookup and scanned thereafter. One shared
+    * mechanism for every session layout (the span-pair graph, the
+    * minhash-LSH pair relation) so key format and temp-dir lifecycle
+    * live in one place. Keyed by application id: a fresh session
+    * (regenerated fixture, tests) re-materializes. Temp layouts live
+    * for the JVM's lifetime — on a cluster these are ingest-time
+    * TABLES, not temp dirs; the session scope is the local stand-in.
+    */
+  private val layoutOnceCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def layoutOnce(spark: SparkSession, prefix: String, key: String,
+      sortCol: String, files: Int = 8)(derive: => DataFrame): DataFrame = {
+    val out = layoutOnceCache.computeIfAbsent(
+      spark.sparkContext.applicationId + "|" + prefix + "|" + key, _ => {
+        val path = java.nio.file.Files
+          .createTempDirectory(s"graft-$prefix-").toString + "/layout"
+        rangeWrite(derive, path, sortCol, files)
+        path
+      })
+    spark.read.parquet(out)
+  }
+
   /** Materialize the winnow span-sharing pair graph ONCE —
     * `(doc_a, doc_b, n_shared_spans, deg_a, deg_b, str_a, str_b)`
     * (per-endpoint degree AND strength), range-clustered
@@ -109,7 +134,14 @@ object Layouts {
     * fingerprint recompute in the read plan.
     */
   def writeSpanPairs(spark: SparkSession, dir: String, out: String,
-      files: Int = 8): Unit = {
+      files: Int = 8): Unit =
+    rangeWrite(spanPairsWithStats(spark, dir), out, "doc_a", files)
+
+  /** The layout's derivation: the pair relation with per-endpoint
+    * degree and strength attached (shared by [[writeSpanPairs]] and
+    * the session cache in [[graft.operators.Graph.spanPairsLayout]]).
+    */
+  private[graft] def spanPairsWithStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pairs = graft.operators.TextAnalysis.sharedSpans(spark, dir)
       .localCheckpoint()
@@ -120,12 +152,11 @@ object Layouts {
       .select($"doc_a".as("v"), $"n_shared_spans".as("w"))
       .union(pairs.select($"doc_b", $"n_shared_spans"))
       .groupBy($"v").agg(count(lit(1)).as("d"), sum($"w").as("s"))
-    rangeWrite(pairs
+    pairs
       .join(stats.select($"v".as("doc_a"), $"d".as("deg_a"), $"s".as("str_a")),
         Seq("doc_a"))
       .join(stats.select($"v".as("doc_b"), $"d".as("deg_b"), $"s".as("str_b")),
-        Seq("doc_b")),
-      out, "doc_a", files)
+        Seq("doc_b"))
   }
 
   /** Read back [[writeSpanPairs]]'s materialized pair relation. */

@@ -166,26 +166,17 @@ object Dedup {
   /** Derive-once, scan-many for the LSH candidate-pair relation: the
     * signature + banding + bucket-join derivation feeds FIVE surfaced
     * queries per sweep (the pair table itself, clusters, cluster
-    * sizes, the cascade's near stage, recall eval) — the
-    * [[graft.operators.Graph]] span-layout precedent applied to the
-    * minhash graph. Keyed by application id so a fresh session
-    * re-derives; the relation is a deterministic function of the
+    * sizes, the cascade's near stage, recall eval) — the same
+    * [[graft.engine.Layouts.layoutOnce]] session-layout mechanism as
+    * the span graph. The relation is a deterministic function of the
     * fixture, so a hit is row-identical to re-derivation
     * (differential-spec'd).
     */
-  private val pairLayoutCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val key = spark.sparkContext.applicationId + "|" + dir
-    val out = pairLayoutCache.computeIfAbsent(key, _ => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-lsh-pairs-").toString + "/pairs"
-      graft.engine.Layouts.rangeWrite(minhashLshDerive(spark, dir), path, "doc_a", 8)
-      path
-    })
-    spark.read.parquet(out).orderBy($"doc_a", $"doc_b")
+    graft.engine.Layouts.layoutOnce(spark, "lsh-pairs", dir, "doc_a")(
+      minhashLshDerive(spark, dir))
+      .orderBy($"doc_a", $"doc_b")
   }
 
   /** [[minhashLsh]]'s actual derivation (the layout writer's input and

@@ -268,9 +268,14 @@ object EntityResolution {
     val kept = keysOf(m, "mention").groupBy($"key")
       .agg(count(lit(1)).as("n")).filter($"n" <= ErMaxBlock).select($"key")
     // blocked postings feed BOTH sides of the self-join — materialize
-    // once so the posting derivation cannot replay per side
+    // once so the posting derivation cannot replay per side. The
+    // lowered mention and ITS length are precomputed per posting row
+    // (and stored by the checkpoint), so the pair filters below are a
+    // stored-column integer compare and a banded DP — never per-pair
+    // lowercasing over the much larger pair stream
     val kb = keysOf(m, "mention")
-      .select($"key", $"mention_id", $"mention")
+      .select($"key", $"mention_id", lower($"mention").as("lmention"))
+      .withColumn("llen", length($"lmention"))
       .join(kept, Seq("key"))
       .localCheckpoint()
     // score BEFORE deduplicating: levenshtein is a map-side projection
@@ -292,9 +297,8 @@ object EntityResolution {
     val edges = kb.as("a")
       .join(kb.as("b"), col("a.key") === col("b.key") &&
         col("a.mention_id") < col("b.mention_id"))
-      .filter(abs(length(lower(col("a.mention"))) - length(lower(col("b.mention"))))
-        <= ErClusterMaxDist)
-      .filter(levenshtein(lower(col("a.mention")), lower(col("b.mention")),
+      .filter(abs(col("a.llen") - col("b.llen")) <= ErClusterMaxDist)
+      .filter(levenshtein(col("a.lmention"), col("b.lmention"),
         ErClusterMaxDist.toInt) >= 0)
       .select(col("a.mention_id").as("src"), col("b.mention_id").as("dst"))
       .distinct()

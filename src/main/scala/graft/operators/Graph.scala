@@ -43,34 +43,20 @@ object Graph {
   /** Teleport term (1 − 0.85) · 10⁶. */
   val TeleportMass = 150000L
 
-  /** Derive-once, scan-many: (applicationId, fixture dir) → the
-    * materialized span-pair layout path. The span graph derivation is
-    * a full-corpus fingerprint scan + two shuffles; NINE graph queries
-    * consume the same relation, so re-deriving it per query is 9×
-    * redundant work at sf0.1 and nine full-corpus scans at 100 TB.
-    * The cache key includes the application id so a fresh session
-    * (new fixture generation, tests) re-materializes.
+  /** The full materialized span-pair layout `(doc_a, doc_b,
+    * n_shared_spans, deg_a, deg_b, str_a, str_b)` — derive-once per
+    * (session, fixture) through [[graft.engine.Layouts.layoutOnce]],
+    * then a range-clustered parquet scan for every graph consumer.
+    * The span graph derivation is a full-corpus fingerprint scan +
+    * two shuffles; NINE graph queries consume the same relation, so
+    * re-deriving it per query is 9× redundant work at sf0.1 and nine
+    * full-corpus scans at 100 TB. On a cluster this is an ingest-time
+    * table; here the first graph query of a session pays the
+    * derivation and the other eight read.
     */
-  private val layoutCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** The full materialized layout `(doc_a, doc_b, n_shared_spans,
-    * deg_a, deg_b, str_a, str_b)` — written once per (session, dir) via
-    * [[graft.engine.Layouts.writeSpanPairs]], then a range-clustered
-    * parquet scan for every graph consumer. On a cluster this is an
-    * ingest-time table; here the first graph query of a session pays
-    * the derivation and the other eight read.
-    */
-  private[graft] def spanPairsLayout(spark: SparkSession, dir: String): DataFrame = {
-    val key = spark.sparkContext.applicationId + "|" + dir
-    val out = layoutCache.computeIfAbsent(key, _ => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-span-layout-").toString + "/span_pairs"
-      graft.engine.Layouts.writeSpanPairs(spark, dir, path)
-      path
-    })
-    graft.engine.Layouts.readSpanPairs(spark, out)
-  }
+  private[graft] def spanPairsLayout(spark: SparkSession, dir: String): DataFrame =
+    graft.engine.Layouts.layoutOnce(spark, "span-pairs", dir, "doc_a")(
+      graft.engine.Layouts.spanPairsWithStats(spark, dir))
 
   /** Undirected span-sharing pair relation (doc_a < doc_b), one row
     * per linked pair — a projection of the materialized layout.

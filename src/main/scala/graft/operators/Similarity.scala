@@ -196,13 +196,22 @@ object Similarity {
     * data. Assignment against driver-literal centroids stays a pure
     * projection: the corpus is never multiplied by k in a join.
     */
-  private[graft] def trainIvfCentroids(spark: SparkSession, dir: String,
-      k: Int = IvfNumCentroids, iters: Int = IvfKmeansIters): IndexedSeq[IndexedSeq[Long]] = {
+  /** The standard training input — `(vec_id, iv)` fixed-point vectors
+    * over the fixture. Exposed as a seam so specs exercise the EXACT
+    * production prep (quantization scale/shift included) instead of
+    * re-implementing it with copied literals that would silently
+    * diverge if the constants are retuned.
+    */
+  private[graft] def ivFrame(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    trainOnce(spark, s"ivf $dir $k $iters") {
-      trainIvfCentroidsOver(emb(spark, dir).select($"vec_id", ivCol.as("iv")), k, iters)
-    }
+    emb(spark, dir).select($"vec_id", ivCol.as("iv"))
   }
+
+  private[graft] def trainIvfCentroids(spark: SparkSession, dir: String,
+      k: Int = IvfNumCentroids, iters: Int = IvfKmeansIters): IndexedSeq[IndexedSeq[Long]] =
+    trainOnce(spark, s"ivf $dir $k $iters") {
+      trainIvfCentroidsOver(ivFrame(spark, dir), k, iters)
+    }
 
   /** [[trainIvfCentroids]] over an arbitrary `(vec_id, iv)` frame. */
   private[graft] def trainIvfCentroidsOver(e: DataFrame,

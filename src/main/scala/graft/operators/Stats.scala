@@ -501,8 +501,14 @@ object Stats {
     // 5% is >6σ — deterministic per dataset). The oracle emits exact
     // counts + literal true, making the driver's hash compare carry
     // the error envelope the ScalaTest spec asserts.
+    // NULL-estimate guard lives IN the flag: a sketch over zero
+    // non-null values (all-NULL user_ids in a day, or an empty corpus
+    // for the TOTAL row) estimates NULL while exact is 0 — the flag
+    // must then read "vacuously in bound", matching the oracle's
+    // literal true, on EVERY row shape
     def inBound(est: Column, exact: Column): Column =
-      (abs(est - exact) * 100L <= exact * 5L).as("est_in_bound")
+      coalesce(abs(est - exact) * 100L <= exact * 5L, exact === 0L)
+        .as("est_in_bound")
     val perDay = daily.select($"day".cast("string").as("day"), $"exact_users",
       inBound(expr("hll_sketch_estimate(sk)"), $"exact_users"))
     // the TOTAL row's ESTIMATE serves from the UNIONED partials —
@@ -512,17 +518,14 @@ object Stats {
     // hash-verify the envelope): a pure serving query drops the exact
     // columns and this full-corpus distinct with them; per-day exact
     // counts cannot be merged into it, which is exactly why the
-    // sketches exist. An empty events table leaves the union estimate
-    // NULL — coalesce to "exact is 0 too" so the degenerate slice
-    // still matches the oracle's literal true.
+    // sketches exist.
     val exactTotal = events(spark, dir)
       .agg(countDistinct($"user_id").as("exact_users"))
     val total = daily
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("__est"))
       .crossJoin(broadcast(exactTotal))
       .select(lit("TOTAL").as("day"), $"exact_users",
-        coalesce(inBound($"__est", $"exact_users"), $"exact_users" === 0L)
-          .as("est_in_bound"))
+        inBound($"__est", $"exact_users"))
     perDay.unionByName(total).orderBy($"day")
   }
 

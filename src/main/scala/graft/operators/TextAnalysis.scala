@@ -236,7 +236,7 @@ object TextAnalysis {
     * materialized span-pair layout ([[Graph.spanPairsLayout]] — whose
     * WRITER calls the derivation above, so this must stay a separate
     * entry point or materialization would recurse). Row-identical to
-    * the derivation (LayoutsSpec pins scan ≡ derivation); the pair
+    * the derivation (direct differential in LayoutsSpec); the pair
     * relation is served, not re-derived, exactly like the nine graph
     * consumers.
     */

@@ -221,13 +221,7 @@ class ExtensionSpec extends SparkSpec {
     // the identical input — the invariant that makes serving a frozen
     // model safe (deterministic k-means, same seeds, same rounds)
     val cached = Similarity.trainIvfCentroids(spark, dir)
-    val fresh = Similarity.trainIvfCentroidsOver(
-      graft.engine.Tables.load(spark, dir, "embeddings")
-        .select($"vec_id",
-          graft.functions.Vectors.toDouble($"embedding").as("emb"))
-        .withColumn("nrm", graft.functions.Vectors.norm($"emb"))
-        .selectExpr("vec_id",
-          s"transform(emb, x -> CAST(floor(x / nrm * 10000) AS BIGINT) + 1000000) AS iv"),
+    val fresh = Similarity.trainIvfCentroidsOver(Similarity.ivFrame(spark, dir),
       Similarity.IvfNumCentroids, Similarity.IvfKmeansIters)
     assert(cached === fresh, "cache hit diverged from fresh training")
     // a second lookup is the SAME frozen object (no retraining)
@@ -236,16 +230,12 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("k-means training is deterministic and moves centroids off the seed vectors") {
-    import spark.implicits._
     // determinism must be shown on INDEPENDENT trainings — the cached
-    // (spark, dir) path would compare one frozen object with itself
+    // (spark, dir) path would compare one frozen object with itself.
+    // ivFrame is the production prep seam (quantization constants
+    // included), so the test trains on exactly what the queries train on
     def freshTrain() = Similarity.trainIvfCentroidsOver(
-      graft.engine.Tables.load(spark, dir, "embeddings")
-        .select($"vec_id",
-          graft.functions.Vectors.toDouble($"embedding").as("emb"))
-        .withColumn("nrm", graft.functions.Vectors.norm($"emb"))
-        .selectExpr("vec_id",
-          "transform(emb, x -> CAST(floor(x / nrm * 10000) AS BIGINT) + 1000000) AS iv"),
+      Similarity.ivFrame(spark, dir),
       Similarity.IvfNumCentroids, Similarity.IvfKmeansIters)
     val c1 = freshTrain()
     val c2 = freshTrain()

@@ -159,6 +159,10 @@ class LayoutsSpec extends SparkSpec {
         derived.select("doc_a", "doc_b", "n_shared_spans"))))
     assert(rows(graft.operators.Graph.triangles(spark, dir))
       === rows(graft.operators.Graph.trianglesOver(derived.select("doc_a", "doc_b"))))
+    // the surfaced text_shared_spans serves the layout projection —
+    // pin it row-identical to the derivation directly
+    assert(rows(graft.operators.TextAnalysis.sharedSpansServed(spark, dir))
+      === rows(derived.orderBy("doc_a", "doc_b")))
   }
 
   test("bucketed orders x lineitem join has no shuffle exchange") {
