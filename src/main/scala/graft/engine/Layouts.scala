@@ -89,28 +89,125 @@ object Layouts {
       .parquet(out)
 
   /** DERIVE-ONCE, SCAN-MANY session layouts: (applicationId, prefix,
-    * key) → a range-clustered parquet materialization of `derive`,
-    * written on first lookup and scanned thereafter. One shared
-    * mechanism for every session layout (the span-pair graph, the
-    * minhash-LSH pair relation) so key format and temp-dir lifecycle
-    * live in one place. Keyed by application id: a fresh session
-    * (regenerated fixture, tests) re-materializes. Temp layouts live
-    * for the JVM's lifetime — on a cluster these are ingest-time
-    * TABLES, not temp dirs; the session scope is the local stand-in.
+    * key, fixture fingerprint) → a range-clustered parquet
+    * materialization of `derive`, written on first lookup and scanned
+    * thereafter. One shared mechanism for every session layout (the
+    * span-pair graph, the minhash-LSH and shingle pair relations) so
+    * key format and temp-dir lifecycle live in one place. Keyed by
+    * application id — a fresh session re-materializes — AND by
+    * [[fixtureFingerprint]] of the key when it is a directory, so
+    * regenerating fixture files at the SAME path within a long-lived
+    * application cannot silently serve a stale layout.
+    *
+    * Lifecycle: entries are per-key memoized futures (derivation runs
+    * outside any map lock — concurrent first-lookups on different
+    * keys never serialize, and a failed derivation clears its slot so
+    * the next caller retries). Temp dirs live until [[dropLayouts]];
+    * on a cluster these are ingest-time TABLES, not temp dirs — the
+    * session scope plus the explicit drop API is the local stand-in.
+    * [[layoutAccounting]] reports (key, bytes) for what is held.
     */
-  private val layoutOnceCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val layoutOnceCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[String]]()
+
+  /** Cheap staleness token for a fixture directory: a hash of the
+    * sorted (relative name, size, mtime-millis) listing, "" for paths
+    * that are not readable directories (opaque keys pass through
+    * unfingerprinted). Re-listing ~10 fixture files per lookup is
+    * noise next to a Spark action; a regenerated file flips the token
+    * and the next lookup re-derives instead of serving stale data.
+    */
+  private[graft] def fixtureFingerprint(key: String): String = {
+    val p = java.nio.file.Paths.get(key)
+    if (!java.nio.file.Files.isDirectory(p)) return ""
+    val walk = java.nio.file.Files.walk(p, 2)
+    try {
+      import scala.jdk.CollectionConverters._
+      val entries = walk.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(f => s"${p.relativize(f)}:${java.nio.file.Files.size(f)}:" +
+          s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}")
+        .toSeq.sorted
+      java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.orderedHash(entries))
+    } finally walk.close()
+  } // scala.util.Try not used: a racing delete should surface, not cache ""
+
+  private def cacheKey(spark: SparkSession, prefix: String, key: String) =
+    spark.sparkContext.applicationId + "|" + prefix + "|" + key +
+      "|" + fixtureFingerprint(key)
 
   def layoutOnce(spark: SparkSession, prefix: String, key: String,
       sortCol: String, files: Int = 8)(derive: => DataFrame): DataFrame = {
-    val out = layoutOnceCache.computeIfAbsent(
-      spark.sparkContext.applicationId + "|" + prefix + "|" + key, _ => {
+    val ck = cacheKey(spark, prefix, key)
+    val fresh = new java.util.concurrent.CompletableFuture[String]()
+    val prior = layoutOnceCache.putIfAbsent(ck, fresh)
+    val slot = if (prior != null) prior else {
+      // this thread won the slot: derive + write OUTSIDE the map lock
+      try {
         val path = java.nio.file.Files
           .createTempDirectory(s"graft-$prefix-").toString + "/layout"
         rangeWrite(derive, path, sortCol, files)
-        path
-      })
-    spark.read.parquet(out)
+        fresh.complete(path)
+      } catch { case e: Throwable =>
+        layoutOnceCache.remove(ck, fresh)
+        fresh.completeExceptionally(e)
+        throw e
+      }
+      fresh
+    }
+    spark.read.parquet(slot.join())
+  }
+
+  /** Drop layouts this application derived (all of them, or one
+    * `prefix` family): delete the temp dirs, clear the cache slots,
+    * and return the accounting the drop freed as (cache key, bytes).
+    * The eviction half of the session-layout lifecycle — a long-lived
+    * serving session cycling fixtures calls this between fixtures
+    * instead of accumulating temp dirs.
+    */
+  def dropLayouts(spark: SparkSession, prefix: String = ""): Seq[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val mine = spark.sparkContext.applicationId + "|" +
+      (if (prefix.isEmpty) "" else prefix + "|")
+    layoutOnceCache.keySet.asScala.filter(_.startsWith(mine)).toSeq.sorted
+      .map { ck =>
+        val fut = layoutOnceCache.remove(ck)
+        val bytes =
+          if (fut == null || !fut.isDone || fut.isCompletedExceptionally) 0L
+          else {
+            // the layout lives at <tmp>/layout; remove the whole tmp dir
+            val root = java.nio.file.Paths.get(fut.join()).getParent
+            val walk = java.nio.file.Files.walk(root)
+            val files = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+            val n = files.filter(java.nio.file.Files.isRegularFile(_))
+              .map(java.nio.file.Files.size).sum
+            files.foreach(java.nio.file.Files.deleteIfExists(_))
+            n
+          }
+        ck -> bytes
+      }
+  }
+
+  /** (cache key, bytes held) for every completed layout of this
+    * application — the size-accounting line a serving session logs.
+    */
+  def layoutAccounting(spark: SparkSession): Seq[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val mine = spark.sparkContext.applicationId + "|"
+    layoutOnceCache.entrySet.asScala.toSeq
+      .filter(e => e.getKey.startsWith(mine) && e.getValue.isDone &&
+        !e.getValue.isCompletedExceptionally)
+      .map { e =>
+        val root = java.nio.file.Paths.get(e.getValue.join()).getParent
+        val walk = java.nio.file.Files.walk(root)
+        val bytes = try {
+          walk.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size).sum
+        } finally walk.close()
+        e.getKey -> bytes
+      }.sortBy(_._1)
   }
 
   /** Materialize the winnow span-sharing pair graph ONCE —

@@ -821,16 +821,11 @@ object Dedup {
     * postings (boilerplate shingles) are the quadratic hazard at
     * scale — [[MaxShingleDf]] caps them; AQE splits what remains.
     *
-    * `pairKeep`: an optional predicate over (doc_a, doc_b) applied to
-    * the EXPLODED pair stream, before the intersection-count shuffle.
-    * Only sound for predicates that depend on the pair key alone
-    * (e.g. [[lshRecall]]'s hash-sample) — those commute with the
-    * count aggregate, so pushing them down drops the discarded
-    * pairs' shuffle volume instead of aggregating and then
-    * discarding them.
+    * Since r11 the surfaced consumers do not call this per query:
+    * [[shinglePairLayout]] materializes it once per (session, fixture)
+    * and they share the scan.
     */
-  private def shinglePairCounts(d: DataFrame,
-      pairKeep: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+  private[graft] def shinglePairCounts(d: DataFrame): DataFrame = {
     import d.sparkSession.implicits._
     val toks = tokenizedOf(d)
     // posting key = the shingle's md5 prefix as a 60-bit integer: an
@@ -857,7 +852,7 @@ object Dedup {
           |  i -> transform(slice(ds, i + 2, size(ds) - i - 1),
           |       x -> struct(ds[i] AS doc_a, x AS doc_b))))""".stripMargin)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
-    pairKeep.fold(pairs)(pairs.filter)
+    pairs
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("intersection"))
       .join(sizes.as("sa"), $"doc_a" === col("sa.doc_id"))
@@ -866,13 +861,32 @@ object Dedup {
         col("sa.n").as("na"), col("sb.n").as("nb"))
   }
 
+  /** The shingle posting pair core over the BASE corpus as the third
+    * derive-once session layout (the span-pair and minhash-LSH
+    * precedents, [[graft.engine.Layouts.layoutOnce]]): the tokenize →
+    * shingle-kernel → posting-list → pair-expansion → count shuffle
+    * runs once per (session, fixture) and [[ngramJaccard]] plus
+    * [[lshRecall]]'s truth side read the range-clustered scan. The
+    * relation is a deterministic function of the fixture, so a hit is
+    * row-identical to re-derivation (DedupDifferentialSpec).
+    * [[shinglePairLayoutExcerpts]] is the excerpt-AUGMENTED twin
+    * [[containmentExcerpts]] reads — a separate materialization, not a
+    * filter of this one, because the excerpt docs join the posting
+    * lists (the df cap and intersections see them), so the two
+    * relations differ by construction, not just by a predicate.
+    */
+  private[graft] def shinglePairLayout(spark: SparkSession, dir: String): DataFrame =
+    graft.engine.Layouts.layoutOnce(spark, "shingle-pairs", dir, "doc_a")(
+      shinglePairCounts(docs(spark, dir)))
+
   /** Exact n-gram Jaccard over the inverted shingle index: only pairs
     * sharing ≥1 shingle are materialised (never n²), then filtered to
-    * the near-dup threshold. Scale shape: [[shinglePairCounts]].
+    * the near-dup threshold. Scale shape: [[shinglePairCounts]],
+    * served from [[shinglePairLayout]].
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    shinglePairCounts(docs(spark, dir))
+    shinglePairLayout(spark, dir)
       .select($"doc_a", $"doc_b", $"intersection",
         ($"intersection" * lit(1.0) / ($"na" + $"nb" - $"intersection")).as("jaccard"))
       .filter($"jaccard" >= 0.5)
@@ -936,14 +950,16 @@ object Dedup {
     // bounds the probe at any corpus. Content-keyed (md5 of the pair
     // ids), so rerun-stable and engine-identical; per-decile recall
     // stays unbiased because the sample key is independent of the
-    // Jaccard value. The predicate depends only on the pair key, so
-    // it is pushed BELOW the intersection-count aggregate
-    // ([[shinglePairCounts]]'s `pairKeep`): 1-1/mod of the pair
-    // stream never shuffles at all.
+    // Jaccard value. The predicate depends only on the PAIR KEY, so
+    // filtering the already-aggregated [[shinglePairLayout]] scan is
+    // row-identical to the pre-aggregate pushdown this query ran
+    // before r11 — and the full pair shuffle is now paid once per
+    // session (ngramJaccard needs the unsampled relation anyway)
+    // instead of once more here.
     val sampleKeep = expr(
       s"conv(substr(md5(concat(doc_a, ':', doc_b)), 4, 1), 16, 10)" +
         s" % $RecallSampleMod = 0")
-    val truth = shinglePairCounts(docs(spark, dir), Some(sampleKeep))
+    val truth = shinglePairLayout(spark, dir).filter(sampleKeep)
       .filter($"intersection" * 2 >= $"na" + $"nb" - $"intersection")
       .select($"doc_a", $"doc_b",
         expr("(intersection * 10) div (na + nb - intersection)").as("jac_decile"))
@@ -1102,9 +1118,16 @@ object Dedup {
     * the asymmetry is visible. Same posting-list scale shape as
     * [[ngramJaccard]] ([[shinglePairCounts]] — never n², df-capped).
     */
-  def containment(d: DataFrame, threshold: Double = ContainmentThreshold): DataFrame = {
-    import d.sparkSession.implicits._
-    shinglePairCounts(d)
+  def containment(d: DataFrame, threshold: Double = ContainmentThreshold): DataFrame =
+    containmentOver(shinglePairCounts(d), threshold)
+
+  /** Score + threshold over an already-built pair-counts relation —
+    * the seam that lets [[containmentExcerpts]] serve from its session
+    * layout while [[containment]] stays generic over arbitrary frames.
+    */
+  private def containmentOver(pairCounts: DataFrame, threshold: Double): DataFrame = {
+    import pairCounts.sparkSession.implicits._
+    pairCounts
       .select($"doc_a", $"doc_b", $"intersection",
         ($"intersection" * lit(1.0) / least($"na", $"nb")).as("containment"),
         ($"intersection" * lit(1.0) / ($"na" + $"nb" - $"intersection")).as("jaccard"))
@@ -1119,14 +1142,28 @@ object Dedup {
     * excerpts manufacture the contained-but-not-similar population
     * both engines replay).
     */
-  def containmentExcerpts(spark: SparkSession, dir: String): DataFrame = {
+  def containmentExcerpts(spark: SparkSession, dir: String): DataFrame =
+    containmentOver(shinglePairLayoutExcerpts(spark, dir), ContainmentThreshold)
+
+  /** The excerpt-augmented corpus [[containmentExcerpts]] scores —
+    * base docs plus the planted prefix excerpts (deterministic, both
+    * engines replay it).
+    */
+  private[graft] def excerptFrame(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = docs(spark, dir).select($"doc_id", $"text")
     val excerpts = d.filter($"doc_id" % 25 === 0)
       .select(($"doc_id" + ExcerptShift).as("doc_id"),
         expr(s"array_join(slice(split(text, ' '), 1, $ExcerptWords), ' ')").as("text"))
-    containment(d.unionAll(excerpts))
+    d.unionAll(excerpts)
   }
+
+  /** [[shinglePairLayout]]'s excerpt-augmented twin (see its scaladoc
+    * for why this is a separate materialization).
+    */
+  private[graft] def shinglePairLayoutExcerpts(spark: SparkSession, dir: String): DataFrame =
+    graft.engine.Layouts.layoutOnce(spark, "shingle-pairs-x", dir, "doc_a")(
+      shinglePairCounts(excerptFrame(spark, dir)))
 
   /** Embedding-cosine near-dup: candidate pairs from the sign-bucket
     * LSH (the scale path — the bucket join replaces the n² cross

@@ -180,9 +180,17 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
   private def trainOnce[T <: AnyRef](spark: SparkSession, key: String)(
-      train: => T): T =
+      train: => T): T = {
+    // fold the fixture fingerprint of any directory token into the
+    // cache key: regenerating fixture files at the same path within
+    // one application re-trains instead of serving a stale model
+    // (same staleness contract as Layouts.layoutOnce)
+    val fp = key.split(" ").filter(_.contains("/"))
+      .map(graft.engine.Layouts.fixtureFingerprint).mkString
     modelCache.computeIfAbsent(
-      spark.sparkContext.applicationId + " " + key, _ => train).asInstanceOf[T]
+      spark.sparkContext.applicationId + " " + key + " " + fp,
+      _ => train).asInstanceOf[T]
+  }
 
   /** Deterministic k-means over the fixed-point vectors: init = the
     * first `k` vectors (content-seeded, oracle-replayable), then

@@ -29,6 +29,25 @@ class DedupDifferentialSpec extends SparkSpec {
         .orderBy("doc_a", "doc_b")))
   }
 
+  test("shingle-pair layouts are row-identical to fresh derivations") {
+    // the third derive-once layout family (r11): base pair core and
+    // its excerpt-augmented twin must serve exactly the rows their
+    // derivations produce
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    val base = graft.engine.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    assert(rows(Dedup.shinglePairLayout(spark, dir))
+      === rows(Dedup.shinglePairCounts(base)))
+    assert(rows(Dedup.shinglePairLayoutExcerpts(spark, dir))
+      === rows(Dedup.shinglePairCounts(Dedup.excerptFrame(spark, dir))))
+    // the two relations genuinely differ (excerpt pairs exist), which
+    // is why containment cannot be served by filtering the base layout
+    assert(rows(Dedup.shinglePairLayoutExcerpts(spark, dir)).size
+      > rows(Dedup.shinglePairLayout(spark, dir)).size)
+  }
+
   test("shingle-key kernel matches the HOF twin on corpus and short-token edges") {
     import spark.implicits._
     val docs = graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "documents")

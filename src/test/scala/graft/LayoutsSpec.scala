@@ -191,4 +191,42 @@ class LayoutsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
     }
   }
+
+  test("layoutOnce lifecycle: fingerprint-keyed staleness, accounting, and eviction") {
+    import spark.implicits._
+    val fixture = Files.createTempDirectory("graft-lifecycle-fx").toString
+    def writeFixture(n: Int): Unit =
+      (1 to n).map(i => (i.toLong, i * 10L)).toDF("k", "v")
+        .coalesce(1).write.mode("overwrite").parquet(s"$fixture/t")
+    val derivations = new java.util.concurrent.atomic.AtomicInteger(0)
+    def serve(): Seq[(Long, Long)] =
+      Layouts.layoutOnce(spark, "spec-lifecycle", fixture, "k") {
+        derivations.incrementAndGet()
+        spark.read.parquet(s"$fixture/t").groupBy($"k").agg(sum($"v").as("s"))
+      }.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+    writeFixture(3)
+    assert(serve() === Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    assert(serve() === Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    assert(derivations.get === 1, "second lookup must serve the cached layout")
+
+    // regenerating the fixture at the SAME path flips the fingerprint:
+    // the next lookup re-derives instead of serving stale rows
+    writeFixture(4)
+    assert(serve() === Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    assert(derivations.get === 2, "fixture change must re-derive")
+
+    val held = Layouts.layoutAccounting(spark)
+      .filter(_._1.contains("|spec-lifecycle|"))
+    assert(held.size === 2 && held.forall(_._2 > 0L),
+      s"both generations held with positive bytes: $held")
+
+    // eviction: scoped to this prefix, frees the bytes, deletes the dirs
+    val dropped = Layouts.dropLayouts(spark, "spec-lifecycle")
+    assert(dropped.size === 2 && dropped.forall(_._2 > 0L), s"dropped: $dropped")
+    assert(Layouts.layoutAccounting(spark).forall(!_._1.contains("|spec-lifecycle|")))
+    // and the next lookup re-derives from scratch
+    assert(serve() === Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    assert(derivations.get === 3, "post-drop lookup must re-derive")
+  }
 }
