@@ -382,16 +382,12 @@ object Dedup {
       maxHops: Int): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    // materialize the edge subtree ONCE before symmetrizing — the
-    // union's two branches would each re-derive it (for er_cluster
-    // that subtree is the blocked self-join + levenshtein scoring;
-    // replaying it doubled the operator's cost), then cut the union's
-    // own lineage so each hop scans a flat relation
-    val e0 = edges.toDF("src", "dst").localCheckpoint()
-    val sym = e0.union(e0.select($"dst", $"src")).localCheckpoint()
-    var labels = nodes
-      .withColumn("cluster_id", $"doc_id")
-      .localCheckpoint()
+    val (sym, labels0) = loopRelations(nodes, edges)
+    var labels = labels0
+    // the persisted handle currently backing `labels` — freed as soon
+    // as its successor is materialized, so the loop retains at most
+    // two label generations plus the edge cache at any moment
+    var backing = labels0
     // early exit: label propagation is monotone (labels only decrease),
     // so a round that changes nothing makes every later round a no-op —
     // identical labels to the full maxHops run. Near-clique dup
@@ -400,24 +396,87 @@ object Dedup {
     var hop = 0
     var converged = false
     while (hop < maxHops && !converged) {
-      val prop = labels.join(sym, labels("doc_id") === sym("src"))
-        .groupBy($"dst").agg(min($"cluster_id").as("nl"))
-      // LAZY checkpoint + convergence count in ONE action: the count
-      // job computes every partition of `next`, which materializes the
-      // checkpoint as a side effect — one job per hop where an eager
-      // checkpoint followed by a separate convergence scan costs two.
-      val next = labels.join(prop, labels("doc_id") === prop("dst"), "left")
-        .select($"doc_id",
-          least($"cluster_id", coalesce($"nl", $"cluster_id")).as("cluster_id"),
-          (coalesce($"nl", $"cluster_id") < $"cluster_id").as("__changed"))
-        .localCheckpoint(false)
+      // LAZY persist + convergence count in ONE action: the count job
+      // computes every partition of `next`, which fills the cache as a
+      // side effect — one job per hop where an eager materialization
+      // followed by a separate convergence scan costs two.
+      val next = hopNext(labels, sym).persist()
       converged = next.filter($"__changed").count() == 0L
+      backing.unpersist(false)
+      backing = next
       labels = next.drop("__changed")
       hop += 1
     }
-    labels
+    // freeze the final label table OUT of the cache (one job over a
+    // node-sized relation), then release every block the loop pinned —
+    // a long-lived session runs many cluster queries and the
+    // CacheManager never drops relations on its own
+    val frozen = labels.localCheckpoint()
+    backing.unpersist(false)
+    sym.unpersist(false)
+    frozen
       .select($"doc_id", $"cluster_id", ($"doc_id" === $"cluster_id").as("is_keeper"))
       .orderBy($"doc_id")
+  }
+
+  /** The two loop relations every [[clustersOver]] hop scans, both
+    * pre-partitioned on their join keys and PERSISTED — not
+    * checkpointed. The distinction is load-bearing under AQE
+    * (measured, r11): `localCheckpoint` reads its partitioning from
+    * the physical plan, and with adaptive execution that plan is an
+    * `AdaptiveSparkPlanExec` reporting `UnknownPartitioning` — the
+    * checkpointed relation forgets the repartition it just paid for,
+    * and in the non-broadcast regime (the 100 TB shape: a label table
+    * too big to ship) every hop re-shuffles BOTH sides of both joins —
+    * 4 exchanges/hop. `persist`'s `InMemoryRelation` records the
+    * cached plan's real partitioning, so each hop's propagation join
+    * and label rewrite run exchange-free on both sides and the only
+    * shuffle per hop is the min-label aggregate itself — 1
+    * exchange/hop in broadcast AND sort-merge regimes, surviving
+    * per-hop label rewrites (PlanAudit11Spec pins the hop plan against
+    * THIS code path). Cost of persist over checkpoint: lineage is kept,
+    * so losing a cached partition replays upstream work — bounded here
+    * by the ≤[[graft.operators.EntityResolution.ErClusterHops]]-hop
+    * chain and the checkpointed `e0` floor under it.
+    *
+    * The edge subtree is still CHECKPOINTED once before symmetrizing —
+    * the union's two branches would each re-derive it (for er_cluster
+    * that subtree is the blocked self-join + levenshtein scoring;
+    * replaying it doubled the operator's cost), and under the
+    * persisted union it is also the recompute floor: an evicted sym
+    * partition re-reads checkpoint blocks, never re-scores pairs.
+    */
+  private[graft] def loopRelations(nodes: DataFrame,
+      edges: DataFrame): (DataFrame, DataFrame) = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val e0 = edges.toDF("src", "dst").localCheckpoint()
+    val n = spark.sessionState.conf.numShufflePartitions
+    val sym = e0.union(e0.select($"dst", $"src"))
+      .repartition(n, $"src").persist()
+    val labels = nodes
+      .withColumn("cluster_id", $"doc_id")
+      .repartition(n, $"doc_id").persist()
+    // materialize both caches up front so the first hop measures as a
+    // hop, not as ingest (and so callers can free `e0`'s blocks early)
+    sym.count(); labels.count()
+    (sym, labels)
+  }
+
+  /** One hop of the min-label loop: propagate each node's label to its
+    * neighbours, take the per-node min, and rewrite the label table.
+    * The hop's output keeps the left (labels) side's partitioning, so
+    * the doc_id-hash invariant [[loopRelations]] establishes survives
+    * every rewrite and later hops stay one-shuffle too.
+    */
+  private[graft] def hopNext(labels: DataFrame, sym: DataFrame): DataFrame = {
+    import labels.sparkSession.implicits._
+    val prop = labels.join(sym, labels("doc_id") === sym("src"))
+      .groupBy($"dst").agg(min($"cluster_id").as("nl"))
+    labels.join(prop, labels("doc_id") === prop("dst"), "left")
+      .select($"doc_id",
+        least($"cluster_id", coalesce($"nl", $"cluster_id")).as("cluster_id"),
+        (coalesce($"nl", $"cluster_id") < $"cluster_id").as("__changed"))
   }
 
   /** Dedup APPLICATION: exact-duplicate keeper election (min doc_id

@@ -79,7 +79,7 @@ object EntityResolution {
     * first/last swap would silently truncate 3+-word names if the
     * fixture's name shape ever widens).
     */
-  private def mentions(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def mentions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     parts(spark, dir).select(
       $"p_partkey".as("mention_id"),
@@ -265,19 +265,7 @@ object EntityResolution {
   def clusterMentions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val m = mentions(spark, dir)
-    val kept = keysOf(m, "mention").groupBy($"key")
-      .agg(count(lit(1)).as("n")).filter($"n" <= ErMaxBlock).select($"key")
-    // blocked postings feed BOTH sides of the self-join — materialize
-    // once so the posting derivation cannot replay per side. The
-    // lowered mention and ITS length are precomputed per posting row
-    // (and stored by the checkpoint), so the pair filters below are a
-    // stored-column integer compare and a banded DP — never per-pair
-    // lowercasing over the much larger pair stream
-    val kb = keysOf(m, "mention")
-      .select($"key", $"mention_id", lower($"mention").as("lmention"))
-      .withColumn("llen", length($"lmention"))
-      .join(kept, Seq("key"))
-      .localCheckpoint()
+    val kb = blockedPostings(spark, m)
     // score BEFORE deduplicating: levenshtein is a map-side projection
     // over the joined stream (a pair sharing k keys is scored k times,
     // bounded by keys-per-name), so the distinct shuffle then hauls
@@ -305,6 +293,65 @@ object EntityResolution {
     Dedup.clustersOver(m.select($"mention_id".as("doc_id")), edges, ErClusterHops)
       .select($"doc_id".as("mention_id"), $"cluster_id", $"is_keeper")
       .orderBy($"mention_id")
+  }
+
+  /** The cap-kept blocking postings feeding [[clusterMentions]]'s
+    * self-join, materialized once for both sides. The lowered mention
+    * and ITS length are precomputed per posting row (and stored by
+    * the checkpoint), so the pair filters are a stored-column integer
+    * compare and a banded DP — never per-pair lowercasing over the
+    * much larger pair stream.
+    */
+  private[graft] def blockedPostings(spark: SparkSession, m: DataFrame): DataFrame = {
+    import spark.implicits._
+    val kept = keysOf(m, "mention").groupBy($"key")
+      .agg(count(lit(1)).as("n")).filter($"n" <= ErMaxBlock).select($"key")
+    keysOf(m, "mention")
+      .select($"key", $"mention_id", lower($"mention").as("lmention"))
+      .withColumn("llen", length($"lmention"))
+      .join(kept, Seq("key"))
+      // spread the postings across the full task width before the
+      // checkpoint: the pair join probes THIS relation (broadcast or
+      // sort-merge, the probe side's partition count bounds the DP
+      // parallelism), and a fixture-sized posting relation otherwise
+      // inherits the scan's 1-2 partitions — r11 measured the scoring
+      // join at 4/32 cores because of exactly that. One cheap shuffle
+      // of the postings buys full-width pair generation at any scale.
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .localCheckpoint()
+  }
+
+  /** Stage-mass audit for the er_cluster cost floor (`graft.ErFloor`):
+    * how many candidate rows the key self-join emits, how many
+    * distinct blocked pairs that is, how many survive the length
+    * lower bound (= pairs the banded DP actually scores), and how
+    * many become edges. The numbers that decide whether the
+    * operator's time is irreducible DP mass or join fan-out worth
+    * pruning away.
+    */
+  private[graft] def clusterStages(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    import spark.implicits._
+    val kb = blockedPostings(spark, mentions(spark, dir))
+    val joined = kb.as("a")
+      .join(kb.as("b"), col("a.key") === col("b.key") &&
+        col("a.mention_id") < col("b.mention_id"))
+      .localCheckpoint()
+    val guarded = joined
+      .filter(abs(col("a.llen") - col("b.llen")) <= ErClusterMaxDist)
+      .localCheckpoint()
+    Seq(
+      "postings" -> kb.count(),
+      "joined_rows" -> joined.count(),
+      "blocked_pairs" -> joined
+        .select(col("a.mention_id"), col("b.mention_id")).distinct().count(),
+      "guard_survivor_rows" -> guarded.count(),
+      "dp_scored_pairs" -> guarded
+        .select(col("a.mention_id"), col("b.mention_id")).distinct().count(),
+      "edges" -> guarded
+        .filter(levenshtein(col("a.lmention"), col("b.lmention"),
+          ErClusterMaxDist.toInt) >= 0)
+        .select(col("a.mention_id").as("src"), col("b.mention_id").as("dst"))
+        .distinct().count())
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import graft.operators.{Dedup, EntityResolution}
+
+/** Plan-shape assertions for this session's loop-relation work: the
+  * min-label convergence hop and the er_cluster posting relation.
+  * These pin the r11 measured findings against the REAL code paths —
+  * [[Dedup.loopRelations]]/[[Dedup.hopNext]] are the exact builders
+  * [[Dedup.clustersOver]]'s loop calls. The load-bearing finding the
+  * first test guards: under AQE a `localCheckpoint` forgets its
+  * partitioning (`AdaptiveSparkPlanExec` reports
+  * `UnknownPartitioning`), so only PERSISTED loop relations keep the
+  * hop at one shuffle — reverting persist to checkpoint fails here
+  * with the 4-exchange non-broadcast hop plan attached.
+  */
+class PlanAudit11Spec extends SparkSpec {
+
+  /** Shuffle exchanges in THIS query's plan only — a tree walk, not a
+    * string count: the string form of a plan over persisted relations
+    * prints each InMemoryRelation's cached plan (initial AND final),
+    * whose exchanges are paid once at materialization, not per scan.
+    */
+  private def shuffles(df: DataFrame): (Int, String) = {
+    def count(p: SparkPlan): Int =
+      (p match { case _: ShuffleExchangeExec => 1; case _ => 0 }) +
+        p.children.map(count).sum
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => (count(a.initialPlan), a.initialPlan.toString)
+      case p => (count(p), p.toString)
+    }
+  }
+
+  private def loopFixture() = {
+    import spark.implicits._
+    val nodes = (1L to 200L).toDF("doc_id")
+    val edges = (1L until 200L).map(i => (i, i + 1)).toDF("src", "dst")
+    Dedup.loopRelations(nodes, edges)
+  }
+
+  test("min-label hop shuffles exactly once: the aggregate, never the edges") {
+    val (sym, labels) = loopFixture()
+    try {
+      val (n, plan) = shuffles(Dedup.hopNext(labels, sym))
+      assert(n === 1,
+        s"a hop over pre-partitioned persisted relations must shuffle only " +
+          s"for the min-label aggregate, saw $n exchanges:\n$plan")
+    } finally { sym.unpersist(); labels.unpersist() }
+  }
+
+  test("one-shuffle hop survives broadcast being unavailable (the 100 TB regime)") {
+    val (sym, labels) = loopFixture()
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (n, plan) = shuffles(Dedup.hopNext(labels, sym))
+      assert(n === 1,
+        s"with no broadcast fallback the persisted partitioning must carry " +
+          s"both sort-merge joins, saw $n exchanges:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      sym.unpersist(); labels.unpersist()
+    }
+  }
+
+  test("the one-shuffle hop survives label rewrites: hop 2 matches hop 1") {
+    val (sym, labels) = loopFixture()
+    // the loop's rewrite: persist the hop output, drop the flag — the
+    // doc_id partitioning must ride through the cached join plan so
+    // hop 2 plans the same one-shuffle shape (this is what makes the
+    // WHOLE loop 1 shuffle/hop, not just its first iteration)
+    val next = Dedup.hopNext(labels, sym).persist()
+    try {
+      next.count()
+      val labels2 = next.drop("__changed")
+      val (n, plan) = shuffles(Dedup.hopNext(labels2, sym))
+      assert(n === 1, s"hop 2 lost the persisted partitioning:\n$plan")
+    } finally { sym.unpersist(); labels.unpersist(); next.unpersist() }
+  }
+
+  test("blocked postings checkpoint at full task width for the pair join") {
+    val dir = "/root/testdata/sf0.001"
+    val kb = EntityResolution.blockedPostings(
+      spark, EntityResolution.mentions(spark, dir))
+    // the pair self-join probes this relation; its partition count
+    // bounds the DP parallelism (r11: a fixture-sized posting relation
+    // inherited the scan's 1-2 partitions and scored at 4/32 cores)
+    assert(kb.rdd.getNumPartitions ===
+      spark.sessionState.conf.numShufflePartitions,
+      "postings must spread across the full task width before the checkpoint")
+  }
+}
