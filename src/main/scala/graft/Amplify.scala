@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SCALE-AMPLIFICATION fixture generator: a key-shifted self-union of
+  * every fixture table into `copies`× the rows, built so the amplified
+  * corpus has the same STRUCTURE per unit of data as the original —
+  * the input the scaling-exponent study ([[ScaleBench]]) needs.
+  *
+  * Design rules, per table:
+  *
+  *  - **Id shifts are multiples of every mod class the operators key
+  *    plants on** (doc_id mods {2,3,7,10,11,13,15,20,25} → lcm 300300;
+  *    p_partkey {3,64} → 20160; vec_id {2,17} → 2040; user_id
+  *    {10,30,97,200,1000} → 291000; event_id {2..11,100,250,10000} →
+  *    2310000), so every planted population (cascade copies, excerpt
+  *    docs, ER noise classes, PII plants) reappears at the same
+  *    DENSITY in every copy. Shifted doc ids stay far below the 10⁶+
+  *    planted-shift windows (max copy-9 doc_id ≈ 2.7M sits ≥ 99k from
+  *    every `base + k·10⁶` image), so planted ids never collide with
+  *    base ids.
+  *  - **Text copies are token-suffixed** (`w → w‖xk`): within a copy
+  *    every dup/near-dup/span relationship of the base corpus is
+  *    preserved exactly (suffixing is applied uniformly, so two texts
+  *    share a shingle/window iff the originals did), while ACROSS
+  *    copies no shingle, chunk, winnow span, or ER blocking key ever
+  *    collides — corpus grows 10×, duplicate density stays constant.
+  *    The realistic shape: a real 10× crawl brings new content, not
+  *    10 literal copies (which would grow posting lists 10× and pair
+  *    cores 45× — a quadratic artifact of the copying, not of scale).
+  *  - **Embedding copies are cyclically rotated** by k positions: a
+  *    rotation is a permutation (orthogonal), so every intra-copy
+  *    cosine/distance is bit-identical to the base corpus while
+  *    cross-copy directions decorrelate — ten isometric images of the
+  *    corpus in different orientations. ANN probe sets are fixed
+  *    (`vec_id < numQueries` lives only in copy 0), so query count
+  *    stays constant while the indexed corpus scales.
+  *  - **Dimension tables (region, nation) are NOT amplified** — at
+  *    100 TB the fact tables grow and the dims don't; FK columns into
+  *    them keep their values.
+  *
+  * Copy 0 is the identity, so the amplified fixture CONTAINS the
+  * original.
+  */
+object Amplify {
+  val DocShift = 300300L
+  val PartShift = 20160L
+  val VecShift = 2040L
+  val UserShift = 291000L
+  val EventShift = 2310000L
+  val OrderShift = 150000L
+  val CustShift = 15000L
+  val SuppShift = 1200L
+
+  /** `w → w‖xkk` per space-separated token (empty tokens kept empty
+    * so spacing survives round-trips through split/join). The copy
+    * digit is DOUBLED because ER's mention noise truncates a name's
+    * last character: a single-digit suffix would truncate to the same
+    * `…x` fragment in every copy, merging each copy's rare blocking
+    * keys into one over-cap key — measured in r11 as the amplified ER
+    * workload silently NOT scaling (postings identical at 10×). With
+    * `xkk`, any one-character truncation still ends in the copy digit,
+    * so per-copy key populations mirror the base fixture exactly.
+    */
+  private def suffixWords(colName: String, k: Int): String =
+    s"array_join(transform(split($colName, ' '), " +
+      s"w -> CASE WHEN w = '' THEN w ELSE concat(w, 'x$k$k') END), ' ')"
+
+  private def copyOf(t: String, df: DataFrame, k: Int): DataFrame =
+    if (k == 0) df
+    else t match {
+      case "documents" => df.selectExpr(
+        s"doc_id + ${k * DocShift} AS doc_id",
+        s"${suffixWords("text", k)} AS text",
+        "lang", "source").selectExpr(
+        "doc_id", "text", "lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      case "embeddings" => df.selectExpr(
+        s"vec_id + ${k * VecShift} AS vec_id",
+        s"concat(slice(embedding, ${k + 1}, size(embedding) - $k), " +
+          s"slice(embedding, 1, $k)) AS embedding",
+        "label")
+      case "part" => df.selectExpr(
+        s"p_partkey + ${k * PartShift} AS p_partkey",
+        s"${suffixWords("p_name", k)} AS p_name",
+        "p_brand", "p_type", "p_size", "p_retailprice")
+      case "events" => df.selectExpr(
+        s"event_id + ${k * EventShift} AS event_id",
+        "ts",
+        s"user_id + ${k * UserShift} AS user_id",
+        "event_type", "value", "props")
+      case "orders" => df.selectExpr(
+        s"o_orderkey + ${k * OrderShift} AS o_orderkey",
+        s"o_custkey + ${k * CustShift} AS o_custkey",
+        "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      case "lineitem" => df.selectExpr(
+        s"l_orderkey + ${k * OrderShift} AS l_orderkey",
+        s"l_partkey + ${k * PartShift} AS l_partkey",
+        s"l_suppkey + ${k * SuppShift} AS l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+      case "customer" => df.selectExpr(
+        s"c_custkey + ${k * CustShift} AS c_custkey",
+        "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      case "supplier" => df.selectExpr(
+        s"s_suppkey + ${k * SuppShift} AS s_suppkey",
+        "s_name", "s_nationkey", "s_acctbal")
+      case _ => df // region, nation: dimensions don't scale
+    }
+
+  val FactTables = Seq("documents", "embeddings", "part", "events",
+    "orders", "lineitem", "customer", "supplier")
+  val DimTables = Seq("region", "nation")
+
+  /** Write the `copies`× fixture under `outDir` (same `<t>.parquet`
+    * naming as the test fixtures, so every operator reads it through
+    * the unchanged `Tables.load` path).
+    */
+  def amplify(spark: SparkSession, baseDir: String, outDir: String,
+      copies: Int): Unit = {
+    (FactTables ++ DimTables).foreach { t =>
+      val base = graft.engine.Tables.load(spark, baseDir, t)
+      val n = if (DimTables.contains(t)) 1 else copies
+      (0 until n).map(copyOf(t, base, _)).reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/target/scale10x")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    amplify(spark, base, out, copies)
+    println(s"""{"amplified":"$out","base":"$base","copies":$copies}""")
+    spark.stop()
+  }
+}

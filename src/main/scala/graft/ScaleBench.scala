@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SCALING-EXPONENT study: run the most expensive queries (and the
+  * session-layout derivations they are served from) at the base
+  * fixture AND at an [[Amplify]]-amplified copy, and report the
+  * time ratio next to the data ratio. A claimed-linear query whose
+  * time ratio tracks the data ratio scales; one whose ratio runs away
+  * is named here long before a cluster bill names it. Methodology
+  * mirrors [[Bench]]: noop-sink writes, untimed priming run (layouts
+  * and ANN models derive there — the ingest-time cost model, with the
+  * derivations ALSO timed as explicit entries), median of 3 timed
+  * runs, clearCache + GC between queries.
+  */
+object ScaleBench {
+
+  /** The study set: the 12 most expensive surfaced queries (r10
+    * verdict) spanning every heavy family — ER, ANN (brute + IVF+PQ +
+    * eval + MMR), regex projection, dedup pair cores, graph.
+    */
+  val StudyQueries: Seq[String] = Seq(
+    "er_cluster", "er_match_full",
+    "ann_cosine_topk", "ann_ivfpq_topk", "ann_recall_quantized", "ann_mmr_topk",
+    "text_pii",
+    "dedup_lsh_recall", "dedup_ngram_jaccard",
+    "graph_triangles", "graph_components", "graph_pagerank")
+
+  /** The derive-once layouts, timed EXPLICITLY (they otherwise hide in
+    * the untimed priming run): each entry derives + range-writes to a
+    * fresh temp dir per run, so no session cache serves it.
+    */
+  def derivations(spark: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
+    "derive_span_layout" -> (() => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-scale-span").toString
+      graft.engine.Layouts.rangeWrite(
+        graft.engine.Layouts.spanPairsWithStats(spark, dir), s"$tmp/l", "doc_a", 8)
+    }),
+    "derive_shingle_pairs" -> (() => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-scale-shingle").toString
+      graft.engine.Layouts.rangeWrite(
+        graft.operators.Dedup.shinglePairCounts(
+          graft.engine.Tables.load(spark, dir, "documents")), s"$tmp/l", "doc_a", 8)
+    }),
+    "derive_lsh_pairs" -> (() => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-scale-lsh").toString
+      graft.engine.Layouts.rangeWrite(
+        graft.operators.Dedup.minhashLshDerive(spark, dir), s"$tmp/l", "doc_a", 8)
+    }))
+
+  private def fmt(v: Double): String =
+    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/target/scale10x")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config(graft.plans.ScaleGuard.FailOnGlobalWindow, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.ScaleGuard.install(spark)
+
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(out))) {
+      System.err.println(s"[scale] amplifying $base x$copies -> $out")
+      Amplify.amplify(spark, base, out, copies)
+    }
+
+    val timedRuns = 3
+    def median(thunk: () => Unit): Double = {
+      spark.catalog.clearCache(); System.gc()
+      thunk() // untimed priming (JIT, layouts, models)
+      val ts = (1 to timedRuns).map { _ =>
+        val t0 = System.nanoTime(); thunk(); (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(timedRuns / 2)
+    }
+    def queryThunk(name: String, dir: String): () => Unit =
+      () => SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+
+    val names = StudyQueries.filter(n => only.forall(_.contains(n)))
+    val entries: Seq[(String, String => () => Unit)] =
+      names.map(n => n -> ((dir: String) => queryThunk(n, dir))) ++
+        derivations(spark, base).map(_._1)
+          .filter(n => only.forall(_.contains(n)))
+          .map(n => n -> ((dir: String) =>
+            derivations(spark, dir).find(_._1 == n).get._2))
+
+    val rows = entries.map { case (name, mk) =>
+      val tSmall = median(mk(base))
+      val tBig = median(mk(out))
+      System.err.println(f"[scale] $name%-22s ${fmt(tSmall)}%8s -> ${fmt(tBig)}%8s  x${fmt(tBig / tSmall)}")
+      (name, tSmall, tBig)
+    }
+    val qs = rows.map { case (n, s, b) =>
+      s""""$n":{"small":${fmt(s)},"big":${fmt(b)},"ratio":${fmt(b / s)}}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"scale_study","data_ratio":$copies,"base":"$base","amplified":"$out","queries":$qs}"""
+    println(line)
+    try {
+      val benchDir = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/root/repo/bench"))
+      java.nio.file.Files.createDirectories(benchDir)
+      java.nio.file.Files.writeString(benchDir.resolve("scale_lines.jsonl"),
+        line + "\n", java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[scale] could not persist line: ${e.getMessage}")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+/** PLAN-SHAPE scale invariance: the shuffle-exchange count of every
+  * scale-study query must be IDENTICAL on an [[Amplify]]-amplified
+  * fixture — growing the data may never grow the plan. This is the
+  * machine-checked half of the scaling-exponent study ([[ScaleBench]]
+  * measures the time ratios; this spec pins that the plan the time is
+  * spent in did not change shape). A broadcast join that silently
+  * flips to a shuffle at larger estimated sizes, or a layout consumer
+  * that re-derives instead of scanning, fails here by name with both
+  * plans attached.
+  */
+class ScaleInvarianceSpec extends SparkSpec {
+  private val base = "/root/testdata/sf0.001"
+  private lazy val amplified: String = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-scale-inv").toString
+    Amplify.amplify(spark, base, out, copies = 3)
+    out
+  }
+
+  private def shuffles(name: String, dir: String): (Int, String) = {
+    val plan = SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+    val all = "Exchange".r.findAllIn(plan).length
+    val bcast = "BroadcastExchange".r.findAllIn(plan).length
+    (all - bcast, plan)
+  }
+
+  ScaleBench.StudyQueries.foreach { name =>
+    test(s"$name: shuffle count is data-size invariant") {
+      val (nSmall, pSmall) = shuffles(name, base)
+      val (nBig, pBig) = shuffles(name, amplified)
+      assert(nSmall === nBig,
+        s"$name plan changed shape at 3x data ($nSmall -> $nBig shuffles)\n" +
+          s"--- base plan ---\n$pSmall\n--- amplified plan ---\n$pBig")
+    }
+  }
+
+  test("amplified fixture preserves planted mod-class densities") {
+    import spark.implicits._
+    // the amplifier's core invariant: every planted population keyed
+    // on a doc_id mod class appears at the same DENSITY in every copy
+    val d = graft.engine.Tables.load(spark, amplified, "documents")
+    val n = d.count()
+    assert(n === 3 * graft.engine.Tables.load(spark, base, "documents").count())
+    Seq(15 -> 7, 20 -> 3, 25 -> 0).foreach { case (m, r) =>
+      val inBase = graft.engine.Tables.load(spark, base, "documents")
+        .filter($"doc_id" % m === r).count()
+      val inAmp = d.filter($"doc_id" % m === r).count()
+      assert(inAmp === 3 * inBase, s"mod ($m, $r) density drifted")
+    }
+    // cross-copy isolation: token suffixing means no shingle travels
+    // between copies — exact-dup groups never span copies
+    val fpCopies = d
+      .select((($"doc_id" / Amplify.DocShift).cast("long")).as("copy"),
+        org.apache.spark.sql.functions.md5($"text").as("fp"))
+      .groupBy($"fp")
+      .agg(org.apache.spark.sql.functions.countDistinct($"copy").as("nc"))
+      .filter($"nc" > 1).count()
+    assert(fpCopies === 0L, "text fingerprints must not collide across copies")
+  }
+
+  test("amplified embeddings: rotation preserves intra-copy geometry exactly") {
+    import spark.implicits._
+    val e = graft.engine.Tables.load(spark, amplified, "embeddings")
+    // copy-1 vectors are cyclic rotations: same norm, same pairwise
+    // dot products as copy 0 — check norms match base bit-for-bit
+    val nrm = org.apache.spark.sql.functions.expr(
+      "aggregate(embedding, CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    val baseNorms = e.filter($"vec_id" < Amplify.VecShift)
+      .select($"vec_id", nrm.as("n2")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val copy1 = e.filter($"vec_id" >= Amplify.VecShift && $"vec_id" < 2 * Amplify.VecShift)
+      .select($"vec_id", nrm.as("n2")).collect()
+    assert(copy1.nonEmpty)
+    copy1.foreach { r =>
+      val b = baseNorms(r.getLong(0) - Amplify.VecShift)
+      // the rotated sum adds the same floats in a different order, so
+      // compare to float-sum tolerance rather than bit-exactly
+      assert(math.abs(r.getDouble(1) - b) <= 1e-6 * (1.0 + math.abs(b)),
+        s"rotation changed the norm of ${r.getLong(0)}")
+    }
+  }
+}
