@@ -162,6 +162,63 @@ object EventStreams {
         .filter(col("n_tokens").between(minTokens, maxTokens)),
       store, watermark)
 
+  /** STREAMED SPAN-LAYOUT MAINTENANCE — the live twin of
+    * `TextAnalysis.spanPairsIncremental` (whose batch form is the
+    * daily-ingest path): a `(doc_id, text)` document stream appends to
+    * the persisted winnow-fingerprint store AND refreshes the span-pair
+    * layout incrementally, completing the derive-once story end-to-end
+    * (`Layouts.writeSpanPairs` materializes yesterday's graph; this
+    * keeps it current between nightly rebuilds).
+    *
+    * Shape: `foreachBatch` — the batch pair core IS the per-batch
+    * work (two aggregations + a store join are not expressible as
+    * bounded append-mode streaming state, and a 100 TB deployment
+    * runs exactly this: micro-batch in, incremental index-delta out).
+    * Per batch: (a) the persisted store is RE-READ (so nightly
+    * compactions take effect without restart — the
+    * [[dedupDocsAgainstStore]] contract), (b)
+    * `spanPairsIncremental(batch, store)` emits exactly the pair rows
+    * this batch adds — new↔store links plus the batch's internal pair
+    * core, both [[graft.operators.TextAnalysis.MaxSpanDf]]-capped,
+    * (c) pair rows and the batch's fingerprints land in
+    * batch-id-named subdirectories with per-directory overwrite, so a
+    * replayed micro-batch (the foreachBatch at-least-once case)
+    * overwrites its own output instead of double-appending —
+    * idempotent without a transactional sink. Every (doc_a, doc_b)
+    * pair is emitted by exactly ONE batch (the one ingesting the
+    * later endpoint, whose fingerprints are all present by then), so
+    * the union of batch outputs is disjoint and complete:
+    * read back with [[readSpanLayoutDeltas]], initial layout + deltas
+    * ≡ the batch `sharedSpans` over everything ingested
+    * (StreamingSpec pins stream ≡ sequential-batch-ingest ≡ full
+    * batch recompute).
+    */
+  def maintainSpanLayout(docs: DataFrame, storeDir: String,
+      layoutDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("doc_id"), col("text")).persist()
+        try {
+          val store = spark.read.option("recursiveFileLookup", "true")
+            .parquet(storeDir).select(col("doc_id"), col("fp"))
+          graft.operators.TextAnalysis.spanPairsIncremental(b, store)
+            .write.mode("overwrite").parquet(s"$layoutDir/b$batchId")
+          graft.operators.TextAnalysis.winnowOf(b)
+            .write.mode("overwrite").parquet(s"$storeDir/b$batchId")
+        } finally b.unpersist()
+        ()
+      }
+
+  /** Read back the maintained span-pair relation: the initial layout
+    * plus every micro-batch delta [[maintainSpanLayout]] appended.
+    */
+  def readSpanLayoutDeltas(spark: org.apache.spark.sql.SparkSession,
+      layoutDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(layoutDir)
+      .select(col("doc_a"), col("doc_b"), col("n_shared_spans"))
+
   /** Streaming QUALITY GATE — `TextAnalysis.filterDocs`' full verdict
     * (too_short / repetitive / boilerplate / keep, same constants,
     * same precedence) restated as a PURE PROJECTION so it runs on a

@@ -951,4 +951,51 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getTimestamp(0) -> r.getLong(1))
     assert(got.toMap === want.toMap)
   }
+
+  test("streamed span-layout maintenance: deltas equal sequential batch ingest AND full recompute") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val dir = "/root/testdata/sf0.001"
+    val d = graft.engine.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val storeHalf = d.filter($"doc_id" % 2 === 0)
+    val b1 = d.filter($"doc_id" % 4 === 1)
+    val b2 = d.filter($"doc_id" % 4 === 3)
+    val root = java.nio.file.Files.createTempDirectory("graft-spanstream").toString
+    val (storeDir, layoutDir) = (s"$root/store", s"$root/layout")
+    // nightly state: persisted fingerprint store + materialized layout
+    TextAnalysis.winnowOf(storeHalf).write.parquet(s"$storeDir/base")
+    TextAnalysis.sharedSpansOf(TextAnalysis.winnowOf(storeHalf))
+      .write.parquet(s"$layoutDir/base")
+
+    val stream = MemoryStream[(Long, String)]
+    val q = EventStreams.maintainSpanLayout(
+        stream.toDF().toDF("doc_id", "text"), storeDir, layoutDir)
+      .option("checkpointLocation", ckpt()).start()
+    stream.addData(b1.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+    q.processAllAvailable()
+    stream.addData(b2.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "n_shared_spans").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val got = rows(EventStreams.readSpanLayoutDeltas(spark, layoutDir))
+    // stream ≡ sequential batch ingest (the twin the scaladoc claims)
+    val store0 = TextAnalysis.winnowOf(storeHalf)
+    val seq1 = TextAnalysis.spanPairsIncremental(b1, store0)
+    val seq2 = TextAnalysis.spanPairsIncremental(b2,
+      store0.unionByName(TextAnalysis.winnowOf(b1)))
+    val baseRows = rows(TextAnalysis.sharedSpansOf(store0))
+    assert(got === (baseRows ++ rows(seq1) ++ rows(seq2)).sorted)
+    // and ≡ the full batch recompute over everything ingested (no
+    // span's document frequency crosses MaxSpanDf only in the union
+    // on this fixture, so the incremental union is exactly the batch
+    // relation — the strongest end-to-end form)
+    assert(got === rows(TextAnalysis.sharedSpansOf(TextAnalysis.winnowOf(d))))
+    // each pair was emitted by exactly one batch (disjoint deltas)
+    assert(got.map(p => (p._1, p._2)).distinct.length === got.length)
+  }
 }
