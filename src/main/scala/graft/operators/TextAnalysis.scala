@@ -164,15 +164,20 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  /** Winnowing fingerprints — the rolling-hash document fingerprint
-    * scheme (polynomial hash over token-3-grams, then the minimum of
-    * every 4 consecutive hashes, distinct): the standard fixed-size
-    * near-dup/plagiarism fingerprint set, guaranteed to share values
-    * between documents with sufficiently long common substrings.
-    * Token values are the first 4 hex chars of each token's md5 (so
-    * the DuckDB oracle reproduces them with nibble arithmetic); the
-    * k-gram hash is v₁·257² + v₂·257 + v₃ mod 1000003. All per-doc
-    * expression work — no shuffle before the final explode/sort.
+  /** Winnowing fingerprints — the rolling document fingerprint scheme
+    * (a code per token-3-gram, then the minimum of every 4 consecutive
+    * codes, distinct): the standard fixed-size near-dup/plagiarism
+    * fingerprint set, guaranteed to share values between documents
+    * with sufficiently long common substrings. Token values are the
+    * first 4 hex chars of each token's md5 (so the DuckDB oracle
+    * reproduces them with nibble arithmetic); the trigram code is the
+    * INJECTIVE base-2¹⁶ composition v₁·2³² + v₂·2¹⁶ + v₃ (48-bit).
+    * Injectivity is the scale property: the r11 10× study measured the
+    * earlier mod-1000003 compression manufacturing 18% of the span
+    * graph as collision edges (growing quadratically with corpus
+    * size); with a 2⁴⁸ space, distinct trigram-hash triples can never
+    * share a fingerprint. All per-doc expression work — no shuffle
+    * before the final explode/sort.
     */
   def winnowFingerprint(spark: SparkSession, dir: String): DataFrame =
     winnowOf(docs(spark, dir))
@@ -202,7 +207,7 @@ object TextAnalysis {
         expr("transform(t, x -> CAST(conv(substr(md5(x), 1, 4), 16, 10) AS BIGINT))"))
       .withColumn("hs", expr(
         """transform(sequence(1, size(vals) - 2),
-          |  i -> (vals[i-1] * 66049 + vals[i] * 257 + vals[i+1]) % 1000003)""".stripMargin))
+          |  i -> vals[i-1] * 4294967296 + vals[i] * 65536 + vals[i+1])""".stripMargin))
       .withColumn("fp", explode(array_distinct(expr(
         "transform(sequence(1, greatest(size(hs) - 3, 1)), j -> array_min(slice(hs, j, 4)))"))))
       .select($"doc_id", $"fp")
@@ -1196,7 +1201,7 @@ object TextAnalysis {
       |      FROM toks WHERE len(t) >= 3),
       |h AS (SELECT doc_id,
       |        list_transform(generate_series(1, len(vals) - 2),
-      |          i -> (vals[i] * 66049 + vals[i+1] * 257 + vals[i+2]) % 1000003) AS hs
+      |          i -> vals[i] * 4294967296 + vals[i+1] * 65536 + vals[i+2]) AS hs
       |      FROM v),
       |w AS (SELECT doc_id,
       |        list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
@@ -1544,7 +1549,7 @@ object TextAnalysis {
         |      FROM toks WHERE len(t) >= 3),
         |h AS (SELECT doc_id,
         |        list_transform(generate_series(1, len(vals) - 2),
-        |          i -> (vals[i] * 66049 + vals[i+1] * 257 + vals[i+2]) % 1000003) AS hs
+        |          i -> vals[i] * 4294967296 + vals[i+1] * 65536 + vals[i+2]) AS hs
         |      FROM v),
         |w AS (SELECT doc_id,
         |        list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),

@@ -419,11 +419,18 @@ object SimHashUtil {
   }
 
   /** Winnowing-fingerprint kernel — one pass over the token array:
-    * 16-bit md5 prefixes, rolling trigram hashes
-    * `(v[i-1]·66049 + v[i]·257 + v[i+1]) mod 1000003`, 4-window mins,
-    * distinct in first-occurrence order. Arithmetic and window
-    * clipping replicate the HOF chain exactly (1-based `slice(hs, j,
-    * 4)` over `j = 1..max(|hs|−3, 1)`); null for under-3-token arrays.
+    * 16-bit md5 prefixes, INJECTIVE base-2¹⁶ trigram codes
+    * `v[i-1]·2³² + v[i]·2¹⁶ + v[i+1]` (48-bit values; two trigrams
+    * share a code iff their token-hash triples are identical — no
+    * hash-layer aliasing), 4-window mins, distinct in first-occurrence
+    * order. The r11 scale study measured the previous `mod 1000003`
+    * compression CREATING 18% of the span graph's edges at 10× sf0.1
+    * (814,938 cross-copy collision pairs): bucket df grows linearly
+    * with corpus size, so collision pairs grow quadratically — the
+    * fingerprint space must outgrow the corpus, and 2⁴⁸ does. Arithmetic
+    * and window clipping replicate the HOF chain exactly (1-based
+    * `slice(hs, j, 4)` over `j = 1..max(|hs|−3, 1)`); null for
+    * under-3-token arrays.
     */
   def winnow(arr: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val n = arr.numElements()
@@ -443,7 +450,7 @@ object SimHashUtil {
     val hs = new Array[Long](m)
     i = 0
     while (i < m) {
-      hs(i) = (vals(i) * 66049L + vals(i + 1) * 257L + vals(i + 2)) % 1000003L
+      hs(i) = vals(i) * 4294967296L + vals(i + 1) * 65536L + vals(i + 2)
       i += 1
     }
     val w = math.max(m - 3, 1)

@@ -265,8 +265,8 @@ class ExtensionSpec extends SparkSpec {
       assert((fps(a) intersect fps(b)).nonEmpty,
         s"docs $a and $b are near-dups but share no winnow fingerprint")
     }
-    // fingerprints are bounded by the rolling-hash modulus
-    fps.values.flatten.foreach(fp => assert(fp >= 0 && fp < 1000003))
+    // fingerprints are bounded by the injective 48-bit trigram code
+    fps.values.flatten.foreach(fp => assert(fp >= 0 && fp < (1L << 48)))
   }
 
   test("sharedSpans surfaces a planted cross-document excerpt and nothing else") {
