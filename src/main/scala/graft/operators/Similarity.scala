@@ -176,8 +176,8 @@ object Similarity {
     * a cache hit is bit-identical to retraining — results and oracles
     * unchanged.
     */
-  private val modelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private val modelCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[AnyRef]]()
 
   private def trainOnce[T <: AnyRef](spark: SparkSession, key: String)(
       train: => T): T = {
@@ -187,9 +187,23 @@ object Similarity {
     // (same staleness contract as Layouts.layoutOnce)
     val fp = key.split(" ").filter(_.contains("/"))
       .map(graft.engine.Layouts.fixtureFingerprint).mkString
-    modelCache.computeIfAbsent(
-      spark.sparkContext.applicationId + " " + key + " " + fp,
-      _ => train).asInstanceOf[T]
+    val ck = spark.sparkContext.applicationId + " " + key + " " + fp
+    // per-key memoized future, same shape as Layouts.layoutOnce:
+    // training (multi-round k-means = Spark jobs) runs OUTSIDE any map
+    // lock, concurrent first-lookups on different keys never
+    // serialize, and a failed training clears its slot for retry
+    val fresh = new java.util.concurrent.CompletableFuture[AnyRef]()
+    val prior = modelCache.putIfAbsent(ck, fresh)
+    val slot = if (prior != null) prior else {
+      try fresh.complete(train)
+      catch { case e: Throwable =>
+        modelCache.remove(ck, fresh)
+        fresh.completeExceptionally(e)
+        throw e
+      }
+      fresh
+    }
+    slot.join().asInstanceOf[T]
   }
 
   /** Deterministic k-means over the fixed-point vectors: init = the
