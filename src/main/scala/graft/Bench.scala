@@ -49,34 +49,54 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
-    val results = benched.toSeq.sortBy(_._1).map { case (name, fn) =>
-      spark.catalog.clearCache()
-      System.gc()
-      val ok = run(name, fn)
-      // a failure in ANY run must read as a failure (-1), not as a
-      // fast run — a timed run can hit transient errors the priming
-      // run didn't
-      val times = (1 to timedRuns).map { _ =>
-        val t0 = System.nanoTime()
-        if (ok && run(name, fn)) (System.nanoTime() - t0) / 1e9 else -1.0
+    // SPARK_GRAFT_SWEEPS=N repeats the whole sweep N times in THIS JVM
+    // (default 1 = the driver contract). The variance instrument:
+    // same-JVM sweep-over-sweep drift isolates session-state growth
+    // (layout caches, ANN models, checkpoint files, JIT state) from
+    // the across-JVM environment jitter the r10 verdict asked to
+    // characterize — each sweep prints its own full JSON line.
+    val sweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "1").toInt
+    def sweep(): Seq[(String, Double)] =
+      benched.toSeq.sortBy(_._1).map { case (name, fn) =>
+        spark.catalog.clearCache()
+        System.gc()
+        val ok = run(name, fn)
+        // a failure in ANY run must read as a failure (-1), not as a
+        // fast run — a timed run can hit transient errors the priming
+        // run didn't
+        val times = (1 to timedRuns).map { _ =>
+          val t0 = System.nanoTime()
+          if (ok && run(name, fn)) (System.nanoTime() - t0) / 1e9 else -1.0
+        }
+        name -> (if (times.contains(-1.0)) -1.0 else times.sorted.apply(timedRuns / 2))
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.sorted.apply(timedRuns / 2))
-    }
+    val allSweeps = (1 to sweeps).map(_ => sweep())
+    val results = allSweeps.last
     // 3-decimal (ms) per-query precision: the full-precision line grew
     // past the driver's log-tail capture window in r8 (BENCH_r08.json
     // recorded parsed:null) — millisecond resolution halves the value
     // bytes and is finer than this box's ±15% ambient swing anyway
     def fmt(v: Double): String =
       if (v < 0) "-1.0" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    // failures must not shrink the total: sum only successful queries
-    // and surface the failure count explicitly
+    def lineOf(rs: Seq[(String, Double)], sweepTag: String): String = {
+      val qs = rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      // failures must not shrink the total: sum only successful queries
+      // and surface the failure count explicitly
+      val succeeded = rs.filter(_._2 >= 0)
+      val total = succeeded.map(_._2).sum
+      val failed = rs.length - succeeded.length
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed$sweepTag,"queries":$qs,"sf":"$sfDir"}"""
+    }
+    // with SWEEPS>1 every earlier sweep prints tagged; the LAST sweep
+    // stays the untagged driver-contract line
+    allSweeps.init.zipWithIndex.foreach { case (rs, i) =>
+      println(lineOf(rs, s""","sweep":${i + 1}"""))
+    }
     val succeeded = results.filter(_._2 >= 0)
     val total = succeeded.map(_._2).sum
     val failed = results.length - succeeded.length
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    val line = lineOf(results, "")
     println(line)
     // a compact duplicate as the LAST stdout line: if the tail window
     // still cuts the full line above, a tail-anchored parse finds this
@@ -94,8 +114,10 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/root/repo/bench"))
       java.nio.file.Files.createDirectories(benchDir)
       val target = benchDir.resolve("bench_lines.jsonl")
+      val allLines = allSweeps.init.zipWithIndex
+        .map { case (rs, i) => lineOf(rs, s""","sweep":${i + 1}""") } :+ line
       java.nio.file.Files.writeString(target,
-        line + "\n",
+        allLines.mkString("", "\n", "\n"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
       System.err.println(s"[bench] appended bench line to $target")
