@@ -48,6 +48,27 @@ object ScaleBench {
         graft.operators.Dedup.minhashLshDerive(spark, dir), s"$tmp/l", "doc_a", 8)
     }))
 
+  /** The PRODUCTION er_match contract measured directly: mentions from
+    * the dir under study, catalog FIXED from the base fixture. The
+    * surfaced `er_match_full` grows BOTH sides under amplification
+    * (mentions and catalog derive from the same table), so its study
+    * ratio reads ×(copies²) designed work — this seam isolates the
+    * deployment shape (a bounded entity catalog, a growing mention
+    * stream) where the scorer is a linear map-side projection.
+    */
+  def fixedCatalogEntry(spark: SparkSession, base: String): (String, String => () => Unit) = {
+    lazy val cat = {
+      import org.apache.spark.sql.functions.col
+      graft.operators.EntityResolution.catalog(spark, base)
+        .select(col("ent_id"), col("ent_name")).orderBy(col("ent_id"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    }
+    "er_match_fixed_catalog" -> ((dir: String) => () =>
+      graft.operators.EntityResolution.erEnrich(
+          graft.operators.EntityResolution.mentions(spark, dir), cat)
+        .write.format("noop").mode("overwrite").save())
+  }
+
   private def fmt(v: Double): String =
     BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
@@ -91,11 +112,13 @@ object ScaleBench {
 
     val names = StudyQueries.filter(n => only.forall(_.contains(n)))
     val entries: Seq[(String, String => () => Unit)] =
-      names.map(n => n -> ((dir: String) => queryThunk(n, dir))) ++
+      (names.map(n => n -> ((dir: String) => queryThunk(n, dir))) ++
         derivations(spark, base).map(_._1)
           .filter(n => only.forall(_.contains(n)))
           .map(n => n -> ((dir: String) =>
-            derivations(spark, dir).find(_._1 == n).get._2))
+            derivations(spark, dir).find(_._1 == n).get._2)) :+
+        fixedCatalogEntry(spark, base))
+        .filter { case (n, _) => only.forall(_.contains(n)) }
 
     val rows = entries.map { case (name, mk) =>
       val tSmall = median(mk(base))

@@ -66,7 +66,7 @@ object EntityResolution {
     * lowest part key bearing it (the min-id keeper election every
     * dedup family here uses).
     */
-  private def catalog(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def catalog(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     parts(spark, dir)
       .groupBy($"p_name".as("ent_name"))
