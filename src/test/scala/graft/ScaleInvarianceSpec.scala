@@ -37,6 +37,22 @@ class ScaleInvarianceSpec extends SparkSpec {
     }
   }
 
+  test("every registered query's shuffle count is data-size invariant") {
+    // the full-surface form of the per-query tests above: build all 215
+    // registered queries against base AND amplified fixtures and diff
+    // the non-broadcast exchange counts. Plan-shape only (no result
+    // jobs; construction-time training/layout jobs run at sf0.001
+    // scale), so the whole surface costs seconds — and any query
+    // whose plan grows with its data fails here by name.
+    val drifted = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val (nSmall, _) = shuffles(name, base)
+      val (nBig, _) = shuffles(name, amplified)
+      if (nSmall == nBig) None else Some(s"$name: $nSmall -> $nBig")
+    }
+    assert(drifted.isEmpty,
+      s"plans changed shape at 3x data:\n  ${drifted.mkString("\n  ")}")
+  }
+
   test("amplified fixture preserves planted mod-class densities") {
     import spark.implicits._
     // the amplifier's core invariant: every planted population keyed
