@@ -261,14 +261,34 @@ object Graph {
   def trianglesOverDeg(pairsDeg: DataFrame): DataFrame = {
     val spark = pairsDeg.sparkSession
     import spark.implicits._
-    // the oriented relation feeds three join sides — materialize once
+    // the oriented relation feeds three join sides — materialize once,
+    // PERSISTED pre-partitioned on src rather than checkpointed: under
+    // AQE a localCheckpoint forgets its partitioning (the same
+    // UnknownPartitioning finding PlanAudit11Spec pins for the
+    // min-label loop), so in the non-broadcast regime — the 100 TB
+    // shape, where an edge-sized build side cannot ship — the wedge
+    // self-join re-shuffles BOTH sides. persist's InMemoryRelation
+    // keeps the partitioning: the wedge join runs exchange-free on
+    // both sides and the operator's remaining shuffles are the
+    // irreducible Θ(wedges) closing-join exchange plus the final
+    // keyed count. Measured at 10× sf0.1 with broadcast disabled:
+    // 22.4 → 11.1 s. Repeated calls dedupe through the CacheManager
+    // (same canonical plan → same entry), so a serving session pins
+    // one edge-sized relation per fixture, same budget as the span
+    // layout it reads from.
     val oriented = pairsDeg
       .select(when($"deg_a" < $"deg_b" || ($"deg_a" === $"deg_b" && $"doc_a" < $"doc_b"),
           struct($"doc_a".as("src"), $"doc_b".as("dst"), $"deg_b".as("ddeg")))
         .otherwise(
           struct($"doc_b".as("src"), $"doc_a".as("dst"), $"deg_a".as("ddeg"))).as("e"))
       .select($"e.src", $"e.dst", $"e.ddeg")
-      .localCheckpoint()
+      .repartition(spark.sessionState.conf.numShufflePartitions, $"src")
+      .persist()
+    // materialize up front (one job, cache-served on repeat calls):
+    // an UNmaterialized InMemoryRelation still wraps a non-final
+    // AdaptiveSparkPlan and reports UnknownPartitioning at plan time —
+    // the joins below would re-shuffle exactly as if checkpointed
+    oriented.count()
     val tri = oriented.as("e1")
       .join(oriented.as("e2"), col("e1.src") === col("e2.src") &&
         (col("e1.ddeg") < col("e2.ddeg") ||

@@ -81,6 +81,29 @@ class PlanAudit11Spec extends SparkSpec {
     } finally { sym.unpersist(); labels.unpersist(); next.unpersist() }
   }
 
+  test("triangles wedge join is exchange-free on both sides without broadcast") {
+    import spark.implicits._
+    // layout-shaped input: (doc_a, doc_b, deg_a, deg_b) — a K4 plus a
+    // pendant, degrees carried like the span-pair layout does
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val deg = pairs.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val pairsDeg = pairs.map(p => (p._1, p._2, deg(p._1), deg(p._2)))
+      .toDF("doc_a", "doc_b", "deg_a", "deg_b")
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (n, plan) = shuffles(graft.operators.Graph.trianglesOverDeg(pairsDeg))
+      // wedge-stream (dst,dst) + closing oriented (src,dst) + count
+      // hash + output range — the persisted src partitioning must
+      // absorb BOTH wedge-join sides (a checkpointed oriented relation
+      // loses it under AQE and this climbs to 6)
+      assert(n === 4,
+        s"triangles must shuffle only for the closing join, the count, and " +
+          s"the output order, saw $n exchanges:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("blocked postings checkpoint at full task width for the pair join") {
     val dir = "/root/testdata/sf0.001"
     val kb = EntityResolution.blockedPostings(
