@@ -123,21 +123,62 @@ object Graph {
     * `nodes(doc_id, deg)` / `edges(src, dst, deg)` frames (deg = the
     * SENDER's degree; both inputs already materialized).
     */
-  private def pagerankLoop(nodes: DataFrame, edges: DataFrame): DataFrame = {
+  private def pagerankLoop(nodes: DataFrame, edges: DataFrame): DataFrame =
+    massLoop(nodes, edges, "deg",
+      s"(mass * $DampNum) div ($DampDen * deg)")
+
+  /** The shared damped mass-passing loop: [[PageRankIters]] rounds of
+    * `contribExpr` along each out-edge, summed per receiver, teleport
+    * term re-added. The asymmetry of the two loop relations decides
+    * their materialization (r11, measured both ways):
+    *
+    *  - The EDGE relation is the big one and never changes — persist
+    *    it pre-partitioned on `src` and leave it cached (CacheManager
+    *    dedupes by canonical plan, so repeated pagerank calls in one
+    *    session share one entry per fixture — the span-layout budget
+    *    class). Under AQE a `localCheckpoint` would report
+    *    `UnknownPartitioning` (the PlanAudit11Spec finding) and the
+    *    propagation join would re-shuffle the EDGE side every round in
+    *    the non-broadcast regime — the one shuffle that is ruinous at
+    *    100 TB.
+    *  - The MASS frame is node-sized and rewritten every round —
+    *    per-round eager `localCheckpoint` (one job/round, lineage
+    *    cut). Its re-shuffle per round is node-sized, i.e. cheap at
+    *    every scale; a first full-persist draft of this loop
+    *    (edge+mass both persisted per call, unpersisted at exit) paid
+    *    per-call columnar-cache churn that MEASURED 2.3× slower at
+    *    sf0.1 for zero exchange savings in the broadcast regime.
+    *
+    * The mass frame carries the node's constant (`deg`/`strength`) so
+    * the rewrite needs no nodes join and the final report is a pure
+    * projection of the last round's frame.
+    */
+  private def massLoop(nodes: DataFrame, edges: DataFrame,
+      carry: String, contribExpr: String): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    var mass = nodes.select($"doc_id", lit(BaseMass).as("mass")).localCheckpoint()
+    val n = spark.sessionState.conf.numShufflePartitions
+    // the sender's constant rides the MASS frame, so the edge relation
+    // drops its copy (it would be ambiguous in contribExpr after the
+    // propagation join) — edges keep only (src, dst [, w])
+    val e = edges.drop(carry).repartition(n, $"src").persist()
+    // materialize up front: an unmaterialized InMemoryRelation wraps a
+    // non-final AdaptiveSparkPlan and reports unknown partitioning, so
+    // round 1 would plan an extra edge shuffle (see trianglesOverDeg)
+    e.count()
+    var mass = nodes
+      .select($"doc_id", col(carry), lit(BaseMass).as("mass"))
+      .localCheckpoint()
     for (_ <- 1 to PageRankIters) {
-      val contrib = mass.join(edges, mass("doc_id") === edges("src"))
-        .select($"dst", expr(s"(mass * $DampNum) div ($DampDen * deg)").as("c"))
+      val contrib = mass.join(e, mass("doc_id") === e("src"))
+        .select($"dst", expr(contribExpr).as("c"))
         .groupBy($"dst").agg(sum($"c").as("inm"))
-      mass = nodes.join(contrib, nodes("doc_id") === contrib("dst"), "left")
-        .select(nodes("doc_id"),
+      mass = mass.join(contrib, mass("doc_id") === contrib("dst"), "left")
+        .select(mass("doc_id"), mass(carry),
           (lit(TeleportMass) + coalesce($"inm", lit(0L))).as("mass"))
         .localCheckpoint()
     }
-    nodes.join(mass, Seq("doc_id"))
-      .select($"doc_id", $"deg", $"mass".as("rank_ppm"))
+    mass.select($"doc_id", col(carry), $"mass".as("rank_ppm"))
       .orderBy($"doc_id")
   }
 
@@ -194,23 +235,9 @@ object Graph {
     * `nodes(doc_id, strength)` / `edges(src, dst, w, strength)`
     * (strength = the SENDER's incident-weight sum).
     */
-  private def pagerankWeightedLoop(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val spark = nodes.sparkSession
-    import spark.implicits._
-    var mass = nodes.select($"doc_id", lit(BaseMass).as("mass")).localCheckpoint()
-    for (_ <- 1 to PageRankIters) {
-      val contrib = mass.join(edges, mass("doc_id") === edges("src"))
-        .select($"dst", expr(s"(mass * $DampNum * w) div ($DampDen * strength)").as("c"))
-        .groupBy($"dst").agg(sum($"c").as("inm"))
-      mass = nodes.join(contrib, nodes("doc_id") === contrib("dst"), "left")
-        .select(nodes("doc_id"),
-          (lit(TeleportMass) + coalesce($"inm", lit(0L))).as("mass"))
-        .localCheckpoint()
-    }
-    nodes.join(mass, Seq("doc_id"))
-      .select($"doc_id", $"strength", $"mass".as("rank_ppm"))
-      .orderBy($"doc_id")
-  }
+  private def pagerankWeightedLoop(nodes: DataFrame, edges: DataFrame): DataFrame =
+    massLoop(nodes, edges, "strength",
+      s"(mass * $DampNum * w) div ($DampDen * strength)")
 
   /** Per-doc triangle membership over the span-sharing graph — the
     * layout carries per-endpoint degree, so orientation is a pure
