@@ -354,12 +354,11 @@ object Dedup {
     *
     * Scale shape: the hop loop is CONTROL only (no driver data) — each
     * round is one shuffle-on-key join + aggregate over the (tiny,
-    * post-LSH) edge relation. The edge frame and each round's labels
-    * are eagerly `localCheckpoint`ed: the label frame is consumed
-    * TWICE per round (propagation + merge), so without truncation the
-    * logical plan doubles every iteration — 2^hops subtree copies
-    * (measured: 182 s at sf0.001; ~2 s with checkpoints). On a cluster
-    * the same loop uses reliable `checkpoint` to HDFS.
+    * post-LSH) edge relation, served from persisted pre-partitioned
+    * loop relations ([[loopRelations]]) with the logical plan
+    * truncated every [[ClusterTruncateEvery]] hops
+    * ([[clustersOver]]). On a cluster the same loop uses reliable
+    * `checkpoint` to HDFS at the truncation points.
     */
   def clusters(spark: SparkSession, dir: String,
       threshold: Double = ClusterThreshold,
@@ -373,12 +372,30 @@ object Dedup {
       maxHops)
   }
 
+  /** Lineage-truncation cadence for [[clustersOver]]: [[hopNext]]
+    * consumes the label frame TWICE (propagation + merge), so the
+    * LOGICAL plan doubles every hop even though the DATA is served
+    * from the persisted cache — 2^hops subtree copies. At the 2-4
+    * hops near-clique dup graphs converge in, that's invisible; a
+    * graph that runs the full hop budget grows a 2^maxHops-node plan
+    * whose analysis and AQE plan-string rendering overwhelm the
+    * DRIVER (measured in the r11 10× scale sweep: the embedding
+    * near-dup graph ran past 4 hops and `explainString` inside
+    * `AdaptiveSparkPlanExec.onUpdatePlan` threw OutOfMemoryError
+    * while the executors were idle). Every K-th hop the label frame
+    * is frozen to a `LogicalRDD` and re-shaped to the persisted
+    * pre-partitioned loop invariant, bounding the plan at 2^K
+    * subtrees while the common converge-fast case keeps its
+    * 1-job/hop shape with zero extra materializations.
+    */
+  val ClusterTruncateEvery = 4
+
   /** The min-label-propagation core of [[clusters]] over an arbitrary
     * graph: `nodes` is a single-column `doc_id` frame, `edges` an
     * UNDIRECTED `(src, dst)` pair frame (symmetrised here). Shared by
     * the text (minhash) and embedding (cosine-LSH) dedup pipelines.
     */
-  private[operators] def clustersOver(nodes: DataFrame, edges: DataFrame,
+  private[graft] def clustersOver(nodes: DataFrame, edges: DataFrame,
       maxHops: Int): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
@@ -403,8 +420,28 @@ object Dedup {
       val next = hopNext(labels, sym).persist()
       converged = next.filter($"__changed").count() == 0L
       backing.unpersist(false)
-      backing = next
-      labels = next.drop("__changed")
+      if ((hop + 1) % ClusterTruncateEvery == 0 && !converged) {
+        // truncate lineage AND re-establish the loop invariant:
+        // localCheckpoint (reading the just-filled cache) cuts the
+        // plan to a LogicalRDD, but under AQE that LogicalRDD reports
+        // UnknownPartitioning whatever its blocks' real layout (the
+        // r11 finding, and it holds even for exchange-free cached
+        // scans — measured in PlanAudit11Spec's first draft of the
+        // truncation test), so the label side of [[loopRelations]] is
+        // re-run on the frozen frame: one repartition exchange + one
+        // cache fill per truncation buys back the 1-shuffle hop for
+        // the next K hops. Pinned by PlanAudit11Spec.
+        val n = spark.sessionState.conf.numShufflePartitions
+        val reparted = next.drop("__changed").localCheckpoint()
+          .repartition(n, $"doc_id").persist()
+        reparted.count()
+        next.unpersist(false)
+        labels = reparted
+        backing = reparted
+      } else {
+        labels = next.drop("__changed")
+        backing = next
+      }
       hop += 1
     }
     // freeze the final label table OUT of the cache (one job over a

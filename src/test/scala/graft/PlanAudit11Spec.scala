@@ -81,6 +81,52 @@ class PlanAudit11Spec extends SparkSpec {
     } finally { sym.unpersist(); labels.unpersist(); next.unpersist() }
   }
 
+  test("hop after a lineage truncation still shuffles exactly once") {
+    // the truncation clustersOver runs every ClusterTruncateEvery
+    // hops: localCheckpoint (lineage cut) + repartition + persist
+    // (the loop invariant re-established). A bare localCheckpoint is
+    // NOT enough — its LogicalRDD reports UnknownPartitioning under
+    // AQE even for an exchange-free cached scan (measured: the hop
+    // over it re-exchanges the label side, 2 shuffles) — so the
+    // truncated frame must be re-shaped like loopRelations' label
+    // side before the next hop reads it.
+    val (sym, labels) = loopFixture()
+    import spark.implicits._
+    val next = Dedup.hopNext(labels, sym).persist()
+    val n = spark.sessionState.conf.numShufflePartitions
+    val truncated = next.drop("__changed").localCheckpoint()
+      .repartition(n, $"doc_id").persist()
+    try {
+      next.count(); truncated.count()
+      next.unpersist()
+      val (nSh, plan) = shuffles(Dedup.hopNext(truncated, sym))
+      assert(nSh === 1,
+        s"the post-truncation hop lost the re-established partitioning:\n$plan")
+    } finally {
+      sym.unpersist(); labels.unpersist(); next.unpersist(); truncated.unpersist()
+    }
+  }
+
+  test("deep loop crosses truncation hops with exact labels and a bounded plan") {
+    import spark.implicits._
+    // a 20-node path runs the FULL 10-hop budget (diameter 19, no
+    // convergence), crossing truncations at hops 4 and 8 — the depth
+    // regime that OOM'd the driver at 10x before truncation existed.
+    // Depth-bounded min-label semantics on a path: label(i) after 10
+    // hops = max(1, i - 10), keeper = node 1 only.
+    val nodes = (1L to 20L).toDF("doc_id")
+    val edges = (1L until 20L).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = Dedup.clustersOver(nodes, edges, maxHops = 10)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val want = (1L to 20L).map(i => (i, math.max(1L, i - 10L), i == 1L))
+    assert(got.toSeq === want)
+    // the result plan must be truncation-backed (scan of a frozen
+    // relation), not a 2^10-subtree join tree
+    val planStr = out.queryExecution.optimizedPlan.toString
+    assert(planStr.length < 100000,
+      s"clustersOver result carries an unbounded logical plan (${planStr.length} chars)")
+  }
+
   test("triangles wedge join is exchange-free on both sides without broadcast") {
     import spark.implicits._
     // layout-shaped input: (doc_a, doc_b, deg_a, deg_b) — a K4 plus a
