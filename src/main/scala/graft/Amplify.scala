@@ -29,11 +29,17 @@ import org.apache.spark.sql.functions._
   *    The realistic shape: a real 10× crawl brings new content, not
   *    10 literal copies (which would grow posting lists 10× and pair
   *    cores 45× — a quadratic artifact of the copying, not of scale).
-  *  - **Embedding copies are cyclically rotated** by k positions: a
-  *    rotation is a permutation (orthogonal), so every intra-copy
-  *    cosine/distance is bit-identical to the base corpus while
-  *    cross-copy directions decorrelate — ten isometric images of the
-  *    corpus in different orientations. ANN probe sets are fixed
+  *  - **Embedding copies are signed rotations**: deterministic
+  *    per-coordinate sign flips (murmur3 `hash(i, k)` parity) composed
+  *    with a k-step cyclic shift. A signed permutation is an isometry,
+  *    so every intra-copy cosine/distance is bit-identical to the base
+  *    corpus while cross-copy directions genuinely decorrelate — ten
+  *    isometric images of the corpus in incompatible orientations. A
+  *    bare cyclic shift is NOT enough (measured, r11): shifting by k
+  *    leaves every vector's lag-k autocorrelation intact, so vectors
+  *    chained to their own images in neighbouring copies — 90% of the
+  *    10× near-dup graph's edges were cross-copy artifacts and
+  *    components spanned all ten copies. ANN probe sets are fixed
   *    (`vec_id < numQueries` lives only in copy 0), so query count
   *    stays constant while the indexed corpus scales.
   *  - **Dimension tables (region, nation) are NOT amplified** — at
@@ -76,11 +82,19 @@ object Amplify {
         "lang", "source").selectExpr(
         "doc_id", "text", "lang", "source",
         "CAST(length(text) AS BIGINT) AS n_chars")
-      case "embeddings" => df.selectExpr(
-        s"vec_id + ${k * VecShift} AS vec_id",
-        s"concat(slice(embedding, ${k + 1}, size(embedding) - $k), " +
-          s"slice(embedding, 1, $k)) AS embedding",
-        "label")
+      case "embeddings" =>
+        // signed rotation: flip coordinate i's sign iff hash(i, k) is
+        // odd, then shift by k — see the scaladoc. The transform is
+        // inlined twice by the two slices; fixture generation is a
+        // one-off over a model-sized table, so the re-evaluation is
+        // irrelevant here (it would not be in an operator).
+        val signed = s"transform(embedding, (x, i) -> " +
+          s"CASE WHEN pmod(hash(i, $k), 2) = 1 THEN -x ELSE x END)"
+        df.selectExpr(
+          s"vec_id + ${k * VecShift} AS vec_id",
+          s"concat(slice($signed, ${k + 1}, size(embedding) - $k), " +
+            s"slice($signed, 1, $k)) AS embedding",
+          "label")
       case "part" => df.selectExpr(
         s"p_partkey + ${k * PartShift} AS p_partkey",
         s"${suffixWords("p_name", k)} AS p_name",

@@ -17,13 +17,17 @@ object ScaleBench {
 
   /** The study set: the 12 most expensive surfaced queries (r10
     * verdict) spanning every heavy family — ER, ANN (brute + IVF+PQ +
-    * eval + MMR), regex projection, dedup pair cores, graph.
+    * eval + MMR), regex projection, dedup pair cores, graph — plus
+    * the embedding-cluster query whose DEEP min-label loop only the
+    * amplified fixture exercises (it OOM'd the driver at 10× before
+    * [[graft.operators.Dedup.ClusterTruncateEvery]] existed; keeping
+    * it in the study guards the truncation path against regression).
     */
   val StudyQueries: Seq[String] = Seq(
     "er_cluster", "er_match_full",
     "ann_cosine_topk", "ann_ivfpq_topk", "ann_recall_quantized", "ann_mmr_topk",
     "text_pii",
-    "dedup_lsh_recall", "dedup_ngram_jaccard",
+    "dedup_lsh_recall", "dedup_ngram_jaccard", "dedup_embedding_clusters",
     "graph_triangles", "graph_components", "graph_pagerank")
 
   /** The derive-once layouts, timed EXPLICITLY (they otherwise hide in

@@ -77,11 +77,13 @@ class ScaleInvarianceSpec extends SparkSpec {
     assert(fpCopies === 0L, "text fingerprints must not collide across copies")
   }
 
-  test("amplified embeddings: rotation preserves intra-copy geometry exactly") {
+  test("amplified embeddings: signed rotation preserves intra-copy geometry exactly") {
     import spark.implicits._
     val e = graft.engine.Tables.load(spark, amplified, "embeddings")
-    // copy-1 vectors are cyclic rotations: same norm, same pairwise
-    // dot products as copy 0 — check norms match base bit-for-bit
+    // copy-1 vectors are signed rotations (sign flips square away in
+    // the norm; the shift reorders the sum): same norm, same pairwise
+    // dot products as copy 0 — check norms match base to float-sum
+    // tolerance
     val nrm = org.apache.spark.sql.functions.expr(
       "aggregate(embedding, CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
     val baseNorms = e.filter($"vec_id" < Amplify.VecShift)
@@ -97,5 +99,38 @@ class ScaleInvarianceSpec extends SparkSpec {
       assert(math.abs(r.getDouble(1) - b) <= 1e-6 * (1.0 + math.abs(b)),
         s"rotation changed the norm of ${r.getLong(0)}")
     }
+  }
+
+  test("amplified embeddings: no vector near-dups its own image") {
+    import spark.implicits._
+    // the artifact the signed rotation exists to kill (measured r11):
+    // a bare k-step cyclic shift leaves every vector's lag-k
+    // autocorrelation intact, so vectors paired with their OWN images
+    // in other copies — 90% of the 10x near-dup graph was these
+    // self-image chains, components spanned all ten copies, and the
+    // min-label loop ran to depths no real dup graph reaches. With
+    // hash-parity sign flips the self-image cosine is a random signed
+    // sum: ZERO self-image pairs may survive the threshold. (Chance
+    // cross-copy pairs between DIFFERENT base vectors remain and are
+    // fine — dim-64 at threshold 0.35 is 2.8 sigma, and a real 10x
+    // crawl also brings new near-dup pairs; what it never brings is
+    // every vector duplicated into the next shard.)
+    val amp = graft.operators.Dedup.embeddingCosine(spark, amplified)
+      .withColumn("copy_a", org.apache.spark.sql.functions.expr(
+        s"vec_a div ${Amplify.VecShift}"))
+      .withColumn("copy_b", org.apache.spark.sql.functions.expr(
+        s"vec_b div ${Amplify.VecShift}"))
+    val selfImage = amp.filter($"copy_a" =!= $"copy_b")
+      .filter($"vec_a" % Amplify.VecShift === $"vec_b" % Amplify.VecShift)
+      .count()
+    assert(selfImage === 0L,
+      s"$selfImage vectors near-dup their own images across copies — " +
+        "the amplifier transform is not decorrelating")
+    // intra-copy edge mass mirrors the base exactly (the isometry),
+    // up to 6-dp rounding of reordered float dots at the threshold
+    val baseEdges = graft.operators.Dedup.embeddingCosine(spark, base).count()
+    val intra = amp.filter($"copy_a" === $"copy_b").count()
+    assert(math.abs(intra - 3L * baseEdges) <= 2L,
+      s"intra-copy edge mass drifted: $intra vs 3x$baseEdges")
   }
 }
