@@ -63,7 +63,12 @@ object Similarity {
       .withColumn("nrm", Vectors.norm($"emb"))
     val q = e.filter($"vec_id" < numQueries)
       .select($"vec_id".as("q_id"), $"emb".as("qe"), $"nrm".as("nq"))
-    q.join(e, $"vec_id" =!= $"q_id")
+    // the probe side is <= numQueries rows at ANY corpus size — hint
+    // it explicitly: left unhinted, Spark's size estimate for the
+    // filtered side grows with the corpus and the plan flips from
+    // broadcast-nested-loop to CartesianProduct right when the data
+    // gets big (measured r11b at 30x: 1.0 -> 16.4 s on the SQ twin)
+    broadcast(q).join(e, $"vec_id" =!= $"q_id")
       // native codegen'd dot (bit-identical to Vectors.dot — see
       // ArrayExpressionsSpec) for the q×n hot loop
       .withColumn("cos", round(ArrayExpressions.dot($"qe", $"emb") / ($"nq" * $"nrm"), 6))
@@ -420,7 +425,7 @@ object Similarity {
     val probes = e.filter($"vec_id" < numQueries)
       .select($"vec_id".as("q_id"), $"emb".as("qe"), $"nrm".as("nq"), $"iv")
       .crossJoin(centDf)
-      .withColumn("d", expr("aggregate(zip_with(iv, civ, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (s, t) -> s + t)"))
+      .withColumn("d", ArrayExpressions.sqDistL($"iv", $"civ"))
       .withColumn("crnk", row_number().over(
         Window.partitionBy($"q_id").orderBy($"d", $"cent_id")))
       .filter($"crnk" <= nProbe)
@@ -640,9 +645,9 @@ object Similarity {
     val e = e0.select($"vec_id", codes($"emb").as("vc"))
     val q = e.filter($"vec_id" < numQueries)
       .select($"vec_id".as("q_id"), $"vc".as("qc"))
-    q.join(e, $"vec_id" =!= $"q_id")
-      .withColumn("score", expr(
-        "aggregate(zip_with(qc, vc, (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x)"))
+    // fixed-size probe side: broadcast explicitly (see cosineTopKOver)
+    broadcast(q).join(e, $"vec_id" =!= $"q_id")
+      .withColumn("score", ArrayExpressions.dotL($"qc", $"vc"))
       .withColumn("rnk",
         row_number().over(Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id"))
           .cast("long"))
@@ -865,8 +870,7 @@ object Similarity {
       m <- 0 until PqSubspaces; c <- 0 until PqCentroids
     } yield (m.toLong, c.toLong, books(m)(c).toArray)).toDF("m", "scode", "civ")
     qsubs.join(broadcast(bookDf), Seq("m"))
-      .withColumn("pts", expr(
-        "aggregate(zip_with(qsub, civ, (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x)"))
+      .withColumn("pts", ArrayExpressions.dotL($"qsub", $"civ"))
       .select($"q_id", $"m", $"scode", $"pts")
   }
 
@@ -881,8 +885,7 @@ object Similarity {
       .join(coded, Seq("vec_id"))
       .join(broadcast(coded.filter($"vec_id" < numQueries)
         .select($"vec_id".as("q_id"), $"vc".as("qc"))), Seq("q_id"))
-      .withColumn("score", expr(
-        "aggregate(zip_with(qc, vc, (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x)"))
+      .withColumn("score", ArrayExpressions.dotL($"qc", $"vc"))
       .withColumn("rnk",
         row_number().over(Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id"))
           .cast("long"))
@@ -969,7 +972,7 @@ object Similarity {
     val probes = e.filter($"vec_id" < numQueries)
       .select($"vec_id".as("q_id"), $"iv")
       .crossJoin(centDf)
-      .withColumn("d", expr("aggregate(zip_with(iv, civ, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (s, t) -> s + t)"))
+      .withColumn("d", ArrayExpressions.sqDistL($"iv", $"civ"))
       .withColumn("crnk", row_number().over(
         Window.partitionBy($"q_id").orderBy($"d", $"cent_id")))
       .filter($"crnk" <= nProbe)
@@ -1022,8 +1025,7 @@ object Similarity {
       numQueries: Int = NumQueries, k: Int = TopK): DataFrame = {
     import spark.implicits._
     val coded = pqCodedFrame(spark, dir)
-    val codeDot = expr(
-      "aggregate(zip_with(qc, vc, (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x)")
+    val codeDot = ArrayExpressions.dotL($"qc", $"vc")
     val q = coded.filter($"vec_id" < numQueries)
       .select($"vec_id".as("q_id"), $"vc".as("qc"))
     val cand = broadcast(q).join(coded, $"vec_id" =!= $"q_id")
@@ -1111,7 +1113,7 @@ object Similarity {
     val probes = e.filter($"vec_id" < numQueries)
       .select($"vec_id".as("q_id"), $"iv")
       .crossJoin(centDf)
-      .withColumn("d", expr("aggregate(zip_with(iv, civ, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (s, t) -> s + t)"))
+      .withColumn("d", ArrayExpressions.sqDistL($"iv", $"civ"))
       .withColumn("crnk", row_number().over(
         Window.partitionBy($"q_id").orderBy($"d", $"cent_id")))
       .filter($"crnk" <= nProbe)
@@ -1133,8 +1135,7 @@ object Similarity {
       // query residual to each codebook entry — within a shared list
       // Σₘ ‖rq_m − code_m‖² approximates ‖x − y‖² exactly up to code
       // error, because x − y = rx − ry under the same centroid
-      .withColumn("pts", expr(
-        "aggregate(zip_with(qsub, bciv, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (s, x) -> s + x)"))
+      .withColumn("pts", ArrayExpressions.sqDistL($"qsub", $"bciv"))
       .select($"q_id", $"cent_id", $"m", $"scode", $"pts")
     // scan: only the probed lists' codes, keyed by (q, list, m, scode)
     val cand = broadcast(probes.select($"q_id", $"cent_id"))
@@ -1153,8 +1154,7 @@ object Similarity {
       .join(rcv.select($"vec_id", $"iv"), Seq("vec_id"))
       .join(broadcast(rcv.filter($"vec_id" < numQueries)
         .select($"vec_id".as("q_id"), $"iv".as("qiv"))), Seq("q_id"))
-      .withColumn("dist", expr(
-        "aggregate(zip_with(qiv, iv, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (s, x) -> s + x)"))
+      .withColumn("dist", ArrayExpressions.sqDistL($"qiv", $"iv"))
       .withColumn("rnk",
         row_number().over(Window.partitionBy($"q_id").orderBy($"dist", $"vec_id"))
           .cast("long"))
@@ -1216,7 +1216,7 @@ object Similarity {
     val probes = e.filter($"vec_id" < numQueries)
       .select($"vec_id".as("q_id"), $"iv")
       .crossJoin(centDf)
-      .withColumn("d", expr("aggregate(zip_with(iv, civ, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (s, t) -> s + t)"))
+      .withColumn("d", ArrayExpressions.sqDistL($"iv", $"civ"))
       .withColumn("crnk", row_number().over(
         Window.partitionBy($"q_id").orderBy($"d", $"cent_id")))
       .filter($"crnk" <= nProbe)
@@ -1289,9 +1289,7 @@ object Similarity {
     var v: IndexedSeq[Long] = IndexedSeq.fill(means.size)(1L)
     for (_ <- 1 to iters) {
       val u = cv
-        .withColumn("s", expr(
-          s"aggregate(zip_with(cvc, array(${v.mkString(", ")}), (a, b) -> a * b), " +
-            "CAST(0 AS BIGINT), (s, x) -> s + x)"))
+        .withColumn("s", ArrayExpressions.dotL($"cvc", lit(v.toArray)))
         .select($"s", posexplode($"cvc").as(Seq("dim", "x")))
         .groupBy($"dim").agg(sum($"s" * $"x").as("u"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -1320,11 +1318,8 @@ object Similarity {
     val (cv, v) = centeredAndDirection(spark, dir, iters)
     val vv = v.map(x => x * x).sum
     cv
-      .withColumn("s", expr(
-        s"aggregate(zip_with(cvc, array(${v.mkString(", ")}), (a, b) -> a * b), " +
-          "CAST(0 AS BIGINT), (s, x) -> s + x)"))
-      .withColumn("xx", expr(
-        "aggregate(zip_with(cvc, cvc, (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x)"))
+      .withColumn("s", ArrayExpressions.dotL($"cvc", lit(v.toArray)))
+      .withColumn("xx", ArrayExpressions.dotL($"cvc", $"cvc"))
       .agg(count(lit(1)).as("n_vecs"),
         sum(expr("CAST(s * s AS DECIMAL(38,0))")).as("ss"),
         sum(expr("CAST(xx AS DECIMAL(38,0))")).as("xx"))
@@ -1562,9 +1557,8 @@ object Similarity {
         .as("sk"))
     val q = sk.filter($"vec_id" < numQueries)
       .select($"vec_id".as("q_id"), $"sk".as("qs"))
-    val cand = q.join(sk, $"vec_id" =!= $"q_id")
-      .withColumn("sdot", expr(
-        "aggregate(zip_with(qs, sk, (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x)"))
+    val cand = broadcast(q).join(sk, $"vec_id" =!= $"q_id")
+      .withColumn("sdot", ArrayExpressions.dotL($"qs", $"sk"))
       .withColumn("crnk",
         row_number().over(Window.partitionBy($"q_id").orderBy($"sdot".desc, $"vec_id")))
       .filter($"crnk" <= RpCandK)
@@ -1573,8 +1567,7 @@ object Similarity {
       .join(coded, Seq("vec_id"))
       .join(broadcast(coded.filter($"vec_id" < numQueries)
         .select($"vec_id".as("q_id"), $"vc".as("qc"))), Seq("q_id"))
-      .withColumn("score", expr(
-        "aggregate(zip_with(qc, vc, (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x)"))
+      .withColumn("score", ArrayExpressions.dotL($"qc", $"vc"))
       .withColumn("rnk",
         row_number().over(Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id"))
           .cast("long"))

@@ -64,6 +64,96 @@ object ArrayExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Dot product of two ArrayType(LongType) columns — the quantized
+    * scoring kernel (SQ/PQ code dots are exact BIGINT arithmetic).
+    * Replaces `aggregate(zip_with(a, b, (x,y) -> x*y), 0, +)`, which
+    * Spark interprets per element AND allocates the zipped array per
+    * row — measured r11b on the 30× fixture: sqTopK's scoring join
+    * at 2.4× over linear purely from HOF allocation pressure; this
+    * kernel restored the linear exponent. Same caveats as
+    * [[DotProductD]]: min-truncates, null elements must not occur.
+    */
+  case class DotProductL(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+
+    override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_dot_l"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0L
+      var i = 0
+      while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+      s
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |${ev.value} = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  ${ev.value} += $a.getLong($i) * $b.getLong($i);
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Sum of squared differences of two ArrayType(LongType) columns —
+    * the integer L2 kernel of the IVF/PQ centroid-assignment and ADC
+    * paths. Replaces `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)),
+    * 0, +)` for the same reason as [[DotProductL]].
+    */
+  case class SqDistL(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+
+    override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_sqdist_l"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        val d = x.getLong(i) - y.getLong(i)
+        s += d * d
+        i += 1
+      }
+      s
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val d = ctx.freshName("d")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |${ev.value} = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $d = $a.getLong($i) - $b.getLong($i);
+           |  ${ev.value} += $d * $d;
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Hamming distance between two 64-bit signature halves packed as
     * longs (the SimHash near-dup comparator), codegen'd to Long.bitCount.
     */
@@ -278,6 +368,12 @@ object ArrayExpressions {
   /** Column builders (usable without any session registration). */
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProductD(Bridge.expression(a), Bridge.expression(b)))
+
+  def dotL(a: Column, b: Column): Column =
+    Bridge.column(DotProductL(Bridge.expression(a), Bridge.expression(b)))
+
+  def sqDistL(a: Column, b: Column): Column =
+    Bridge.column(SqDistL(Bridge.expression(a), Bridge.expression(b)))
 
   def hamming64(a: Column, b: Column): Column =
     Bridge.column(HammingDistance64(Bridge.expression(a), Bridge.expression(b)))
