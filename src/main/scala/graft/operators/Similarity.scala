@@ -98,7 +98,8 @@ object Similarity {
     val e = embWithBucket(spark, dir, bits)
     val q = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"emb".as("qe"), $"nrm".as("nq"), $"bucket")
-    q.join(e, Seq("bucket"))
+    // fixed-size probe side: broadcast explicitly (see cosineTopKOver)
+    broadcast(q).join(e, Seq("bucket"))
       .filter($"vec_id" =!= $"q_id")
       .withColumn("cos", round(ArrayExpressions.dot($"qe", $"emb") / ($"nq" * $"nrm"), 6))
       .withColumn("rnk",
@@ -125,7 +126,8 @@ object Similarity {
     val q = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"emb".as("qe"), $"nrm".as("nq"),
         explode(Vectors.probeBuckets($"bucket", bits)).as("bucket"))
-    q.join(e, Seq("bucket"))
+    // fixed-size probe side: broadcast explicitly (see cosineTopKOver)
+    broadcast(q).join(e, Seq("bucket"))
       .filter($"vec_id" =!= $"q_id")
       .withColumn("cos", round(ArrayExpressions.dot($"qe", $"emb") / ($"nq" * $"nrm"), 6))
       .withColumn("rnk",
@@ -1397,7 +1399,8 @@ object Similarity {
     val q = e.filter($"vec_id" < numQueries)
       .select($"vec_id".as("q_id"), $"label".as("q_label"),
         $"emb".as("qe"), $"nrm".as("nq"))
-    q.join(e, $"vec_id" =!= $"q_id" && $"label" =!= $"q_label")
+    // fixed-size probe side: broadcast explicitly (see cosineTopKOver)
+    broadcast(q).join(e, $"vec_id" =!= $"q_id" && $"label" =!= $"q_label")
       .withColumn("cos", round(ArrayExpressions.dot($"qe", $"emb") / ($"nq" * $"nrm"), 6))
       .withColumn("rnk",
         row_number().over(Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id"))
