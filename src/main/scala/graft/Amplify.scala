@@ -32,8 +32,10 @@ import org.apache.spark.sql.functions._
   *  - **Embedding copies are signed rotations**: deterministic
   *    per-coordinate sign flips (murmur3 `hash(i, k)` parity) composed
   *    with a k-step cyclic shift. A signed permutation is an isometry,
-  *    so every intra-copy cosine/distance is bit-identical to the base
-  *    corpus while cross-copy directions genuinely decorrelate — ten
+  *    so every intra-copy cosine/distance equals the base corpus up to
+  *    float summation order (stable at the 6-dp rounding all
+  *    comparators use — ScaleInvarianceSpec pins exactly that
+  *    tolerance) while cross-copy directions genuinely decorrelate — ten
   *    isometric images of the corpus in incompatible orientations. A
   *    bare cyclic shift is NOT enough (measured, r11): shifting by k
   *    leaves every vector's lag-k autocorrelation intact, so vectors

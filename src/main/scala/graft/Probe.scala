@@ -2,7 +2,11 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Scratch dev probe — not part of the driver contract. */
+/** Scratch dev probe — not part of the driver contract. Each amplified
+  * fixture dir is guarded by an existence check (ADVICE r11: the
+  * unguarded version crashed with a load error on any checkout without
+  * the 10×/30× fixtures, and it compiles into the main artifact).
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = graft.engine.Tables.session(
@@ -13,7 +17,11 @@ object Probe {
       val t0 = System.nanoTime(); f
       println(f"[probe] $tag%-30s ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
-    for (dir <- Seq("/root/repo/target/scale10x", "/root/repo/target/scale30x")) {
+    val dirs = Seq("/root/repo/target/scale10x", "/root/repo/target/scale30x")
+      .filter(d => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d, "embeddings")))
+    if (dirs.isEmpty)
+      println("[probe] no amplified fixtures under target/ — run graft.Amplify first")
+    for (dir <- dirs) {
       println(s"== $dir")
       val e0 = graft.engine.Tables.load(spark, dir, "embeddings")
         .select($"vec_id", graft.functions.Vectors.toDouble($"embedding").as("emb"))
@@ -27,11 +35,14 @@ object Probe {
         graft.operators.Similarity.sqTopK(spark, dir)
           .write.format("noop").mode("overwrite").save())
     }
-    val df = graft.operators.Similarity.sqTopK(spark, "/root/repo/target/scale30x")
-    df.write.format("noop").mode("overwrite").save()
-    println(df.queryExecution.executedPlan.toString.linesIterator
-      .filter(l => l.contains("Join") || l.contains("Exchange") || l.contains("Window"))
-      .mkString("\n"))
+    // plan-shape dump for the largest available fixture
+    dirs.lastOption.foreach { dir =>
+      val df = graft.operators.Similarity.sqTopK(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      println(df.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("Join") || l.contains("Exchange") || l.contains("Window"))
+        .mkString("\n"))
+    }
     spark.stop()
   }
 }

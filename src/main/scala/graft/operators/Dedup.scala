@@ -394,9 +394,15 @@ object Dedup {
     * graph: `nodes` is a single-column `doc_id` frame, `edges` an
     * UNDIRECTED `(src, dst)` pair frame (symmetrised here). Shared by
     * the text (minhash) and embedding (cosine-LSH) dedup pipelines.
+    *
+    * `onHop` is a test seam: called with each hop's post-rewrite label
+    * frame so PlanAudit11Spec can observe plan growth DURING the loop
+    * (the final result is always a frozen LogicalRDD scan, so any
+    * boundedness assertion on it alone is vacuous).
     */
   private[graft] def clustersOver(nodes: DataFrame, edges: DataFrame,
-      maxHops: Int): DataFrame = {
+      maxHops: Int,
+      onHop: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     val (sym, labels0) = loopRelations(nodes, edges)
@@ -405,6 +411,13 @@ object Dedup {
     // as its successor is materialized, so the loop retains at most
     // two label generations plus the edge cache at any moment
     var backing = labels0
+    // truncation checkpoints pinned during the loop: each backs its
+    // reparted cache's recompute path, so blocks stay alive until the
+    // final freeze, then ALL are released (they leaked before — a
+    // long-lived session accumulated one node-sized block set per
+    // truncation, forever)
+    val truncCkpts = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.rdd.RDD[_]]
     // early exit: label propagation is monotone (labels only decrease),
     // so a round that changes nothing makes every later round a no-op —
     // identical labels to the full maxHops run. Near-clique dup
@@ -420,7 +433,11 @@ object Dedup {
       val next = hopNext(labels, sym).persist()
       converged = next.filter($"__changed").count() == 0L
       backing.unpersist(false)
-      if ((hop + 1) % ClusterTruncateEvery == 0 && !converged) {
+      // `hop + 1 < maxHops`: a truncation on the FINAL hop pays a
+      // localCheckpoint job + repartition exchange + cache fill whose
+      // result the post-loop freeze immediately discards
+      if ((hop + 1) % ClusterTruncateEvery == 0 && !converged
+          && hop + 1 < maxHops) {
         // truncate lineage AND re-establish the loop invariant:
         // localCheckpoint (reading the just-filled cache) cuts the
         // plan to a LogicalRDD, but under AQE that LogicalRDD reports
@@ -432,8 +449,11 @@ object Dedup {
         // cache fill per truncation buys back the 1-shuffle hop for
         // the next K hops. Pinned by PlanAudit11Spec.
         val n = spark.sessionState.conf.numShufflePartitions
-        val reparted = next.drop("__changed").localCheckpoint()
-          .repartition(n, $"doc_id").persist()
+        val ckpt = next.drop("__changed").localCheckpoint()
+        ckpt.queryExecution.analyzed.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        }.foreach(truncCkpts += _)
+        val reparted = ckpt.repartition(n, $"doc_id").persist()
         reparted.count()
         next.unpersist(false)
         labels = reparted
@@ -442,6 +462,7 @@ object Dedup {
         labels = next.drop("__changed")
         backing = next
       }
+      onHop(hop, labels)
       hop += 1
     }
     // freeze the final label table OUT of the cache (one job over a
@@ -451,6 +472,7 @@ object Dedup {
     val frozen = labels.localCheckpoint()
     backing.unpersist(false)
     sym.unpersist(false)
+    truncCkpts.foreach(_.unpersist(false))
     frozen
       .select($"doc_id", $"cluster_id", ($"doc_id" === $"cluster_id").as("is_keeper"))
       .orderBy($"doc_id")

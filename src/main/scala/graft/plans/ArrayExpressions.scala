@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -74,8 +74,12 @@ object ArrayExpressions {
     * [[DotProductD]]: min-truncates, null elements must not occur.
     */
   case class DotProductL(left: Expression, right: Expression)
-      extends BinaryExpression with ExpectsInputTypes {
+      extends BinaryExpression with ImplicitCastInputTypes {
 
+    // ImplicitCastInputTypes (not bare ExpectsInputTypes): an
+    // array<int> input — easy to produce through the generic *Over
+    // seams — widens to array<bigint> like Spark's own collection
+    // expressions instead of failing analysis (ADVICE r11)
     override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_dot_l"
@@ -114,7 +118,7 @@ object ArrayExpressions {
     * 0, +)` for the same reason as [[DotProductL]].
     */
   case class SqDistL(left: Expression, right: Expression)
-      extends BinaryExpression with ExpectsInputTypes {
+      extends BinaryExpression with ImplicitCastInputTypes {
 
     override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
     override def dataType: DataType = LongType

@@ -116,15 +116,52 @@ class PlanAudit11Spec extends SparkSpec {
     // hops = max(1, i - 10), keeper = node 1 only.
     val nodes = (1L to 20L).toDF("doc_id")
     val edges = (1L until 20L).map(i => (i, i + 1)).toDF("src", "dst")
-    val out = Dedup.clustersOver(nodes, edges, maxHops = 10)
+    // observe plan size DURING the loop via the onHop seam — the
+    // RESULT is always a frozen LogicalRDD scan, so asserting on it
+    // alone is vacuous (it passes even with in-loop truncation
+    // removed; r11 advice)
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val out = Dedup.clustersOver(nodes, edges, maxHops = 10,
+      onHop = (hop, labels) =>
+        sizes += hop -> labels.queryExecution.optimizedPlan.toString.length)
     val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     val want = (1L to 20L).map(i => (i, math.max(1L, i - 10L), i == 1L))
     assert(got.toSeq === want)
-    // the result plan must be truncation-backed (scan of a frozen
-    // relation), not a 2^10-subtree join tree
-    val planStr = out.queryExecution.optimizedPlan.toString
-    assert(planStr.length < 100000,
-      s"clustersOver result carries an unbounded logical plan (${planStr.length} chars)")
+    assert(sizes.map(_._1) === (0 until 10), "path-19 must run all 10 hops")
+    val byHop = sizes.toMap
+    // truncations fire at hops 3 and 7 ((hop+1)%4==0, hop+1<10): each
+    // must RESET the plan to the frozen baseline, smaller than the
+    // plan one hop earlier (without truncation the plan ~doubles/hop)
+    for (t <- Seq(3, 7))
+      assert(byHop(t) < byHop(t - 1),
+        s"hop $t did not truncate: ${byHop(t)} chars vs ${byHop(t - 1)} at hop ${t - 1}")
+    // and the growth pattern REPEATS per window: no hop anywhere in
+    // the loop exceeds 2x the first window's peak (measured shape:
+    // ~10k -> ~50k -> ~213k -> reset 572, then the same again) — with
+    // truncation removed, hops 4+ would compound past 1M chars
+    val firstWindowPeak = (0 until Dedup.ClusterTruncateEvery - 1).map(byHop).max
+    assert(sizes.map(_._2).max <= firstWindowPeak * 2,
+      s"plan growth escaped the truncation bound: ${sizes.mkString(", ")}")
+  }
+
+  test("no truncation is paid on the final hop (its result is discarded anyway)") {
+    import spark.implicits._
+    // maxHops = 4 on a path that cannot converge in 4 hops: hop 3 has
+    // (hop+1)%4==0 but hop+1==maxHops, so the guard must SKIP the
+    // localCheckpoint+repartition+cache cycle — observable as hop 3's
+    // plan being LARGER than hop 2's (still growing, not reset)
+    val nodes = (1L to 20L).toDF("doc_id")
+    val edges = (1L until 20L).map(i => (i, i + 1)).toDF("src", "dst")
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val out = Dedup.clustersOver(nodes, edges, maxHops = 4,
+      onHop = (hop, labels) =>
+        sizes += hop -> labels.queryExecution.optimizedPlan.toString.length)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val want = (1L to 20L).map(i => (i, math.max(1L, i - 4L), i == 1L))
+    assert(got.toSeq === want, "4-hop depth-bounded labels")
+    val byHop = sizes.toMap
+    assert(byHop(3) > byHop(2),
+      s"final hop paid a wasted truncation: ${byHop(3)} chars vs ${byHop(2)} at hop 2")
   }
 
   test("triangles wedge join is exchange-free on both sides without broadcast") {
