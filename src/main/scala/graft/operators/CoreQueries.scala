@@ -589,9 +589,11 @@ object CoreQueries {
     */
   def votesFromSource(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("graft.sources.VoteSource")
-      .option("nVoters", 5000).option("seed", 42).option("slices", 8)
-      .load()
+    // the exact frame fixtures/votes_dsv2 snapshots — the DuckDB
+    // oracle aggregates read_parquet over that snapshot, so this scan
+    // is hash-checked like every other inventory entry (the r11
+    // no_oracle gap); VoteSourceSpec pins live ≡ snapshot row-for-row
+    graft.tools.SnapshotFixtures.liveVotes(spark)
       .groupBy($"candidate_id")
       .agg(count(lit(1)).as("votes"))
       .orderBy($"votes".desc, $"candidate_id")
@@ -1017,5 +1019,14 @@ object CoreQueries {
         |       CAST(floor(o_totalprice / 50000.0) AS BIGINT) * 50000.0 AS lo,
         |       count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // the one non-star-schema entry: the oracle aggregates the
+    // committed golden snapshot of the deterministic DSv2 source
+    // (graft.tools.SnapshotFixtures regenerates it; VoteSourceSpec
+    // pins live scan ≡ snapshot), closing the r11 no_oracle gap
+    "src_votes_dsv2" ->
+      s"""SELECT candidate_id, count(*) AS votes
+        |FROM read_parquet('${graft.tools.SnapshotFixtures.VotesSnapshotDir}/*.parquet')
+        |GROUP BY candidate_id
+        |ORDER BY votes DESC, candidate_id""".stripMargin,
   )
 }

@@ -44,6 +44,24 @@ class VoteSourceSpec extends SparkSpec {
     assert(df.distinct().count() == 3L)
   }
 
+  test("committed golden snapshot matches the live scan row-for-row") {
+    // fixtures/votes_dsv2 is what the src_votes_dsv2 DuckDB oracle
+    // aggregates — if the source's row content ever changes, this test
+    // fails BEFORE the oracle mismatch does, with the fix spelled out
+    val dir = graft.tools.SnapshotFixtures.VotesSnapshotDir
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)),
+      s"golden snapshot missing — run `sbt \"runMain graft.tools.SnapshotFixtures\"`")
+    val live = graft.tools.SnapshotFixtures.liveVotes(spark)
+      .orderBy("vote_id").collect().map(_.toSeq).toSeq
+    val snap = spark.read.parquet(dir)
+      .select(graft.sources.VoteSource.schema.fieldNames.map(col): _*)
+      .orderBy("vote_id").collect().map(_.toSeq).toSeq
+    assert(live.size == 5000)
+    assert(live == snap,
+      "live DSv2 scan drifted from fixtures/votes_dsv2 — regenerate via " +
+        "`sbt \"runMain graft.tools.SnapshotFixtures\"` (the oracle reads the snapshot)")
+  }
+
   test("voted_at spacing is the reference 7-second walk from the global row index") {
     import spark.implicits._
     val ts = read(n = 100, slices = 4)
