@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Raw stdout for forked runs: sbt's default logger prefixes every line
+// with "[info] ", which breaks any line-anchored JSON parse of
+// graft.Bench's output (the driver's BENCH_r*.json recorded
+// parsed:null every round because no line ever STARTED with
+// '{"metric"').
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

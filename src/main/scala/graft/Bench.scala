@@ -1,6 +1,37 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Code-independent box-speed probe: a fixed CPU-bound codegen
+    * kernel plus one fixed shuffle, sizes frozen forever. Run at sweep
+    * start AND end, it turns wall-clock totals into comparable numbers
+    * across machine-speed epochs (r11: a +31% driver-bench drift was
+    * the BOX — the shared host slows after hours of sustained 32-core
+    * load — and nearly buried a real −10% code improvement). The probe
+    * never touches graft code or the fixture, so its drift can only be
+    * the machine's.
+    */
+  private[graft] def boxProbe(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 150000000L, 1L, 32)
+      .selectExpr("xxhash64(id) AS h")
+      .selectExpr("sum(h % 1024) AS s").collect()
+    spark.range(0L, 20000000L, 1L, 32)
+      .selectExpr("id % 1000000 AS k")
+      .groupBy("k").count()
+      .selectExpr("sum(count) AS s").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The probe's WARM wall-clock on this box in the r12 calibration
+    * epoch — the FIXED anchor every later round's box_factor is
+    * measured against (factor 1.0 = the epoch BENCH_r12 normalized
+    * against; >1.0 = the box is slower than that epoch). Warm = after
+    * one untimed priming probe; the cold first run carries ~1 s of
+    * JIT that has nothing to do with box speed.
+    */
+  private[graft] val BoxProbeRefSec = 2.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -56,6 +87,13 @@ object Bench {
     // the across-JVM environment jitter the r10 verdict asked to
     // characterize — each sweep prints its own full JSON line.
     val sweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "1").toInt
+    // box-speed probe brackets the sweep (skipped for BENCH_ONLY dev
+    // runs): both readings land in the JSON so a round-over-round
+    // total delta can be attributed to code vs machine epoch. One
+    // untimed priming probe first — the cold run pays ~1 s of JIT
+    // that would read as a slow box
+    val probeStart =
+      if (only.isEmpty) { boxProbe(spark); boxProbe(spark) } else -1.0
     def sweep(): Seq[(String, Double)] =
       benched.toSeq.sortBy(_._1).map { case (name, fn) =>
         spark.catalog.clearCache()
@@ -72,6 +110,12 @@ object Bench {
       }
     val allSweeps = (1 to sweeps).map(_ => sweep())
     val results = allSweeps.last
+    val probeEnd = if (only.isEmpty) boxProbe(spark) else -1.0
+    // box_factor > 1 = this box ran slower than the calibration epoch;
+    // value/box_factor is the epoch-normalized total
+    val boxFactor =
+      if (probeStart < 0) -1.0
+      else ((probeStart + probeEnd) / 2.0) / BoxProbeRefSec
     // 3-decimal (ms) per-query precision: the full-precision line grew
     // past the driver's log-tail capture window in r8 (BENCH_r08.json
     // recorded parsed:null) — millisecond resolution halves the value
@@ -86,7 +130,9 @@ object Bench {
       val succeeded = rs.filter(_._2 >= 0)
       val total = succeeded.map(_._2).sum
       val failed = rs.length - succeeded.length
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed$sweepTag,"queries":$qs,"sf":"$sfDir"}"""
+      val box = if (boxFactor < 0) "" else
+        s""","probe_start":${fmt(probeStart)},"probe_end":${fmt(probeEnd)},"box_factor":${fmt(boxFactor)},"value_norm":${fmt(total / boxFactor)}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed$box$sweepTag,"queries":$qs,"sf":"$sfDir"}"""
     }
     // with SWEEPS>1 every earlier sweep prints tagged; the LAST sweep
     // stays the untagged driver-contract line
@@ -101,8 +147,10 @@ object Bench {
     // a compact duplicate as the LAST stdout line: if the tail window
     // still cuts the full line above, a tail-anchored parse finds this
     // one intact; the per-query map survives in bench/bench_lines.jsonl
+    val compactBox = if (boxFactor < 0) "" else
+      s""","box_factor":${fmt(boxFactor)},"value_norm":${fmt(total / boxFactor)}"""
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"n_queries":${results.length},"queries_file":"bench/bench_lines.jsonl","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed$compactBox,"n_queries":${results.length},"queries_file":"bench/bench_lines.jsonl","sf":"$sfDir"}"""
     // the driver's BENCH_r{N}.json keeps only a truncated tail of this
     // line, so round-over-round per-query comparison was impossible
     // from the repo alone — persist every full line (append-only, one
