@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
@@ -218,6 +220,105 @@ object EventStreams {
       layoutDir: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(layoutDir)
       .select(col("doc_a"), col("doc_b"), col("n_shared_spans"))
+
+  /** DELTA COMPACTION for the maintained span layout —
+    * [[maintainSpanLayout]] appends one `b<batchId>` delta directory
+    * per micro-batch forever, and a long-lived stream degrades the
+    * read side into the classic streaming-lakehouse failure: thousands
+    * of small files, each a task, each a footer fetch. When the delta
+    * count passes `maxDeltas`, this rewrites base + deltas into ONE
+    * range-clustered base (the [[graft.engine.Layouts.writeSpanPairs]]
+    * physical shape: range-partitioned and sorted on `doc_a`, so
+    * row-group min/max pruning works on the compacted relation exactly
+    * like on the nightly layout). Pure rewrite, no re-aggregation —
+    * every (doc_a, doc_b) pair is emitted by exactly one batch, so the
+    * union is already duplicate-free.
+    *
+    * Contract: run BETWEEN micro-batches by the single layout
+    * maintainer (the same discipline every lakehouse OPTIMIZE
+    * requires). Batch-replay safety is inherited from the streaming
+    * checkpoint: foreachBatch only ever replays the LAST uncommitted
+    * batch, and compaction is only run after a batch commits, so a
+    * compacted delta can never be re-appended. The swap is staged for
+    * no-data-loss: the new base is written to a sibling tmp dir, the
+    * old generation is RENAMED to a sibling trash dir (both outside
+    * the reader's scope), the new base moves in, then trash is
+    * deleted — an interruption at any point leaves all rows in either
+    * the layout or the trash sibling, never deleted-but-unreplaced.
+    *
+    * Returns true iff a compaction ran. StreamingSpec pins pre ≡ post
+    * row equality and a bounded file count under an ingest-compact
+    * loop.
+    */
+  def compactSpanLayout(spark: org.apache.spark.sql.SparkSession,
+      layoutDir: String, maxDeltas: Int = 8, files: Int = 8): Boolean = {
+    import java.nio.file.{Files, Path, Paths}
+    val root = Paths.get(layoutDir)
+    if (!Files.isDirectory(root)) return false
+    def entries(p: Path): Seq[Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.toVector finally s.close()
+    }
+    val deltaCount = entries(root).count(p =>
+      Files.isDirectory(p) && p.getFileName.toString.matches("b\\d+"))
+    if (deltaCount < maxDeltas) return false
+    // 1. write the compacted generation OUTSIDE the reader's scope
+    val tmp = layoutDir + ".compacting"
+    readSpanLayoutDeltas(spark, layoutDir)
+      .repartitionByRange(files, col("doc_a"))
+      .sortWithinPartitions(col("doc_a"), col("doc_b"))
+      .write.mode("overwrite").parquet(tmp)
+    // 2. stage the old generation into a trash sibling (renames, no
+    // data destroyed), 3. move the new base in, 4. drop the trash
+    val trash = Paths.get(layoutDir + ".trash")
+    deleteRecursively(trash)
+    Files.createDirectories(trash)
+    entries(root).foreach(p =>
+      Files.move(p, trash.resolve(p.getFileName.toString)))
+    Files.move(Paths.get(tmp), root.resolve("base_0"))
+    deleteRecursively(trash)
+    true
+  }
+
+  /** The RocksDB state store provider — the scale choice for stateful
+    * streams: the default HDFS-backed store keeps every key in
+    * executor heap (state size is bounded by memory), while RocksDB
+    * spills to local disk with changelog checkpointing, which is what
+    * a 100 TB/day dedup or session-window state actually needs.
+    * Ships in Spark's own jars (rocksdbjni), so turning it on is ONE
+    * config — this constant plus [[withStateStoreProvider]] are the
+    * seam, and StreamingSpec runs the dedup + session-window contracts
+    * under it to pin batch ≡ stream on the scale store too.
+    */
+  val RocksDbStateStoreProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private val StateStoreProviderKey =
+    "spark.sql.streaming.stateStore.providerClass"
+
+  /** Run `f` with the given state store provider set, restoring the
+    * prior session value after — the provider is read at QUERY START,
+    * so queries started inside `f` get it and queries outside don't.
+    */
+  def withStateStoreProvider[A](spark: org.apache.spark.sql.SparkSession,
+      providerClass: String = RocksDbStateStoreProvider)(f: => A): A = {
+    val prior = spark.conf.getOption(StateStoreProviderKey)
+    spark.conf.set(StateStoreProviderKey, providerClass)
+    try f finally prior match {
+      case Some(p) => spark.conf.set(StateStoreProviderKey, p)
+      case None => spark.conf.unset(StateStoreProviderKey)
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(Files.delete)
+      finally s.close()
+    }
+  }
 
   /** Streaming QUALITY GATE — `TextAnalysis.filterDocs`' full verdict
     * (too_short / repetitive / boilerplate / keep, same constants,

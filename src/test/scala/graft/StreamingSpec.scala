@@ -3,6 +3,8 @@ package graft
 import java.nio.file.Files
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -846,11 +848,8 @@ class StreamingSpec extends SparkSpec {
   test("transformWithState tally equals the mapGroupsWithState tally (API parity)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     // transformWithState requires the RocksDB state store provider
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    EventStreams.withStateStoreProvider(spark) {
       val msgs = (0 until 40).map { i =>
         voteJson(s"w$i", s"v$i", s"c${i % 3}", s"Cand ${i % 3}", s"P${i % 3}",
           f"2024-05-01 10:${i % 60}%02d:00")
@@ -880,11 +879,68 @@ class StreamingSpec extends SparkSpec {
       val tws = runTally("tally_tws", EventStreams.runningTalliesTws)
       assert(tws == mgws)
       assert(mgws.values.map(_._1).sum == 40L)
-    } finally {
-      prev match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+    }
+  }
+
+  test("dedupVotes on the RocksDB state store matches the default-store contract") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same inputs as the default-store dedup test: redelivery +
+    // second-vote + fresh voter; the scale store must give the exact
+    // same survivors (state semantics are provider-independent — this
+    // pins that the one-config swap is really drop-in)
+    EventStreams.withStateStoreProvider(spark) {
+      val stream = MemoryStream[String]
+      stream.addData(Seq(
+        voteJson("t1", "v1", "c1", "A", "P", "2024-05-01 10:05:00"),
+        voteJson("t1", "v1", "c1", "A", "P", "2024-05-01 10:05:00"),
+        voteJson("t2", "v1", "c2", "B", "Q", "2024-05-01 10:06:00")))
+      val deduped = EventStreams.dedupVotes(EventStreams.parseVotes(stream.toDF()))
+      val q = deduped.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("dedup_rocks")
+        .option("checkpointLocation", ckpt()).start()
+      q.processAllAvailable()
+      // second micro-batch exercises cross-batch RocksDB state reuse
+      stream.addData(Seq(
+        voteJson("t2", "v1", "c2", "B", "Q", "2024-05-01 10:06:00"),
+        voteJson("t3", "v2", "c1", "A", "P", "2024-05-01 10:07:00")))
+      q.processAllAvailable()
+      q.stop()
+      assert(q.lastProgress.stateOperators.exists(
+        _.customMetrics.keySet().toArray.exists(_.toString.startsWith("rocksdb"))),
+        "state must actually run on the RocksDB provider")
+      val rows = spark.table("dedup_rocks")
+        .select("voter_id").collect().map(_.getString(0)).sorted
+      assert(rows.toSeq === Seq("v1", "v2"))
+    }
+  }
+
+  test("session_window on the RocksDB state store merges sessions like the default store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    EventStreams.withStateStoreProvider(spark) {
+      val stream = MemoryStream[String]
+      val agg = EventStreams.parseVotes(stream.toDF())
+        .withWatermark("voted_at", "1 hour")
+        .groupBy(session_window($"voted_at", "30 minutes"), $"candidate_id")
+        .agg(count(lit(1)).as("n"))
+        .select($"session_window.start".as("ws"), $"session_window.end".as("we"),
+          $"candidate_id", $"n")
+      val q = agg.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("sessions_rocks")
+        .option("checkpointLocation", ckpt()).start()
+      stream.addData(Seq(
+        voteJson("t1", "v1", "c1", "A", "P", "2024-05-01 10:00:00"),
+        voteJson("t2", "v2", "c1", "A", "P", "2024-05-01 10:10:00")))
+      q.processAllAvailable()
+      stream.addData(Seq(voteJson("t3", "v3", "c1", "A", "P", "2024-05-01 20:00:00")))
+      q.processAllAvailable()
+      stream.addData(Seq(voteJson("t4", "v4", "c1", "A", "P", "2024-05-02 10:00:00")))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("sessions_rocks").orderBy("ws")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString, r.getLong(3)))
+      assert(rows.head === ("2024-05-01 10:00:00.0", "2024-05-01 10:40:00.0", 2L))
     }
   }
 
@@ -997,5 +1053,70 @@ class StreamingSpec extends SparkSpec {
     assert(got === rows(TextAnalysis.sharedSpansOf(TextAnalysis.winnowOf(d))))
     // each pair was emitted by exactly one batch (disjoint deltas)
     assert(got.map(p => (p._1, p._2)).distinct.length === got.length)
+  }
+
+  test("span-layout compaction bounds the file count and preserves every row (3 cycles)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val dir = "/root/testdata/sf0.001"
+    val d = graft.engine.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val storeHalf = d.filter($"doc_id" % 2 === 0)
+    // six micro-batches over three ingest-compact cycles
+    val batches = (0 until 6).map(k => d.filter($"doc_id" % 12 === (2 * k + 1)))
+    val root = java.nio.file.Files.createTempDirectory("graft-spancompact").toString
+    val (storeDir, layoutDir) = (s"$root/store", s"$root/layout")
+    TextAnalysis.winnowOf(storeHalf).write.parquet(s"$storeDir/base")
+    TextAnalysis.sharedSpansOf(TextAnalysis.winnowOf(storeHalf))
+      .write.parquet(s"$layoutDir/base")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "n_shared_spans").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    def parquetFiles(): Int = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(layoutDir))
+      try s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    // sequential-ingest expectation accumulated alongside the stream
+    var expected = rows(TextAnalysis.sharedSpansOf(TextAnalysis.winnowOf(storeHalf)))
+    var store = TextAnalysis.winnowOf(storeHalf).localCheckpoint()
+    val stream = MemoryStream[(Long, String)]
+    val q = EventStreams.maintainSpanLayout(
+        stream.toDF().toDF("doc_id", "text"), storeDir, layoutDir)
+      .option("checkpointLocation", ckpt()).start()
+    for (cycle <- 0 until 3) {
+      for (k <- Seq(2 * cycle, 2 * cycle + 1)) {
+        val b = batches(k)
+        stream.addData(b.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+        q.processAllAvailable()
+        expected = (expected ++ rows(TextAnalysis.spanPairsIncremental(b, store))).sorted
+        store = store.unionByName(TextAnalysis.winnowOf(b)).localCheckpoint()
+      }
+      val pre = rows(EventStreams.readSpanLayoutDeltas(spark, layoutDir))
+      assert(pre === expected, s"cycle $cycle pre-compaction rows")
+      // 2 fresh deltas ≥ maxDeltas=2 → the compaction must fire
+      assert(EventStreams.compactSpanLayout(spark, layoutDir, maxDeltas = 2, files = 2),
+        s"cycle $cycle: compaction should have fired")
+      assert(rows(EventStreams.readSpanLayoutDeltas(spark, layoutDir)) === pre,
+        s"cycle $cycle: compaction must not change the relation")
+      // the layout is ONE generation again: a fixed file budget no
+      // matter how many batches ever streamed in
+      assert(parquetFiles() <= 2,
+        s"cycle $cycle: file count must collapse to the range-write budget")
+      // nothing pending → an immediate second pass is a no-op
+      assert(!EventStreams.compactSpanLayout(spark, layoutDir, maxDeltas = 2, files = 2))
+    }
+    q.stop()
+    // the compacted base is range-clustered on doc_a like the nightly
+    // layout: each file covers a disjoint doc_a range (min/max pruning)
+    val perFile = spark.read.parquet(s"$layoutDir/base_0")
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"doc_a").as("lo"), max($"doc_a").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(perFile.sliding(2).forall {
+      case Array((_, hi1), (lo2, _)) => hi1 <= lo2
+      case _ => true
+    }, s"compacted files must cover disjoint doc_a ranges: ${perFile.mkString(",")}")
   }
 }
