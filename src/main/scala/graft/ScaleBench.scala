@@ -20,8 +20,8 @@ object ScaleBench {
     * eval + MMR), regex projection, dedup pair cores, graph — plus
     * the embedding-cluster query whose DEEP min-label loop only the
     * amplified fixture exercises (it OOM'd the driver at 10× before
-    * [[graft.operators.Dedup.ClusterTruncateEvery]] existed; keeping
-    * it in the study guards the truncation path against regression).
+    * the loop froze its label frame per hop; keeping it in the study
+    * guards the flat-plan loop against regression).
     */
   val StudyQueries: Seq[String] = Seq(
     "er_cluster", "er_match_full",

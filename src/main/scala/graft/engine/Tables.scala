@@ -89,6 +89,32 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 
+  /** Run `f` with adaptive query execution OFF, restoring the prior
+    * value after. For ITERATIVE drivers (min-label propagation,
+    * power iteration) whose relations are already statically
+    * pre-partitioned, AQE is pure per-hop overhead: every hop's action
+    * fans into one job PER QUERY STAGE (measured r12: 4–6 listener
+    * jobs/hop instead of 1, ~25 ms of driver planning per job), it
+    * re-plans a plan whose shape never changes, and its
+    * AdaptiveSparkPlanExec reports UnknownPartitioning on
+    * localCheckpoint frames — the r11 finding that forced the
+    * repartition-after-truncation dance. With AQE off inside the loop
+    * window the static planner honors the persisted relations'
+    * partitioning, checkpoints KEEP their partitioning, and each hop
+    * is one job. Non-loop queries keep session AQE untouched.
+    *
+    * The toggle is session-conf mutation, so the window must not
+    * overlap concurrent query submission on the same session — true
+    * for the bench/verify drivers (sequential) and the operator call
+    * sites (one loop at a time).
+    */
+  def withAqeOff[A](spark: SparkSession)(f: => A): A = {
+    val key = "spark.sql.adaptive.enabled"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try f finally spark.conf.set(key, prior)
+  }
+
   /** Session builder used by library entry points when the caller does
     * not supply one. 32 shuffle partitions to match local[32]; AQE on
     * so skew/coalesce decisions re-plan at runtime (the 100 TB posture:

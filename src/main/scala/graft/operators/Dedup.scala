@@ -354,11 +354,11 @@ object Dedup {
     *
     * Scale shape: the hop loop is CONTROL only (no driver data) — each
     * round is one shuffle-on-key join + aggregate over the (tiny,
-    * post-LSH) edge relation, served from persisted pre-partitioned
-    * loop relations ([[loopRelations]]) with the logical plan
-    * truncated every [[ClusterTruncateEvery]] hops
-    * ([[clustersOver]]). On a cluster the same loop uses reliable
-    * `checkpoint` to HDFS at the truncation points.
+    * post-LSH) edge relation against the pre-partitioned persisted
+    * edge cache, with the label frame eagerly frozen to a LogicalRDD
+    * every hop so the plan never grows ([[clustersOver]]). On a
+    * cluster the same loop uses reliable `checkpoint` to HDFS for the
+    * per-hop freeze.
     */
   def clusters(spark: SparkSession, dir: String,
       threshold: Double = ClusterThreshold,
@@ -372,23 +372,17 @@ object Dedup {
       maxHops)
   }
 
-  /** Lineage-truncation cadence for [[clustersOver]]: [[hopNext]]
-    * consumes the label frame TWICE (propagation + merge), so the
-    * LOGICAL plan doubles every hop even though the DATA is served
-    * from the persisted cache — 2^hops subtree copies. At the 2-4
-    * hops near-clique dup graphs converge in, that's invisible; a
-    * graph that runs the full hop budget grows a 2^maxHops-node plan
-    * whose analysis and AQE plan-string rendering overwhelm the
-    * DRIVER (measured in the r11 10× scale sweep: the embedding
-    * near-dup graph ran past 4 hops and `explainString` inside
-    * `AdaptiveSparkPlanExec.onUpdatePlan` threw OutOfMemoryError
-    * while the executors were idle). Every K-th hop the label frame
-    * is frozen to a `LogicalRDD` and re-shaped to the persisted
-    * pre-partitioned loop invariant, bounding the plan at 2^K
-    * subtrees while the common converge-fast case keeps its
-    * 1-job/hop shape with zero extra materializations.
-    */
-  val ClusterTruncateEvery = 4
+  // r11 historical note, load-bearing for why [[clustersOver]] freezes
+  // EVERY hop: [[hopNext]] consumes the label frame twice (propagation
+  // + merge), so without freezing, the logical plan doubles per hop —
+  // 2^hops subtree copies whose analysis and AQE plan-string rendering
+  // overwhelm the DRIVER (measured in the r11 10× scale sweep:
+  // `explainString` inside `AdaptiveSparkPlanExec.onUpdatePlan` threw
+  // OutOfMemoryError while the executors were idle). r11 bounded the
+  // growth with persisted relations + every-4-hop truncation because
+  // under AQE a checkpoint loses its partitioning; r12 runs the loop
+  // under the static planner, where a per-hop eager localCheckpoint
+  // keeps both the partitioning and a CONSTANT-size plan.
 
   /** The min-label-propagation core of [[clusters]] over an arbitrary
     * graph: `nodes` is a single-column `doc_id` frame, `edges` an
@@ -405,74 +399,68 @@ object Dedup {
       onHop: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    val (sym, labels0) = loopRelations(nodes, edges)
-    var labels = labels0
-    // the persisted handle currently backing `labels` — freed as soon
-    // as its successor is materialized, so the loop retains at most
-    // two label generations plus the edge cache at any moment
-    var backing = labels0
-    // truncation checkpoints pinned during the loop: each backs its
-    // reparted cache's recompute path, so blocks stay alive until the
-    // final freeze, then ALL are released (they leaked before — a
-    // long-lived session accumulated one node-sized block set per
-    // truncation, forever)
-    val truncCkpts = scala.collection.mutable.ListBuffer
-      .empty[org.apache.spark.rdd.RDD[_]]
-    // early exit: label propagation is monotone (labels only decrease),
-    // so a round that changes nothing makes every later round a no-op —
-    // identical labels to the full maxHops run. Near-clique dup
-    // components converge in 2-3 hops; the cap still bounds the
-    // pathological chain exactly like the oracle's depth-bounded walk.
-    var hop = 0
-    var converged = false
-    while (hop < maxHops && !converged) {
-      // LAZY persist + convergence count in ONE action: the count job
-      // computes every partition of `next`, which fills the cache as a
-      // side effect — one job per hop where an eager materialization
-      // followed by a separate convergence scan costs two.
-      val next = hopNext(labels, sym).persist()
-      converged = next.filter($"__changed").count() == 0L
-      backing.unpersist(false)
-      // `hop + 1 < maxHops`: a truncation on the FINAL hop pays a
-      // localCheckpoint job + repartition exchange + cache fill whose
-      // result the post-loop freeze immediately discards
-      if ((hop + 1) % ClusterTruncateEvery == 0 && !converged
-          && hop + 1 < maxHops) {
-        // truncate lineage AND re-establish the loop invariant:
-        // localCheckpoint (reading the just-filled cache) cuts the
-        // plan to a LogicalRDD, but under AQE that LogicalRDD reports
-        // UnknownPartitioning whatever its blocks' real layout (the
-        // r11 finding, and it holds even for exchange-free cached
-        // scans — measured in PlanAudit11Spec's first draft of the
-        // truncation test), so the label side of [[loopRelations]] is
-        // re-run on the frozen frame: one repartition exchange + one
-        // cache fill per truncation buys back the 1-shuffle hop for
-        // the next K hops. Pinned by PlanAudit11Spec.
-        val n = spark.sessionState.conf.numShufflePartitions
-        val ckpt = next.drop("__changed").localCheckpoint()
-        ckpt.queryExecution.analyzed.collectFirst {
-          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-        }.foreach(truncCkpts += _)
-        val reparted = ckpt.repartition(n, $"doc_id").persist()
-        reparted.count()
-        next.unpersist(false)
-        labels = reparted
-        backing = reparted
-      } else {
-        labels = next.drop("__changed")
-        backing = next
+    // the edge DERIVATION (LSH pair core, blocked scoring, …) is
+    // data-scaled one-pass work that WANTS runtime re-planning — run
+    // it under session AQE before the loop window opens
+    val e0 = edges.toDF("src", "dst").localCheckpoint()
+    // the LOOP runs with AQE off ([[graft.engine.Tables.withAqeOff]]):
+    // its relations are statically pre-partitioned, so adaptive
+    // re-planning buys nothing and costs 4-6 listener jobs + ~25 ms
+    // driver planning PER HOP (measured r12, LoopProbe) — and, the
+    // key unlock, under the static planner a localCheckpoint KEEPS
+    // its partitioning. That lets every hop freeze its label frame to
+    // a LogicalRDD eagerly (r10's flat-plan speed) WITHOUT the AQE
+    // UnknownPartitioning re-shuffle that r11 worked around with
+    // persisted relations + periodic truncation: the plan is
+    // constant-size at every hop, there is no cache churn, no
+    // CacheManager lookup over a growing lineage, and no truncation
+    // machinery at all. Per hop: one checkpoint job (the hop compute)
+    // plus one block-scan count for convergence.
+    def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }
-      onHop(hop, labels)
-      hop += 1
+    val frozen = graft.engine.Tables.withAqeOff(spark) {
+      val (sym, labels0) = loopRelationsFrom(spark, nodes, e0)
+      var labels = labels0
+      // the checkpoint generation backing `labels` — freed as soon as
+      // its successor is materialized, so the loop retains at most two
+      // label generations plus the edge cache at any moment
+      var backing: Option[org.apache.spark.rdd.RDD[_]] = None
+      // early exit: label propagation is monotone (labels only
+      // decrease), so a round that changes nothing makes every later
+      // round a no-op — identical labels to the full maxHops run.
+      // Near-clique dup components converge in 2-3 hops; the cap still
+      // bounds the pathological chain exactly like the oracle's
+      // depth-bounded walk.
+      var hop = 0
+      var converged = false
+      while (hop < maxHops && !converged) {
+        // LAZY checkpoint + convergence count in ONE action: the count
+        // computes every partition of the checkpoint RDD, which stores
+        // its blocks as a side effect — one job per hop where an eager
+        // checkpoint followed by a separate convergence scan costs two
+        // (measured r12: the extra block-scan count job was 30-60 ms
+        // of pure job latency per hop)
+        val next = hopNext(labels, sym).localCheckpoint(eager = false)
+        converged = next.filter($"__changed").count() == 0L
+        backing.foreach(_.unpersist(false))
+        backing = ckptRdd(next)
+        labels = next
+        onHop(hop, labels)
+        hop += 1
+      }
+      labels0.unpersist(false)
+      sym.unpersist(false)
+      // e0 backs evicted sym partitions during the loop; after sym is
+      // dropped its blocks are dead too
+      ckptRdd(e0).foreach(_.unpersist(false))
+      // `labels` is already a frozen LogicalRDD (or the tiny labels0
+      // for maxHops=0) — no extra freeze job; its blocks stay alive
+      // for the caller and are model-lifetime like every other
+      // operator output
+      labels
     }
-    // freeze the final label table OUT of the cache (one job over a
-    // node-sized relation), then release every block the loop pinned —
-    // a long-lived session runs many cluster queries and the
-    // CacheManager never drops relations on its own
-    val frozen = labels.localCheckpoint()
-    backing.unpersist(false)
-    sym.unpersist(false)
-    truncCkpts.foreach(_.unpersist(false))
     frozen
       .select($"doc_id", $"cluster_id", ($"doc_id" === $"cluster_id").as("is_keeper"))
       .orderBy($"doc_id")
@@ -509,16 +497,37 @@ object Dedup {
       edges: DataFrame): (DataFrame, DataFrame) = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    val e0 = edges.toDF("src", "dst").localCheckpoint()
+    val (sym, labels) =
+      loopRelationsFrom(spark, nodes, edges.toDF("src", "dst").localCheckpoint())
+    // materialize up front: an UNmaterialized InMemoryRelation under
+    // AQE wraps a non-final AdaptiveSparkPlan and reports
+    // UnknownPartitioning (r11) — callers of this entry run hops under
+    // the session's adaptive planner (PlanAudit11Spec pins both modes)
+    sym.count(); labels.count()
+    (sym, labels)
+  }
+
+  /** [[loopRelations]] over an ALREADY-checkpointed edge relation —
+    * the split [[clustersOver]] uses so the (data-scaled) edge
+    * derivation runs under session AQE while the loop relations and
+    * hops build under the static planner.
+    *
+    * Both caches stay LAZY here (hop 1's single job fills them):
+    * under the static planner an unmaterialized InMemoryRelation
+    * already reports its cached plan's partitioning, so the 1-shuffle
+    * hop shape needs no up-front count — that r11 requirement was
+    * AQE-only ([[loopRelations]] keeps the eager counts for callers
+    * running hops under the adaptive planner).
+    */
+  private[graft] def loopRelationsFrom(spark: SparkSession,
+      nodes: DataFrame, e0: DataFrame): (DataFrame, DataFrame) = {
+    import spark.implicits._
     val n = spark.sessionState.conf.numShufflePartitions
     val sym = e0.union(e0.select($"dst", $"src"))
       .repartition(n, $"src").persist()
     val labels = nodes
       .withColumn("cluster_id", $"doc_id")
       .repartition(n, $"doc_id").persist()
-    // materialize both caches up front so the first hop measures as a
-    // hop, not as ingest (and so callers can free `e0`'s blocks early)
-    sym.count(); labels.count()
     (sym, labels)
   }
 
@@ -527,6 +536,12 @@ object Dedup {
     * The hop's output keeps the left (labels) side's partitioning, so
     * the doc_id-hash invariant [[loopRelations]] establishes survives
     * every rewrite and later hops stay one-shuffle too.
+    *
+    * (A frontier variant — propagating only `__changed` rows, which is
+    * hop-exact because min is idempotent — was measured in r12 and
+    * REJECTED: dup/span graphs are dense near-cliques whose frontier
+    * stays >95% of nodes until convergence, so the filter bought
+    * nothing and its extra plan nodes cost ~15% per hop.)
     */
   private[graft] def hopNext(labels: DataFrame, sym: DataFrame): DataFrame = {
     import labels.sparkSession.implicits._

@@ -81,45 +81,58 @@ class PlanAudit11Spec extends SparkSpec {
     } finally { sym.unpersist(); labels.unpersist(); next.unpersist() }
   }
 
-  test("hop after a lineage truncation still shuffles exactly once") {
-    // the truncation clustersOver runs every ClusterTruncateEvery
-    // hops: localCheckpoint (lineage cut) + repartition + persist
-    // (the loop invariant re-established). A bare localCheckpoint is
-    // NOT enough — its LogicalRDD reports UnknownPartitioning under
-    // AQE even for an exchange-free cached scan (measured: the hop
-    // over it re-exchanges the label side, 2 shuffles) — so the
-    // truncated frame must be re-shaped like loopRelations' label
-    // side before the next hop reads it.
-    val (sym, labels) = loopFixture()
-    import spark.implicits._
-    val next = Dedup.hopNext(labels, sym).persist()
-    val n = spark.sessionState.conf.numShufflePartitions
-    val truncated = next.drop("__changed").localCheckpoint()
-      .repartition(n, $"doc_id").persist()
-    try {
-      next.count(); truncated.count()
-      next.unpersist()
-      val (nSh, plan) = shuffles(Dedup.hopNext(truncated, sym))
-      assert(nSh === 1,
-        s"the post-truncation hop lost the re-established partitioning:\n$plan")
-    } finally {
-      sym.unpersist(); labels.unpersist(); next.unpersist(); truncated.unpersist()
+  test("hop after a lineage truncation still shuffles exactly once (static-planner loop)") {
+    // clustersOver's loop runs with AQE OFF (r12): under the static
+    // planner a bare localCheckpoint CAPTURES the hop output's
+    // doc_id-hash partitioning — no repartition, no extra cache — and
+    // the next hop stays one-shuffle. (Under AQE the same checkpoint
+    // reports UnknownPartitioning and the hop re-exchanges the label
+    // side — the r11 finding that used to force a
+    // checkpoint+repartition+persist cycle per truncation.)
+    graft.engine.Tables.withAqeOff(spark) {
+      val (sym, labels) = loopFixture()
+      val next = Dedup.hopNext(labels, sym).persist()
+      val truncated = next.drop("__changed").localCheckpoint()
+      try {
+        next.unpersist()
+        val (nSh, plan) = shuffles(Dedup.hopNext(truncated, sym))
+        assert(nSh === 1,
+          s"the post-truncation hop lost the checkpoint-captured partitioning:\n$plan")
+      } finally {
+        sym.unpersist(); labels.unpersist(); next.unpersist()
+      }
     }
   }
 
-  test("deep loop crosses truncation hops with exact labels and a bounded plan") {
+  test("the full hop is one shuffle under the static planner too (the loop's regime)") {
+    graft.engine.Tables.withAqeOff(spark) {
+      val (sym, labels) = loopFixture()
+      val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val (n, plan) = shuffles(Dedup.hopNext(labels, sym))
+        assert(n === 1,
+          s"static-planner hop over pre-partitioned persisted relations " +
+            s"must shuffle only for the min-label aggregate, saw $n:\n$plan")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        sym.unpersist(); labels.unpersist()
+      }
+    }
+  }
+
+  test("deep loop runs all 10 hops with exact labels and a FLAT per-hop plan") {
     import spark.implicits._
     // a 20-node path runs the FULL 10-hop budget (diameter 19, no
-    // convergence), crossing truncations at hops 4 and 8 — the depth
-    // regime that OOM'd the driver at 10x before truncation existed.
-    // Depth-bounded min-label semantics on a path: label(i) after 10
-    // hops = max(1, i - 10), keeper = node 1 only.
+    // convergence) — the depth regime that OOM'd the driver at 10x
+    // when the per-hop plan was allowed to grow. Depth-bounded
+    // min-label semantics on a path: label(i) after 10 hops =
+    // max(1, i - 10), keeper = node 1 only.
     val nodes = (1L to 20L).toDF("doc_id")
     val edges = (1L until 20L).map(i => (i, i + 1)).toDF("src", "dst")
     // observe plan size DURING the loop via the onHop seam — the
     // RESULT is always a frozen LogicalRDD scan, so asserting on it
-    // alone is vacuous (it passes even with in-loop truncation
-    // removed; r11 advice)
+    // alone is vacuous (r11 advice)
     val sizes = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     val out = Dedup.clustersOver(nodes, edges, maxHops = 10,
       onHop = (hop, labels) =>
@@ -128,40 +141,26 @@ class PlanAudit11Spec extends SparkSpec {
     val want = (1L to 20L).map(i => (i, math.max(1L, i - 10L), i == 1L))
     assert(got.toSeq === want)
     assert(sizes.map(_._1) === (0 until 10), "path-19 must run all 10 hops")
-    val byHop = sizes.toMap
-    // truncations fire at hops 3 and 7 ((hop+1)%4==0, hop+1<10): each
-    // must RESET the plan to the frozen baseline, smaller than the
-    // plan one hop earlier (without truncation the plan ~doubles/hop)
-    for (t <- Seq(3, 7))
-      assert(byHop(t) < byHop(t - 1),
-        s"hop $t did not truncate: ${byHop(t)} chars vs ${byHop(t - 1)} at hop ${t - 1}")
-    // and the growth pattern REPEATS per window: no hop anywhere in
-    // the loop exceeds 2x the first window's peak (measured shape:
-    // ~10k -> ~50k -> ~213k -> reset 572, then the same again) — with
-    // truncation removed, hops 4+ would compound past 1M chars
-    val firstWindowPeak = (0 until Dedup.ClusterTruncateEvery - 1).map(byHop).max
-    assert(sizes.map(_._2).max <= firstWindowPeak * 2,
-      s"plan growth escaped the truncation bound: ${sizes.mkString(", ")}")
+    // every hop's label frame is an eagerly-frozen LogicalRDD, so the
+    // plan is CONSTANT-size across the whole loop: no hop may exceed
+    // 2x the first hop's (without the per-hop freeze the plan doubles
+    // per hop — hop 9 would be ~2^9 subtree copies)
+    val first = sizes.head._2
+    assert(sizes.map(_._2).max <= first * 2,
+      s"per-hop plan must stay flat: ${sizes.mkString(", ")}")
   }
 
-  test("no truncation is paid on the final hop (its result is discarded anyway)") {
+  test("a hop-budget that converges early exits with exact labels (4-hop cap)") {
     import spark.implicits._
-    // maxHops = 4 on a path that cannot converge in 4 hops: hop 3 has
-    // (hop+1)%4==0 but hop+1==maxHops, so the guard must SKIP the
-    // localCheckpoint+repartition+cache cycle — observable as hop 3's
-    // plan being LARGER than hop 2's (still growing, not reset)
     val nodes = (1L to 20L).toDF("doc_id")
     val edges = (1L until 20L).map(i => (i, i + 1)).toDF("src", "dst")
-    val sizes = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val hops = scala.collection.mutable.ArrayBuffer.empty[Int]
     val out = Dedup.clustersOver(nodes, edges, maxHops = 4,
-      onHop = (hop, labels) =>
-        sizes += hop -> labels.queryExecution.optimizedPlan.toString.length)
+      onHop = (hop, _) => hops += hop)
     val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     val want = (1L to 20L).map(i => (i, math.max(1L, i - 4L), i == 1L))
     assert(got.toSeq === want, "4-hop depth-bounded labels")
-    val byHop = sizes.toMap
-    assert(byHop(3) > byHop(2),
-      s"final hop paid a wasted truncation: ${byHop(3)} chars vs ${byHop(2)} at hop 2")
+    assert(hops.toSeq === Seq(0, 1, 2, 3), "the cap must bound the walk at 4 hops")
   }
 
   test("triangles wedge join is exchange-free on both sides without broadcast") {
