@@ -129,25 +129,29 @@ object Graph {
 
   /** The shared damped mass-passing loop: [[PageRankIters]] rounds of
     * `contribExpr` along each out-edge, summed per receiver, teleport
-    * term re-added. The asymmetry of the two loop relations decides
-    * their materialization (r11, measured both ways):
+    * term re-added. Like the min-label loop (Dedup.clustersOver), the
+    * rounds run UNDER THE STATIC PLANNER
+    * ([[graft.engine.Tables.withAqeOff]], r12): AQE fans each round's
+    * one action into several stage jobs and re-plans a shape that
+    * never changes, and — the load-bearing part — a `localCheckpoint`
+    * under AQE forgets its partitioning while the static planner keeps
+    * it, so the mass frame's per-round freeze preserves the doc_id
+    * hash layout and EVERY round is exchange-free except the receiver
+    * aggregate. The asymmetry of the two loop relations decides their
+    * materialization (r11, measured both ways):
     *
     *  - The EDGE relation is the big one and never changes — persist
     *    it pre-partitioned on `src` and leave it cached (CacheManager
     *    dedupes by canonical plan, so repeated pagerank calls in one
     *    session share one entry per fixture — the span-layout budget
-    *    class). Under AQE a `localCheckpoint` would report
-    *    `UnknownPartitioning` (the PlanAudit11Spec finding) and the
-    *    propagation join would re-shuffle the EDGE side every round in
-    *    the non-broadcast regime — the one shuffle that is ruinous at
-    *    100 TB.
+    *    class).
     *  - The MASS frame is node-sized and rewritten every round —
     *    per-round eager `localCheckpoint` (one job/round, lineage
-    *    cut). Its re-shuffle per round is node-sized, i.e. cheap at
-    *    every scale; a first full-persist draft of this loop
-    *    (edge+mass both persisted per call, unpersisted at exit) paid
-    *    per-call columnar-cache churn that MEASURED 2.3× slower at
-    *    sf0.1 for zero exchange savings in the broadcast regime.
+    *    cut, constant-size plan), previous generation's blocks freed
+    *    as the next materializes. A first full-persist draft of this
+    *    loop (edge+mass both persisted per call, unpersisted at exit)
+    *    paid per-call columnar-cache churn that MEASURED 2.3× slower
+    *    at sf0.1 for zero exchange savings in the broadcast regime.
     *
     * The mass frame carries the node's constant (`deg`/`strength`) so
     * the rewrite needs no nodes join and the final report is a pure
@@ -158,27 +162,36 @@ object Graph {
     val spark = nodes.sparkSession
     import spark.implicits._
     val n = spark.sessionState.conf.numShufflePartitions
-    // the sender's constant rides the MASS frame, so the edge relation
-    // drops its copy (it would be ambiguous in contribExpr after the
-    // propagation join) — edges keep only (src, dst [, w])
-    val e = edges.drop(carry).repartition(n, $"src").persist()
-    // materialize up front: an unmaterialized InMemoryRelation wraps a
-    // non-final AdaptiveSparkPlan and reports unknown partitioning, so
-    // round 1 would plan an extra edge shuffle (see trianglesOverDeg)
-    e.count()
-    var mass = nodes
-      .select($"doc_id", col(carry), lit(BaseMass).as("mass"))
-      .localCheckpoint()
-    for (_ <- 1 to PageRankIters) {
-      val contrib = mass.join(e, mass("doc_id") === e("src"))
-        .select($"dst", expr(contribExpr).as("c"))
-        .groupBy($"dst").agg(sum($"c").as("inm"))
-      mass = mass.join(contrib, mass("doc_id") === contrib("dst"), "left")
-        .select(mass("doc_id"), mass(carry),
-          (lit(TeleportMass) + coalesce($"inm", lit(0L))).as("mass"))
+    def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+    val last = graft.engine.Tables.withAqeOff(spark) {
+      // the sender's constant rides the MASS frame, so the edge
+      // relation drops its copy (it would be ambiguous in contribExpr
+      // after the propagation join) — edges keep only (src, dst [, w]).
+      // No eager count: under the static planner the unmaterialized
+      // InMemoryRelation already reports its plan's partitioning, and
+      // round 1's job fills the cache.
+      val e = edges.drop(carry).repartition(n, $"src").persist()
+      var mass = nodes
+        .select($"doc_id", col(carry), lit(BaseMass).as("mass"))
         .localCheckpoint()
+      var backing = ckptRdd(mass)
+      for (_ <- 1 to PageRankIters) {
+        val contrib = mass.join(e, mass("doc_id") === e("src"))
+          .select($"dst", expr(contribExpr).as("c"))
+          .groupBy($"dst").agg(sum($"c").as("inm"))
+        mass = mass.join(contrib, mass("doc_id") === contrib("dst"), "left")
+          .select(mass("doc_id"), mass(carry),
+            (lit(TeleportMass) + coalesce($"inm", lit(0L))).as("mass"))
+          .localCheckpoint()
+        backing.foreach(_.unpersist(false))
+        backing = ckptRdd(mass)
+      }
+      mass
     }
-    mass.select($"doc_id", col(carry), $"mass".as("rank_ppm"))
+    last.select($"doc_id", col(carry), $"mass".as("rank_ppm"))
       .orderBy($"doc_id")
   }
 
