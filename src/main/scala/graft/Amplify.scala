@@ -11,15 +11,14 @@ import org.apache.spark.sql.functions._
   * Design rules, per table:
   *
   *  - **Id shifts are multiples of every mod class the operators key
-  *    plants on** (doc_id mods {2,3,7,10,11,13,15,20,25} → lcm 300300;
+  *    plants on** (doc_id mods {2,3,7,10,11,13,15,20,25} → lcm 300300,
+  *    tripled — see [[DocShift]] for the plant-window clearance proof;
   *    p_partkey {3,64} → 20160; vec_id {2,17} → 2040; user_id
   *    {10,30,97,200,1000} → 291000; event_id {2..11,100,250,10000} →
   *    2310000), so every planted population (cascade copies, excerpt
   *    docs, ER noise classes, PII plants) reappears at the same
-  *    DENSITY in every copy. Shifted doc ids stay far below the 10⁶+
-  *    planted-shift windows (max copy-9 doc_id ≈ 2.7M sits ≥ 99k from
-  *    every `base + k·10⁶` image), so planted ids never collide with
-  *    base ids.
+  *    DENSITY in every copy, and shifted ordinary ids never alias an
+  *    operator-planted `id + j·10⁶` image at any copy count.
   *  - **Text copies are token-suffixed** (`w → w‖xk`): within a copy
   *    every dup/near-dup/span relationship of the base corpus is
   *    preserved exactly (suffixing is applied uniformly, so two texts
@@ -52,7 +51,18 @@ import org.apache.spark.sql.functions._
   * original.
   */
 object Amplify {
-  val DocShift = 300300L
+  /** 3 × lcm(2,3,7,10,11,13,15,20,25)=300300 — a multiple of every
+    * doc_id mod class the operators key-plant on, chosen so copy-k
+    * ordinary ids stay clear of every OPERATOR-planted `id + j·10⁶`
+    * window (j ≤ 8: Recrawl 1M … CascadeCase 8M) for ANY copy count:
+    * a collision needs d·900900 within ±(2·docCount) of j·10⁶ for
+    * some copy distance d, and only d ≤ 8 reaches j ≤ 8·10⁶, where
+    * the minimum clearance is 99 100 ≫ the 5 000-doc fixture. The r11
+    * value 300300 was safe only to 10 copies — at d=10 it lands 3 000
+    * from 3·10⁶ and the ×100 study's copies would alias Excerpt
+    * plants.
+    */
+  val DocShift = 900900L
   val PartShift = 20160L
   val VecShift = 2040L
   val UserShift = 291000L
@@ -92,10 +102,14 @@ object Amplify {
         // irrelevant here (it would not be in an operator).
         val signed = s"transform(embedding, (x, i) -> " +
           s"CASE WHEN pmod(hash(i, $k), 2) = 1 THEN -x ELSE x END)"
+        // shift by k mod dim: a k ≥ dim copy (the ×100 study) would
+        // otherwise slice past the array; the sign pattern already
+        // differs per k, so same-shift copies still decorrelate
+        val sh = s"pmod($k, size(embedding))"
         df.selectExpr(
           s"vec_id + ${k * VecShift} AS vec_id",
-          s"concat(slice($signed, ${k + 1}, size(embedding) - $k), " +
-            s"slice($signed, 1, $k)) AS embedding",
+          s"concat(slice($signed, $sh + 1, size(embedding) - $sh), " +
+            s"slice($signed, 1, $sh)) AS embedding",
           "label")
       case "part" => df.selectExpr(
         s"p_partkey + ${k * PartShift} AS p_partkey",
