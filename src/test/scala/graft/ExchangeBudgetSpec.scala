@@ -44,9 +44,9 @@ class ExchangeBudgetSpec extends SparkSpec {
     "text_quality" -> 1,
     "corpus_sample" -> 1,
     "er_match" -> 7,
-    // 7 relations × (parent distinct + join + 1-row agg) in the
-    // initial static plan; AQE's runtime reoptimization demotes the
-    // dimension joins to broadcasts after the first stages finish
+    // 7 relations × (child FK pre-aggregate + parent distinct + 1-row
+    // agg) in the initial static plan; the pre-aggregate keeps the
+    // join dimension-sized and the plan Expand-free (PlanAudit10Spec)
     "dq_fk_orphans" -> 21,
     "text_bpe_encode" -> 3,
     "mm_whash" -> 2,
