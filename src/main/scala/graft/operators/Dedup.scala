@@ -537,11 +537,18 @@ object Dedup {
     * the doc_id-hash invariant [[loopRelations]] establishes survives
     * every rewrite and later hops stay one-shuffle too.
     *
-    * (A frontier variant — propagating only `__changed` rows, which is
-    * hop-exact because min is idempotent — was measured in r12 and
-    * REJECTED: dup/span graphs are dense near-cliques whose frontier
-    * stays >95% of nodes until convergence, so the filter bought
-    * nothing and its extra plan nodes cost ~15% per hop.)
+    * (Two restructurings were measured in r12 and REJECTED. A frontier
+    * variant — propagating only `__changed` rows, hop-exact because
+    * min is idempotent — bought nothing: dup/span graphs are dense
+    * near-cliques whose frontier stays >95% of nodes until
+    * convergence, and its extra plan nodes cost ~15% per hop. A
+    * union-aggregate variant — folding the self label into the min as
+    * a unioned row to delete the rewrite join — was ~15% SLOWER
+    * interleaved-A/B'd at sf0.1: the rewrite join it removes runs on
+    * two node-sized co-partitioned frames (nearly free), while the
+    * union pushes every edge-propagated row through a wider two-
+    * function hash aggregate. The hop below is the measured floor;
+    * its remaining wall is per-job latency, not plan shape.)
     */
   private[graft] def hopNext(labels: DataFrame, sym: DataFrame): DataFrame = {
     import labels.sparkSession.implicits._
