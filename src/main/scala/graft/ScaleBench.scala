@@ -114,7 +114,13 @@ object ScaleBench {
       () => SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
 
-    val names = StudyQueries.filter(n => only.forall(_.contains(n)))
+    // SCALE_ONLY selects from the WHOLE surfaced inventory, not just
+    // the study set — any SparkEntry query can be spot-checked at the
+    // amplified scale without editing StudyQueries
+    val names = only match {
+      case Some(o) => SparkEntry.queries.keys.toSeq.sorted.filter(o.contains)
+      case None => StudyQueries
+    }
     val entries: Seq[(String, String => () => Unit)] =
       (names.map(n => n -> ((dir: String) => queryThunk(n, dir))) ++
         derivations(spark, base).map(_._1)
