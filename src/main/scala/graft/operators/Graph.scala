@@ -64,6 +64,20 @@ object Graph {
   private def spanPairs(spark: SparkSession, dir: String): DataFrame =
     spanPairsLayout(spark, dir).select("doc_a", "doc_b")
 
+  /** The [[components]] label table as a DERIVE-ONCE session layout —
+    * the downstream-report counterpart of [[spanPairsLayout]]: on a
+    * cluster, component labels are an ingest-time artifact (the CC
+    * loop runs once per corpus snapshot, never per consuming query),
+    * so reports that JOIN the labels — [[familyProfile]] today; any
+    * future per-family rollup — scan the materialization instead of
+    * re-iterating the loop. [[components]] itself stays live: its
+    * bench entry measures the loop's true cost, and the layout's
+    * first lookup pays exactly that derivation.
+    */
+  private[graft] def componentLabelsLayout(spark: SparkSession, dir: String): DataFrame =
+    graft.engine.Layouts.layoutOnce(spark, "comp-labels", dir, "doc_id", files = 4)(
+      components(spark, dir))
+
   /** Integer-exact PageRank over the span-sharing graph — see
     * [[pagerankOver]] for the iteration core. The layout carries each
     * endpoint's degree, so the edge relation needs NO degree
@@ -366,16 +380,17 @@ object Graph {
     * (distinct langs + the alphabetically-first one as the family's
     * headline language — min() not mode(), so the pick has a total
     * order on both engines). One join of the component labels against
-    * `documents` and one keyed aggregate; the labels frame is the
-    * already-iterated [[components]] output, so profiling adds a
-    * single shuffle on `cluster_id`.
+    * `documents` and one keyed aggregate; the labels come from
+    * [[componentLabelsLayout]] (derive-once, like every other layout
+    * consumer), so a profiling run after ingest is scan + join +
+    * one shuffle on `cluster_id` — it never re-iterates the CC loop.
     */
   def familyProfile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
       .select($"doc_id", $"lang", $"source", $"n_chars",
         size(split($"text", " ")).cast("long").as("n_tok"))
-    components(spark, dir)
+    componentLabelsLayout(spark, dir)
       .select($"doc_id", $"cluster_id")
       .join(docs, Seq("doc_id"))
       .groupBy($"cluster_id")

@@ -30,6 +30,23 @@ class GraphSpec extends SparkSpec {
       s"layout read re-derives the span graph:\n$plan")
   }
 
+  test("family profile reads component labels from a derive-once layout, scan-only") {
+    // the CC loop runs once per session (the layout's first lookup);
+    // the report's own plan is then a parquet scan + join + aggregate —
+    // no LogicalRDD from a fresh loop, no re-derivation (the equality
+    // of the layout against a LIVE components() run is pinned by
+    // "family profile aggregates every component member exactly once")
+    val a = Graph.componentLabelsLayout(spark, dir)
+    val b = Graph.componentLabelsLayout(spark, dir)
+    assert(a.inputFiles.nonEmpty)
+    assert(a.inputFiles.toSet === b.inputFiles.toSet,
+      "second lookup re-iterated the components loop")
+    val plan = Graph.familyProfile(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan parquet"), s"not a scan:\n$plan")
+    assert(!plan.contains("LogicalRDD") && !plan.contains("ExistingRDD"),
+      s"family profile re-ran the loop instead of scanning the layout:\n$plan")
+  }
+
   test("pagerank on a triangle is the exact fixed point (uniform mass forever)") {
     val got = Graph.pagerankOver(pairsOf((1L, 2L), (1L, 3L), (2L, 3L)))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
