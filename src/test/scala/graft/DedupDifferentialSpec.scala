@@ -29,6 +29,26 @@ class DedupDifferentialSpec extends SparkSpec {
         .orderBy("doc_a", "doc_b")))
   }
 
+  test("cluster-label layouts are row-identical to live loop runs, then scan-only") {
+    // the derive-once label layouts (Graph.componentLabelsLayout
+    // precedent): reports roll up labels without re-iterating the CC
+    // loop — the layout must serve exactly the live loop's rows, and
+    // a second lookup must reuse the materialized files
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val a = Dedup.clusterLabelsLayout(spark, dir)
+    assert(rows(a) === rows(Dedup.clusters(spark, dir)))
+    assert(a.inputFiles.toSet ===
+      Dedup.clusterLabelsLayout(spark, dir).inputFiles.toSet,
+      "second lookup re-iterated the cluster loop")
+    val e = Dedup.embeddingClusterLabelsLayout(spark, dir)
+    assert(rows(e) === rows(Dedup.embeddingClusters(spark, dir)))
+    val plan = Dedup.clusterSizes(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan parquet"), s"not a scan:\n$plan")
+    assert(!plan.contains("LogicalRDD") && !plan.contains("ExistingRDD"),
+      s"cluster-size rollup re-ran the loop instead of scanning the layout:\n$plan")
+  }
+
   test("shingle-pair layouts are row-identical to fresh derivations") {
     // the third derive-once layout family (r11): base pair core and
     // its excerpt-augmented twin must serve exactly the rows their
