@@ -246,12 +246,18 @@ object EventStreams {
     * deleted — an interruption at any point leaves all rows in either
     * the layout or the trash sibling, never deleted-but-unreplaced.
     *
+    * Triggers on delta COUNT (small-file pressure: each delta is at
+    * least one task + footer fetch regardless of size) OR on total
+    * delta BYTES (`maxDeltaBytes`, default unbounded — a few huge
+    * deltas degrade scan locality long before the count trips).
+    *
     * Returns true iff a compaction ran. StreamingSpec pins pre ≡ post
     * row equality and a bounded file count under an ingest-compact
-    * loop.
+    * loop, plus the bytes trigger firing below the count threshold.
     */
   def compactSpanLayout(spark: org.apache.spark.sql.SparkSession,
-      layoutDir: String, maxDeltas: Int = 8, files: Int = 8): Boolean = {
+      layoutDir: String, maxDeltas: Int = 8, files: Int = 8,
+      maxDeltaBytes: Long = Long.MaxValue): Boolean = {
     import java.nio.file.{Files, Path, Paths}
     val root = Paths.get(layoutDir)
     if (!Files.isDirectory(root)) return false
@@ -259,9 +265,11 @@ object EventStreams {
       val s = Files.list(p)
       try s.iterator().asScala.toVector finally s.close()
     }
-    val deltaCount = entries(root).count(p =>
+    val deltaDirs = entries(root).filter(p =>
       Files.isDirectory(p) && p.getFileName.toString.matches("b\\d+"))
-    if (deltaCount < maxDeltas) return false
+    val deltaBytes = deltaDirs.flatMap(entries)
+      .filter(Files.isRegularFile(_)).map(Files.size).sum
+    if (deltaDirs.size < maxDeltas && deltaBytes < maxDeltaBytes) return false
     // 1. write the compacted generation OUTSIDE the reader's scope
     val tmp = layoutDir + ".compacting"
     readSpanLayoutDeltas(spark, layoutDir)

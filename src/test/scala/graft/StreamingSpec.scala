@@ -1107,6 +1107,18 @@ class StreamingSpec extends SparkSpec {
       // nothing pending → an immediate second pass is a no-op
       assert(!EventStreams.compactSpanLayout(spark, layoutDir, maxDeltas = 2, files = 2))
     }
+    // the BYTES trigger: one more batch = 1 delta (below maxDeltas=2),
+    // but any non-empty delta exceeds a 1-byte budget — size pressure
+    // must fire the compaction on its own
+    stream.addData(Seq((9001L, "bytes trigger doc one two three four five six")))
+    q.processAllAvailable()
+    val preBytes = rows(EventStreams.readSpanLayoutDeltas(spark, layoutDir))
+    assert(!EventStreams.compactSpanLayout(spark, layoutDir, maxDeltas = 2, files = 2),
+      "count trigger must not fire at 1 delta")
+    assert(EventStreams.compactSpanLayout(spark, layoutDir, maxDeltas = 2, files = 2,
+      maxDeltaBytes = 1L), "bytes trigger must fire below the count threshold")
+    assert(rows(EventStreams.readSpanLayoutDeltas(spark, layoutDir)) === preBytes,
+      "bytes-triggered compaction must not change the relation")
     q.stop()
     // the compacted base is range-clustered on doc_a like the nightly
     // layout: each file covers a disjoint doc_a range (min/max pruning)
