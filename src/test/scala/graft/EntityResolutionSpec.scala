@@ -41,6 +41,17 @@ class EntityResolutionSpec extends SparkSpec {
     // uppercase class must be perfectly recovered
     val up = q.find(_.getAs[String]("noise_class") == "uppercase").get
     assert(up.getAs[Long]("n_correct") === up.getAs[Long]("n_mentions"))
+    // the report reads the derive-once matches layout: scan + rollup,
+    // no blocked re-scoring (the total===live-count assertion above is
+    // the layout-vs-live equality pin)
+    val again = EntityResolution.matchesLayout(spark, dir)
+    assert(again.inputFiles.nonEmpty &&
+      again.inputFiles.toSet === EntityResolution.matchesLayout(spark, dir).inputFiles.toSet,
+      "second lookup re-ran the blocked scoring")
+    val plan = EntityResolution.matchQuality(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan parquet") && !plan.contains("levenshtein"),
+      s"quality report must not re-score:\n$plan")
   }
 
   test("block profile pair fan-out is entities x mentions and the cap is honest") {
