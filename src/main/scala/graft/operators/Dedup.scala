@@ -1210,6 +1210,16 @@ object Dedup {
     * spec-pinned. Bounded 4-row output; one extra keyed aggregate
     * over the cascade relation.
     */
+  /** [[cascade]]'s per-doc attribution as a derive-once session
+    * layout — the stage verdicts are a once-per-snapshot artifact;
+    * [[cascadeStats]] rolls them up without re-running the three
+    * election passes. `dedup_cascade` stays live (its bench entry
+    * measures the cascade's true cost).
+    */
+  private[graft] def cascadeLayout(spark: SparkSession, dir: String): DataFrame =
+    graft.engine.Layouts.layoutOnce(spark, "cascade", dir, "doc_id", files = 4)(
+      cascade(spark, dir))
+
   def cascadeStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = docs(spark, dir).select($"doc_id", $"text")
@@ -1220,7 +1230,7 @@ object Dedup {
         .select(($"doc_id" + CascadeCaseShift).as("doc_id"),
           concat(upper($"text"), lit(" !!")).as("text")))
       .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))
-    cascade(spark, dir).join(corpus, Seq("doc_id"))
+    cascadeLayout(spark, dir).join(corpus, Seq("doc_id"))
       .groupBy($"stage")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
       .orderBy($"stage")

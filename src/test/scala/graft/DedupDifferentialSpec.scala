@@ -282,6 +282,11 @@ class DedupDifferentialSpec extends SparkSpec {
     byStage.foreach { case (st, n) => assert(stats(st)._1 === n, s"stage $st doc count") }
     assert(stats.values.map(_._1).sum === rows.length.toLong, "stage masses sum to corpus")
     assert(stats.values.forall(_._2 > 0L), "token mass present per stage")
+    // (the live-vs-stats agreement above is the cascadeLayout equality
+    // pin); the rollup itself must scan the layout, not re-elect
+    val plan = Dedup.cascadeStats(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan parquet"), s"not a scan:\n$plan")
+    assert(!plan.contains("md5"), s"stats rollup re-ran the fingerprint elections:\n$plan")
   }
 
   test("bloom prefilter: zero false negatives vs ground truth; driver recompute matches") {
