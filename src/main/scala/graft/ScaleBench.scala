@@ -129,6 +129,14 @@ object ScaleBench {
             derivations(spark, dir).find(_._1 == n).get._2)) :+
         fixedCatalogEntry(spark, base))
         .filter { case (n, _) => only.forall(_.contains(n)) }
+    // a SCALE_ONLY name matching nothing (a typo) must FAIL the run,
+    // not let the sweep report success having measured nothing
+    only.foreach { o =>
+      val unmatched = o -- entries.map(_._1).toSet
+      require(unmatched.isEmpty,
+        s"SPARK_GRAFT_SCALE_ONLY names match no query/derivation/" +
+          s"fixed-catalog entry: ${unmatched.toSeq.sorted.mkString(", ")}")
+    }
 
     val rows = entries.map { case (name, mk) =>
       val tSmall = median(mk(base))

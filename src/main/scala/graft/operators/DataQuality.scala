@@ -44,11 +44,17 @@ object DataQuality {
     * (one single-column columnar scan + a map-side-combining hash
     * aggregate) BEFORE the parent join, so the LEFT JOIN against the
     * parent's DISTINCT key projection runs on the child's distinct
-    * key domain — dimension-sized, not fact-sized — and the distinct
-    * orphan-key count becomes a plain `count` over already-unique
-    * keys (no countDistinct Expand anywhere in the plan). Parents
-    * broadcast; at 100 TB the only fact-scaled work per relation is
-    * the scan + partial aggregate of its one FK column, and relations
+    * key domain, and the distinct orphan-key count becomes a plain
+    * `count` over already-unique keys (no countDistinct Expand
+    * anywhere in the plan). For TRUE dimension FKs (nation, region,
+    * part, supplier, customer) that domain is dimension-sized and the
+    * parent broadcasts; for lineitem.l_orderkey → orders.o_orderkey
+    * the distinct FK domain is ORDER-scaled — at 100 TB that parent
+    * does not broadcast and the relation still pays one sort-merge
+    * shuffle on the key (the pre-aggregate caps it at the key domain,
+    * which is the floor for that audit). At 100 TB the fact-scaled
+    * work per relation is the scan + partial aggregate of its one FK
+    * column plus that one orders-sized join, and relations
     * audit independently (a fused one-scan-per-child variant was
     * measured SLOWER: parquet already reads each FK column exactly
     * once across the per-relation scans, so fusing saved no I/O and

@@ -267,8 +267,17 @@ object EventStreams {
     }
     val deltaDirs = entries(root).filter(p =>
       Files.isDirectory(p) && p.getFileName.toString.matches("b\\d+"))
-    val deltaBytes = deltaDirs.flatMap(entries)
-      .filter(Files.isRegularFile(_)).map(Files.size).sum
+    // the bytes trigger counts DATA files only (_SUCCESS/.crc
+    // bookkeeping would inflate it), and is skipped entirely under the
+    // default unbounded threshold — stat-ing every delta file on every
+    // check is pure waste when the count trigger is the only one armed
+    val deltaBytes =
+      if (maxDeltaBytes == Long.MaxValue) 0L
+      else deltaDirs.flatMap(entries)
+        .filter(p => Files.isRegularFile(p) && {
+          val n = p.getFileName.toString
+          !n.startsWith("_") && !n.startsWith(".")
+        }).map(Files.size).sum
     if (deltaDirs.size < maxDeltas && deltaBytes < maxDeltaBytes) return false
     // 1. write the compacted generation OUTSIDE the reader's scope
     val tmp = layoutDir + ".compacting"

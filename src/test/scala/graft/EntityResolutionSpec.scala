@@ -42,8 +42,13 @@ class EntityResolutionSpec extends SparkSpec {
     val up = q.find(_.getAs[String]("noise_class") == "uppercase").get
     assert(up.getAs[Long]("n_correct") === up.getAs[Long]("n_mentions"))
     // the report reads the derive-once matches layout: scan + rollup,
-    // no blocked re-scoring (the total===live-count assertion above is
-    // the layout-vs-live equality pin)
+    // no blocked re-scoring. The layout must serve EXACTLY the live
+    // scoring pass's rows (the DedupDifferentialSpec cluster-label
+    // standard), not just matching counts
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("mention_id").collect().map(_.toSeq).toSeq
+    assert(rows(EntityResolution.matchesLayout(spark, dir)) ===
+      rows(EntityResolution.matchMentions(spark, dir)))
     val again = EntityResolution.matchesLayout(spark, dir)
     assert(again.inputFiles.nonEmpty &&
       again.inputFiles.toSet === EntityResolution.matchesLayout(spark, dir).inputFiles.toSet,
