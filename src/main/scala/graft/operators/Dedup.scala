@@ -583,6 +583,132 @@ object Dedup {
         (coalesce($"nl", $"cluster_id") < $"cluster_id").as("__changed"))
   }
 
+  /** Hop budget for label-MAINTENANCE loops (the base-store
+    * derivation and [[clustersIncremental]]'s contracted merge).
+    * Maintenance needs TRUE components — a store holding a bounded
+    * ball instead of the real component representative would poison
+    * every later contraction — so the budget is generous and pairs
+    * with [[clustersOver]]'s convergence early-exit: a converged loop
+    * never runs past convergence + 1 hops, and the cap only bounds a
+    * pathological >64-diameter chain (far beyond any dup/span family;
+    * min-label needs at most the component diameter to converge).
+    */
+  val MaintenanceMaxHops = 64
+
+  /** INCREMENTAL component/cluster label maintenance — the daily-
+    * ingest verb the derive-once label layouts
+    * ([[clusterLabelsLayout]], [[graft.operators.Graph.componentLabelsLayout]])
+    * still lacked: given the persisted label STORE `(doc_id,
+    * cluster_id)` — complete and CONVERGED for yesterday's graph — and
+    * the new batch's undirected edges, produce updated labels for
+    * base+batch WITHOUT looping over the corpus. New edges can only
+    * MERGE whole stored components (never split them), so the stored
+    * graph CONTRACTS exactly: each component collapses to its
+    * representative label (= its min member id, so the min over merged
+    * representatives IS the global min), batch edges project onto
+    * representatives via one store lookup join, and the min-label loop
+    * ([[clustersOver]], unchanged) runs over the CONTRACTED graph
+    * only — nodes = touched components + never-seen batch docs, edges
+    * = the batch's projected pairs. Everything after the one
+    * endpoint-seed join is batch-scaled.
+    *
+    * This private core returns the two batch-scaled artifacts the
+    * public faces combine: labels for NEW nodes (docs history has
+    * never seen) and the `(old_rep, new_rep)` mapping for merged
+    * components (changed rows only — an untouched or merge-winning
+    * representative maps to itself and is dropped).
+    */
+  private def incrementalLabelCore(store: DataFrame, batchEdges: DataFrame,
+      maxHops: Int): (DataFrame, DataFrame) = {
+    val spark = store.sparkSession
+    import spark.implicits._
+    // the batch feeds the endpoint seed, the contraction join, and the
+    // new-node anti-join — materialize once (batch-scaled)
+    val batch = batchEdges.toDF("src", "dst").localCheckpoint()
+    val st = store.select($"doc_id", $"cluster_id")
+    val endpoints = batch.select($"src".as("doc_id"))
+      .union(batch.select($"dst")).distinct()
+    // the ONE store-probe of the whole operation: seed each batch
+    // endpoint with its stored representative (itself if never seen).
+    // At 100 TB this is a semi-join against a label table clustered on
+    // doc_id — batch-keyed, row-group-prunable, never a corpus loop
+    val seeds = endpoints.join(st, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("rep"))
+      .localCheckpoint()
+    val contracted = batch
+      .join(seeds.select($"doc_id".as("src"), $"rep".as("rep_a")), Seq("src"))
+      .join(seeds.select($"doc_id".as("dst"), $"rep".as("rep_b")), Seq("dst"))
+      // an edge inside one stored component contracts to a self-loop —
+      // it can merge nothing and leaves the loop input (re-ingesting
+      // an already-applied batch contracts to NOTHING: idempotence)
+      .filter($"rep_a" =!= $"rep_b")
+      .select($"rep_a", $"rep_b").distinct()
+    val cnodes = contracted.select($"rep_a".as("doc_id"))
+      .union(contracted.select($"rep_b")).distinct()
+    val changed = clustersOver(cnodes,
+        contracted.select($"rep_a".as("src"), $"rep_b".as("dst")), maxHops)
+      .select($"doc_id".as("old_rep"), $"cluster_id".as("new_rep"))
+      .filter($"old_rep" =!= $"new_rep")
+    val newLabels = seeds
+      .join(st.select($"doc_id"), Seq("doc_id"), "left_anti")
+      // a new node seeds itself (rep == doc_id); its final label is
+      // its merged component's representative if the loop merged it
+      .join(changed, $"rep" === $"old_rep", "left")
+      .select($"doc_id", coalesce($"new_rep", $"rep").as("cluster_id"))
+    (newLabels, changed)
+  }
+
+  /** [[incrementalLabelCore]] merged back into the FULL updated label
+    * table `(doc_id, cluster_id, is_keeper)` — row-identical to a full
+    * [[clustersOver]] recompute over base+batch at convergence
+    * (IncrementalLabelsSpec pins it). The store relabel is one LEFT
+    * join against the broadcast `changed` mapping — the mapping is
+    * touched-components-sized (bounded by batch endpoints), which is
+    * the daily-batch contract the hint encodes; a bulk backfill that
+    * merges more components than a broadcast can ship should recompute
+    * from scratch instead. Emitting the full table scans the store
+    * once by definition; the loop never touches it —
+    * [[clustersIncrementalDelta]] is the face whose OUTPUT is also
+    * batch-scaled (what a merge-write against a clustered label store
+    * actually ships).
+    */
+  def clustersIncremental(store: DataFrame, batchEdges: DataFrame,
+      maxHops: Int = MaintenanceMaxHops): DataFrame = {
+    val spark = store.sparkSession
+    import spark.implicits._
+    val (newLabels, changed) = incrementalLabelCore(store, batchEdges, maxHops)
+    val st = store.select($"doc_id", $"cluster_id")
+    st.join(broadcast(changed), st("cluster_id") === changed("old_rep"), "left")
+      .select(st("doc_id"),
+        coalesce($"new_rep", st("cluster_id")).as("cluster_id"))
+      .unionByName(newLabels)
+      .select($"doc_id", $"cluster_id",
+        ($"doc_id" === $"cluster_id").as("is_keeper"))
+      .orderBy($"doc_id")
+  }
+
+  /** The MERGE-WRITE delta of [[clustersIncremental]]: only the rows a
+    * batch ingest must upsert into the persisted label store — store
+    * rows whose component merged (new label) plus never-seen nodes
+    * (new rows). Re-applying the same batch yields an EMPTY delta
+    * (idempotence, spec-pinned). The store-side probe is an INNER join
+    * against the broadcast mapping: with the label store range-
+    * clustered on `cluster_id`, row-group min/max stats prune the scan
+    * to the touched components' files — output AND input are
+    * batch-scaled, never corpus-scaled.
+    */
+  def clustersIncrementalDelta(store: DataFrame, batchEdges: DataFrame,
+      maxHops: Int = MaintenanceMaxHops): DataFrame = {
+    val spark = store.sparkSession
+    import spark.implicits._
+    val (newLabels, changed) = incrementalLabelCore(store, batchEdges, maxHops)
+    val st = store.select($"doc_id", $"cluster_id")
+    st.join(broadcast(changed), st("cluster_id") === changed("old_rep"))
+      .select(st("doc_id"), $"new_rep".as("cluster_id"))
+      .unionByName(newLabels)
+      .orderBy($"doc_id")
+  }
+
   /** Dedup APPLICATION: exact-duplicate keeper election (min doc_id
     * per content fingerprint) compacted into per-language kept/dropped
     * accounting — the report a pipeline emits after the dedup pass

@@ -78,6 +78,57 @@ object Graph {
     graft.engine.Layouts.layoutOnce(spark, "comp-labels", dir, "doc_id", files = 4)(
       components(spark, dir))
 
+  /** Deterministic base/batch split the surfaced incremental query
+    * replays: a span pair belongs to TODAY'S BATCH when
+    * `(doc_a + doc_b) % IncrementalBatchMod == 0` (~a quarter of the
+    * edges — enough to merge components and to surface docs history
+    * has never seen), everything else is yesterday's BASE graph.
+    */
+  val IncrementalBatchMod = 4L
+
+  /** Yesterday's PERSISTED label store for
+    * [[componentsIncremental]] — true (converged) component labels of
+    * the BASE split, materialized derive-once like every other
+    * ingest-time artifact. The store is the thing that exists before
+    * today's batch arrives, so the timed incremental query measures
+    * the MAINTENANCE step (seed join + contracted loop + merge-
+    * write), not yesterday's full loop — the priming run pays the
+    * derivation exactly once.
+    */
+  private[graft] def baseLabelStoreLayout(spark: SparkSession, dir: String): DataFrame =
+    graft.engine.Layouts.layoutOnce(spark, "inc-base-labels", dir, "doc_id", files = 4)({
+      import spark.implicits._
+      val base = spanPairs(spark, dir)
+        .filter(($"doc_a" + $"doc_b") % IncrementalBatchMod =!= 0)
+        .localCheckpoint()
+      val nodes = base.select($"doc_a".as("doc_id"))
+        .union(base.select($"doc_b")).distinct()
+      Dedup.clustersOver(nodes,
+        base.select($"doc_a".as("src"), $"doc_b".as("dst")),
+        Dedup.MaintenanceMaxHops)
+    })
+
+  /** INCREMENTAL component maintenance over the span graph — the
+    * daily-ingest twin of [[components]]: yesterday's persisted label
+    * store ([[baseLabelStoreLayout]]) + today's batch edges →
+    * [[Dedup.clustersIncremental]] (contract stored components to
+    * their representatives, min-label over the batch-scaled contracted
+    * graph, merge the mapping back). Result is row-identical to a full
+    * converged recompute over base+batch — the oracle replays the TRUE
+    * fixpoint walk over ALL edges, so the gate proves the incremental
+    * path lands exactly where the from-scratch loop does, while the
+    * loop it actually runs is over touched components only.
+    */
+  def componentsIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val batch = spanPairs(spark, dir)
+      .filter(($"doc_a" + $"doc_b") % IncrementalBatchMod === 0)
+      .select($"doc_a".as("src"), $"doc_b".as("dst"))
+    Dedup.clustersIncremental(
+      baseLabelStoreLayout(spark, dir).select($"doc_id", $"cluster_id"),
+      batch)
+  }
+
   /** Integer-exact PageRank over the span-sharing graph — see
     * [[pagerankOver]] for the iteration core. The layout carries each
     * endpoint's degree, so the edge relation needs NO degree
@@ -633,6 +684,7 @@ object Graph {
     "graph_pagerank_weighted" -> pagerankWeighted _,
     "graph_triangles" -> triangles _,
     "graph_components" -> components _,
+    "graph_components_incremental" -> componentsIncremental _,
     "graph_family_profile" -> familyProfile _,
     "graph_label_prop" -> labelProp _,
   )
@@ -807,6 +859,24 @@ object Graph {
         |SELECT d.src AS doc_id, d.deg, m.mass AS rank_ppm
         |FROM degs d JOIN it$PageRankIters m ON m.doc_id = d.src
         |ORDER BY doc_id""".stripMargin,
+    // the incremental path computes TRUE components (its loops run to
+    // convergence under the generous maintenance budget), so its
+    // oracle is the UNBOUNDED fixpoint walk over base+batch — the
+    // recursive UNION dedups (doc_id, label) rows, so the walk
+    // terminates at the transitive closure with no depth column
+    "graph_components_incremental" ->
+      s"""WITH RECURSIVE $pairCte,
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+        |          UNION ALL SELECT doc_b, doc_a FROM pr),
+        |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        |walk(doc_id, label) AS (
+        |  SELECT doc_id, doc_id FROM nodes
+        |  UNION
+        |  SELECT e.dst, w.label
+        |  FROM walk w JOIN edges e ON e.src = w.doc_id),
+        |labels AS (SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY 1)
+        |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_keeper
+        |FROM labels ORDER BY doc_id""".stripMargin,
     "graph_components" ->
       s"""WITH RECURSIVE $pairCte,
         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
