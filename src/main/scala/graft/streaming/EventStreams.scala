@@ -297,6 +297,122 @@ object EventStreams {
     true
   }
 
+  /** Seed a streaming-maintained LABEL STORE: the converged label
+    * table `(doc_id, cluster_id)` — yesterday's full-loop artifact —
+    * written as generation 0, range-clustered on `cluster_id` so the
+    * merge-write probe ([[graft.operators.Dedup.clustersIncrementalDelta]]'s
+    * relabel join keys on the component representative) prunes to the
+    * touched components' row groups.
+    */
+  def labelStoreInit(labels: DataFrame, storeDir: String, files: Int = 4): Unit =
+    labels.select(col("doc_id"), col("cluster_id"))
+      .withColumn("gen", lit(0L))
+      .repartitionByRange(files, col("cluster_id"))
+      .sortWithinPartitions(col("cluster_id"))
+      .write.mode("overwrite").parquet(s"$storeDir/base_0")
+
+  private def labelStoreParts(storeDir: String,
+      excludeBatch: Long = -1L): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(storeDir)
+    val s = Files.list(root)
+    val dirs = try s.iterator().asScala.toVector finally s.close()
+    dirs.filter(p => Files.isDirectory(p) && {
+      val n = p.getFileName.toString
+      n.matches("base_\\d+") || (n.matches("b\\d+") && n != s"b$excludeBatch")
+    }).map(_.toString).sorted
+  }
+
+  /** Read the maintained label store: base generation + every
+    * micro-batch delta, LATEST generation wins per doc (deltas are
+    * UPSERTS, unlike the span layout's disjoint appends — a doc's
+    * label changes every time its component merges). The fold is one
+    * `max_by(cluster_id, gen)` aggregate — the classic merge-on-read
+    * cost, bounded by [[compactLabelStore]]; on a cluster this store
+    * is a real upsert table (Delta/Iceberg MERGE) and the fold is the
+    * table format's job.
+    */
+  def readLabelStore(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame =
+    foldLabelStore(spark.read.option("recursiveFileLookup", "true")
+      .parquet(labelStoreParts(storeDir): _*))
+
+  private def foldLabelStore(parts: DataFrame): DataFrame =
+    parts.groupBy(col("doc_id"))
+      .agg(max_by(col("cluster_id"), col("gen")).as("cluster_id"))
+
+  /** STREAMING label maintenance — the live twin of the derive-once
+    * label layouts: each micro-batch of undirected `(src, dst)` edges
+    * is applied to the persisted store via
+    * [[graft.operators.Dedup.clustersIncrementalDelta]] (contract →
+    * batch-scaled min-label merge → upsert rows only), and the delta
+    * lands as a `b<batchId>` generation. Replay safety differs from
+    * the span layout in one load-bearing way: a replayed batch's store
+    * read must EXCLUDE its own prior delta — incremental application
+    * is idempotent, so replaying against a store that already holds
+    * the batch's effect would recompute an EMPTY delta and overwrite
+    * the real one with nothing. foreachBatch only ever replays the
+    * last uncommitted batch, so excluding `b<batchId>` reconstructs
+    * exactly the pre-batch store and the overwrite is idempotent.
+    *
+    * Compose watermark + `dropDuplicatesWithinWatermark(src, dst)`
+    * upstream when the edge source redelivers (StreamingSpec runs that
+    * shape on the RocksDB state store); redelivered edges inside one
+    * store generation are harmless anyway (they contract to
+    * self-loops), the dedup just keeps redelivery from paying
+    * contraction work twice.
+    */
+  def maintainLabelStore(edges: DataFrame,
+      storeDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    edges.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("src"), col("dst")).persist()
+        try {
+          val store = foldLabelStore(
+            spark.read.option("recursiveFileLookup", "true")
+              .parquet(labelStoreParts(storeDir, excludeBatch = batchId): _*))
+          graft.operators.Dedup.clustersIncrementalDelta(store, b)
+            .withColumn("gen", lit(batchId + 1L))
+            .write.mode("overwrite").parquet(s"$storeDir/b$batchId")
+        } finally b.unpersist()
+        ()
+      }
+
+  /** Generation compaction for the maintained label store: when the
+    * delta count passes `maxDeltas`, fold base + deltas ([[readLabelStore]]'s
+    * latest-wins aggregate) into ONE gen-0 base, range-clustered on
+    * `cluster_id` like [[labelStoreInit]]'s. Same single-maintainer,
+    * between-batches contract and same staged no-data-loss swap as
+    * [[compactSpanLayout]] (tmp write → trash rename → move in → drop
+    * trash). Returns true iff a compaction ran.
+    */
+  def compactLabelStore(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, maxDeltas: Int = 8, files: Int = 4): Boolean = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(storeDir)
+    if (!Files.isDirectory(root)) return false
+    val list = Files.list(root)
+    val entries = try list.iterator().asScala.toVector finally list.close()
+    val deltas = entries.filter(p =>
+      Files.isDirectory(p) && p.getFileName.toString.matches("b\\d+"))
+    if (deltas.size < maxDeltas) return false
+    val tmp = storeDir + ".compacting"
+    readLabelStore(spark, storeDir)
+      .withColumn("gen", lit(0L))
+      .repartitionByRange(files, col("cluster_id"))
+      .sortWithinPartitions(col("cluster_id"))
+      .write.mode("overwrite").parquet(tmp)
+    val trash = Paths.get(storeDir + ".trash")
+    deleteRecursively(trash)
+    Files.createDirectories(trash)
+    entries.foreach(p => Files.move(p, trash.resolve(p.getFileName.toString)))
+    Files.move(Paths.get(tmp), root.resolve("base_0"))
+    deleteRecursively(trash)
+    true
+  }
+
   /** The RocksDB state store provider — the scale choice for stateful
     * streams: the default HDFS-backed store keeps every key in
     * executor heap (state size is bounded by memory), while RocksDB

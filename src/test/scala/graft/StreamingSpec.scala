@@ -1131,4 +1131,111 @@ class StreamingSpec extends SparkSpec {
       case _ => true
     }, s"compacted files must cover disjoint doc_a ranges: ${perFile.mkString(",")}")
   }
+
+  // ---- streaming label-store maintenance (incremental CC labels) ----
+
+  private def fullCcLabels(pairs: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    val e = pairs.toDF("src", "dst")
+    val nodes = e.select($"src".as("doc_id")).union(e.select($"dst")).distinct()
+    graft.operators.Dedup.clustersOver(nodes, e,
+      graft.operators.Dedup.MaintenanceMaxHops)
+      .select($"doc_id", $"cluster_id")
+  }
+
+  private def labelRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+  test("streamed label-store maintenance equals full recompute after every batch (RocksDB + dedup)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft-labelstream").toString + "/labels"
+    EventStreams.labelStoreInit(fullCcLabels(base), storeDir)
+    assert(labelRows(EventStreams.readLabelStore(spark, storeDir))
+      === labelRows(fullCcLabels(base)))
+
+    val t0 = Timestamp.valueOf("2024-05-01 00:00:00")
+    val stream = MemoryStream[(Long, Long, Timestamp)]
+    // the redelivery-hardened shape the scaladoc names: watermark +
+    // key dedup upstream of the maintainer, on the RocksDB store
+    val q = EventStreams.withStateStoreProvider(spark) {
+      EventStreams.maintainLabelStore(
+          stream.toDF().toDF("src", "dst", "ts")
+            .withWatermark("ts", "10 seconds")
+            .dropDuplicatesWithinWatermark("src", "dst"),
+          storeDir)
+        .option("checkpointLocation", ckpt()).start()
+    }
+    // batch 1: merge {1,2,3}+{10,11}; batch 2 REDELIVERS that edge and
+    // bridges {20,21} to a never-seen node plus a brand-new component
+    val batches = Seq(
+      Seq((3L, 10L)),
+      Seq((3L, 10L), (20L, 40L), (50L, 51L)))
+    var soFar = base
+    batches.foreach { b =>
+      stream.addData(b.map { case (s, d) => (s, d, t0) })
+      q.processAllAvailable()
+      soFar = soFar ++ b
+      assert(labelRows(EventStreams.readLabelStore(spark, storeDir))
+        === labelRows(fullCcLabels(soFar)),
+        s"store diverged from full recompute after batch $b")
+    }
+    q.stop()
+  }
+
+  test("label-store compaction folds generations, preserves labels, and stays maintainable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq((1L, 2L), (10L, 11L), (20L, 21L), (30L, 31L))
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft-labelcompact").toString + "/labels"
+    EventStreams.labelStoreInit(fullCcLabels(base), storeDir)
+    val t0 = Timestamp.valueOf("2024-05-01 00:00:00")
+    val stream = MemoryStream[(Long, Long, Timestamp)]
+    val q = EventStreams.maintainLabelStore(
+        stream.toDF().toDF("src", "dst", "ts").select($"src", $"dst"),
+        storeDir)
+      .option("checkpointLocation", ckpt()).start()
+    def gens(): Int = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(storeDir))
+      try s.iterator().asScala.count(p =>
+        java.nio.file.Files.isDirectory(p)) finally s.close()
+    }
+    val batches = Seq(Seq((2L, 10L)), Seq((11L, 20L)), Seq((21L, 30L)))
+    var soFar = base
+    batches.foreach { b =>
+      stream.addData(b.map { case (s, d) => (s, d, t0) })
+      q.processAllAvailable()
+      soFar = soFar ++ b
+    }
+    val pre = labelRows(EventStreams.readLabelStore(spark, storeDir))
+    assert(pre === labelRows(fullCcLabels(soFar)))
+    assert(gens() === 4) // base + 3 deltas
+    assert(!EventStreams.compactLabelStore(spark, storeDir, maxDeltas = 4),
+      "count trigger must not fire below the threshold")
+    assert(EventStreams.compactLabelStore(spark, storeDir, maxDeltas = 3))
+    assert(gens() === 1, "compaction must fold to one generation")
+    assert(labelRows(EventStreams.readLabelStore(spark, storeDir)) === pre,
+      "compaction must not change the folded labels")
+    // the compacted base is range-clustered on cluster_id (the
+    // merge-write probe key): files cover disjoint ranges
+    val perFile = spark.read.parquet(s"$storeDir/base_0")
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"cluster_id").as("lo"), max($"cluster_id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(perFile.sliding(2).forall {
+      case Array((_, hi1), (lo2, _)) => hi1 <= lo2
+      case _ => true
+    }, s"compacted files must cover disjoint cluster_id ranges: ${perFile.mkString(",")}")
+    // maintenance continues against the compacted store
+    stream.addData(Seq((31L, 1L, t0)))
+    q.processAllAvailable()
+    soFar = soFar :+ (31L, 1L)
+    assert(labelRows(EventStreams.readLabelStore(spark, storeDir))
+      === labelRows(fullCcLabels(soFar)))
+    q.stop()
+  }
 }
