@@ -94,8 +94,18 @@ object Bench {
     // that would read as a slow box
     val probeStart =
       if (only.isEmpty) { boxProbe(spark); boxProbe(spark) } else -1.0
-    def sweep(): Seq[(String, Double)] =
-      benched.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // INTRA-SWEEP probes (r12 finding: a single bracketing pair cannot
+    // see transient load inside a 15-minute sweep — one sweep
+    // normalized the wrong direction): re-probe every ProbeEvery
+    // queries so each query gets a NEARBY box reading. ~8 probes × 2 s
+    // on a 215-query sweep is the price of per-query normalization
+    // that tracks intra-sweep epochs instead of assuming one.
+    val ProbeEvery = 25
+    def sweep(): (Seq[(String, Double)], Seq[(Int, Double)]) = {
+      val probes = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+      val rs = benched.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), i) =>
+        if (only.isEmpty && i > 0 && i % ProbeEvery == 0)
+          probes += i -> boxProbe(spark)
         spark.catalog.clearCache()
         System.gc()
         val ok = run(name, fn)
@@ -108,8 +118,10 @@ object Bench {
         }
         name -> (if (times.contains(-1.0)) -1.0 else times.sorted.apply(timedRuns / 2))
       }
+      (rs, probes.toSeq)
+    }
     val allSweeps = (1 to sweeps).map(_ => sweep())
-    val results = allSweeps.last
+    val results = allSweeps.last._1
     val probeEnd = if (only.isEmpty) boxProbe(spark) else -1.0
     // box_factor > 1 = this box ran slower than the calibration epoch;
     // value/box_factor is the epoch-normalized total
@@ -122,7 +134,8 @@ object Bench {
     // bytes and is finer than this box's ±15% ambient swing anyway
     def fmt(v: Double): String =
       if (v < 0) "-1.0" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    def lineOf(rs: Seq[(String, Double)], sweepTag: String): String = {
+    def lineOf(rs: Seq[(String, Double)], intraProbes: Seq[(Int, Double)],
+        sweepTag: String): String = {
       val qs = rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       // failures must not shrink the total: sum only successful queries
@@ -130,19 +143,40 @@ object Bench {
       val succeeded = rs.filter(_._2 >= 0)
       val total = succeeded.map(_._2).sum
       val failed = rs.length - succeeded.length
-      val box = if (boxFactor < 0) "" else
-        s""","probe_start":${fmt(probeStart)},"probe_end":${fmt(probeEnd)},"box_factor":${fmt(boxFactor)},"value_norm":${fmt(total / boxFactor)}"""
+      // the probe LADDER for per-query normalization: the pre-sweep
+      // bracket probe anchors index 0, the post-sweep one index n,
+      // intra-sweep probes their own positions. Each query normalizes
+      // by the NEAREST probe's factor — the bracket-level value_norm
+      // stays for round continuity, value_norm_intra is the
+      // per-query-normalized total (the more trustworthy one when the
+      // box's speed moved DURING the sweep).
+      val ladder: Seq[(Int, Double)] =
+        if (boxFactor < 0) Seq.empty
+        else ((0 -> probeStart) +: intraProbes) :+ (rs.length -> probeEnd)
+      def factorAt(i: Int): Double =
+        ladder.minBy { case (pi, _) => math.abs(pi - i) }._2 / BoxProbeRefSec
+      val box = if (boxFactor < 0) "" else {
+        val probesJson = ladder
+          .map { case (pi, p) => s""""$pi":${fmt(p)}""" }.mkString("{", ",", "}")
+        val qnorm = rs.zipWithIndex.map { case ((k, v), i) =>
+          s"\"" + k + "\":" + fmt(if (v < 0) v else v / factorAt(i))
+        }.mkString("{", ",", "}")
+        val totalIntra = rs.zipWithIndex.collect {
+          case ((_, v), i) if v >= 0 => v / factorAt(i)
+        }.sum
+        s""","probe_start":${fmt(probeStart)},"probe_end":${fmt(probeEnd)},"box_factor":${fmt(boxFactor)},"value_norm":${fmt(total / boxFactor)},"value_norm_intra":${fmt(totalIntra)},"probes":$probesJson,"queries_norm":$qnorm"""
+      }
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed$box$sweepTag,"queries":$qs,"sf":"$sfDir"}"""
     }
     // with SWEEPS>1 every earlier sweep prints tagged; the LAST sweep
     // stays the untagged driver-contract line
-    allSweeps.init.zipWithIndex.foreach { case (rs, i) =>
-      println(lineOf(rs, s""","sweep":${i + 1}"""))
+    allSweeps.init.zipWithIndex.foreach { case ((rs, ps), i) =>
+      println(lineOf(rs, ps, s""","sweep":${i + 1}"""))
     }
     val succeeded = results.filter(_._2 >= 0)
     val total = succeeded.map(_._2).sum
     val failed = results.length - succeeded.length
-    val line = lineOf(results, "")
+    val line = lineOf(results, allSweeps.last._2, "")
     println(line)
     // a compact duplicate as the LAST stdout line: if the tail window
     // still cuts the full line above, a tail-anchored parse finds this
@@ -163,7 +197,7 @@ object Bench {
       java.nio.file.Files.createDirectories(benchDir)
       val target = benchDir.resolve("bench_lines.jsonl")
       val allLines = allSweeps.init.zipWithIndex
-        .map { case (rs, i) => lineOf(rs, s""","sweep":${i + 1}""") } :+ line
+        .map { case ((rs, ps), i) => lineOf(rs, ps, s""","sweep":${i + 1}""") } :+ line
       java.nio.file.Files.writeString(target,
         allLines.mkString("", "\n", "\n"),
         java.nio.file.StandardOpenOption.CREATE,

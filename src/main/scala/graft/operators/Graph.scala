@@ -363,6 +363,23 @@ object Graph {
     * without a third join), and the whole operator is scan →
     * projection → one self-join + one closing join + explode + count.
     */
+  /** The degree-ordering projection alone: each `(doc_a, doc_b,
+    * deg_a, deg_b)` pair re-oriented from its (degree, id)-smaller
+    * endpoint toward the larger, destination degree carried. Pure
+    * projection — shared by [[trianglesOverDeg]] and the wedge-mass
+    * probe ([[graft.WedgeProbe]]) so the probe counts EXACTLY the
+    * wedge rows the enumerator's self-join produces.
+    */
+  private[graft] def orientPairs(pairsDeg: DataFrame): DataFrame = {
+    import pairsDeg.sparkSession.implicits._
+    pairsDeg
+      .select(when($"deg_a" < $"deg_b" || ($"deg_a" === $"deg_b" && $"doc_a" < $"doc_b"),
+          struct($"doc_a".as("src"), $"doc_b".as("dst"), $"deg_b".as("ddeg")))
+        .otherwise(
+          struct($"doc_b".as("src"), $"doc_a".as("dst"), $"deg_a".as("ddeg"))).as("e"))
+      .select($"e.src", $"e.dst", $"e.ddeg")
+  }
+
   def trianglesOverDeg(pairsDeg: DataFrame): DataFrame = {
     val spark = pairsDeg.sparkSession
     import spark.implicits._
@@ -381,12 +398,7 @@ object Graph {
     // (same canonical plan → same entry), so a serving session pins
     // one edge-sized relation per fixture, same budget as the span
     // layout it reads from.
-    val oriented = pairsDeg
-      .select(when($"deg_a" < $"deg_b" || ($"deg_a" === $"deg_b" && $"doc_a" < $"doc_b"),
-          struct($"doc_a".as("src"), $"doc_b".as("dst"), $"deg_b".as("ddeg")))
-        .otherwise(
-          struct($"doc_b".as("src"), $"doc_a".as("dst"), $"deg_a".as("ddeg"))).as("e"))
-      .select($"e.src", $"e.dst", $"e.ddeg")
+    val oriented = orientPairs(pairsDeg)
       .repartition(spark.sessionState.conf.numShufflePartitions, $"src")
       .persist()
     // materialize up front (one job, cache-served on repeat calls):
