@@ -73,6 +73,36 @@ object ScaleBench {
         .write.format("noop").mode("overwrite").save())
   }
 
+  /** The PRODUCTION incremental-labels contract measured directly: the
+    * label STORE from the dir under study (10×/100× corpus), the daily
+    * batch FIXED from the base fixture — the er_match_fixed_catalog
+    * twin for label maintenance. The surfaced
+    * `graph_components_incremental` grows BOTH sides under
+    * amplification (its batch is a split of the amplified span graph);
+    * this seam isolates the deployment shape — a bounded daily batch
+    * against a growing corpus — where the contracted loop is
+    * batch-scaled and the only corpus-scaled term is the store's
+    * columnar probe scan (prunable when the store is clustered).
+    * Measures [[graft.operators.Dedup.clustersIncrementalDelta]]: the
+    * merge-write face whose OUTPUT is batch-scaled too.
+    */
+  def fixedBatchLabelEntry(spark: SparkSession, base: String): (String, String => () => Unit) = {
+    import org.apache.spark.sql.functions.col
+    lazy val batch = {
+      val g = graft.operators.Graph
+      graft.engine.Layouts.spanPairsWithStats(spark, base)
+        .filter((col("doc_a") + col("doc_b")) % g.IncrementalBatchMod === 0)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .localCheckpoint()
+    }
+    "components_incremental_fixed_batch" -> ((dir: String) => () =>
+      graft.operators.Dedup.clustersIncrementalDelta(
+          graft.operators.Graph.baseLabelStoreLayout(spark, dir)
+            .select(col("doc_id"), col("cluster_id")),
+          batch)
+        .write.format("noop").mode("overwrite").save())
+  }
+
   private def fmt(v: Double): String =
     BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
@@ -127,7 +157,7 @@ object ScaleBench {
           .filter(n => only.forall(_.contains(n)))
           .map(n => n -> ((dir: String) =>
             derivations(spark, dir).find(_._1 == n).get._2)) :+
-        fixedCatalogEntry(spark, base))
+        fixedCatalogEntry(spark, base) :+ fixedBatchLabelEntry(spark, base))
         .filter { case (n, _) => only.forall(_.contains(n)) }
     // a SCALE_ONLY name matching nothing (a typo) must FAIL the run,
     // not let the sweep report success having measured nothing
