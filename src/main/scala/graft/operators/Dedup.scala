@@ -687,15 +687,31 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Driver-literal pushdown cap for [[clustersIncrementalDelta]]'s
+    * store probe: when the changed mapping holds at most this many
+    * merged components, the touched representative set ships as an IN
+    * filter ON THE SCAN — with the store range-clustered on
+    * `cluster_id` ([[graft.streaming.EventStreams.labelStoreInit]]'s
+    * physical shape), parquet row-group min/max statistics prune the
+    * probe to the touched components' files instead of scanning the
+    * corpus-sized store (spec-proven via scanned-rows metrics, the
+    * LayoutsSpec standard). The collect is touched-components-sized —
+    * the same bounded model-class literal as the dedup bloom
+    * prefilter; a mapping past the cap (a bulk backfill) falls back to
+    * the full scan + broadcast join, which is the right plan there.
+    */
+  val DeltaPushdownMaxReps = 100000
+
   /** The MERGE-WRITE delta of [[clustersIncremental]]: only the rows a
     * batch ingest must upsert into the persisted label store — store
     * rows whose component merged (new label) plus never-seen nodes
     * (new rows). Re-applying the same batch yields an EMPTY delta
     * (idempotence, spec-pinned). The store-side probe is an INNER join
-    * against the broadcast mapping: with the label store range-
-    * clustered on `cluster_id`, row-group min/max stats prune the scan
-    * to the touched components' files — output AND input are
-    * batch-scaled, never corpus-scaled.
+    * against the broadcast mapping, with the touched-representative
+    * set ALSO pushed into the scan as an IN filter when it is
+    * [[DeltaPushdownMaxReps]]-bounded — on a `cluster_id`-clustered
+    * store the probe then reads only the touched files: output AND
+    * input are batch-scaled, never corpus-scaled.
     */
   def clustersIncrementalDelta(store: DataFrame, batchEdges: DataFrame,
       maxHops: Int = MaintenanceMaxHops): DataFrame = {
@@ -703,8 +719,16 @@ object Dedup {
     import spark.implicits._
     val (newLabels, changed) = incrementalLabelCore(store, batchEdges, maxHops)
     val st = store.select($"doc_id", $"cluster_id")
-    st.join(broadcast(changed), st("cluster_id") === changed("old_rep"))
-      .select(st("doc_id"), $"new_rep".as("cluster_id"))
+    // changed is a filtered frozen-LogicalRDD scan — the bounded
+    // collect costs one block scan, not a loop replay
+    val reps = changed.select($"old_rep")
+      .limit(DeltaPushdownMaxReps + 1).collect().map(_.getLong(0))
+    val probed =
+      if (reps.length <= DeltaPushdownMaxReps)
+        st.filter($"cluster_id".isInCollection(reps))
+      else st
+    probed.join(broadcast(changed), probed("cluster_id") === changed("old_rep"))
+      .select(probed("doc_id"), $"new_rep".as("cluster_id"))
       .unionByName(newLabels)
       .orderBy($"doc_id")
   }

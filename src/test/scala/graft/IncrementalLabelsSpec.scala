@@ -94,6 +94,52 @@ class IncrementalLabelsSpec extends SparkSpec {
     assert(batchN > 0, "fixture split produced an empty batch")
   }
 
+  test("delta store probe prunes a cluster_id-clustered store to the touched files") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // 40 disjoint 10-node chain components, labels 0, 1000, …, 39000;
+    // persisted range-clustered on cluster_id into 4 files (the
+    // labelStoreInit physical shape) — each file covers ~10 components
+    val pairs = (0 until 40).flatMap { k =>
+      (0 until 9).map(i => (k * 1000L + i, k * 1000L + i + 1))
+    }
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-delta-prune").toString + "/store"
+    graft.engine.Layouts.rangeWrite(
+      storeOf(pairs).orderBy("doc_id"), out, "cluster_id", files = 8)
+    val store = spark.read.parquet(out)
+    val total = store.count()
+    assert(total === 400L)
+    // the batch merges components 0 and 1000 only — changed = {1000→0}
+    val delta = Dedup.clustersIncrementalDelta(store, edgesOf(Seq((9L, 1000L))))
+    val got = delta.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.length === 10 && got.forall(_._2 === 0L)
+      && got.map(_._1).sorted === (1000L to 1009L))
+    // the relabel probe carried the touched-representative IN filter
+    // into the scan and row-group stats pruned it below the store size
+    // TreeNode.collect does not descend into AQE query stages (their
+    // plans are members, not children) — recurse through them
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case s: FileSourceScanExec => Seq(s)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(q.plan)
+        case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      }.flatten
+    val plan = delta.queryExecution.executedPlan
+    // dedupe: a reused query stage surfaces the same scan through two
+    // tree paths, double-counting its metric
+    val prunedScans = allScans(plan)
+      .groupBy(_.id).map(_._2.head).toSeq
+      .filter(s => s.metadata.get("PushedFilters").exists(f =>
+        f.contains("In(cluster_id") || f.contains("EqualTo(cluster_id")))
+    assert(prunedScans.nonEmpty, s"no pushed cluster_id filter in:\n$plan")
+    val scanned = prunedScans.map(_.metrics("numOutputRows").value).sum
+    assert(scanned < total / 2,
+      s"probe scan must prune the clustered store: read $scanned of $total")
+  }
+
   test("dedup-cluster twin: minhash store maintained incrementally ≡ full clusters") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
