@@ -140,6 +140,22 @@ class IncrementalLabelsSpec extends SparkSpec {
       s"probe scan must prune the clustered store: read $scanned of $total")
   }
 
+  test("the full-table relabel join broadcasts the changed mapping") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // the store side is corpus-sized and must NEVER shuffle for the
+    // relabel: the touched-components mapping is the build side of a
+    // broadcast join (the daily-batch contract the scaladoc names)
+    val base = Seq((1L, 2L), (10L, 11L), (20L, 21L))
+    val full = Dedup.clustersIncremental(storeOf(base), edgesOf(Seq((2L, 10L))))
+    full.collect()
+    val plan = (full.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"relabel join must broadcast the mapping:\n$plan")
+  }
+
   test("dedup-cluster twin: minhash store maintained incrementally ≡ full clusters") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
