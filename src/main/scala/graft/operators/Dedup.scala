@@ -630,11 +630,23 @@ object Dedup {
       .union(batch.select($"dst")).distinct()
     // the ONE store-probe of the whole operation: seed each batch
     // endpoint with its stored representative (itself if never seen).
-    // At 100 TB this is a semi-join against a label table clustered on
-    // doc_id — batch-keyed, row-group-prunable, never a corpus loop
-    val seeds = endpoints.join(st, Seq("doc_id"), "left")
-      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("rep"))
+    // Join DIRECTION is load-bearing at 100 TB: the natural
+    // `endpoints LEFT JOIN store` cannot broadcast its small LEFT side
+    // (BroadcastHashJoin supports LeftOuter with BuildRight only), so
+    // it sort-merges — shuffling the CORPUS-sized store for a
+    // batch-sized probe. Restated as store ⋈ broadcast(endpoints)
+    // inner (a map-side store scan, zero store shuffle) plus a
+    // batch-local anti-join for never-seen endpoints. The broadcast
+    // hint is the same daily-batch contract as the changed mapping's:
+    // a backfill too big to ship should recompute from scratch.
+    val matched = st.join(broadcast(endpoints), Seq("doc_id"))
+      .select($"doc_id", $"cluster_id".as("rep"))
       .localCheckpoint()
+    val fresh = endpoints
+      .join(matched.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"doc_id".as("rep"))
+      .localCheckpoint()
+    val seeds = matched.unionByName(fresh)
     val contracted = batch
       .join(seeds.select($"doc_id".as("src"), $"rep".as("rep_a")), Seq("src"))
       .join(seeds.select($"doc_id".as("dst"), $"rep".as("rep_b")), Seq("dst"))
@@ -649,11 +661,11 @@ object Dedup {
         contracted.select($"rep_a".as("src"), $"rep_b".as("dst")), maxHops)
       .select($"doc_id".as("old_rep"), $"cluster_id".as("new_rep"))
       .filter($"old_rep" =!= $"new_rep")
-    val newLabels = seeds
-      .join(st.select($"doc_id"), Seq("doc_id"), "left_anti")
-      // a new node seeds itself (rep == doc_id); its final label is
-      // its merged component's representative if the loop merged it
-      .join(changed, $"rep" === $"old_rep", "left")
+    // a new node seeds itself (rep == doc_id, the `fresh` frame — no
+    // second store pass); its final label is its merged component's
+    // representative if the loop merged it
+    val newLabels = fresh
+      .join(broadcast(changed), $"rep" === $"old_rep", "left")
       .select($"doc_id", coalesce($"new_rep", $"rep").as("cluster_id"))
     (newLabels, changed)
   }

@@ -156,6 +156,24 @@ class IncrementalLabelsSpec extends SparkSpec {
       s"relabel join must broadcast the mapping:\n$plan")
   }
 
+  test("the delta path never sort-merges the store (zero store shuffles)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // both store passes (seed probe, relabel probe) are hinted
+    // broadcast joins with the store as the streamed side — a
+    // SortMergeJoin anywhere in the delta plan means a corpus-sized
+    // shuffle snuck back in
+    val base = Seq((1L, 2L), (10L, 11L), (20L, 21L))
+    val d = Dedup.clustersIncrementalDelta(storeOf(base),
+      edgesOf(Seq((2L, 10L), (21L, 40L))))
+    d.collect()
+    val plan = (d.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"delta plan must not shuffle the store:\n$plan")
+  }
+
   test("dedup-cluster twin: minhash store maintained incrementally ≡ full clusters") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
