@@ -103,6 +103,48 @@ object ScaleBench {
         .write.format("noop").mode("overwrite").save())
   }
 
+  /** The streaming-cascade maintainer's per-batch cost under the
+    * production shape — a FIXED daily doc batch (from the base
+    * fixture, ids shifted clear of every amplified/planted window)
+    * against stores grown with the corpus: fingerprint + keeper-delta
+    * work (batch-scaled), the band-store probe
+    * ([[graft.operators.Dedup.lshProbeEdges]] — the ONE corpus-scaled
+    * term, a shuffle-free map-side columnar scan), and the contracted
+    * label delta ([[graft.operators.Dedup.clustersIncrementalDelta]],
+    * batch-scaled). Store layouts derive once per study dir on the
+    * untimed priming run (the nightly-artifact convention); the timed
+    * thunk is exactly what `maintainCascadeStores` pays per
+    * micro-batch, with noop writes standing in for the delta parquet
+    * appends (the Bench convention).
+    */
+  def cascadeMaintenanceFixedBatchEntry(spark: SparkSession,
+      base: String): (String, String => () => Unit) = {
+    import org.apache.spark.sql.functions.{col, min}
+    val d = graft.operators.Dedup
+    lazy val batch = graft.engine.Tables.load(spark, base, "documents")
+      .filter(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 9000000000L).as("doc_id"), col("text"))
+      .localCheckpoint()
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    "cascade_maintenance_fixed_batch" -> ((dir: String) => () => {
+      val fps = d.fingerprintsOf(batch)
+        .select(col("doc_id"), col("fp"), col("nfp")).localCheckpoint()
+      noop(fps)
+      noop(fps.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper")))
+      noop(fps.groupBy(col("nfp")).agg(min(col("doc_id")).as("keeper")))
+      val bands = d.bandSigRows(d.signaturesOf(batch)).localCheckpoint()
+      noop(bands)
+      val store = graft.engine.Layouts.layoutOnce(
+        spark, "band-store", dir, "band_key")(
+        d.bandSigRows(d.signatures(spark, dir)))
+      val edges = d.lshProbeEdges(store, bands)
+      noop(d.clustersIncrementalDelta(
+        d.clusterLabelsLayout(spark, dir).select(col("doc_id"), col("cluster_id")),
+        edges))
+    })
+  }
+
   private def fmt(v: Double): String =
     BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
@@ -157,7 +199,8 @@ object ScaleBench {
           .filter(n => only.forall(_.contains(n)))
           .map(n => n -> ((dir: String) =>
             derivations(spark, dir).find(_._1 == n).get._2)) :+
-        fixedCatalogEntry(spark, base) :+ fixedBatchLabelEntry(spark, base))
+        fixedCatalogEntry(spark, base) :+ fixedBatchLabelEntry(spark, base) :+
+        cascadeMaintenanceFixedBatchEntry(spark, base))
         .filter { case (n, _) => only.forall(_.contains(n)) }
     // a SCALE_ONLY name matching nothing (a typo) must FAIL the run,
     // not let the sweep report success having measured nothing

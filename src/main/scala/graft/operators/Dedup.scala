@@ -182,16 +182,24 @@ object Dedup {
   /** [[minhashLsh]]'s actual derivation (the layout writer's input and
     * the differential reference).
     */
-  private[graft] def minhashLshDerive(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    // signatures ride along on the band rows so the expensive signature
-    // subtree (md5s + 16 min-aggs) is planned exactly once — the est
-    // join below reads sig_a/sig_b off the matched band rows instead of
-    // re-joining (and re-computing) the signature relation twice
-    val bands0 = signatures(spark, dir).select($"doc_id", $"sig",
+  /** `(doc_id, sig, band, band_key)` over a SIGNATURE frame — the band
+    * rows with the signature riding along so the expensive signature
+    * subtree (md5s + 16 min-aggs) is planned exactly once; est_jaccard
+    * consumers read sig_a/sig_b off the matched band rows instead of
+    * re-joining (and re-computing) the signature relation. Shared by
+    * [[minhashLshDerive]] (batch self-join) and [[lshProbeEdges]]
+    * (streaming band-store probe — the persisted store keeps exactly
+    * these rows).
+    */
+  private[graft] def bandSigRows(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("sig"),
       posexplode(expr(s"transform(sequence(0, ${NumHashes / BandSize - 1}), " +
         s"b -> concat_ws('', slice(sig, b * $BandSize + 1, $BandSize)))")))
       .toDF("doc_id", "sig", "band", "band_key")
+
+  private[graft] def minhashLshDerive(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands0 = bandSigRows(signatures(spark, dir))
     // saturated-bucket guard ([[MaxBandBucket]]): co-partitioned with
     // the self-join key, so the size filter adds no extra exchange shape
     val keptKeys = bands0.groupBy($"band", $"band_key")
@@ -210,6 +218,70 @@ object Dedup {
         (expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))")
           / lit(NumHashes.toDouble)).as("est_jaccard"))
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** STREAMING LSH probe — the near-dup edges one ingested batch adds
+    * against a persisted band-sig STORE ([[bandSigRows]] rows; the
+    * maintainer appends the batch's own rows BEFORE probing, so the
+    * matched store rows are the bucket contents as of this ingest and
+    * batch-internal pairs fall out of the same join). Mirrors
+    * [[minhashLshDerive]]'s semantics piecewise: the
+    * [[MaxBandBucket]] saturation guard is evaluated on the
+    * corpus-so-far bucket size, pairs are normalized to
+    * `doc_a < doc_b` and de-duplicated across bands, and the edge
+    * keeps iff est_jaccard (symmetric in the two sigs) ≥ `threshold`.
+    * Union-over-batches ≡ the batch derivation as long as no bucket
+    * CROSSES the cap mid-stream (the [[graft.operators.TextAnalysis.MaxSpanDf]]
+    * ingest-time caveat the span layout already carries — a bucket
+    * that saturates later would keep its earlier edges; the batch
+    * derivation drops the whole bucket).
+    *
+    * Scale shape — every store pass is a MAP-SIDE SCAN (the r13
+    * seed-probe rule): the batch's distinct keys broadcast into the
+    * store join, so the corpus-sized store never shuffles; everything
+    * downstream of the probe is bucket-bounded batch work. Per-batch
+    * cost is O(batch + store-probe), never O(corpus).
+    */
+  /** [[lshProbeEdges]]'s one store pass, pre-materialization — the
+    * seam ServingMaintenanceSpec pins the plan shape on (broadcast
+    * probe, no store shuffle).
+    */
+  private[graft] def lshProbeMatched(storeBands: DataFrame,
+      batchBands: DataFrame): DataFrame = {
+    import storeBands.sparkSession.implicits._
+    val keys = batchBands.select($"band", $"band_key").distinct()
+    storeBands.join(broadcast(keys), Seq("band", "band_key"))
+  }
+
+  private[graft] def lshProbeEdges(storeBands: DataFrame, batchBands: DataFrame,
+      threshold: Double = ClusterThreshold): DataFrame = {
+    val spark = storeBands.sparkSession
+    import spark.implicits._
+    // probe-result-scaled (≤ cap × batch keys after the guard);
+    // consumed twice (bucket sizes + pair join) — materialize once
+    val matched = lshProbeMatched(storeBands, batchBands)
+      .localCheckpoint()
+    val keptKeys = matched.groupBy($"band", $"band_key")
+      .agg(count(lit(1)).as("bn"))
+      .filter($"bn" <= MaxBandBucket)
+      .select($"band", $"band_key")
+    val kept = matched.join(broadcast(keptKeys), Seq("band", "band_key"))
+    val batchIds = batchBands.select($"doc_id").distinct()
+    // every emitted pair has ≥1 endpoint in THIS batch (the b side);
+    // both sides come from `kept`, so the bucket cap guards both
+    val batchSide = kept.join(broadcast(batchIds), Seq("doc_id"))
+    kept.as("a")
+      .join(batchSide.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
+          && col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))")
+        / lit(NumHashes.toDouble) >= threshold)
+      .select($"doc_a".as("src"), $"doc_b".as("dst"))
   }
 
   /** SimHash signatures: 64-bit sign-of-weighted-sum over the distinct
@@ -1304,6 +1376,17 @@ object Dedup {
   val CascadeExactShift = 7000000L
   val CascadeCaseShift = 8000000L
 
+  /** The cascade's two content fingerprints over a `(doc_id, text)`
+    * frame — raw md5 (`fp`, the exact stage's key) and md5 of the
+    * [[TextAnalysis.normalizedText]] form (`nfp`, the normalized
+    * stage's). The single definition the batch [[cascade]] and the
+    * streaming cascade-store maintainer share: a doc fingerprinted at
+    * ingest MUST carry the same keys a batch recompute would give it.
+    */
+  private[graft] def fingerprintsOf(d: DataFrame): DataFrame =
+    d.withColumn("fp", md5(col("text")))
+      .withColumn("nfp", md5(TextAnalysis.normalizedText(col("text"))))
+
   /** DEDUP CASCADE attribution — the provenance table a production
     * dedup pipeline emits: every doc, the FIRST stage that would drop
     * it (exact → normalized → near), and the keeper that replaces it.
@@ -1336,8 +1419,7 @@ object Dedup {
       .unionAll(base.filter($"doc_id" % 20 === 5)
         .select(($"doc_id" + CascadeCaseShift).as("doc_id"),
           concat(upper($"text"), lit(" !!")).as("text")))
-      .withColumn("fp", md5($"text"))
-      .withColumn("nfp", md5(TextAnalysis.normalizedText($"text")))
+      .transform(fingerprintsOf)
       // materialize: consumed by BOTH keeper elections and the final
       // join — unmaterialized, the normalized-md5 projection (two
       // regex passes over every payload) would run three times.
@@ -1348,10 +1430,27 @@ object Dedup {
     val ex = corpus.groupBy($"fp").agg(min($"doc_id").as("ek"))
     val nx = corpus.groupBy($"nfp").agg(min($"doc_id").as("nk"))
     val labels = clusterLabelsLayout(spark, dir).select($"doc_id", $"cluster_id")
+    cascadeOver(corpus, ex, nx, labels).orderBy($"doc_id")
+  }
+
+  /** The cascade's PRIORITY-attribution core over pre-computed
+    * inputs: `corpus` = `(doc_id, fp, nfp)` fingerprinted docs, `ex` =
+    * `(fp, ek)` exact-keeper election, `nx` = `(nfp, nk)` normalized
+    * keepers, `labels` = `(doc_id, cluster_id)` near-dup component
+    * labels (docs absent from it are un-clustered → kept). Shared by
+    * the batch face above and the streaming-served
+    * [[graft.streaming.EventStreams.readCascadeVerdicts]], whose
+    * keeper elections FOLD out of per-batch minima (min composes, so
+    * a store of batch-local keeper rows merges to the global
+    * election) and whose labels come off the maintained label store.
+    */
+  private[graft] def cascadeOver(corpus: DataFrame, ex: DataFrame,
+      nx: DataFrame, labels: DataFrame): DataFrame = {
+    import corpus.sparkSession.implicits._
     corpus
       .join(ex, Seq("fp"))
       .join(nx, Seq("nfp"))
-      .join(labels, Seq("doc_id"), "left")
+      .join(labels.select($"doc_id", $"cluster_id"), Seq("doc_id"), "left")
       .select($"doc_id",
         when($"doc_id" =!= $"ek", "exact")
           .when($"doc_id" =!= $"nk", "normalized")
@@ -1361,7 +1460,6 @@ object Dedup {
           .when($"doc_id" =!= $"nk", $"nk")
           .when($"cluster_id".isNotNull && $"cluster_id" =!= $"doc_id", $"cluster_id")
           .otherwise($"doc_id").as("keeper_id"))
-      .orderBy($"doc_id")
   }
 
   /** [[cascade]] rolled up to the data-card row: per stage the doc

@@ -126,11 +126,25 @@ object EntityResolution {
     */
   def matchMentions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val cat = catalog(spark, dir)
+    matchAgainst(mentions(spark, dir), catalog(spark, dir))
+      .orderBy($"mention_id")
+  }
+
+  /** The blocked match core over arbitrary frames: `m` =
+    * `(mention_id, true_name, mention)`, `cat` = `(ent_name, ent_id)`.
+    * Every mention's verdict depends ONLY on the catalog — never on
+    * other mentions (blocking keys are kept/dropped by CATALOG posting
+    * size alone) — which is the property that makes the match table
+    * streamable as disjoint per-batch appends
+    * ([[graft.streaming.EventStreams.maintainMatchesLayout]]): a
+    * mention's row is final at ingest under the fixed-catalog
+    * contract (`er_match_fixed_catalog`'s production shape).
+    */
+  private[graft] def matchAgainst(m: DataFrame, cat: DataFrame): DataFrame = {
+    import m.sparkSession.implicits._
     val ck = keysOf(cat, "ent_name").select($"key", $"ent_id", $"ent_name")
     val keptKeys = ck.groupBy($"key").agg(count(lit(1)).as("n"))
       .filter($"n" <= ErMaxBlock).select($"key")
-    val m = mentions(spark, dir)
     val mk = keysOf(m, "mention").select($"key", $"mention_id")
     val cand = mk.join(keptKeys, Seq("key"))
       .join(ck, Seq("key"))
@@ -147,7 +161,6 @@ object EntityResolution {
     m.join(elected, Seq("mention_id"), "left")
       .select($"mention_id", $"mention", $"matched_id", $"dist",
         coalesce($"matched_name" === $"true_name", lit(false)).as("correct"))
-      .orderBy($"mention_id")
   }
 
   /** [[matchMentions]]' result as a DERIVE-ONCE session layout — the

@@ -257,9 +257,32 @@ object EventStreams {
     */
   def compactSpanLayout(spark: org.apache.spark.sql.SparkSession,
       layoutDir: String, maxDeltas: Int = 8, files: Int = 8,
-      maxDeltaBytes: Long = Long.MaxValue): Boolean = {
+      maxDeltaBytes: Long = Long.MaxValue): Boolean =
+    compactDeltaTree(layoutDir, maxDeltas, maxDeltaBytes) { tmp =>
+      readSpanLayoutDeltas(spark, layoutDir)
+        .repartitionByRange(files, col("doc_a"))
+        .sortWithinPartitions(col("doc_a"), col("doc_b"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+
+  /** The shared trigger + staged no-data-loss swap every delta-tree
+    * compactor here delegates to. Triggers when the `b<id>` delta
+    * count reaches `maxDeltas` OR their data bytes reach
+    * `maxDeltaBytes` (DATA files only — `_SUCCESS`/`.crc` bookkeeping
+    * would inflate it; the stat pass is skipped entirely under the
+    * default unbounded threshold, where the count trigger is the only
+    * one armed). On trigger: 1. the caller writes the compacted
+    * generation to a sibling tmp dir OUTSIDE the reader's scope,
+    * 2. the old generation is RENAMED into a trash sibling (no data
+    * destroyed), 3. the new base moves in as `base_0`, 4. trash is
+    * dropped — an interruption at any point leaves all rows in either
+    * the tree or the trash sibling, never deleted-but-unreplaced.
+    */
+  private def compactDeltaTree(dir: String, maxDeltas: Int,
+      maxDeltaBytes: Long = Long.MaxValue)(
+      writeBase: String => Unit): Boolean = {
     import java.nio.file.{Files, Path, Paths}
-    val root = Paths.get(layoutDir)
+    val root = Paths.get(dir)
     if (!Files.isDirectory(root)) return false
     def entries(p: Path): Seq[Path] = {
       val s = Files.list(p)
@@ -267,10 +290,6 @@ object EventStreams {
     }
     val deltaDirs = entries(root).filter(p =>
       Files.isDirectory(p) && p.getFileName.toString.matches("b\\d+"))
-    // the bytes trigger counts DATA files only (_SUCCESS/.crc
-    // bookkeeping would inflate it), and is skipped entirely under the
-    // default unbounded threshold — stat-ing every delta file on every
-    // check is pure waste when the count trigger is the only one armed
     val deltaBytes =
       if (maxDeltaBytes == Long.MaxValue) 0L
       else deltaDirs.flatMap(entries)
@@ -279,15 +298,9 @@ object EventStreams {
           !n.startsWith("_") && !n.startsWith(".")
         }).map(Files.size).sum
     if (deltaDirs.size < maxDeltas && deltaBytes < maxDeltaBytes) return false
-    // 1. write the compacted generation OUTSIDE the reader's scope
-    val tmp = layoutDir + ".compacting"
-    readSpanLayoutDeltas(spark, layoutDir)
-      .repartitionByRange(files, col("doc_a"))
-      .sortWithinPartitions(col("doc_a"), col("doc_b"))
-      .write.mode("overwrite").parquet(tmp)
-    // 2. stage the old generation into a trash sibling (renames, no
-    // data destroyed), 3. move the new base in, 4. drop the trash
-    val trash = Paths.get(layoutDir + ".trash")
+    val tmp = dir + ".compacting"
+    writeBase(tmp)
+    val trash = Paths.get(dir + ".trash")
     deleteRecursively(trash)
     Files.createDirectories(trash)
     entries(root).foreach(p =>
@@ -389,28 +402,235 @@ object EventStreams {
     * trash). Returns true iff a compaction ran.
     */
   def compactLabelStore(spark: org.apache.spark.sql.SparkSession,
-      storeDir: String, maxDeltas: Int = 8, files: Int = 4): Boolean = {
-    import java.nio.file.{Files, Paths}
-    val root = Paths.get(storeDir)
-    if (!Files.isDirectory(root)) return false
-    val list = Files.list(root)
-    val entries = try list.iterator().asScala.toVector finally list.close()
-    val deltas = entries.filter(p =>
-      Files.isDirectory(p) && p.getFileName.toString.matches("b\\d+"))
-    if (deltas.size < maxDeltas) return false
-    val tmp = storeDir + ".compacting"
-    readLabelStore(spark, storeDir)
-      .withColumn("gen", lit(0L))
-      .repartitionByRange(files, col("cluster_id"))
-      .sortWithinPartitions(col("cluster_id"))
-      .write.mode("overwrite").parquet(tmp)
-    val trash = Paths.get(storeDir + ".trash")
-    deleteRecursively(trash)
-    Files.createDirectories(trash)
-    entries.foreach(p => Files.move(p, trash.resolve(p.getFileName.toString)))
-    Files.move(Paths.get(tmp), root.resolve("base_0"))
-    deleteRecursively(trash)
-    true
+      storeDir: String, maxDeltas: Int = 8, files: Int = 4): Boolean =
+    compactDeltaTree(storeDir, maxDeltas) { tmp =>
+      readLabelStore(spark, storeDir)
+        .withColumn("gen", lit(0L))
+        .repartitionByRange(files, col("cluster_id"))
+        .sortWithinPartitions(col("cluster_id"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+
+  // ------------------------------------------------------------------
+  // ER matches-layout maintenance (the streaming twin of
+  // EntityResolution.matchesLayout)
+  // ------------------------------------------------------------------
+
+  /** Seed the maintained ER matches layout with a nightly full-match
+    * artifact (`EntityResolution.matchMentions`' rows), range-clustered
+    * on `mention_id` — the same physical shape
+    * [[compactMatchesLayout]] restores.
+    */
+  def matchesLayoutInit(matches: DataFrame, layoutDir: String,
+      files: Int = 4): Unit =
+    matches
+      .select(col("mention_id"), col("mention"), col("matched_id"),
+        col("dist"), col("correct"))
+      .repartitionByRange(files, col("mention_id"))
+      .sortWithinPartitions(col("mention_id"))
+      .write.mode("overwrite").parquet(s"$layoutDir/base_0")
+
+  /** STREAMING ER match maintenance — the live twin of the derive-once
+    * [[graft.operators.EntityResolution.matchesLayout]]: each
+    * micro-batch of `(mention_id, true_name, mention)` rows is matched
+    * against the persisted catalog (the
+    * `er_match_fixed_catalog` production contract — blocking keys are
+    * kept/dropped by CATALOG posting size alone, so a mention's
+    * verdict never depends on other mentions) and lands as a DISJOINT
+    * `b<batchId>` delta. Disjointness is the span layout's replay
+    * story, not the label store's: verdicts are FINAL at ingest under
+    * a fixed catalog, a replayed batch overwrites its own delta, and
+    * no cross-delta fold is needed on read.
+    *
+    * Per-batch cost: one scan of the catalog (dimension-sized — the
+    * [[graft.operators.EntityResolution.ErMaxBlock]] posting guard is
+    * computed from it) plus blocked batch-side work; never
+    * O(all mentions ever ingested). A catalog CHANGE invalidates the
+    * layout wholesale — recompute the nightly artifact, the same rule
+    * the derive-once layout lives by.
+    */
+  def maintainMatchesLayout(mentions: DataFrame, catalogDir: String,
+      layoutDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    mentions.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val m = batch.select(col("mention_id"), col("true_name"), col("mention"))
+        val cat = spark.read.parquet(catalogDir)
+          .select(col("ent_name"), col("ent_id"))
+        graft.operators.EntityResolution.matchAgainst(m, cat)
+          .write.mode("overwrite").parquet(s"$layoutDir/b$batchId")
+        ()
+      }
+
+  /** Read the maintained matches layout: base + every delta, one row
+    * per mention ever ingested (deltas are disjoint — no fold).
+    */
+  def readMatchesLayout(spark: org.apache.spark.sql.SparkSession,
+      layoutDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(layoutDir)
+      .select(col("mention_id"), col("mention"), col("matched_id"),
+        col("dist"), col("correct"))
+
+  /** Delta compaction for the matches layout — pure rewrite (disjoint
+    * deltas), range-clustered on `mention_id` like
+    * [[matchesLayoutInit]]. Same single-maintainer, between-batches
+    * contract and staged swap as every compactor here.
+    */
+  def compactMatchesLayout(spark: org.apache.spark.sql.SparkSession,
+      layoutDir: String, maxDeltas: Int = 8, files: Int = 4,
+      maxDeltaBytes: Long = Long.MaxValue): Boolean =
+    compactDeltaTree(layoutDir, maxDeltas, maxDeltaBytes) { tmp =>
+      readMatchesLayout(spark, layoutDir)
+        .repartitionByRange(files, col("mention_id"))
+        .sortWithinPartitions(col("mention_id"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+
+  // ------------------------------------------------------------------
+  // streaming dedup-cascade stores (the live twin of Dedup.cascade)
+  // ------------------------------------------------------------------
+
+  /** Initialise the cascade store tree under `root`. Five sub-stores,
+    * each with its own merge discipline (docs/fp/nfp/labels feed the
+    * served verdicts; bands feeds the next batch's probe):
+    *
+    *  - `docs/`  — `(doc_id, fp, nfp)` fingerprinted docs; DISJOINT
+    *    per-batch appends (a doc is ingested once).
+    *  - `fp/`, `nfp/` — `(fp|nfp, keeper)` BATCH-LOCAL keeper minima;
+    *    merge-on-read is a `min` fold — min composes, so the fold of
+    *    batch minima IS the global keeper election, with no
+    *    generation ordering needed (unlike the label store's
+    *    latest-wins upserts).
+    *  - `bands/` — [[graft.operators.Dedup.bandSigRows]] rows, the
+    *    LSH probe target; disjoint appends.
+    *  - `labels/` — the maintained near-dup label store
+    *    ([[labelStoreInit]]'s upsert-generation shape), seeded EMPTY
+    *    here: a nightly bootstrap is just history ingested as the
+    *    first batch.
+    */
+  def cascadeStoreInit(spark: org.apache.spark.sql.SparkSession,
+      root: String): Unit = {
+    import spark.implicits._
+    labelStoreInit(Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id"),
+      s"$root/labels", files = 1)
+  }
+
+  /** STREAMING cascade-store maintenance — the live twin of the batch
+    * [[graft.operators.Dedup.cascade]]: each micro-batch of
+    * `(doc_id, text)` docs is fingerprinted once
+    * ([[graft.operators.Dedup.fingerprintsOf]] — the SAME keys a batch
+    * recompute would give it), its batch-local keeper minima and band
+    * rows land as deltas, the band store is probed for the batch's
+    * near-dup edges ([[graft.operators.Dedup.lshProbeEdges]] — the
+    * store never shuffles; the batch's keys broadcast into a map-side
+    * scan), and the label store takes the incremental delta
+    * ([[graft.operators.Dedup.clustersIncrementalDelta]], with the
+    * same replayed-batch exclusion as [[maintainLabelStore]]).
+    *
+    * Replay safety per sub-store: docs/fp/nfp/bands deltas are
+    * recomputed from the batch alone and overwrite their own
+    * directory (idempotent); the band probe reads the store WITH the
+    * batch's just-written rows (so batch-internal pairs fall out of
+    * the one join, and a replay sees identical bucket contents); the
+    * label read EXCLUDES the batch's own prior delta (the upsert-delta
+    * replay hazard [[maintainLabelStore]] documents).
+    *
+    * Per-batch cost: batch-scaled fingerprint/band work + one map-side
+    * band-store scan + the batch-scaled contracted label loop — never
+    * O(corpus). [[readCascadeVerdicts]] serves the cascade table off
+    * these stores with zero text re-processing.
+    */
+  def maintainCascadeStores(docs: DataFrame,
+      root: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("doc_id"), col("text"))
+        // both frames feed multiple writes — materialize the md5 /
+        // normalize / minhash projections exactly once (batch-scaled)
+        val fps = graft.operators.Dedup.fingerprintsOf(b)
+          .select(col("doc_id"), col("fp"), col("nfp"))
+          .localCheckpoint()
+        val bands = graft.operators.Dedup.bandSigRows(
+          graft.operators.Dedup.signaturesOf(b)).localCheckpoint()
+        fps.write.mode("overwrite").parquet(s"$root/docs/b$batchId")
+        fps.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
+          .write.mode("overwrite").parquet(s"$root/fp/b$batchId")
+        fps.groupBy(col("nfp")).agg(min(col("doc_id")).as("keeper"))
+          .write.mode("overwrite").parquet(s"$root/nfp/b$batchId")
+        bands.write.mode("overwrite").parquet(s"$root/bands/b$batchId")
+        val storeBands = spark.read
+          .option("recursiveFileLookup", "true").parquet(s"$root/bands")
+        val edges = graft.operators.Dedup.lshProbeEdges(storeBands, bands)
+        val labelDir = s"$root/labels"
+        val store = foldLabelStore(
+          spark.read.option("recursiveFileLookup", "true")
+            .parquet(labelStoreParts(labelDir, excludeBatch = batchId): _*))
+        graft.operators.Dedup.clustersIncrementalDelta(store, edges)
+          .withColumn("gen", lit(batchId + 1L))
+          .write.mode("overwrite").parquet(s"$labelDir/b$batchId")
+        ()
+      }
+
+  private def readKeeperStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String, keyCol: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(dir)
+      .groupBy(col(keyCol)).agg(min(col("keeper")).as("keeper"))
+
+  /** Serve the cascade attribution table off the maintained stores —
+    * row-identical to a batch [[graft.operators.Dedup.cascade]]-style
+    * recompute over everything ingested (CascadeServingSpec pins it
+    * after every batch): fold the keeper stores (min), fold the label
+    * store (latest-wins), and run the shared
+    * [[graft.operators.Dedup.cascadeOver]] core over the doc store.
+    * No text is re-read and no election loop re-runs — the
+    * merge-on-read folds are the whole serving cost, bounded by
+    * [[compactCascadeStores]].
+    */
+  def readCascadeVerdicts(spark: org.apache.spark.sql.SparkSession,
+      root: String): DataFrame = {
+    val corpus = spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$root/docs")
+    val ex = readKeeperStore(spark, s"$root/fp", "fp")
+      .withColumnRenamed("keeper", "ek")
+    val nx = readKeeperStore(spark, s"$root/nfp", "nfp")
+      .withColumnRenamed("keeper", "nk")
+    val labels = readLabelStore(spark, s"$root/labels")
+    graft.operators.Dedup.cascadeOver(corpus, ex, nx, labels)
+  }
+
+  /** Compact every cascade sub-store that is due: pure rewrites for
+    * the disjoint-append stores (docs on `doc_id`, bands on
+    * `band_key` — the probe's pruning key), `min` folds for the
+    * keeper stores, and [[compactLabelStore]] for the labels. Returns
+    * true iff any sub-store compacted.
+    */
+  def compactCascadeStores(spark: org.apache.spark.sql.SparkSession,
+      root: String, maxDeltas: Int = 8, files: Int = 4): Boolean = {
+    def rewrite(sub: String, rangeCol: String): Boolean =
+      compactDeltaTree(s"$root/$sub", maxDeltas) { tmp =>
+        spark.read.option("recursiveFileLookup", "true")
+          .parquet(s"$root/$sub")
+          .repartitionByRange(files, col(rangeCol))
+          .sortWithinPartitions(col(rangeCol))
+          .write.mode("overwrite").parquet(tmp)
+      }
+    def foldKeepers(sub: String, keyCol: String): Boolean =
+      compactDeltaTree(s"$root/$sub", maxDeltas) { tmp =>
+        readKeeperStore(spark, s"$root/$sub", keyCol)
+          .repartitionByRange(files, col(keyCol))
+          .sortWithinPartitions(col(keyCol))
+          .write.mode("overwrite").parquet(tmp)
+      }
+    val ran = Seq(
+      rewrite("docs", "doc_id"),
+      foldKeepers("fp", "fp"),
+      foldKeepers("nfp", "nfp"),
+      rewrite("bands", "band_key"),
+      compactLabelStore(spark, s"$root/labels", maxDeltas, files))
+    ran.contains(true)
   }
 
   /** The RocksDB state store provider — the scale choice for stateful

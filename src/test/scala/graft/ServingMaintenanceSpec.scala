@@ -1,0 +1,248 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, EntityResolution}
+import graft.streaming.EventStreams
+
+/** The r13 serving-maintenance closeout: the two derive-once layouts
+  * that were still static-only — the ER matches layout and the cascade
+  * attribution — get their streaming twins pinned here. Contracts:
+  * stream-maintained state ≡ a full batch recompute over everything
+  * ingested, after EVERY micro-batch; compaction changes bytes, never
+  * rows; maintenance continues against a compacted store.
+  */
+class ServingMaintenanceSpec extends SparkSpec {
+
+  private def ckpt(): String =
+    Files.createTempDirectory("graft-ckpt").toString
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def gens(d: String): Int = {
+    val s = Files.list(java.nio.file.Paths.get(d))
+    try s.iterator().asScala.count(p => Files.isDirectory(p)) finally s.close()
+  }
+
+  // ---- ER matches layout ----
+
+  private def matchRows(df: DataFrame): Seq[(Long, String, Option[Long], Option[Long], Boolean)] =
+    df.select("mention_id", "mention", "matched_id", "dist", "correct")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getBoolean(4))).sortBy(_._1).toSeq
+
+  test("streamed matches layout: init + deltas equal the batch match table, compaction is lossless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-matchstream").toString
+    val (catalogDir, layoutDir) = (s"$root/catalog", s"$root/matches")
+    val cat = EntityResolution.catalog(spark, dir)
+    cat.write.parquet(catalogDir)
+    val m = EntityResolution.mentions(spark, dir)
+    // nightly artifact: a third of the mentions matched in batch mode
+    EventStreams.matchesLayoutInit(
+      EntityResolution.matchAgainst(m.filter($"mention_id" % 3 === 0), cat),
+      layoutDir)
+    val batches = Seq(1L, 2L).map(k =>
+      m.filter($"mention_id" % 3 === k).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq)
+
+    val stream = MemoryStream[(Long, String, String)]
+    val q = EventStreams.maintainMatchesLayout(
+        stream.toDF().toDF("mention_id", "true_name", "mention"),
+        catalogDir, layoutDir)
+      .option("checkpointLocation", ckpt()).start()
+    batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+
+    val got = matchRows(EventStreams.readMatchesLayout(spark, layoutDir))
+    // disjoint deltas: one row per mention, no fold needed
+    assert(got.map(_._1).distinct.length === got.length)
+    // init + stream ≡ the batch match table over all mentions
+    assert(got === matchRows(EntityResolution.matchMentions(spark, dir)))
+
+    // compaction: 2 deltas ≥ maxDeltas=2 → fires, folds to one
+    // generation, preserves every verdict
+    assert(EventStreams.compactMatchesLayout(spark, layoutDir, maxDeltas = 2, files = 2))
+    assert(gens(layoutDir) === 1)
+    assert(matchRows(EventStreams.readMatchesLayout(spark, layoutDir)) === got)
+    assert(!EventStreams.compactMatchesLayout(spark, layoutDir, maxDeltas = 2, files = 2))
+    // the compacted base is range-clustered on mention_id: files cover
+    // disjoint ranges (row-group pruning on the serving key)
+    val perFile = spark.read.parquet(s"$layoutDir/base_0")
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"mention_id").as("lo"), max($"mention_id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(perFile.sliding(2).forall {
+      case Array((_, hi1), (lo2, _)) => hi1 <= lo2
+      case _ => true
+    }, s"compacted files must cover disjoint mention_id ranges: ${perFile.mkString(",")}")
+
+    // maintenance continues against the compacted layout: a novel
+    // mention appends, with the verdict the batch core would give it
+    stream.addData(Seq((-1L, "zzz unseen entity", "zzz unseen entity")))
+    q.processAllAvailable()
+    q.stop()
+    val after = matchRows(EventStreams.readMatchesLayout(spark, layoutDir))
+    assert(after.length === got.length + 1)
+    val want = matchRows(EntityResolution.matchAgainst(
+      Seq((-1L, "zzz unseen entity", "zzz unseen entity"))
+        .toDF("mention_id", "true_name", "mention"), cat))
+    assert(after.filter(_._1 == -1L) === want)
+  }
+
+  // ---- streaming cascade stores ----
+
+  /** Batch LSH candidate pairs over an arbitrary `(doc_id, text)`
+    * frame — an independent restatement of the minhashLsh derivation
+    * (band → bucket-cap → self-join → est ≥ threshold) the streamed
+    * probe must reproduce pair-for-pair.
+    */
+  private def lshPairsOf(d: DataFrame): DataFrame = {
+    val bands0 = Dedup.bandSigRows(Dedup.signaturesOf(d))
+    val keptKeys = bands0.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= Dedup.MaxBandBucket)
+      .select(col("band"), col("band_key"))
+    val bands = bands0.join(keptKeys, Seq("band", "band_key"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))")
+        / lit(16.0) >= Dedup.ClusterThreshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+  }
+
+  private def verdictRows(df: DataFrame): Seq[(Long, String, Long)] =
+    df.select("doc_id", "stage", "keeper_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+
+  /** Full batch recompute of the cascade over everything ingested:
+    * keeper elections over the prefix, labels from a converged
+    * min-label loop over the prefix's LSH pairs.
+    */
+  private def expectedCascade(prefix: DataFrame): Seq[(Long, String, Long)] = {
+    val corpus = Dedup.fingerprintsOf(prefix).select("doc_id", "fp", "nfp")
+    val ex = corpus.groupBy(col("fp")).agg(min(col("doc_id")).as("ek"))
+    val nx = corpus.groupBy(col("nfp")).agg(min(col("doc_id")).as("nk"))
+    val edges = lshPairsOf(prefix).localCheckpoint()
+    val nodes = edges.select(col("src").as("doc_id"))
+      .union(edges.select(col("dst"))).distinct()
+    val labels = Dedup.clustersOver(nodes, edges, Dedup.MaintenanceMaxHops)
+    verdictRows(Dedup.cascadeOver(corpus, ex, nx, labels))
+  }
+
+  test("the band probe broadcasts the batch keys and never shuffles the store") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // the store side is corpus-sized: its one pass must be a map-side
+    // scan probed by a broadcast of the batch's keys — a SortMergeJoin
+    // here is the corpus-shuffle-per-batch failure the maintainer
+    // exists to avoid (the incremental-labels seed-probe rule)
+    val root = Files.createTempDirectory("graft-probe").toString
+    val d = graft.engine.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    Dedup.bandSigRows(Dedup.signaturesOf(d))
+      .write.parquet(s"$root/bands/b0")
+    val store = spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$root/bands")
+    val batch = Dedup.bandSigRows(Dedup.signaturesOf(
+      d.filter($"doc_id" % 7 === 0)))
+    val probed = Dedup.lshProbeMatched(store, batch)
+    probed.collect()
+    val plan = (probed.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe must broadcast the batch keys:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"probe must not shuffle the band store:\n$plan")
+  }
+
+  test("streamed cascade stores serve verdicts equal to a batch recompute after every batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = graft.engine.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    // the surfaced cascade's exact planted corpus (verbatim + case
+    // copies), in three id-striped batches so copies and their bases
+    // cross batch boundaries
+    val planted = base
+      .unionAll(base.filter($"doc_id" % 20 === 3)
+        .select(($"doc_id" + Dedup.CascadeExactShift).as("doc_id"), $"text"))
+      .unionAll(base.filter($"doc_id" % 20 === 5)
+        .select(($"doc_id" + Dedup.CascadeCaseShift).as("doc_id"),
+          concat(upper($"text"), lit(" !!")).as("text")))
+    def toBatch(d: DataFrame): Seq[(Long, String)] =
+      d.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val batches = (0L until 3L).map(k => toBatch(planted.filter($"doc_id" % 3 === k)))
+
+    val root = Files.createTempDirectory("graft-cascadestream").toString + "/store"
+    EventStreams.cascadeStoreInit(spark, root)
+    val stream = MemoryStream[(Long, String)]
+    val q = EventStreams.maintainCascadeStores(
+        stream.toDF().toDF("doc_id", "text"), root)
+      .option("checkpointLocation", ckpt()).start()
+
+    var prefix: Seq[(Long, String)] = Seq.empty
+    batches.foreach { b =>
+      stream.addData(b)
+      q.processAllAvailable()
+      prefix = prefix ++ b
+      assert(verdictRows(EventStreams.readCascadeVerdicts(spark, root))
+        === expectedCascade(prefix.toDF("doc_id", "text")),
+        s"served verdicts diverged after a batch of ${b.length} docs")
+    }
+    // at full ingest the served table IS the surfaced query's result
+    val full = verdictRows(EventStreams.readCascadeVerdicts(spark, root))
+    assert(full === verdictRows(Dedup.cascade(spark, dir)))
+    assert(full.count(_._2 == "exact") > 0)
+    assert(full.count(_._2 == "normalized") > 0)
+
+    // a planted NEAR batch (last word dropped → shingle-set Jaccard
+    // ≈ 1): the only stage the cascade corpus leaves unexercised at
+    // this sf, and the one that drives the label store
+    val tok = split($"text", " ")
+    val nearBatch = toBatch(base
+      .filter($"doc_id" % 20 === 11 && size(tok) >= 10)
+      .select(($"doc_id" + 9100000L).as("doc_id"),
+        array_join(slice(tok, lit(1), size(tok) - 1), " ").as("text")))
+    assert(nearBatch.nonEmpty, "fixture must yield near-dup plants")
+    stream.addData(nearBatch)
+    q.processAllAvailable()
+    prefix = prefix ++ nearBatch
+    val withNear = verdictRows(EventStreams.readCascadeVerdicts(spark, root))
+    assert(withNear === expectedCascade(prefix.toDF("doc_id", "text")))
+    assert(withNear.count(_._2 == "near") > 0,
+      "planted near-dups must reach the near stage")
+
+    // compaction folds every sub-store, changes no verdict, and the
+    // maintainer keeps working against the compacted tree
+    assert(EventStreams.compactCascadeStores(spark, root, maxDeltas = 2, files = 2))
+    Seq("docs", "fp", "nfp", "bands", "labels").foreach(sub =>
+      assert(gens(s"$root/$sub") === 1, s"$sub must fold to one generation"))
+    assert(verdictRows(EventStreams.readCascadeVerdicts(spark, root)) === withNear)
+    val nearBatch2 = toBatch(base
+      .filter($"doc_id" % 20 === 17 && size(tok) >= 10)
+      .select(($"doc_id" + 9200000L).as("doc_id"),
+        array_join(slice(tok, lit(1), size(tok) - 1), " ").as("text")))
+    assert(nearBatch2.nonEmpty)
+    stream.addData(nearBatch2)
+    q.processAllAvailable()
+    q.stop()
+    prefix = prefix ++ nearBatch2
+    assert(verdictRows(EventStreams.readCascadeVerdicts(spark, root))
+      === expectedCascade(prefix.toDF("doc_id", "text")))
+  }
+}
