@@ -138,7 +138,10 @@ object ScaleBench {
       val store = graft.engine.Layouts.layoutOnce(
         spark, "band-store", dir, "band_key")(
         d.bandSigRows(d.signatures(spark, dir)))
-      val edges = d.lshProbeEdges(store, bands)
+      // the maintainer probes AFTER writing the batch's band delta —
+      // the union is that just-written delta, so batch↔store and
+      // batch-internal pairs both fall out of the one probe join
+      val edges = d.lshProbeEdges(store.unionByName(bands), bands)
       noop(d.clustersIncrementalDelta(
         d.clusterLabelsLayout(spark, dir).select(col("doc_id"), col("cluster_id")),
         edges))
