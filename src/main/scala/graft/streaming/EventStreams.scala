@@ -380,18 +380,29 @@ object EventStreams {
     edges.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val b = batch.select(col("src"), col("dst")).persist()
-        try {
-          val store = foldLabelStore(
-            spark.read.option("recursiveFileLookup", "true")
-              .parquet(labelStoreParts(storeDir, excludeBatch = batchId): _*))
-          graft.operators.Dedup.clustersIncrementalDelta(store, b)
-            .withColumn("gen", lit(batchId + 1L))
-            .write.mode("overwrite").parquet(s"$storeDir/b$batchId")
-        } finally b.unpersist()
-        ()
+        applyLabelBatch(batch, storeDir, batchId)
       }
+
+  /** One micro-batch of [[maintainLabelStore]], as a directly callable
+    * seam so ServingMaintenanceSpec can DRIVE the replay contract
+    * instead of trusting the scaladoc: re-applying the same
+    * (batch, batchId) must leave the store byte-identical (the
+    * foreachBatch at-least-once case), which holds exactly BECAUSE the
+    * store read excludes the batch's own prior delta.
+    */
+  private[graft] def applyLabelBatch(batch: DataFrame, storeDir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.select(col("src"), col("dst")).persist()
+    try {
+      val store = foldLabelStore(
+        spark.read.option("recursiveFileLookup", "true")
+          .parquet(labelStoreParts(storeDir, excludeBatch = batchId): _*))
+      graft.operators.Dedup.clustersIncrementalDelta(store, b)
+        .withColumn("gen", lit(batchId + 1L))
+        .write.mode("overwrite").parquet(s"$storeDir/b$batchId")
+    } finally { b.unpersist(); () }
+  }
 
   /** Generation compaction for the maintained label store: when the
     * delta count passes `maxDeltas`, fold base + deltas ([[readLabelStore]]'s
@@ -546,33 +557,46 @@ object EventStreams {
     docs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val b = batch.select(col("doc_id"), col("text"))
-        // both frames feed multiple writes — materialize the md5 /
-        // normalize / minhash projections exactly once (batch-scaled)
-        val fps = graft.operators.Dedup.fingerprintsOf(b)
-          .select(col("doc_id"), col("fp"), col("nfp"))
-          .localCheckpoint()
-        val bands = graft.operators.Dedup.bandSigRows(
-          graft.operators.Dedup.signaturesOf(b)).localCheckpoint()
-        fps.write.mode("overwrite").parquet(s"$root/docs/b$batchId")
-        fps.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
-          .write.mode("overwrite").parquet(s"$root/fp/b$batchId")
-        fps.groupBy(col("nfp")).agg(min(col("doc_id")).as("keeper"))
-          .write.mode("overwrite").parquet(s"$root/nfp/b$batchId")
-        bands.write.mode("overwrite").parquet(s"$root/bands/b$batchId")
-        val storeBands = spark.read
-          .option("recursiveFileLookup", "true").parquet(s"$root/bands")
-        val edges = graft.operators.Dedup.lshProbeEdges(storeBands, bands)
-        val labelDir = s"$root/labels"
-        val store = foldLabelStore(
-          spark.read.option("recursiveFileLookup", "true")
-            .parquet(labelStoreParts(labelDir, excludeBatch = batchId): _*))
-        graft.operators.Dedup.clustersIncrementalDelta(store, edges)
-          .withColumn("gen", lit(batchId + 1L))
-          .write.mode("overwrite").parquet(s"$labelDir/b$batchId")
-        ()
+        applyCascadeBatch(batch, root, batchId)
       }
+
+  /** One micro-batch of [[maintainCascadeStores]] — the replay-
+    * contract seam ([[applyLabelBatch]]'s twin): re-applying the same
+    * (batch, batchId) overwrites every sub-store delta with identical
+    * content, because the disjoint deltas are pure functions of the
+    * batch, the band probe sees the same bucket contents (its own
+    * rows, overwritten first), and the label read excludes the
+    * batch's own prior delta.
+    */
+  private[graft] def applyCascadeBatch(batch: DataFrame, root: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.select(col("doc_id"), col("text"))
+    // both frames feed multiple writes — materialize the md5 /
+    // normalize / minhash projections exactly once (batch-scaled)
+    val fps = graft.operators.Dedup.fingerprintsOf(b)
+      .select(col("doc_id"), col("fp"), col("nfp"))
+      .localCheckpoint()
+    val bands = graft.operators.Dedup.bandSigRows(
+      graft.operators.Dedup.signaturesOf(b)).localCheckpoint()
+    fps.write.mode("overwrite").parquet(s"$root/docs/b$batchId")
+    fps.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
+      .write.mode("overwrite").parquet(s"$root/fp/b$batchId")
+    fps.groupBy(col("nfp")).agg(min(col("doc_id")).as("keeper"))
+      .write.mode("overwrite").parquet(s"$root/nfp/b$batchId")
+    bands.write.mode("overwrite").parquet(s"$root/bands/b$batchId")
+    val storeBands = spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$root/bands")
+    val edges = graft.operators.Dedup.lshProbeEdges(storeBands, bands)
+    val labelDir = s"$root/labels"
+    val store = foldLabelStore(
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(labelStoreParts(labelDir, excludeBatch = batchId): _*))
+    graft.operators.Dedup.clustersIncrementalDelta(store, edges)
+      .withColumn("gen", lit(batchId + 1L))
+      .write.mode("overwrite").parquet(s"$labelDir/b$batchId")
+    ()
+  }
 
   private def readKeeperStore(spark: org.apache.spark.sql.SparkSession,
       dir: String, keyCol: String): DataFrame =

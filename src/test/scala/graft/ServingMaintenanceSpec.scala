@@ -142,6 +142,49 @@ class ServingMaintenanceSpec extends SparkSpec {
     verdictRows(Dedup.cascadeOver(corpus, ex, nx, labels))
   }
 
+  test("replayed micro-batches are idempotent for both upsert maintainers") {
+    import spark.implicits._
+    // ---- label store: replay must reconstruct the pre-batch store ----
+    val storeDir = Files.createTempDirectory("graft-replay").toString + "/labels"
+    val baseEdges = Seq((1L, 2L), (10L, 11L), (20L, 21L)).toDF("src", "dst")
+    val nodes = baseEdges.select($"src".as("doc_id"))
+      .union(baseEdges.select($"dst")).distinct()
+    EventStreams.labelStoreInit(
+      Dedup.clustersOver(nodes, baseEdges, Dedup.MaintenanceMaxHops)
+        .select($"doc_id", $"cluster_id"), storeDir)
+    def labels() = EventStreams.readLabelStore(spark, storeDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val batch = Seq((2L, 10L), (21L, 40L)).toDF("src", "dst")
+    EventStreams.applyLabelBatch(batch, storeDir, 0L)
+    val once = labels()
+    EventStreams.applyLabelBatch(batch, storeDir, 0L) // the replay
+    assert(labels() === once, "replay must leave the label store unchanged")
+    // negative control — WHY the own-delta exclusion is load-bearing:
+    // against a store already holding the batch's effect, the
+    // incremental delta is EMPTY (every batch edge contracts to a
+    // self-loop); a replay reading its own delta would overwrite the
+    // real one with nothing
+    assert(Dedup.clustersIncrementalDelta(
+      EventStreams.readLabelStore(spark, storeDir), batch).isEmpty)
+
+    // ---- cascade stores: same contract through every sub-store ----
+    val root = Files.createTempDirectory("graft-cascreplay").toString + "/store"
+    EventStreams.cascadeStoreInit(spark, root)
+    val d = graft.engine.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val b0 = d.filter($"doc_id" < 100)
+    val b1 = d.filter($"doc_id" >= 100 && $"doc_id" < 200)
+    EventStreams.applyCascadeBatch(b0, root, 0L)
+    val v0 = verdictRows(EventStreams.readCascadeVerdicts(spark, root))
+    EventStreams.applyCascadeBatch(b0, root, 0L) // the replay
+    assert(verdictRows(EventStreams.readCascadeVerdicts(spark, root)) === v0,
+      "replayed cascade batch must not change the served verdicts")
+    // and maintenance proceeds correctly after the replay
+    EventStreams.applyCascadeBatch(b1, root, 1L)
+    assert(verdictRows(EventStreams.readCascadeVerdicts(spark, root))
+      === expectedCascade(b0.unionByName(b1)))
+  }
+
   test("the band probe broadcasts the batch keys and never shuffles the store") {
     import spark.implicits._
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
