@@ -1668,6 +1668,40 @@ object Dedup {
     * min vec_id in the component, keeper = the minimum. Same scale
     * shape: control-only hop loop over the post-LSH edge relation.
     */
+  /** STREAMING cosine-LSH probe — [[lshProbeEdges]]' embedding twin:
+    * the near-dup edges one ingested VECTOR batch adds against a
+    * persisted `(vec_id, emb, nrm, bucket)` store
+    * ([[Similarity.embWithBucketOf]] rows; the maintainer writes the
+    * batch's own rows before probing, so batch-internal pairs fall
+    * out of the same join). Mirrors [[embeddingCosine]] piecewise:
+    * single sign-bucket equality, exact cosine ≥ `threshold` on the
+    * matched rows (rounded to the 6-dp comparator convention). The
+    * store pass is a MAP-SIDE SCAN — the batch's distinct buckets
+    * broadcast into the join; everything downstream is bucket-bounded
+    * batch work.
+    */
+  private[graft] def embProbeEdges(storeVecs: DataFrame, batchVecs: DataFrame,
+      threshold: Double = EmbeddingCosineThreshold): DataFrame = {
+    val spark = storeVecs.sparkSession
+    import spark.implicits._
+    val keys = batchVecs.select($"bucket").distinct()
+    val matched = storeVecs.join(broadcast(keys), Seq("bucket"))
+      .localCheckpoint()
+    val batchIds = batchVecs.select($"vec_id").distinct()
+    val batchSide = matched.join(broadcast(batchIds), Seq("vec_id"))
+    matched.as("a")
+      .join(batchSide.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(
+        least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"),
+        round(graft.plans.ArrayExpressions.dot(col("a.emb"), col("b.emb"))
+          / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .dropDuplicates("vec_a", "vec_b")
+      .filter($"cos" >= threshold)
+      .select($"vec_a".as("src"), $"vec_b".as("dst"))
+  }
+
   def embeddingClusters(spark: SparkSession, dir: String,
       maxHops: Int = ClusterMaxHops): DataFrame = {
     import spark.implicits._

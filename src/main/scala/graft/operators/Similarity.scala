@@ -46,9 +46,20 @@ object Similarity {
     * depend on live in exactly one place.
     */
   private[operators] def embWithBucket(spark: SparkSession, dir: String,
-      bits: Int): DataFrame = {
-    import spark.implicits._
-    emb(spark, dir).withColumn("bucket", Vectors.signBucket($"emb", bits))
+      bits: Int): DataFrame =
+    embWithBucketOf(Tables.load(spark, dir, "embeddings"), bits)
+
+  /** [[embWithBucket]] over an arbitrary `(vec_id, embedding)` frame —
+    * the seam the streaming embedding-cluster maintainer needs (an
+    * incoming vector batch is not the `embeddings` table). The
+    * toDouble/norm/signBucket conventions every cross-engine oracle
+    * depends on live HERE, once, for both faces.
+    */
+  private[graft] def embWithBucketOf(vecs: DataFrame, bits: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
+    vecs.select($"vec_id", Vectors.toDouble($"embedding").as("emb"))
+      .withColumn("nrm", Vectors.norm($"emb"))
+      .withColumn("bucket", Vectors.signBucket($"emb", bits))
   }
 
   /** Exact brute-force cosine top-k over ANY (id, array<double>) frame

@@ -598,6 +598,82 @@ object EventStreams {
     ()
   }
 
+  /** Initialise the embedding-cluster store tree: `vecs/` (bucketed
+    * vector rows, disjoint appends) + `labels/` (the upsert label
+    * store, seeded empty — a nightly bootstrap is history ingested as
+    * the first batch).
+    */
+  def embeddingClusterStoreInit(spark: org.apache.spark.sql.SparkSession,
+      root: String): Unit = {
+    import spark.implicits._
+    labelStoreInit(Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id"),
+      s"$root/labels", files = 1)
+  }
+
+  /** STREAMING embedding-cluster maintenance — the cosine-LSH twin of
+    * the cascade's label path: each micro-batch of
+    * `(vec_id, embedding)` rows is bucketed once
+    * ([[graft.operators.Similarity.embWithBucketOf]] — the same
+    * toDouble/norm/signBucket conventions as the batch derivation),
+    * appended to the vector store, probed for the batch's near-dup
+    * edges ([[graft.operators.Dedup.embProbeEdges]] — map-side store
+    * scan, batch buckets broadcast), and folded into the label store
+    * via [[graft.operators.Dedup.clustersIncrementalDelta]] with the
+    * replayed-batch exclusion. The generic label-store machinery
+    * (read fold, compaction, replay discipline) is shared unchanged —
+    * only the edge probe is modality-specific.
+    */
+  def maintainEmbeddingClusterStores(vectors: DataFrame, root: String,
+      threshold: Double = graft.operators.Dedup.EmbeddingCosineThreshold)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyEmbeddingBatch(batch, root, batchId, threshold)
+      }
+
+  /** One micro-batch of [[maintainEmbeddingClusterStores]] — the
+    * replay-contract seam ([[applyLabelBatch]]'s embedding twin).
+    */
+  private[graft] def applyEmbeddingBatch(batch: DataFrame, root: String,
+      batchId: Long,
+      threshold: Double = graft.operators.Dedup.EmbeddingCosineThreshold): Unit = {
+    val spark = batch.sparkSession
+    val vecs = graft.operators.Similarity.embWithBucketOf(
+        batch.select(col("vec_id"), col("embedding")),
+        graft.operators.Dedup.EmbeddingLshBits)
+      .localCheckpoint()
+    vecs.write.mode("overwrite").parquet(s"$root/vecs/b$batchId")
+    val store = spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$root/vecs")
+    val edges = graft.operators.Dedup.embProbeEdges(store, vecs, threshold)
+    val labelDir = s"$root/labels"
+    val labelStore = foldLabelStore(
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(labelStoreParts(labelDir, excludeBatch = batchId): _*))
+    graft.operators.Dedup.clustersIncrementalDelta(labelStore, edges)
+      .withColumn("gen", lit(batchId + 1L))
+      .write.mode("overwrite").parquet(s"$labelDir/b$batchId")
+    ()
+  }
+
+  /** Compact the embedding-cluster stores: vector rows rewritten
+    * range-clustered on `bucket` (the probe key), labels via
+    * [[compactLabelStore]]. Returns true iff any sub-store compacted.
+    */
+  def compactEmbeddingClusterStores(spark: org.apache.spark.sql.SparkSession,
+      root: String, maxDeltas: Int = 8, files: Int = 4): Boolean = {
+    val vecs = compactDeltaTree(s"$root/vecs", maxDeltas) { tmp =>
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$root/vecs")
+        .repartitionByRange(files, col("bucket"))
+        .sortWithinPartitions(col("bucket"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    val labels = compactLabelStore(spark, s"$root/labels", maxDeltas, files)
+    vecs || labels
+  }
+
   private def readKeeperStore(spark: org.apache.spark.sql.SparkSession,
       dir: String, keyCol: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(dir)

@@ -142,6 +142,75 @@ class ServingMaintenanceSpec extends SparkSpec {
     verdictRows(Dedup.cascadeOver(corpus, ex, nx, labels))
   }
 
+  // ---- streaming embedding-cluster stores ----
+
+  /** Batch cosine-LSH pairs over an arbitrary `(vec_id, embedding)`
+    * frame — the embeddingCosine derivation restated (single
+    * sign-bucket equality, exact 6-dp cosine ≥ threshold) as the
+    * independent expectation for the streamed probe.
+    */
+  private def embPairsOf(prefix: DataFrame, threshold: Double): DataFrame = {
+    val e = graft.operators.Similarity.embWithBucketOf(
+      prefix, Dedup.EmbeddingLshBits)
+    e.as("a")
+      .join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        round(graft.plans.ArrayExpressions.dot(col("a.emb"), col("b.emb"))
+          / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("src"), col("dst"))
+  }
+
+  private def labelRows(df: DataFrame): Seq[(Long, Long)] =
+    df.select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+  test("streamed embedding-cluster labels equal a batch recompute after every batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vecs = graft.engine.Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+    def toBatch(d: DataFrame): Seq[(Long, Seq[Float])] =
+      d.collect().map(r =>
+        (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    val batches = (0L until 3L).map(k => toBatch(vecs.filter($"vec_id" % 3 === k)))
+    val root = Files.createTempDirectory("graft-embstream").toString + "/store"
+    EventStreams.embeddingClusterStoreInit(spark, root)
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = EventStreams.maintainEmbeddingClusterStores(
+        stream.toDF().toDF("vec_id", "embedding"), root)
+      .option("checkpointLocation", ckpt()).start()
+    var prefix: Seq[(Long, Seq[Float])] = Seq.empty
+    def expected(): Seq[(Long, Long)] = {
+      val pairs = embPairsOf(prefix.toDF("vec_id", "embedding"),
+        Dedup.EmbeddingCosineThreshold).localCheckpoint()
+      val nodes = pairs.select(col("src").as("doc_id"))
+        .union(pairs.select(col("dst"))).distinct()
+      labelRows(Dedup.clustersOver(nodes, pairs, Dedup.MaintenanceMaxHops))
+    }
+    batches.foreach { b =>
+      stream.addData(b)
+      q.processAllAvailable()
+      prefix = prefix ++ b
+      assert(labelRows(EventStreams.readLabelStore(spark, s"$root/labels"))
+        === expected(), s"labels diverged after a batch of ${b.length} vectors")
+    }
+    q.stop()
+    // non-vacuous: the fixture must actually produce near-dup edges
+    assert(expected().nonEmpty, "fixture must yield cosine-LSH clusters")
+    // replay idempotence through the seam (batch id 2 re-applied)
+    val pre = labelRows(EventStreams.readLabelStore(spark, s"$root/labels"))
+    EventStreams.applyEmbeddingBatch(
+      batches(2).toDF("vec_id", "embedding"), root, 2L)
+    assert(labelRows(EventStreams.readLabelStore(spark, s"$root/labels")) === pre)
+    // compaction: folds, preserves labels, maintenance continues
+    assert(EventStreams.compactEmbeddingClusterStores(spark, root, maxDeltas = 2, files = 2))
+    Seq("vecs", "labels").foreach(sub =>
+      assert(gens(s"$root/$sub") === 1, s"$sub must fold to one generation"))
+    assert(labelRows(EventStreams.readLabelStore(spark, s"$root/labels")) === pre)
+  }
+
   test("replayed micro-batches are idempotent for both upsert maintainers") {
     import spark.implicits._
     // ---- label store: replay must reconstruct the pre-batch store ----
