@@ -148,6 +148,40 @@ object ScaleBench {
     })
   }
 
+  /** [[cascadeMaintenanceFixedBatchEntry]]'s embedding twin: a fixed
+    * vector batch (base embeddings, ids shifted clear of the amplified
+    * windows) against a grown vector store + label store. Same cost
+    * anatomy — batch-scaled bucketing, one map-side store probe
+    * ([[graft.operators.Dedup.embProbeEdges]]), batch-scaled label
+    * delta.
+    */
+  def embMaintenanceFixedBatchEntry(spark: SparkSession,
+      base: String): (String, String => () => Unit) = {
+    import org.apache.spark.sql.functions.col
+    val d = graft.operators.Dedup
+    lazy val batch = graft.engine.Tables.load(spark, base, "embeddings")
+      .filter(col("vec_id") % 40 === 0)
+      .select((col("vec_id") + 9000000000L).as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    "emb_maintenance_fixed_batch" -> ((dir: String) => () => {
+      val vecs = graft.operators.Similarity
+        .embWithBucketOf(batch, d.EmbeddingLshBits).localCheckpoint()
+      noop(vecs)
+      val store = graft.engine.Layouts.layoutOnce(
+        spark, "emb-vec-store", dir, "bucket")(
+        graft.operators.Similarity.embWithBucketOf(
+          graft.engine.Tables.load(spark, dir, "embeddings"),
+          d.EmbeddingLshBits))
+      val edges = d.embProbeEdges(store.unionByName(vecs), vecs)
+      noop(d.clustersIncrementalDelta(
+        d.embeddingClusterLabelsLayout(spark, dir)
+          .select(col("vec_id").as("doc_id"), col("cluster_id")),
+        edges))
+    })
+  }
+
   private def fmt(v: Double): String =
     BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
@@ -203,7 +237,8 @@ object ScaleBench {
           .map(n => n -> ((dir: String) =>
             derivations(spark, dir).find(_._1 == n).get._2)) :+
         fixedCatalogEntry(spark, base) :+ fixedBatchLabelEntry(spark, base) :+
-        cascadeMaintenanceFixedBatchEntry(spark, base))
+        cascadeMaintenanceFixedBatchEntry(spark, base) :+
+        embMaintenanceFixedBatchEntry(spark, base))
         .filter { case (n, _) => only.forall(_.contains(n)) }
     // a SCALE_ONLY name matching nothing (a typo) must FAIL the run,
     // not let the sweep report success having measured nothing
