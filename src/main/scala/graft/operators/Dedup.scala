@@ -242,9 +242,11 @@ object Dedup {
     * downstream of the probe is bucket-bounded batch work. Per-batch
     * cost is O(batch + store-probe), never O(corpus).
     */
-  /** [[lshProbeEdges]]'s one store pass, pre-materialization — the
-    * seam ServingMaintenanceSpec pins the plan shape on (broadcast
-    * probe, no store shuffle).
+  /** [[lshProbeEdges]]' store passes, pre-aggregation — the seam
+    * ServingMaintenanceSpec pins the plan shape on (broadcast probe,
+    * no store shuffle). Both store passes of the probe (the
+    * count-only sizing scan and the pair-join scan) are exactly this
+    * join.
     */
   private[graft] def lshProbeMatched(storeBands: DataFrame,
       batchBands: DataFrame): DataFrame = {
@@ -257,19 +259,23 @@ object Dedup {
       threshold: Double = ClusterThreshold): DataFrame = {
     val spark = storeBands.sparkSession
     import spark.implicits._
-    // probe-result-scaled (≤ cap × batch keys after the guard);
-    // consumed twice (bucket sizes + pair join) — materialize once
-    val matched = lshProbeMatched(storeBands, batchBands)
-      .localCheckpoint()
-    val keptKeys = matched.groupBy($"band", $"band_key")
+    // sizing pass: count-only aggregate over the probe scan — nothing
+    // wide is materialized BEFORE the saturation guard, so a batch key
+    // hitting a saturated boilerplate bucket costs a counted scan, not
+    // a checkpoint of the whole bucket (r13 review fix)
+    val keptKeys = lshProbeMatched(storeBands, batchBands)
+      .groupBy($"band", $"band_key")
       .agg(count(lit(1)).as("bn"))
       .filter($"bn" <= MaxBandBucket)
       .select($"band", $"band_key")
-    val kept = matched.join(broadcast(keptKeys), Seq("band", "band_key"))
-    val batchIds = batchBands.select($"doc_id").distinct()
-    // every emitted pair has ≥1 endpoint in THIS batch (the b side);
-    // both sides come from `kept`, so the bucket cap guards both
-    val batchSide = kept.join(broadcast(batchIds), Seq("doc_id"))
+    // pair pass: the a side re-scans the store map-side, now filtered
+    // to the capped keys; the b side is the BATCH's own rows (already
+    // present in the store by the write-then-probe contract), capped
+    // by the same keys — every emitted pair has ≥1 batch endpoint and
+    // the guard bounds both sides
+    val kept = lshProbeMatched(storeBands, batchBands)
+      .join(broadcast(keptKeys), Seq("band", "band_key"))
+    val batchSide = batchBands.join(broadcast(keptKeys), Seq("band", "band_key"))
     kept.as("a")
       .join(batchSide.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
@@ -1684,13 +1690,16 @@ object Dedup {
       threshold: Double = EmbeddingCosineThreshold): DataFrame = {
     val spark = storeVecs.sparkSession
     import spark.implicits._
+    // the sign-bucket domain is only 2^EmbeddingLshBits, so a diverse
+    // batch's keys can select most of the store — the probe must stay
+    // a pure STREAMED scan, never a materialization (r13 review fix).
+    // The b side is the batch's own rows (present in the store by the
+    // write-then-probe contract), so the store is scanned exactly once
+    // and nothing store-sized is checkpointed per micro-batch.
     val keys = batchVecs.select($"bucket").distinct()
     val matched = storeVecs.join(broadcast(keys), Seq("bucket"))
-      .localCheckpoint()
-    val batchIds = batchVecs.select($"vec_id").distinct()
-    val batchSide = matched.join(broadcast(batchIds), Seq("vec_id"))
     matched.as("a")
-      .join(batchSide.as("b"),
+      .join(batchVecs.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(
         least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),

@@ -141,10 +141,28 @@ object EntityResolution {
     * contract (`er_match_fixed_catalog`'s production shape).
     */
   private[graft] def matchAgainst(m: DataFrame, cat: DataFrame): DataFrame = {
-    import m.sparkSession.implicits._
+    val (ck, keptKeys) = catalogKeys(cat)
+    matchAgainstKeys(m, ck, keptKeys)
+  }
+
+  /** The catalog's blocked-key relation and its [[ErMaxBlock]]-kept
+    * key set — STREAM-CONSTANT under the fixed-catalog contract, so
+    * the streaming maintainer computes them once at construction and
+    * closes over the materialization instead of re-electing postings
+    * per micro-batch.
+    */
+  private[graft] def catalogKeys(cat: DataFrame): (DataFrame, DataFrame) = {
+    import cat.sparkSession.implicits._
     val ck = keysOf(cat, "ent_name").select($"key", $"ent_id", $"ent_name")
     val keptKeys = ck.groupBy($"key").agg(count(lit(1)).as("n"))
       .filter($"n" <= ErMaxBlock).select($"key")
+    (ck, keptKeys)
+  }
+
+  /** [[matchAgainst]] over a pre-computed blocked catalog. */
+  private[graft] def matchAgainstKeys(m: DataFrame, ck: DataFrame,
+      keptKeys: DataFrame): DataFrame = {
+    import m.sparkSession.implicits._
     val mk = keysOf(m, "mention").select($"key", $"mention_id")
     val cand = mk.join(keptKeys, Seq("key"))
       .join(ck, Seq("key"))

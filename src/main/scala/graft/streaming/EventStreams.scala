@@ -392,16 +392,26 @@ object EventStreams {
     */
   private[graft] def applyLabelBatch(batch: DataFrame, storeDir: String,
       batchId: Long): Unit = {
-    val spark = batch.sparkSession
     val b = batch.select(col("src"), col("dst")).persist()
-    try {
-      val store = foldLabelStore(
-        spark.read.option("recursiveFileLookup", "true")
-          .parquet(labelStoreParts(storeDir, excludeBatch = batchId): _*))
-      graft.operators.Dedup.clustersIncrementalDelta(store, b)
-        .withColumn("gen", lit(batchId + 1L))
-        .write.mode("overwrite").parquet(s"$storeDir/b$batchId")
-    } finally { b.unpersist(); () }
+    try writeLabelDelta(b, storeDir, batchId)
+    finally { b.unpersist(); () }
+  }
+
+  /** The replay-hazard-critical label-delta tail every maintainer
+    * shares, in exactly ONE place: fold the store EXCLUDING the
+    * batch's own prior delta (the upsert replay rule), compute the
+    * incremental delta for the batch's edges, land it as the
+    * `b<batchId>` generation.
+    */
+  private def writeLabelDelta(edges: DataFrame, labelDir: String,
+      batchId: Long): Unit = {
+    val spark = edges.sparkSession
+    val store = foldLabelStore(
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(labelStoreParts(labelDir, excludeBatch = batchId): _*))
+    graft.operators.Dedup.clustersIncrementalDelta(store, edges)
+      .withColumn("gen", lit(batchId + 1L))
+      .write.mode("overwrite").parquet(s"$labelDir/b$batchId")
   }
 
   /** Generation compaction for the maintained label store: when the
@@ -461,18 +471,25 @@ object EventStreams {
     * the derive-once layout lives by.
     */
   def maintainMatchesLayout(mentions: DataFrame, catalogDir: String,
-      layoutDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+      layoutDir: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    // the blocked catalog keys and the ErMaxBlock posting election are
+    // STREAM-CONSTANT under the fixed-catalog contract — compute and
+    // materialize them once at construction instead of re-reading the
+    // catalog and re-electing postings per micro-batch (r13 review fix)
+    val spark = mentions.sparkSession
+    val (ck0, kept0) = graft.operators.EntityResolution.catalogKeys(
+      spark.read.parquet(catalogDir).select(col("ent_name"), col("ent_id")))
+    val ck = ck0.localCheckpoint()
+    val keptKeys = kept0.localCheckpoint()
     mentions.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
         val m = batch.select(col("mention_id"), col("true_name"), col("mention"))
-        val cat = spark.read.parquet(catalogDir)
-          .select(col("ent_name"), col("ent_id"))
-        graft.operators.EntityResolution.matchAgainst(m, cat)
+        graft.operators.EntityResolution.matchAgainstKeys(m, ck, keptKeys)
           .write.mode("overwrite").parquet(s"$layoutDir/b$batchId")
         ()
       }
+  }
 
   /** Read the maintained matches layout: base + every delta, one row
     * per mention ever ingested (deltas are disjoint — no fold).
@@ -588,14 +605,7 @@ object EventStreams {
     val storeBands = spark.read
       .option("recursiveFileLookup", "true").parquet(s"$root/bands")
     val edges = graft.operators.Dedup.lshProbeEdges(storeBands, bands)
-    val labelDir = s"$root/labels"
-    val store = foldLabelStore(
-      spark.read.option("recursiveFileLookup", "true")
-        .parquet(labelStoreParts(labelDir, excludeBatch = batchId): _*))
-    graft.operators.Dedup.clustersIncrementalDelta(store, edges)
-      .withColumn("gen", lit(batchId + 1L))
-      .write.mode("overwrite").parquet(s"$labelDir/b$batchId")
-    ()
+    writeLabelDelta(edges, s"$root/labels", batchId)
   }
 
   /** Initialise the embedding-cluster store tree: `vecs/` (bucketed
@@ -647,14 +657,7 @@ object EventStreams {
     val store = spark.read
       .option("recursiveFileLookup", "true").parquet(s"$root/vecs")
     val edges = graft.operators.Dedup.embProbeEdges(store, vecs, threshold)
-    val labelDir = s"$root/labels"
-    val labelStore = foldLabelStore(
-      spark.read.option("recursiveFileLookup", "true")
-        .parquet(labelStoreParts(labelDir, excludeBatch = batchId): _*))
-    graft.operators.Dedup.clustersIncrementalDelta(labelStore, edges)
-      .withColumn("gen", lit(batchId + 1L))
-      .write.mode("overwrite").parquet(s"$labelDir/b$batchId")
-    ()
+    writeLabelDelta(edges, s"$root/labels", batchId)
   }
 
   /** Compact the embedding-cluster stores: vector rows rewritten
