@@ -46,6 +46,10 @@ object Bench {
       .config(graft.plans.ScaleGuard.FailOnGlobalWindow, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-hop loop tracing for this JVM: when a loop query tail-spikes
+    // in a RECORDED run, the stderr log carries the hop-level wall/GC/
+    // storage breakdown needed to attribute it (r13 verdict #1)
+    System.setProperty("graft.loop.trace", "1")
     // the benched surface is gated by the no-global-window rule, not
     // just by PlanShapeSpec: an accidental Window.orderBy fails the run
     graft.plans.ScaleGuard.install(spark)
@@ -107,7 +111,20 @@ object Bench {
         if (only.isEmpty && i > 0 && i % ProbeEvery == 0)
           probes += i -> boxProbe(spark)
         spark.catalog.clearCache()
+        // drop orphaned RDD blocks (localCheckpoint leftovers) BEFORE
+        // the heap is asked for a clean slate — clearCache alone
+        // leaves them, and over a 216-query sweep they saturate the
+        // 8 GiB JVM's storage pool and put heavy-tailed eviction/GC
+        // churn under whichever loop query runs late in the sweep
+        // (BENCH_r13: graph_components 13.2 s vs 3.1 s same-code
+        // median). SPARK_GRAFT_NO_RDD_DROP restores the r13 behavior
+        // for A/B leak accounting.
+        val dropped =
+          if (sys.env.contains("SPARK_GRAFT_NO_RDD_DROP")) -1
+          else graft.engine.Tables.dropOrphanRdds(spark)
         System.gc()
+        val gcBefore = graft.engine.Tables.gcMillis()
+        val (stBefore, stMax) = graft.engine.Tables.storageBytes(spark)
         val ok = run(name, fn)
         // a failure in ANY run must read as a failure (-1), not as a
         // fast run — a timed run can hit transient errors the priming
@@ -116,6 +133,15 @@ object Bench {
           val t0 = System.nanoTime()
           if (ok && run(name, fn)) (System.nanoTime() - t0) / 1e9 else -1.0
         }
+        // per-query attribution line (stderr, not part of the JSON
+        // contract): GC time inside this query's window, storage-pool
+        // level entering it, and how many orphaned RDDs the boundary
+        // cleanup reclaimed — the evidence trail that lets a recorded
+        // tail spike be diagnosed from the driver log alone
+        System.err.println(
+          f"[bench-q] $name gc=${graft.engine.Tables.gcMillis() - gcBefore}ms " +
+            f"storage_in=${stBefore / 1e9}%.2f/${stMax / 1e9}%.2fGB dropped_rdds=$dropped " +
+            f"runs=${times.map(t => f"$t%.2f").mkString(",")}")
         name -> (if (times.contains(-1.0)) -1.0 else times.sorted.apply(timedRuns / 2))
       }
       (rs, probes.toSeq)
@@ -168,15 +194,19 @@ object Bench {
       }
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed$box$sweepTag,"queries":$qs,"sf":"$sfDir"}"""
     }
+    // A/B leak-accounting sweeps (SPARK_GRAFT_NO_RDD_DROP) are tagged
+    // so the append-only ledger can't confuse them with contract runs
+    val modeTag =
+      if (sys.env.contains("SPARK_GRAFT_NO_RDD_DROP")) ""","nodrop":true""" else ""
     // with SWEEPS>1 every earlier sweep prints tagged; the LAST sweep
     // stays the untagged driver-contract line
     allSweeps.init.zipWithIndex.foreach { case ((rs, ps), i) =>
-      println(lineOf(rs, ps, s""","sweep":${i + 1}"""))
+      println(lineOf(rs, ps, s""","sweep":${i + 1}$modeTag"""))
     }
     val succeeded = results.filter(_._2 >= 0)
     val total = succeeded.map(_._2).sum
     val failed = results.length - succeeded.length
-    val line = lineOf(results, allSweeps.last._2, "")
+    val line = lineOf(results, allSweeps.last._2, modeTag)
     println(line)
     // a compact duplicate as the LAST stdout line: if the tail window
     // still cuts the full line above, a tail-anchored parse finds this

@@ -51,9 +51,11 @@ object LoopProbe {
       println(res.queryExecution.executedPlan.toString.linesIterator.take(30).mkString("\n"))
       spark.stop(); return
     }
-    val queries = Seq(
+    val queries: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
       "dedup_clusters" -> graft.operators.Dedup.all("dedup_clusters"),
-      "graph_components" -> graft.operators.Graph.all("graph_components"))
+      // the LIVE loop (the surfaced graph_components serves the layout
+      // since r14 — probing that would measure a parquet scan)
+      "components_loop" -> ((s, d) => graft.operators.Graph.componentsLoop(s, d)))
     for ((name, fn) <- queries) {
       // bench methodology: clean heap, ONE priming run (fills session
       // layout caches + JIT), then timed warm runs

@@ -50,7 +50,14 @@ object ScaleBench {
       val tmp = java.nio.file.Files.createTempDirectory("graft-scale-lsh").toString
       graft.engine.Layouts.rangeWrite(
         graft.operators.Dedup.minhashLshDerive(spark, dir), s"$tmp/l", "doc_a", 8)
-    }))
+    }),
+    // the LIVE span-graph min-label loop (r14: the surfaced
+    // graph_components serves the derive-once label layout, so the
+    // loop's scale behavior is measured here, fresh per run, like the
+    // other ingest-time derivations)
+    "components_loop" -> (() =>
+      graft.operators.Graph.componentsLoop(spark, dir)
+        .write.format("noop").mode("overwrite").save()))
 
   /** The PRODUCTION er_match contract measured directly: mentions from
     * the dir under study, catalog FIXED from the base fixture. The
@@ -148,6 +155,30 @@ object ScaleBench {
     })
   }
 
+  /** The catalog-delta re-verdict's per-apply cost under the
+    * production shape — a FIXED catalog delta (planted from the base
+    * fixture) against a catalog and mention corpus grown with the dir
+    * under study: exactly what
+    * [[graft.streaming.EventStreams.applyCatalogDelta]] pays per
+    * upsert, noop-written. Cost anatomy: the affected-key set is
+    * delta-sized and broadcasts into a map-side scan of the mention
+    * postings (the one corpus-scaled term), then the re-score is
+    * blocked work over the affected subset. Caveat recorded with the
+    * ledger line: this fixture's color-word vocabulary is tiny, so
+    * the fixed delta's keys cover most of it and the affected subset
+    * approaches the whole corpus — the measured ratio bounds the
+    * DEGENERATE case; a production token space makes the re-score
+    * delta-scaled.
+    */
+  def catalogDeltaFixedEntry(spark: SparkSession,
+      base: String): (String, String => () => Unit) = {
+    val er = graft.operators.EntityResolution
+    lazy val delta = er.catalogDeltaOf(spark, base).localCheckpoint()
+    "er_catalog_delta_fixed_batch" -> ((dir: String) => () =>
+      er.reverdicts(er.mentions(spark, dir), er.catalog(spark, dir), delta)
+        .write.format("noop").mode("overwrite").save())
+  }
+
   /** [[cascadeMaintenanceFixedBatchEntry]]'s embedding twin: a fixed
     * vector batch (base embeddings, ids shifted clear of the amplified
     * windows) against a grown vector store + label store. Same cost
@@ -212,7 +243,9 @@ object ScaleBench {
 
     val timedRuns = 3
     def median(thunk: () => Unit): Double = {
-      spark.catalog.clearCache(); System.gc()
+      spark.catalog.clearCache()
+      graft.engine.Tables.dropOrphanRdds(spark)
+      System.gc()
       thunk() // untimed priming (JIT, layouts, models)
       val ts = (1 to timedRuns).map { _ =>
         val t0 = System.nanoTime(); thunk(); (System.nanoTime() - t0) / 1e9
@@ -238,7 +271,8 @@ object ScaleBench {
             derivations(spark, dir).find(_._1 == n).get._2)) :+
         fixedCatalogEntry(spark, base) :+ fixedBatchLabelEntry(spark, base) :+
         cascadeMaintenanceFixedBatchEntry(spark, base) :+
-        embMaintenanceFixedBatchEntry(spark, base))
+        embMaintenanceFixedBatchEntry(spark, base) :+
+        catalogDeltaFixedEntry(spark, base))
         .filter { case (n, _) => only.forall(_.contains(n)) }
     // a SCALE_ONLY name matching nothing (a typo) must FAIL the run,
     // not let the sweep report success having measured nothing
@@ -258,7 +292,13 @@ object ScaleBench {
     val qs = rows.map { case (n, s, b) =>
       s""""$n":{"small":${fmt(s)},"big":${fmt(b)},"ratio":${fmt(b / s)}}"""
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"scale_study","data_ratio":$copies,"base":"$base","amplified":"$out","queries":$qs}"""
+    // canonical absolute paths in the ledger (r14 verdict #6): earlier
+    // rounds appended whatever SPARK_GRAFT_SCALE_OUT held — sometimes
+    // relative — and strict tooling diffing on the field treated the
+    // same fixture as two
+    def canon(p: String): String =
+      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+    val line = s"""{"metric":"scale_study","data_ratio":$copies,"base":"${canon(base)}","amplified":"${canon(out)}","queries":$qs}"""
     println(line)
     try {
       val benchDir = java.nio.file.Paths.get(

@@ -25,6 +25,9 @@ object Verify {
     graft.plans.ScaleGuard.install(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
+      // same query-boundary hygiene as Bench: orphaned localCheckpoint
+      // blocks from the previous query must not tax this one's JVM
+      graft.engine.Tables.dropOrphanRdds(spark)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -115,6 +115,75 @@ object Tables {
     try f finally spark.conf.set(key, prior)
   }
 
+  /** Unpersist every RDD still registered with the context — the
+    * between-queries cleanup the bench/verify drivers run so one
+    * query's leftover blocks cannot tax the next query's JVM.
+    *
+    * Why this exists (r14, the BENCH_r13 `graph_components` tail
+    * spike): operator derivations freeze intermediates with
+    * `localCheckpoint`, and the FINAL frame of every loop query is
+    * itself a frozen LogicalRDD whose blocks live until someone
+    * unpersists them. `spark.catalog.clearCache()` only clears
+    * CacheManager (Dataset-level) entries — RDD-level checkpoint
+    * blocks survive it. Over a 216-query sweep in the 8 GiB bench JVM
+    * those dead blocks accumulate toward the ~2.4 GiB storage-pool
+    * cap, and once the pool saturates, a loop query that writes 7-10
+    * checkpoint generations per run pays LRU eviction churn + old-gen
+    * GC pressure exactly while it runs — a heavy-tailed p99 on the
+    * same code (13.2 s recorded vs ~3.1 s same-code median). Dropping
+    * orphans at each query boundary bounds the pool at one query's
+    * working set.
+    *
+    * Safe between queries by construction: cross-query state is
+    * parquet-backed ([[graft.engine.Layouts.layoutOnce]] temp dirs)
+    * or driver-side (ANN model cache) — never RDD blocks. Call AFTER
+    * `clearCache()` so Dataset caches are removed through
+    * CacheManager first; everything left is orphaned by definition.
+    * Returns the number of RDDs dropped (the leak magnitude, logged
+    * by the bench for the honesty ledger).
+    */
+  def dropOrphanRdds(spark: SparkSession): Int = {
+    val rdds = spark.sparkContext.getPersistentRDDs
+    rdds.values.foreach(_.unpersist(blocking = false))
+    rdds.size
+  }
+
+  /** Opt-in per-hop tracing for the iterative loops (set system
+    * property `graft.loop.trace`; the bench sets it for its JVM).
+    * Emits wall-clock, cumulative-GC delta, and storage-pool usage
+    * per hop to stderr so a tail spike in a RECORDED bench run is
+    * attributable from the log alone (GC pause vs block-store churn
+    * vs genuine compute) instead of needing a lucky reproduction.
+    */
+  private[graft] def loopTraceEnabled: Boolean =
+    System.getProperty("graft.loop.trace") != null
+
+  /** Total milliseconds spent in GC by this JVM so far. */
+  private[graft] def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** `(used, max)` bytes of the block-manager storage pool across the
+    * (local-mode: single) executor.
+    */
+  private[graft] def storageBytes(spark: SparkSession): (Long, Long) = {
+    val s = spark.sparkContext.getExecutorMemoryStatus.values
+    val max = s.map(_._1).sum
+    val remaining = s.map(_._2).sum
+    (max - remaining, max)
+  }
+
+  private[graft] def loopTrace(tag: String, hop: Int, wallMs: Long,
+      gcDeltaMs: Long, spark: SparkSession): Unit = {
+    val (used, max) = storageBytes(spark)
+    System.err.println(
+      f"[loop] $tag hop=$hop wall=${wallMs}ms gc+=${gcDeltaMs}ms " +
+        f"storage=${used / 1e9}%.2f/${max / 1e9}%.2fGB " +
+        f"rdds=${spark.sparkContext.getPersistentRDDs.size}")
+  }
+
   /** Session builder used by library entry points when the caller does
     * not supply one. 32 shuffle partitions to match local[32]; AQE on
     * so skew/coalesce decisions re-plan at runtime (the 100 TB posture:

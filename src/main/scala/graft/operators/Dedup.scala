@@ -536,7 +536,11 @@ object Dedup {
       // depth-bounded walk.
       var hop = 0
       var converged = false
+      val trace = graft.engine.Tables.loopTraceEnabled
       while (hop < maxHops && !converged) {
+        val (t0, gc0) =
+          if (trace) (System.nanoTime(), graft.engine.Tables.gcMillis())
+          else (0L, 0L)
         // LAZY checkpoint + convergence count in ONE action: the count
         // computes every partition of the checkpoint RDD, which stores
         // its blocks as a side effect — one job per hop where an eager
@@ -549,6 +553,9 @@ object Dedup {
         backing = ckptRdd(next)
         labels = next
         onHop(hop, labels)
+        if (trace) graft.engine.Tables.loopTrace("min-label", hop,
+          (System.nanoTime() - t0) / 1000000L,
+          graft.engine.Tables.gcMillis() - gc0, spark)
         hop += 1
       }
       labels0.unpersist(false)
@@ -787,8 +794,9 @@ object Dedup {
     * corpus-sized store (spec-proven via scanned-rows metrics, the
     * LayoutsSpec standard). The collect is touched-components-sized —
     * the same bounded model-class literal as the dedup bloom
-    * prefilter; a mapping past the cap (a bulk backfill) falls back to
-    * the full scan + broadcast join, which is the right plan there.
+    * prefilter; a mapping past the cap (a bulk backfill) FAILS LOUDLY
+    * naming the from-scratch recompute path — no plan that ships the
+    * mapping (IN literal or broadcast) is right at that size.
     */
   val DeltaPushdownMaxReps = 100000
 
@@ -798,13 +806,16 @@ object Dedup {
     * (new rows). Re-applying the same batch yields an EMPTY delta
     * (idempotence, spec-pinned). The store-side probe is an INNER join
     * against the broadcast mapping, with the touched-representative
-    * set ALSO pushed into the scan as an IN filter when it is
-    * [[DeltaPushdownMaxReps]]-bounded — on a `cluster_id`-clustered
-    * store the probe then reads only the touched files: output AND
-    * input are batch-scaled, never corpus-scaled.
+    * set ALSO pushed into the scan as an IN filter — on a
+    * `cluster_id`-clustered store the probe then reads only the
+    * touched files: output AND input are batch-scaled, never
+    * corpus-scaled. A mapping over [[DeltaPushdownMaxReps]] (a bulk
+    * backfill) throws — recompute from scratch instead (spec-pinned
+    * at the cap boundary).
     */
   def clustersIncrementalDelta(store: DataFrame, batchEdges: DataFrame,
-      maxHops: Int = MaintenanceMaxHops): DataFrame = {
+      maxHops: Int = MaintenanceMaxHops,
+      maxReps: Int = DeltaPushdownMaxReps): DataFrame = {
     val spark = store.sparkSession
     import spark.implicits._
     val (newLabels, changed) = incrementalLabelCore(store, batchEdges, maxHops)
@@ -812,11 +823,19 @@ object Dedup {
     // changed is a filtered frozen-LogicalRDD scan — the bounded
     // collect costs one block scan, not a loop replay
     val reps = changed.select($"old_rep")
-      .limit(DeltaPushdownMaxReps + 1).collect().map(_.getLong(0))
-    val probed =
-      if (reps.length <= DeltaPushdownMaxReps)
-        st.filter($"cluster_id".isInCollection(reps))
-      else st
+      .limit(maxReps + 1).collect().map(_.getLong(0))
+    // past the cap the daily-batch contract is broken and EVERY plan
+    // here is wrong — the IN pushdown would be a megabyte filter
+    // literal and the broadcast mapping below would OOM the driver on
+    // a components-scale backfill. The scaladoc has always said such
+    // backfills recompute from scratch; enforce it the way erEnrich
+    // caps its literal catalog: loudly, naming the right path.
+    require(reps.length <= maxReps,
+      s"clustersIncrementalDelta changed-mapping exceeds the pushdown cap" +
+        s" ($maxReps merged components) — this is a bulk backfill, not a" +
+        s" daily batch; recompute labels from scratch with clustersOver" +
+        s" (or clusters) over base+batch instead")
+    val probed = st.filter($"cluster_id".isInCollection(reps))
     probed.join(broadcast(changed), probed("cluster_id") === changed("old_rep"))
       .select(probed("doc_id"), $"new_rep".as("cluster_id"))
       .unionByName(newLabels)

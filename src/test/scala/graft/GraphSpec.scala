@@ -73,6 +73,23 @@ class GraphSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 1L)))
   }
 
+  test("layout-served components equal the live min-label loop, via a scan-only plan") {
+    // r14 serving shape: the surfaced query reads the derive-once
+    // label layout (CC labels are an ingest-time artifact; the live
+    // loop's p99 belongs to ingest, not serving). The equality here is
+    // what makes that substitution safe, and the plan check is what
+    // makes it a BOUND: a scan has no per-hop checkpoint loop to
+    // tail-spike.
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    val served = Graph.components(spark, dir)
+    assert(rows(served) === rows(Graph.componentsLoop(spark, dir)))
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan parquet"), s"not a layout scan:\n$plan")
+    assert(!plan.contains("LogicalRDD") && !plan.contains("ExistingRDD"),
+      s"serving query re-ran the loop instead of scanning the layout:\n$plan")
+  }
+
   test("components partition the span-linked docs with min-id labels and one keeper each") {
     val rows = Graph.components(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))

@@ -69,6 +69,28 @@ class IncrementalLabelsSpec extends SparkSpec {
       === rows(fullLabels(base ++ batch)))
   }
 
+  test("a changed mapping past the pushdown cap fails loudly; at the cap it still works") {
+    // base: three singleton-pair components; batch merges all three
+    // into component 1 → changed mapping = {10→1, 20→1} (2 merged
+    // reps; component 1's rep wins and is not "changed")
+    val base = Seq((1L, 2L), (10L, 11L), (20L, 21L))
+    val batch = Seq((2L, 10L), (11L, 20L))
+    val store = storeOf(base)
+    // AT the cap (maxReps = 2 = |changed|): the delta path works and
+    // lands exactly where the full recompute's changed rows land
+    val atCap = Dedup.clustersIncrementalDelta(store, edgesOf(batch), maxReps = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(atCap === Seq((10L, 1L), (11L, 1L), (20L, 1L), (21L, 1L)))
+    // PAST the cap: the bulk-backfill guard throws, naming the
+    // from-scratch recompute path — it must never fall back to
+    // broadcasting an unbounded mapping
+    val e = intercept[IllegalArgumentException] {
+      Dedup.clustersIncrementalDelta(store, edgesOf(batch), maxReps = 1).count()
+    }
+    assert(e.getMessage.contains("bulk backfill"))
+    assert(e.getMessage.contains("clustersOver"))
+  }
+
   test("the delta is exactly the changed-or-new rows") {
     import spark.implicits._
     val base = Seq((1L, 2L), (10L, 11L), (20L, 21L))
