@@ -142,7 +142,7 @@ object EntityResolution {
     */
   private[graft] def matchAgainst(m: DataFrame, cat: DataFrame): DataFrame = {
     val (ck, keptKeys) = catalogKeys(cat)
-    matchAgainstKeys(m, ck, keptKeys)
+    matchAgainstKeys(m, ck, keptKeys).drop("true_name")
   }
 
   /** The catalog's blocked-key relation and its [[ErMaxBlock]]-kept
@@ -159,7 +159,11 @@ object EntityResolution {
     (ck, keptKeys)
   }
 
-  /** [[matchAgainst]] over a pre-computed blocked catalog. */
+  /** [[matchAgainst]] over a pre-computed blocked catalog. Keeps
+    * `true_name` in the output (the evolving matches store persists it
+    * so catalog-delta re-verdicting can re-score stored mentions);
+    * batch faces that surface the 5-column match table drop it.
+    */
   private[graft] def matchAgainstKeys(m: DataFrame, ck: DataFrame,
       keptKeys: DataFrame): DataFrame = {
     import m.sparkSession.implicits._
@@ -177,8 +181,91 @@ object EntityResolution {
       .select($"mention_id", $"ent_id".as("matched_id"),
         $"ent_name".as("matched_name"), $"dist")
     m.join(elected, Seq("mention_id"), "left")
-      .select($"mention_id", $"mention", $"matched_id", $"dist",
+      .select($"mention_id", $"true_name", $"mention", $"matched_id", $"dist",
         coalesce($"matched_name" === $"true_name", lit(false)).as("correct"))
+  }
+
+  /** The planted CATALOG DELTA the incremental re-verdict query
+    * replays — deterministic in both engines, two upsert classes:
+    * RENAMES (ent_id % 7 = 3: the first name token is dropped and
+    * `rebrand` prefixed, so the old first-token blocking key is only
+    * reachable through the OLD name — the case that catches an
+    * invalidation pass that forgets changed entities' prior keys) and
+    * NEW entities (ent_id % 13 = 4 re-listed under a fresh id with a
+    * `novel` prefix, sharing the original's tokens so existing
+    * mentions gain candidates).
+    */
+  private[graft] def catalogDeltaOf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = catalog(spark, dir)
+    cat.filter($"ent_id" % 7 === 3)
+      .select($"ent_id",
+        concat(lit("rebrand "),
+          array_join(slice(split($"ent_name", " "), 2, 100000), " ")).as("ent_name"))
+      .unionByName(cat.filter($"ent_id" % 13 === 4)
+        .select(($"ent_id" + 9000000L).as("ent_id"),
+          concat(lit("novel "), $"ent_name").as("ent_name")))
+  }
+
+  /** Catalog after applying an upsert delta: delta rows replace same-
+    * `ent_id` rows, new ids append. (Upserts only — a tombstone face
+    * would add a `deleted` flag and an anti-join here; the serving
+    * stores don't need it yet.)
+    */
+  private[graft] def upsertCatalog(oldCat: DataFrame, delta: DataFrame): DataFrame =
+    oldCat.join(delta.select(col("ent_id")), Seq("ent_id"), "left_anti")
+      .select(col("ent_name"), col("ent_id"))
+      .unionByName(delta.select(col("ent_name"), col("ent_id")))
+
+  /** CATALOG-DELTA RE-VERDICTING — the invalidation core the evolving
+    * matches store ([[graft.streaming.EventStreams.applyCatalogDelta]])
+    * and the surfaced `er_match_catalog_delta` query share: a catalog
+    * upsert invalidates EXACTLY the mentions whose blocking keys
+    * intersect the changed entities' postings, under both the OLD and
+    * the NEW names (a candidate set can only change through a key one
+    * of those names posts to — including the kept/dropped flips of
+    * [[ErMaxBlock]], which move a key's posting count only when a
+    * changed entity enters or leaves it). Those mentions are re-scored
+    * against the upserted catalog with the unchanged blocked-election
+    * core; everything else keeps its stored verdict.
+    *
+    * Scale shape: the affected-key set is dimension-delta-sized and
+    * BROADCASTS into a map-side scan of the mention postings (the
+    * seed-probe rule — the corpus-sized side never shuffles to be
+    * probed); the re-score is then blocked work over the affected
+    * subset, which in production (a real token space) is delta-scaled.
+    * On this fixture the color-word vocabulary is tiny, so the planted
+    * delta touches most mentions — the COST degenerates toward a full
+    * re-match here while the mechanics stay the production shape.
+    */
+  private[graft] def reverdicts(m: DataFrame, oldCat: DataFrame,
+      delta: DataFrame): DataFrame = {
+    import m.sparkSession.implicits._
+    val newCat = upsertCatalog(oldCat, delta)
+    val changedOld = oldCat.join(delta.select($"ent_id"), Seq("ent_id"))
+    val affKeys = keysOf(changedOld.select($"ent_name"), "ent_name").select($"key")
+      .union(keysOf(delta.select($"ent_name"), "ent_name").select($"key"))
+      .distinct()
+    val affIds = keysOf(m, "mention")
+      .join(broadcast(affKeys), Seq("key"))
+      .select($"mention_id").distinct()
+    val (ck, keptKeys) = catalogKeys(newCat)
+    matchAgainstKeys(m.join(affIds, Seq("mention_id"), "left_semi"), ck, keptKeys)
+  }
+
+  /** The surfaced incremental face: re-verdicts for the planted
+    * [[catalogDeltaOf]] upsert against the fixture catalog — exactly
+    * the rows a maintained matches store upserts when this delta
+    * lands. The oracle recomputes the affected set and the post-delta
+    * election independently (DuckDB walks old-name ∪ new-name keys →
+    * affected mentions → blocked election on the upserted catalog).
+    */
+  def matchCatalogDelta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    reverdicts(mentions(spark, dir), catalog(spark, dir),
+      catalogDeltaOf(spark, dir))
+      .drop("true_name")
+      .orderBy($"mention_id")
   }
 
   /** [[matchMentions]]' result as a DERIVE-ONCE session layout — the
@@ -401,7 +488,8 @@ object EntityResolution {
     "er_block_profile" -> blockProfile _,
     "er_match" -> matchMentions _,
     "er_match_full" -> matchFull _,
-    "er_match_quality" -> matchQuality _)
+    "er_match_quality" -> matchQuality _,
+    "er_match_catalog_delta" -> matchCatalogDelta _)
 
   /** Shared oracle CTE prefix: catalog, planted mentions, postings. */
   private val erCte: String =
@@ -477,6 +565,41 @@ object EntityResolution {
         |SELECT mention_id, mention, ent_id AS matched_id, dist,
         |       ent_name = true_name AS correct
         |FROM efe ORDER BY mention_id""".stripMargin,
+    "er_match_catalog_delta" ->
+      s"""WITH $erCte,
+        |edel AS (SELECT ent_id,
+        |           'rebrand ' || array_to_string(list_slice(string_split(ent_name, ' '), 2, 100000), ' ') AS ent_name
+        |         FROM ecat WHERE ent_id % 7 = 3
+        |         UNION ALL
+        |         SELECT ent_id + 9000000, 'novel ' || ent_name
+        |         FROM ecat WHERE ent_id % 13 = 4),
+        |enew AS (SELECT ent_name, ent_id FROM ecat
+        |         WHERE ent_id NOT IN (SELECT ent_id FROM edel)
+        |         UNION ALL SELECT ent_name, ent_id FROM edel),
+        |eak AS (SELECT DISTINCT key FROM (
+        |          SELECT unnest(list_distinct(string_split(lower(c.ent_name), ' '))) AS key
+        |          FROM ecat c JOIN edel d USING (ent_id)
+        |          UNION ALL
+        |          SELECT unnest(list_distinct(string_split(lower(ent_name), ' '))) AS key
+        |          FROM edel)),
+        |eaff AS (SELECT DISTINCT mention_id FROM emk JOIN eak USING (key)),
+        |enck AS (SELECT ent_id, ent_name,
+        |           unnest(list_distinct(string_split(lower(ent_name), ' '))) AS key
+        |         FROM enew),
+        |enkept AS (SELECT key FROM enck GROUP BY key HAVING count(*) <= $ErMaxBlock),
+        |encand AS (SELECT DISTINCT k.mention_id, c.ent_id, c.ent_name
+        |           FROM emk k JOIN eaff USING (mention_id)
+        |             JOIN enkept USING (key) JOIN enck c USING (key)),
+        |enscored AS (SELECT c.mention_id, c.ent_id, c.ent_name,
+        |               CAST(levenshtein(lower(m.mention), lower(c.ent_name)) AS BIGINT) AS dist
+        |             FROM encand c JOIN emen m USING (mention_id)),
+        |enel AS (SELECT * FROM (SELECT *, row_number() OVER
+        |              (PARTITION BY mention_id ORDER BY dist, ent_id) AS rn
+        |            FROM enscored) WHERE rn = 1)
+        |SELECT m.mention_id, m.mention, e.ent_id AS matched_id, e.dist,
+        |       COALESCE(e.ent_name = m.true_name, false) AS correct
+        |FROM emen m JOIN eaff USING (mention_id) LEFT JOIN enel e USING (mention_id)
+        |ORDER BY mention_id""".stripMargin,
     "er_match_quality" ->
       s"""WITH $erCte,
         |ekept AS (SELECT key FROM eck GROUP BY key HAVING count(*) <= $ErMaxBlock),

@@ -215,6 +215,24 @@ object EventStreams {
 
   /** Read back the maintained span-pair relation: the initial layout
     * plus every micro-batch delta [[maintainSpanLayout]] appended.
+    *
+    * DEGREE-STALENESS CONTRACT (r14 verdict #4): the maintained tree
+    * deliberately carries ONLY `(doc_a, doc_b, n_shared_spans)` —
+    * never the `deg_a`/`deg_b`/`str_*` columns of the NIGHTLY layout
+    * ([[graft.engine.Layouts.spanPairsWithStats]]). Degrees are a
+    * GLOBAL aggregate: every append raises the degrees of already-
+    * stored endpoints, so per-row degree columns in an append-only
+    * tree are stale the moment the next batch lands (and a compaction
+    * could only fix the folded rows, not the fenced delta). Consumers
+    * that need degree-ordered orientation
+    * ([[graft.operators.Graph.trianglesOverDeg]]) must re-derive
+    * degrees from THIS merged view —
+    * [[graft.operators.Graph.trianglesOver]] does exactly that, and
+    * ServingMaintenanceSpec pins triangles-off-the-maintained-layout
+    * ≡ batch recompute at the merge-on-read AND post-compaction
+    * states, across appends that change the degree order. The nightly
+    * layout may keep its frozen degree columns because it IS the
+    * snapshot artifact — rebuilt, never appended to.
     */
   def readSpanLayoutDeltas(spark: org.apache.spark.sql.SparkSession,
       layoutDir: String): DataFrame =
@@ -236,11 +254,12 @@ object EventStreams {
     *
     * Contract: run BETWEEN micro-batches by the single layout
     * maintainer (the same discipline every lakehouse OPTIMIZE
-    * requires). Batch-replay safety is inherited from the streaming
-    * checkpoint: foreachBatch only ever replays the LAST uncommitted
-    * batch, and compaction is only run after a batch commits, so a
-    * compacted delta can never be re-appended. The swap is staged for
-    * no-data-loss: the new base is written to a sibling tmp dir, the
+    * requires). Batch-replay safety does NOT rely on the compactor
+    * observing checkpoint commits: the newest delta is fenced out of
+    * every fold ([[compactDeltaTree]]'s replay fence), so even a
+    * crash-before-commit → compact → restart replay overwrites its own
+    * still-present delta instead of re-appending compacted rows. The
+    * swap is staged for no-data-loss: the new base is written to a sibling tmp dir, the
     * old generation is RENAMED to a sibling trash dir (both outside
     * the reader's scope), the new base moves in, then trash is
     * deleted — an interruption at any point leaves all rows in either
@@ -258,8 +277,9 @@ object EventStreams {
   def compactSpanLayout(spark: org.apache.spark.sql.SparkSession,
       layoutDir: String, maxDeltas: Int = 8, files: Int = 8,
       maxDeltaBytes: Long = Long.MaxValue): Boolean =
-    compactDeltaTree(layoutDir, maxDeltas, maxDeltaBytes) { tmp =>
-      readSpanLayoutDeltas(spark, layoutDir)
+    compactDeltaTree(layoutDir, maxDeltas, maxDeltaBytes) { (tmp, parts) =>
+      readParts(spark, parts)
+        .select(col("doc_a"), col("doc_b"), col("n_shared_spans"))
         .repartitionByRange(files, col("doc_a"))
         .sortWithinPartitions(col("doc_a"), col("doc_b"))
         .write.mode("overwrite").parquet(tmp)
@@ -272,15 +292,30 @@ object EventStreams {
     * would inflate it; the stat pass is skipped entirely under the
     * default unbounded threshold, where the count trigger is the only
     * one armed). On trigger: 1. the caller writes the compacted
-    * generation to a sibling tmp dir OUTSIDE the reader's scope,
-    * 2. the old generation is RENAMED into a trash sibling (no data
-    * destroyed), 3. the new base moves in as `base_0`, 4. trash is
-    * dropped — an interruption at any point leaves all rows in either
-    * the tree or the trash sibling, never deleted-but-unreplaced.
+    * generation — a fold of exactly the part directories it is handed —
+    * to a sibling tmp dir OUTSIDE the reader's scope, 2. the folded
+    * parts are RENAMED into a trash sibling (no data destroyed),
+    * 3. the new base moves in as `base_0`, 4. trash is dropped — an
+    * interruption at any point leaves all rows in either the tree or
+    * the trash sibling, never deleted-but-unreplaced.
+    *
+    * REPLAY FENCE (r14): the NEWEST `b<id>` delta is never folded and
+    * never trashed — it stays in place beside the new base.
+    * `foreachBatch` redelivers only the last batch, and a
+    * between-batches compactor cannot observe whether that batch's
+    * checkpoint offset committed: fold its delta into `base_0` and a
+    * crash-before-commit → compact → restart sequence would turn the
+    * replay's per-directory overwrite into a re-APPEND of rows the
+    * base already holds (duplicate doc_ids in the served corpus,
+    * inflated bucket counts). Left in place, a replay still overwrites
+    * `b<id>` idempotently, and the next compaction folds it once a
+    * newer batch exists. Costs one unfolded delta per tree — bounded,
+    * and ServingMaintenanceSpec drives the crash-compact-replay
+    * sequence both ways.
     */
   private def compactDeltaTree(dir: String, maxDeltas: Int,
       maxDeltaBytes: Long = Long.MaxValue)(
-      writeBase: String => Unit): Boolean = {
+      writeBase: (String, Seq[String]) => Unit): Boolean = {
     import java.nio.file.{Files, Path, Paths}
     val root = Paths.get(dir)
     if (!Files.isDirectory(root)) return false
@@ -298,17 +333,34 @@ object EventStreams {
           !n.startsWith("_") && !n.startsWith(".")
         }).map(Files.size).sum
     if (deltaDirs.size < maxDeltas && deltaBytes < maxDeltaBytes) return false
+    val newest =
+      if (deltaDirs.isEmpty) None
+      else Some(deltaDirs.maxBy(_.getFileName.toString.drop(1).toLong))
+    // nothing to fold but the fenced delta itself → decline (a rewrite
+    // of base alone reclaims nothing and would re-trigger every call);
+    // the next batch unfences this one
+    if (deltaDirs.count(p => !newest.contains(p)) == 0) return false
+    val folded = entries(root)
+      .filter(p => Files.isDirectory(p) && !newest.contains(p))
     val tmp = dir + ".compacting"
-    writeBase(tmp)
+    writeBase(tmp, folded.map(_.toString))
     val trash = Paths.get(dir + ".trash")
     deleteRecursively(trash)
     Files.createDirectories(trash)
-    entries(root).foreach(p =>
+    folded.foreach(p =>
       Files.move(p, trash.resolve(p.getFileName.toString)))
     Files.move(Paths.get(tmp), root.resolve("base_0"))
     deleteRecursively(trash)
     true
   }
+
+  /** Scan exactly the given part directories of a delta tree — the
+    * read every compactor folds from (never the tree root: the newest
+    * delta is fenced out of folds, see [[compactDeltaTree]]).
+    */
+  private def readParts(spark: org.apache.spark.sql.SparkSession,
+      parts: Seq[String]): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(parts: _*)
 
   /** Seed a streaming-maintained LABEL STORE: the converged label
     * table `(doc_id, cluster_id)` — yesterday's full-loop artifact —
@@ -424,8 +476,8 @@ object EventStreams {
     */
   def compactLabelStore(spark: org.apache.spark.sql.SparkSession,
       storeDir: String, maxDeltas: Int = 8, files: Int = 4): Boolean =
-    compactDeltaTree(storeDir, maxDeltas) { tmp =>
-      readLabelStore(spark, storeDir)
+    compactDeltaTree(storeDir, maxDeltas) { (tmp, parts) =>
+      foldLabelStore(readParts(spark, parts))
         .withColumn("gen", lit(0L))
         .repartitionByRange(files, col("cluster_id"))
         .sortWithinPartitions(col("cluster_id"))
@@ -475,17 +527,29 @@ object EventStreams {
     // the blocked catalog keys and the ErMaxBlock posting election are
     // STREAM-CONSTANT under the fixed-catalog contract — compute and
     // materialize them once at construction instead of re-reading the
-    // catalog and re-electing postings per micro-batch (r13 review fix)
+    // catalog and re-electing postings per micro-batch (r13 review
+    // fix). Materialized to PARQUET, not localCheckpoint (r14 ADVICE):
+    // localCheckpoint blocks are non-reliable and these frames live
+    // for the stream's whole lifetime — on a cluster, one executor
+    // loss after construction would fail every later micro-batch
+    // until the query is rebuilt. A parquet materialization (the
+    // Layouts.layoutOnce stand-in for an ingest-time table) survives
+    // executor churn; each batch pays two dimension-sized scans.
     val spark = mentions.sparkSession
     val (ck0, kept0) = graft.operators.EntityResolution.catalogKeys(
       spark.read.parquet(catalogDir).select(col("ent_name"), col("ent_id")))
-    val ck = ck0.localCheckpoint()
-    val keptKeys = kept0.localCheckpoint()
+    val keysDir = java.nio.file.Files
+      .createTempDirectory("graft-er-keys-").toString
+    ck0.write.mode("overwrite").parquet(s"$keysDir/ck")
+    kept0.write.mode("overwrite").parquet(s"$keysDir/kept")
     mentions.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val m = batch.select(col("mention_id"), col("true_name"), col("mention"))
-        graft.operators.EntityResolution.matchAgainstKeys(m, ck, keptKeys)
+        graft.operators.EntityResolution.matchAgainstKeys(m,
+            spark.read.parquet(s"$keysDir/ck"),
+            spark.read.parquet(s"$keysDir/kept"))
+          .drop("true_name") // the fixed-catalog layout's 5-col schema
           .write.mode("overwrite").parquet(s"$layoutDir/b$batchId")
         ()
       }
@@ -508,8 +572,188 @@ object EventStreams {
   def compactMatchesLayout(spark: org.apache.spark.sql.SparkSession,
       layoutDir: String, maxDeltas: Int = 8, files: Int = 4,
       maxDeltaBytes: Long = Long.MaxValue): Boolean =
-    compactDeltaTree(layoutDir, maxDeltas, maxDeltaBytes) { tmp =>
-      readMatchesLayout(spark, layoutDir)
+    compactDeltaTree(layoutDir, maxDeltas, maxDeltaBytes) { (tmp, parts) =>
+      readParts(spark, parts)
+        .select(col("mention_id"), col("mention"), col("matched_id"),
+          col("dist"), col("correct"))
+        .repartitionByRange(files, col("mention_id"))
+        .sortWithinPartitions(col("mention_id"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+
+  // ------------------------------------------------------------------
+  // EVOLVING matches store: the catalog-UPSERT face the fixed-catalog
+  // layout lives without (r13 verdict #2). Two delta trees:
+  //
+  //  - catalog store  `base_0` + `b<deltaId>` upserts, latest `gen`
+  //    wins per ent_id — the dimension's own slowly-changing history.
+  //  - matches store  `base_0` + `b<batchId>` mention-ingest rows
+  //    (gen 0) + `cd<deltaId>` RE-VERDICT rows (gen deltaId+1),
+  //    latest gen wins per mention_id. Rows carry `true_name` so a
+  //    later catalog delta can re-score stored mentions without any
+  //    source-of-truth side channel.
+  //
+  // A catalog delta invalidates exactly the mentions whose blocking
+  // keys intersect the changed entities' postings under their OLD or
+  // NEW names (EntityResolution.reverdicts proves why that set is
+  // sufficient); only those re-score, as one cd upsert generation.
+  // Single-maintainer discipline: mention batches, catalog deltas,
+  // and compaction interleave between micro-batches, never
+  // concurrently.
+  // ------------------------------------------------------------------
+
+  /** Seed the evolving catalog store: generation 0, range-clustered on
+    * `ent_id` (the upsert key).
+    */
+  def catalogStoreInit(cat: DataFrame, catalogDir: String, files: Int = 2): Unit =
+    cat.select(col("ent_name"), col("ent_id"))
+      .withColumn("gen", lit(0L))
+      .repartitionByRange(files, col("ent_id"))
+      .sortWithinPartitions(col("ent_id"))
+      .write.mode("overwrite").parquet(s"$catalogDir/base_0")
+
+  private def foldCatalog(parts: DataFrame): DataFrame =
+    parts.groupBy(col("ent_id"))
+      .agg(max_by(col("ent_name"), col("gen")).as("ent_name"))
+      .select(col("ent_name"), col("ent_id"))
+
+  /** The catalog as of all applied deltas (latest gen per ent_id). */
+  def readCatalogStore(spark: org.apache.spark.sql.SparkSession,
+      catalogDir: String): DataFrame =
+    foldCatalog(readParts(spark, labelStoreParts(catalogDir)))
+
+  /** Seed the evolving matches store from a nightly full-match
+    * artifact — [[graft.operators.EntityResolution.matchAgainstKeys]]
+    * rows (WITH `true_name`), generation 0, range-clustered on
+    * `mention_id`.
+    */
+  def matchesStoreInit(matchesFull: DataFrame, layoutDir: String,
+      files: Int = 4): Unit =
+    matchesFull
+      .select(col("mention_id"), col("true_name"), col("mention"),
+        col("matched_id"), col("dist"), col("correct"))
+      .withColumn("gen", lit(0L))
+      .repartitionByRange(files, col("mention_id"))
+      .sortWithinPartitions(col("mention_id"))
+      .write.mode("overwrite").parquet(s"$layoutDir/base_0")
+
+  /** Part directories of the matches store: base generations, mention
+    * ingest deltas, and catalog re-verdict deltas — minus an excluded
+    * `cd<id>` (the own-delta replay exclusion of [[applyCatalogDelta]]).
+    */
+  private def matchesStoreParts(layoutDir: String,
+      excludeCd: Long = -1L): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(layoutDir)
+    val s = Files.list(root)
+    val dirs = try s.iterator().asScala.toVector finally s.close()
+    dirs.filter(p => Files.isDirectory(p) && {
+      val n = p.getFileName.toString
+      n.matches("base_\\d+") || n.matches("b\\d+") ||
+        (n.matches("cd\\d+") && n != s"cd$excludeCd")
+    }).map(_.toString).sorted
+  }
+
+  /** Latest verdict per mention. Keeps the winning row's `gen`: the
+    * compactor persists it — folding a cd re-verdict (gen > 0) into a
+    * gen-0 base row would TIE with the replay-fenced newest mention
+    * delta's gen-0 rows and let a stale pre-delta verdict win the
+    * serving fold arbitrarily (caught by ServingMaintenanceSpec's
+    * post-compaction equality).
+    */
+  private def foldMatchesStore(parts: DataFrame): DataFrame =
+    parts.groupBy(col("mention_id"))
+      .agg(max_by(struct(col("true_name"), col("mention"), col("matched_id"),
+        col("dist"), col("correct")), col("gen")).as("s"),
+        max(col("gen")).as("gen"))
+      .select(col("mention_id"), col("s.true_name").as("true_name"),
+        col("s.mention").as("mention"), col("s.matched_id").as("matched_id"),
+        col("s.dist").as("dist"), col("s.correct").as("correct"), col("gen"))
+
+  /** Serve the evolving matches store: latest verdict per mention
+    * (same 5-column surface as [[readMatchesLayout]]).
+    */
+  def readMatchesStore(spark: org.apache.spark.sql.SparkSession,
+      layoutDir: String): DataFrame =
+    foldMatchesStore(readParts(spark, matchesStoreParts(layoutDir)))
+      .select(col("mention_id"), col("mention"), col("matched_id"),
+        col("dist"), col("correct"))
+
+  /** STREAMING mention maintenance against the EVOLVING catalog: each
+    * micro-batch re-reads the catalog store fold (the price of an
+    * evolving dimension — [[maintainMatchesLayout]] stays the fast
+    * path when the catalog is genuinely frozen) and lands its verdicts
+    * as a gen-0 delta. Replay-safe by per-directory overwrite; a
+    * replayed batch that races a catalog delta re-scores against the
+    * newer catalog, whose cd rows carry a higher gen and win anyway —
+    * both orders serve the same verdicts.
+    */
+  def maintainMatchesStore(mentions: DataFrame, catalogDir: String,
+      layoutDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    mentions.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyMentionBatch(batch, catalogDir, layoutDir, batchId)
+      }
+
+  /** One micro-batch of [[maintainMatchesStore]] — the directly
+    * callable replay seam.
+    */
+  private[graft] def applyMentionBatch(batch: DataFrame, catalogDir: String,
+      layoutDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val m = batch.select(col("mention_id"), col("true_name"), col("mention"))
+    val (ck, kept) = graft.operators.EntityResolution.catalogKeys(
+      readCatalogStore(spark, catalogDir))
+    graft.operators.EntityResolution.matchAgainstKeys(m, ck, kept)
+      .withColumn("gen", lit(0L))
+      .write.mode("overwrite").parquet(s"$layoutDir/b$batchId")
+  }
+
+  /** Apply a CATALOG DELTA (upserted `(ent_id, ent_name)` rows) to the
+    * evolving store pair: land the delta as catalog generation
+    * `deltaId+1`, re-score exactly the stored mentions whose blocking
+    * keys intersect the changed entities' old-or-new-name postings
+    * ([[graft.operators.EntityResolution.reverdicts]]), and land those
+    * re-verdicts as the matches store's `cd<deltaId>` upsert
+    * generation. Replay contract (the upsert stores' rule): the
+    * catalog fold EXCLUDES the delta's own `b<deltaId>` generation and
+    * the mention read excludes its own `cd<deltaId>`, so re-applying
+    * the same (delta, deltaId) recomputes from the exact pre-delta
+    * state and overwrites both directories with identical content.
+    * `deltaId`s must increase monotonically across the store's life
+    * (they order re-verdict generations).
+    */
+  def applyCatalogDelta(spark: org.apache.spark.sql.SparkSession,
+      delta: DataFrame, catalogDir: String, layoutDir: String,
+      deltaId: Long): Unit = {
+    val oldCat = foldCatalog(readParts(spark,
+      labelStoreParts(catalogDir, excludeBatch = deltaId)))
+      .localCheckpoint()
+    val d = delta.select(col("ent_id"), col("ent_name")).localCheckpoint()
+    d.withColumn("gen", lit(deltaId + 1L))
+      .write.mode("overwrite").parquet(s"$catalogDir/b$deltaId")
+    val stored = readParts(spark, matchesStoreParts(layoutDir, excludeCd = deltaId))
+      .select(col("mention_id"), col("true_name"), col("mention"))
+      .dropDuplicates("mention_id")
+    graft.operators.EntityResolution.reverdicts(stored, oldCat, d)
+      .withColumn("gen", lit(deltaId + 1L))
+      .write.mode("overwrite").parquet(s"$layoutDir/cd$deltaId")
+  }
+
+  /** Compact the evolving matches store: fold base + mention deltas +
+    * re-verdict deltas (latest gen wins) into one base generation,
+    * each mention keeping its winning row's gen. The
+    * newest `b<id>` mention delta is replay-fenced like every tree
+    * here; `cd` deltas fold freely — a re-applied catalog delta
+    * recomputes identical rows whose gen outranks the folded base, so
+    * compaction can never turn its replay into a divergence.
+    */
+  def compactMatchesStore(spark: org.apache.spark.sql.SparkSession,
+      layoutDir: String, maxDeltas: Int = 8, files: Int = 4): Boolean =
+    compactDeltaTree(layoutDir, maxDeltas) { (tmp, parts) =>
+      // gen is PRESERVED (not reset): see foldMatchesStore
+      foldMatchesStore(readParts(spark, parts))
         .repartitionByRange(files, col("mention_id"))
         .sortWithinPartitions(col("mention_id"))
         .write.mode("overwrite").parquet(tmp)
@@ -666,9 +910,8 @@ object EventStreams {
     */
   def compactEmbeddingClusterStores(spark: org.apache.spark.sql.SparkSession,
       root: String, maxDeltas: Int = 8, files: Int = 4): Boolean = {
-    val vecs = compactDeltaTree(s"$root/vecs", maxDeltas) { tmp =>
-      spark.read.option("recursiveFileLookup", "true")
-        .parquet(s"$root/vecs")
+    val vecs = compactDeltaTree(s"$root/vecs", maxDeltas) { (tmp, parts) =>
+      readParts(spark, parts)
         .repartitionByRange(files, col("bucket"))
         .sortWithinPartitions(col("bucket"))
         .write.mode("overwrite").parquet(tmp)
@@ -704,34 +947,73 @@ object EventStreams {
     graft.operators.Dedup.cascadeOver(corpus, ex, nx, labels)
   }
 
+  /** Band buckets in the maintained cascade store that have grown PAST
+    * [[graft.operators.Dedup.MaxBandBucket]] — the runtime detector
+    * for the one seam where union-over-batches can diverge from the
+    * batch derivation (r14 ADVICE): [[graft.operators.Dedup.lshProbeEdges]]
+    * evaluates the saturation guard on the bucket size AS OF each
+    * ingest, so a bucket that crosses the cap mid-stream KEEPS the
+    * edges its earlier, under-cap ingests emitted, while a batch
+    * recompute drops the whole bucket. Nothing repairs that
+    * incrementally (the emitted edges may have merged components);
+    * the fix is a nightly from-scratch label recompute, and this
+    * report — one counting aggregate over the band store, grouped on
+    * the probe key — is what tells the operator one is needed.
+    * Returns `(band, band_key, bn)` rows, empty when streamed ≡ batch
+    * still holds.
+    */
+  def saturatedBandBuckets(spark: org.apache.spark.sql.SparkSession,
+      root: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$root/bands")
+      .groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > graft.operators.Dedup.MaxBandBucket)
+
   /** Compact every cascade sub-store that is due: pure rewrites for
     * the disjoint-append stores (docs on `doc_id`, bands on
     * `band_key` — the probe's pruning key), `min` folds for the
     * keeper stores, and [[compactLabelStore]] for the labels. Returns
     * true iff any sub-store compacted.
+    *
+    * When the band store compacts, the pass also runs
+    * [[saturatedBandBuckets]] and WARNS loudly if any bucket crossed
+    * [[graft.operators.Dedup.MaxBandBucket]] mid-stream — the served
+    * labels then need a nightly recompute (see the detector's doc).
     */
   def compactCascadeStores(spark: org.apache.spark.sql.SparkSession,
       root: String, maxDeltas: Int = 8, files: Int = 4): Boolean = {
     def rewrite(sub: String, rangeCol: String): Boolean =
-      compactDeltaTree(s"$root/$sub", maxDeltas) { tmp =>
-        spark.read.option("recursiveFileLookup", "true")
-          .parquet(s"$root/$sub")
+      compactDeltaTree(s"$root/$sub", maxDeltas) { (tmp, parts) =>
+        readParts(spark, parts)
           .repartitionByRange(files, col(rangeCol))
           .sortWithinPartitions(col(rangeCol))
           .write.mode("overwrite").parquet(tmp)
       }
     def foldKeepers(sub: String, keyCol: String): Boolean =
-      compactDeltaTree(s"$root/$sub", maxDeltas) { tmp =>
-        readKeeperStore(spark, s"$root/$sub", keyCol)
+      compactDeltaTree(s"$root/$sub", maxDeltas) { (tmp, parts) =>
+        readParts(spark, parts)
+          .groupBy(col(keyCol)).agg(min(col("keeper")).as("keeper"))
           .repartitionByRange(files, col(keyCol))
           .sortWithinPartitions(col(keyCol))
           .write.mode("overwrite").parquet(tmp)
       }
+    val bandsRan = rewrite("bands", "band_key")
+    if (bandsRan) {
+      val sat = saturatedBandBuckets(spark, root).count()
+      if (sat > 0) System.err.println(
+        s"[cascade] WARNING: $sat band bucket(s) exceeded MaxBandBucket=" +
+          s"${graft.operators.Dedup.MaxBandBucket} AFTER earlier ingests " +
+          "emitted their edges — the streamed near-dup labels diverge from " +
+          "a batch recompute (which drops saturated buckets wholesale); " +
+          "schedule a from-scratch label recompute (Dedup.clustersOver) " +
+          "and re-seed the label store")
+    }
     val ran = Seq(
       rewrite("docs", "doc_id"),
       foldKeepers("fp", "fp"),
       foldKeepers("nfp", "nfp"),
-      rewrite("bands", "band_key"),
+      bandsRan,
       compactLabelStore(spark, s"$root/labels", maxDeltas, files))
     ran.contains(true)
   }

@@ -68,10 +68,10 @@ class ServingMaintenanceSpec extends SparkSpec {
     // init + stream ≡ the batch match table over all mentions
     assert(got === matchRows(EntityResolution.matchMentions(spark, dir)))
 
-    // compaction: 2 deltas ≥ maxDeltas=2 → fires, folds to one
-    // generation, preserves every verdict
+    // compaction: 2 deltas ≥ maxDeltas=2 → fires, folds everything but
+    // the replay-fenced newest delta, preserves every verdict
     assert(EventStreams.compactMatchesLayout(spark, layoutDir, maxDeltas = 2, files = 2))
-    assert(gens(layoutDir) === 1)
+    assert(gens(layoutDir) === 2)
     assert(matchRows(EventStreams.readMatchesLayout(spark, layoutDir)) === got)
     assert(!EventStreams.compactMatchesLayout(spark, layoutDir, maxDeltas = 2, files = 2))
     // the compacted base is range-clustered on mention_id: files cover
@@ -96,6 +96,183 @@ class ServingMaintenanceSpec extends SparkSpec {
       Seq((-1L, "zzz unseen entity", "zzz unseen entity"))
         .toDF("mention_id", "true_name", "mention"), cat))
     assert(after.filter(_._1 == -1L) === want)
+  }
+
+  // ---- span-layout degree staleness (r14 verdict #4) ----
+
+  test("triangles off the maintained span layout ≡ batch recompute while appends change degree order") {
+    import spark.implicits._
+    import graft.operators.{Graph, TextAnalysis}
+    implicit val sqlCtx = spark.sqlContext
+    // the maintained tree stores NO degree columns (they'd go stale on
+    // every append); the triangle consumer must re-derive orientation
+    // from the merged view. This drives ingest → serve → ingest →
+    // compact → serve and pins served ≡ batch-recomputed triangles at
+    // every state.
+    val d = graft.engine.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val seed = d.filter($"doc_id" % 2 === 0)
+    val batches = Seq(d.filter($"doc_id" % 4 === 1), d.filter($"doc_id" % 4 === 3))
+    val root = Files.createTempDirectory("graft-spandeg").toString
+    val (storeDir, layoutDir) = (s"$root/store", s"$root/layout")
+    TextAnalysis.winnowOf(seed).write.parquet(s"$storeDir/base")
+    TextAnalysis.sharedSpansOf(TextAnalysis.winnowOf(seed))
+      .write.parquet(s"$layoutDir/base")
+    def triRows(pairs: DataFrame) =
+      Graph.trianglesOver(pairs.select($"doc_a", $"doc_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    def servedPairs() = EventStreams.readSpanLayoutDeltas(spark, layoutDir)
+    def degreesOf(pairs: DataFrame): Map[Long, Long] =
+      pairs.select($"doc_a", $"doc_b").collect()
+        .flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+        .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val degSeed = degreesOf(servedPairs())
+
+    val stream = MemoryStream[(Long, String)]
+    val q = EventStreams.maintainSpanLayout(
+        stream.toDF().toDF("doc_id", "text"), storeDir, layoutDir)
+      .option("checkpointLocation", ckpt()).start()
+    var prefix = seed
+    batches.foreach { b =>
+      stream.addData(b.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+      q.processAllAvailable()
+      prefix = prefix.unionByName(b)
+      // merge-on-read state: served triangles ≡ a from-scratch batch
+      // recompute over everything ingested
+      assert(triRows(servedPairs())
+        === triRows(TextAnalysis.sharedSpansOf(TextAnalysis.winnowOf(prefix))))
+    }
+    q.stop()
+    // non-vacuous: the appends actually moved the degree ORDER — some
+    // edge present in the seed graph flips its (degree, id) orientation
+    // under the final degrees, so serving frozen seed-time degrees
+    // would mis-orient it
+    val degFinal = degreesOf(servedPairs())
+    val seedEdges = spark.read.parquet(s"$layoutDir/base")
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def orient(e: (Long, Long), deg: Map[Long, Long]) = {
+      val (a, b) = e
+      val (da, db) = (deg.getOrElse(a, 0L), deg.getOrElse(b, 0L))
+      da < db || (da == db && a < b)
+    }
+    assert(seedEdges.exists(e => orient(e, degSeed) !== orient(e, degFinal)),
+      "fixture batches must flip at least one edge's degree orientation")
+    // post-compaction state: same equality off the folded tree
+    assert(EventStreams.compactSpanLayout(spark, layoutDir, maxDeltas = 2, files = 2))
+    assert(triRows(servedPairs())
+      === triRows(TextAnalysis.sharedSpansOf(TextAnalysis.winnowOf(prefix))))
+  }
+
+  // ---- evolving matches store (catalog-delta re-verdicting, r14) ----
+
+  test("evolving matches store ≡ full recompute across interleaved mention batches and catalog deltas") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-evolvstream").toString
+    val (catalogDir, layoutDir) = (s"$root/catalog", s"$root/matches")
+    val cat0 = EntityResolution.catalog(spark, dir).localCheckpoint()
+    val m = EntityResolution.mentions(spark, dir).localCheckpoint()
+    def expect(mentions: DataFrame, cat: DataFrame) =
+      matchRows(EntityResolution.matchAgainst(mentions, cat))
+    // nightly seed: catalog store + a third of the mentions matched
+    EventStreams.catalogStoreInit(cat0, catalogDir)
+    val (ck0, kept0) = EntityResolution.catalogKeys(cat0)
+    EventStreams.matchesStoreInit(
+      EntityResolution.matchAgainstKeys(m.filter($"mention_id" % 3 === 0), ck0, kept0),
+      layoutDir)
+
+    val stream = MemoryStream[(Long, String, String)]
+    val q = EventStreams.maintainMatchesStore(
+        stream.toDF().toDF("mention_id", "true_name", "mention"),
+        catalogDir, layoutDir)
+      .option("checkpointLocation", ckpt()).start()
+    def addBatch(k: Long): Unit = {
+      stream.addData(m.filter($"mention_id" % 3 === k).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq)
+      q.processAllAvailable()
+    }
+    // mention batch against the original catalog
+    addBatch(1L)
+    val in01 = m.filter($"mention_id" % 3 <= 1)
+    assert(matchRows(EventStreams.readMatchesStore(spark, layoutDir))
+      === expect(in01, cat0))
+
+    // catalog delta 0: the planted rename+novel upsert — the store
+    // must land exactly where a full re-match against the upserted
+    // catalog lands, for EVERY mention ingested so far
+    val delta0 = EntityResolution.catalogDeltaOf(spark, dir).localCheckpoint()
+    EventStreams.applyCatalogDelta(spark, delta0, catalogDir, layoutDir, 0L)
+    val cat1 = EntityResolution.upsertCatalog(cat0, delta0).localCheckpoint()
+    assert(matchRows(EventStreams.readMatchesStore(spark, layoutDir))
+      === expect(in01, cat1),
+      "store after delta 0 must equal a full re-match against the upserted catalog")
+
+    // a LATER mention batch scores against the evolved catalog
+    addBatch(2L)
+    assert(matchRows(EventStreams.readMatchesStore(spark, layoutDir))
+      === expect(m, cat1))
+
+    // catalog delta 1: constant-rename (shares NO tokens with the old
+    // names), so the affected set is reachable ONLY through the old
+    // names — the case that catches forgetting prior postings
+    val delta1 = cat0.filter($"ent_id" % 5 === 2)
+      .select($"ent_id", lit("renamed entity").as("ent_name"))
+      .localCheckpoint()
+    EventStreams.applyCatalogDelta(spark, delta1, catalogDir, layoutDir, 1L)
+    val cat2 = EntityResolution.upsertCatalog(cat1, delta1).localCheckpoint()
+    val afterD1 = matchRows(EventStreams.readMatchesStore(spark, layoutDir))
+    assert(afterD1 === expect(m, cat2),
+      "store after delta 1 must equal a full re-match against the twice-upserted catalog")
+
+    // own-delta replay: re-applying the same (delta, deltaId) must
+    // leave the store identical (the upsert replay contract)
+    EventStreams.applyCatalogDelta(spark, delta1, catalogDir, layoutDir, 1L)
+    assert(matchRows(EventStreams.readMatchesStore(spark, layoutDir)) === afterD1)
+    // negative control — WHY the own-delta exclusion is load-bearing:
+    // re-verdicting against a catalog that ALREADY holds the delta
+    // sees the new names as the "old" ones; with a constant rename
+    // sharing no mention tokens the affected set collapses to empty,
+    // and a replay would overwrite the real re-verdicts with nothing
+    assert(EntityResolution.reverdicts(m, cat1, delta1).count() > 0)
+    assert(EntityResolution.reverdicts(m, cat2, delta1).count() === 0L)
+
+    // compaction folds base + mention deltas + cd deltas (latest gen
+    // wins), fences the newest mention delta, and preserves serving
+    assert(EventStreams.compactMatchesStore(spark, layoutDir, maxDeltas = 2, files = 2))
+    assert(gens(layoutDir) === 2,
+      "base + the replay-fenced newest mention delta")
+    assert(matchRows(EventStreams.readMatchesStore(spark, layoutDir)) === afterD1)
+    // and a catalog delta applied AFTER compaction still re-verdicts
+    // off the folded base (true_name survived the fold)
+    val delta2 = cat0.filter($"ent_id" % 5 === 4)
+      .select($"ent_id", lit("renamed entity").as("ent_name"))
+      .localCheckpoint()
+    EventStreams.applyCatalogDelta(spark, delta2, catalogDir, layoutDir, 2L)
+    val cat3 = EntityResolution.upsertCatalog(cat2, delta2).localCheckpoint()
+    assert(matchRows(EventStreams.readMatchesStore(spark, layoutDir))
+      === expect(m, cat3))
+    q.stop()
+  }
+
+  test("the surfaced er_match_catalog_delta rows are exactly what applyCatalogDelta upserts") {
+    import spark.implicits._
+    // the oracle-checked batch query and the serving maintenance verb
+    // must be the same computation — pin the wiring, not just the core
+    val root = Files.createTempDirectory("graft-evolvtwin").toString
+    val (catalogDir, layoutDir) = (s"$root/catalog", s"$root/matches")
+    val cat0 = EntityResolution.catalog(spark, dir)
+    val m = EntityResolution.mentions(spark, dir)
+    EventStreams.catalogStoreInit(cat0, catalogDir)
+    val (ck0, kept0) = EntityResolution.catalogKeys(cat0)
+    EventStreams.matchesStoreInit(
+      EntityResolution.matchAgainstKeys(m, ck0, kept0), layoutDir)
+    EventStreams.applyCatalogDelta(spark,
+      EntityResolution.catalogDeltaOf(spark, dir), catalogDir, layoutDir, 0L)
+    val cd = spark.read.parquet(s"$layoutDir/cd0")
+      .select("mention_id", "mention", "matched_id", "dist", "correct")
+    assert(matchRows(cd)
+      === matchRows(EntityResolution.matchCatalogDelta(spark, dir)))
   }
 
   // ---- streaming cascade stores ----
@@ -207,7 +384,8 @@ class ServingMaintenanceSpec extends SparkSpec {
     // compaction: folds, preserves labels, maintenance continues
     assert(EventStreams.compactEmbeddingClusterStores(spark, root, maxDeltas = 2, files = 2))
     Seq("vecs", "labels").foreach(sub =>
-      assert(gens(s"$root/$sub") === 1, s"$sub must fold to one generation"))
+      assert(gens(s"$root/$sub") === 2,
+        s"$sub must fold to base + the replay-fenced newest delta"))
     assert(labelRows(EventStreams.readLabelStore(spark, s"$root/labels")) === pre)
   }
 
@@ -252,6 +430,72 @@ class ServingMaintenanceSpec extends SparkSpec {
     EventStreams.applyCascadeBatch(b1, root, 1L)
     assert(verdictRows(EventStreams.readCascadeVerdicts(spark, root))
       === expectedCascade(b0.unionByName(b1)))
+  }
+
+  test("compaction fences the newest delta, so a crash-compact-restart replay cannot re-append") {
+    import spark.implicits._
+    // the ADVICE r14 sequence, driven end-to-end: batch b1 lands its
+    // deltas but (as far as any compactor can know) its checkpoint
+    // offset never committed; maintenance compaction runs; the
+    // restarted stream REPLAYS b1. Pre-fence, compaction folded b1
+    // into base_0 and deleted it — the replay's per-directory
+    // overwrite became a re-append (duplicate doc_ids in the served
+    // corpus, inflated bucket counts). The fence keeps b1 in place,
+    // so the replay overwrites it and every store stays exact.
+    val root = Files.createTempDirectory("graft-fencereplay").toString + "/store"
+    EventStreams.cascadeStoreInit(spark, root)
+    val d = graft.engine.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val b0 = d.filter($"doc_id" < 150)
+    val b1 = d.filter($"doc_id" >= 150 && $"doc_id" < 300)
+    EventStreams.applyCascadeBatch(b0, root, 0L)
+    EventStreams.applyCascadeBatch(b1, root, 1L)
+    val pre = verdictRows(EventStreams.readCascadeVerdicts(spark, root))
+    // "crash before commit": compact while b1 is the newest delta
+    assert(EventStreams.compactCascadeStores(spark, root, maxDeltas = 2, files = 2))
+    assert(Files.isDirectory(java.nio.file.Paths.get(s"$root/docs/b1")),
+      "the newest delta must survive compaction (replay fence)")
+    // restart → foreachBatch redelivers b1
+    EventStreams.applyCascadeBatch(b1, root, 1L)
+    val docs = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$root/docs")
+    assert(docs.count() === docs.select("doc_id").distinct().count(),
+      "replay after compaction must not duplicate served docs")
+    assert(verdictRows(EventStreams.readCascadeVerdicts(spark, root)) === pre)
+    assert(pre === expectedCascade(b0.unionByName(b1)))
+  }
+
+  test("a band bucket crossing MaxBandBucket mid-stream is flagged at compaction") {
+    import spark.implicits._
+    // identical text → identical minhash signature → one shared set of
+    // band buckets. Batch 0 fills the bucket to just over half the
+    // cap (edges emitted), batch 1 pushes it PAST the cap (its probe
+    // drops the bucket) — union-over-batches now diverges from a
+    // batch recompute, which would drop the saturated bucket
+    // wholesale. Nothing can repair that incrementally; the detector
+    // must surface it at compaction time so operators know a nightly
+    // recompute is due.
+    val root = Files.createTempDirectory("graft-satdetect").toString + "/store"
+    EventStreams.cascadeStoreInit(spark, root)
+    val boiler = "the exact same boilerplate text repeated verbatim in " +
+      "every single document of this template population"
+    def mk(ids: Range): DataFrame =
+      ids.map(i => (i.toLong, boiler)).toDF("doc_id", "text")
+    EventStreams.applyCascadeBatch(mk(0 until 501), root, 0L)
+    assert(EventStreams.saturatedBandBuckets(spark, root).count() === 0L,
+      "under the cap nothing is flagged")
+    EventStreams.applyCascadeBatch(mk(501 until 1001), root, 1L) // crosses 1000
+    // a newer batch unfences b1 so the bands compaction folds the
+    // crossing into base — the moment the detector runs
+    EventStreams.applyCascadeBatch(
+      Seq((5000L, "an unrelated fresh document")).toDF("doc_id", "text"),
+      root, 2L)
+    assert(EventStreams.compactCascadeStores(spark, root, maxDeltas = 2, files = 2))
+    val sat = EventStreams.saturatedBandBuckets(spark, root)
+      .collect().map(r => r.getLong(2))
+    assert(sat.nonEmpty, "the crossed bucket must be flagged")
+    assert(sat.forall(_ === 1001L),
+      s"flagged sizes must be the bucket's true corpus size: ${sat.toSeq}")
   }
 
   test("the band probe broadcasts the batch keys and never shuffles the store") {
@@ -343,7 +587,8 @@ class ServingMaintenanceSpec extends SparkSpec {
     // maintainer keeps working against the compacted tree
     assert(EventStreams.compactCascadeStores(spark, root, maxDeltas = 2, files = 2))
     Seq("docs", "fp", "nfp", "bands", "labels").foreach(sub =>
-      assert(gens(s"$root/$sub") === 1, s"$sub must fold to one generation"))
+      assert(gens(s"$root/$sub") === 2,
+        s"$sub must fold to base + the replay-fenced newest delta"))
     assert(verdictRows(EventStreams.readCascadeVerdicts(spark, root)) === withNear)
     val nearBatch2 = toBatch(base
       .filter($"doc_id" % 20 === 17 && size(tok) >= 10)

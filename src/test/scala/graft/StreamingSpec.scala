@@ -1100,22 +1100,42 @@ class StreamingSpec extends SparkSpec {
         s"cycle $cycle: compaction should have fired")
       assert(rows(EventStreams.readSpanLayoutDeltas(spark, layoutDir)) === pre,
         s"cycle $cycle: compaction must not change the relation")
-      // the layout is ONE generation again: a fixed file budget no
-      // matter how many batches ever streamed in
-      assert(parquetFiles() <= 2,
-        s"cycle $cycle: file count must collapse to the range-write budget")
-      // nothing pending → an immediate second pass is a no-op
+      // base_0 collapses to the range-write budget; the only other
+      // generation is the replay-fenced newest delta (never folded —
+      // a possibly-uncommitted batch must keep its own delta to
+      // overwrite on replay), so the file count stays FIXED no matter
+      // how many batches ever streamed in
+      def filesUnder(p: String): Int = {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        try s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+        finally s.close()
+      }
+      assert(filesUnder(s"$layoutDir/base_0") <= 2,
+        s"cycle $cycle: base file count must collapse to the range-write budget")
+      val dirsNow = {
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(layoutDir))
+        try s.iterator().asScala.count(p => java.nio.file.Files.isDirectory(p))
+        finally s.close()
+      }
+      assert(dirsNow === 2,
+        s"cycle $cycle: base + the fenced newest delta, nothing else")
+      // nothing foldable pending → an immediate second pass is a no-op
       assert(!EventStreams.compactSpanLayout(spark, layoutDir, maxDeltas = 2, files = 2))
     }
-    // the BYTES trigger: one more batch = 1 delta (below maxDeltas=2),
-    // but any non-empty delta exceeds a 1-byte budget — size pressure
-    // must fire the compaction on its own
+    // the BYTES trigger: two more batches on top of the cycle-3 fenced
+    // delta = 3 deltas (below a maxDeltas=4 count threshold), but any
+    // non-empty delta exceeds a 1-byte budget — size pressure must
+    // fire the compaction on its own (two fresh batches, not one: the
+    // newest delta is replay-fenced, so a single pending delta is
+    // never foldable)
     stream.addData(Seq((9001L, "bytes trigger doc one two three four five six")))
     q.processAllAvailable()
+    stream.addData(Seq((9002L, "bytes trigger doc seven eight nine ten eleven")))
+    q.processAllAvailable()
     val preBytes = rows(EventStreams.readSpanLayoutDeltas(spark, layoutDir))
-    assert(!EventStreams.compactSpanLayout(spark, layoutDir, maxDeltas = 2, files = 2),
-      "count trigger must not fire at 1 delta")
-    assert(EventStreams.compactSpanLayout(spark, layoutDir, maxDeltas = 2, files = 2,
+    assert(!EventStreams.compactSpanLayout(spark, layoutDir, maxDeltas = 4, files = 2),
+      "count trigger must not fire at 3 deltas")
+    assert(EventStreams.compactSpanLayout(spark, layoutDir, maxDeltas = 4, files = 2,
       maxDeltaBytes = 1L), "bytes trigger must fire below the count threshold")
     assert(rows(EventStreams.readSpanLayoutDeltas(spark, layoutDir)) === preBytes,
       "bytes-triggered compaction must not change the relation")
@@ -1217,7 +1237,8 @@ class StreamingSpec extends SparkSpec {
     assert(!EventStreams.compactLabelStore(spark, storeDir, maxDeltas = 4),
       "count trigger must not fire below the threshold")
     assert(EventStreams.compactLabelStore(spark, storeDir, maxDeltas = 3))
-    assert(gens() === 1, "compaction must fold to one generation")
+    assert(gens() === 2,
+      "compaction folds to base + the replay-fenced newest delta")
     assert(labelRows(EventStreams.readLabelStore(spark, storeDir)) === pre,
       "compaction must not change the folded labels")
     // the compacted base is range-clustered on cluster_id (the
