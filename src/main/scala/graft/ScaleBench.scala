@@ -244,7 +244,13 @@ object ScaleBench {
     val timedRuns = 3
     def median(thunk: () => Unit): Double = {
       spark.catalog.clearCache()
-      graft.engine.Tables.dropOrphanRdds(spark)
+      // NO dropOrphanRdds here (unlike Bench/Verify, whose queries are
+      // self-contained): the fixed-batch entries hold their FIXED
+      // side as a lazy localCheckpoint shared across entries and both
+      // fixture dirs — unpersisting it between medians destroys
+      // truncated-lineage blocks and every later use dies with
+      // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (measured r14). The study
+      // surface is ~20 entries; leak pressure is not the hazard here.
       System.gc()
       thunk() // untimed priming (JIT, layouts, models)
       val ts = (1 to timedRuns).map { _ =>
