@@ -733,10 +733,23 @@ object EventStreams {
     val d = delta.select(col("ent_id"), col("ent_name")).localCheckpoint()
     d.withColumn("gen", lit(deltaId + 1L))
       .write.mode("overwrite").parquet(s"$catalogDir/b$deltaId")
-    val stored = readParts(spark, matchesStoreParts(layoutDir, excludeCd = deltaId))
+    // stored mentions come from base_* + b* generations ONLY: those
+    // hold exactly one row per mention (ingests are disjoint; a
+    // compacted base folds to one row per mention), while cd dirs
+    // only re-score mentions that already exist there. Excluding cd
+    // dirs makes this a pure map-side scan — a dropDuplicates over
+    // the full tree would shuffle the corpus-sized store on every
+    // catalog delta (caught in the r14 self-review).
+    val mentionParts = matchesStoreParts(layoutDir)
+      .filterNot(p => java.nio.file.Paths.get(p)
+        .getFileName.toString.startsWith("cd"))
+    val stored = readParts(spark, mentionParts)
       .select(col("mention_id"), col("true_name"), col("mention"))
-      .dropDuplicates("mention_id")
+    // a fenced b-delta's mentions can ALSO sit in a folded base (their
+    // cd re-verdicts were folded) — identical duplicate rows. Dedupe
+    // the AFFECTED-scaled output, never the corpus-scaled input.
     graft.operators.EntityResolution.reverdicts(stored, oldCat, d)
+      .dropDuplicates("mention_id")
       .withColumn("gen", lit(deltaId + 1L))
       .write.mode("overwrite").parquet(s"$layoutDir/cd$deltaId")
   }
