@@ -32,6 +32,16 @@ object Bench {
     */
   private[graft] val BoxProbeRefSec = 2.0
 
+  /** Serving-shape markers for the append-only ledger (r14 ADVICE): a
+    * query key whose measured WORK changed shape between rounds is
+    * named here with the round the shape changed, so strict ledger
+    * tooling diffing same-key timings across rounds can detect it is
+    * comparing different work instead of silently ratioing a loop
+    * against a scan. Append, never remove.
+    */
+  private val ShapeTag: String =
+    ""","shapes":{"graph_components":"r14+: serves the derive-once componentLabelsLayout scan (the live loop is benched as dedup_clusters / the scale-study components_loop)"}"""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -192,7 +202,7 @@ object Bench {
         }.sum
         s""","probe_start":${fmt(probeStart)},"probe_end":${fmt(probeEnd)},"box_factor":${fmt(boxFactor)},"value_norm":${fmt(total / boxFactor)},"value_norm_intra":${fmt(totalIntra)},"probes":$probesJson,"queries_norm":$qnorm"""
       }
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed$box$sweepTag,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed$box$sweepTag$ShapeTag,"queries":$qs,"sf":"$sfDir"}"""
     }
     // A/B leak-accounting sweeps (SPARK_GRAFT_NO_RDD_DROP) are tagged
     // so the append-only ledger can't confuse them with contract runs

@@ -197,15 +197,26 @@ object Dedup {
         s"b -> concat_ws('', slice(sig, b * $BandSize + 1, $BandSize)))")))
       .toDF("doc_id", "sig", "band", "band_key")
 
-  private[graft] def minhashLshDerive(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val bands0 = bandSigRows(signatures(spark, dir))
-    // saturated-bucket guard ([[MaxBandBucket]]): co-partitioned with
-    // the self-join key, so the size filter adds no extra exchange shape
-    val keptKeys = bands0.groupBy($"band", $"band_key")
+  /** BATCH LSH candidate pairs over pre-computed band rows — the one
+    * definition of "band → bucket-cap → self-join → dedup across
+    * bands" the batch faces share: [[minhashLshDerive]] (est-jaccard
+    * output) and [[lshEdgesOverBands]] (thresholded edges, the
+    * from-scratch recompute
+    * [[graft.streaming.EventStreams.rebuildCascadeStores]] folds the
+    * maintained band store through). The [[MaxBandBucket]] saturation
+    * guard is evaluated on the FULL corpus bucket size — the batch
+    * semantics the streamed probe can diverge from when a bucket
+    * crosses the cap mid-stream (see
+    * [[graft.streaming.EventStreams.saturatedBandBuckets]]).
+    */
+  private[graft] def lshCandidatePairs(bands0: DataFrame,
+      maxBucket: Int = MaxBandBucket): DataFrame = {
+    // saturated-bucket guard: co-partitioned with the self-join key,
+    // so the size filter adds no extra exchange shape
+    val keptKeys = bands0.groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("bn"))
-      .filter($"bn" <= MaxBandBucket)
-      .select($"band", $"band_key")
+      .filter(col("bn") <= maxBucket)
+      .select(col("band"), col("band_key"))
     val bands = bands0.join(keptKeys, Seq("band", "band_key"))
     bands.as("a")
       .join(bands.as("b"),
@@ -214,11 +225,32 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .dropDuplicates("doc_a", "doc_b")
+  }
+
+  private[graft] def minhashLshDerive(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lshCandidatePairs(bandSigRows(signatures(spark, dir)))
       .select($"doc_a", $"doc_b",
         (expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))")
           / lit(NumHashes.toDouble)).as("est_jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
+
+  /** The near-dup edge relation a BATCH recompute derives from band
+    * rows — [[lshCandidatePairs]] thresholded to `(src, dst)` edges.
+    * This is the fold [[graft.streaming.EventStreams.rebuildCascadeStores]]
+    * runs over the persisted band store when the streamed labels have
+    * diverged (a bucket crossed [[MaxBandBucket]] mid-stream): batch
+    * semantics drop the saturated bucket WHOLESALE, so rebuilding from
+    * the band store restores streamed ≡ batch exactly.
+    */
+  private[graft] def lshEdgesOverBands(bands0: DataFrame,
+      threshold: Double = ClusterThreshold,
+      maxBucket: Int = MaxBandBucket): DataFrame =
+    lshCandidatePairs(bands0, maxBucket)
+      .filter(expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))")
+        / lit(NumHashes.toDouble) >= threshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
 
   /** STREAMING LSH probe — the near-dup edges one ingested batch adds
     * against a persisted band-sig STORE ([[bandSigRows]] rows; the
@@ -256,7 +288,8 @@ object Dedup {
   }
 
   private[graft] def lshProbeEdges(storeBands: DataFrame, batchBands: DataFrame,
-      threshold: Double = ClusterThreshold): DataFrame = {
+      threshold: Double = ClusterThreshold,
+      maxBucket: Int = MaxBandBucket): DataFrame = {
     val spark = storeBands.sparkSession
     import spark.implicits._
     // sizing pass: count-only aggregate over the probe scan — nothing
@@ -266,7 +299,7 @@ object Dedup {
     val keptKeys = lshProbeMatched(storeBands, batchBands)
       .groupBy($"band", $"band_key")
       .agg(count(lit(1)).as("bn"))
-      .filter($"bn" <= MaxBandBucket)
+      .filter($"bn" <= maxBucket)
       .select($"band", $"band_key")
     // pair pass: the a side re-scans the store map-side, now filtered
     // to the capped keys; the b side is the BATCH's own rows (already

@@ -207,27 +207,46 @@ object EntityResolution {
           concat(lit("novel "), $"ent_name").as("ent_name")))
   }
 
-  /** Catalog after applying an upsert delta: delta rows replace same-
-    * `ent_id` rows, new ids append. (Upserts only — a tombstone face
-    * would add a `deleted` flag and an anti-join here; the serving
-    * stores don't need it yet.)
+  /** Normalize a catalog delta to carry the tombstone flag: a delta
+    * row is either an UPSERT (`deleted = false`, `ent_name` = the new
+    * name) or a DELETE (`deleted = true` — the entity leaves the
+    * catalog). Upsert-only producers ship 2-column deltas; this adds
+    * the `false` flag so every consumer handles one shape.
     */
-  private[graft] def upsertCatalog(oldCat: DataFrame, delta: DataFrame): DataFrame =
+  private[graft] def withDeletedCol(delta: DataFrame): DataFrame =
+    if (delta.columns.contains("deleted")) delta
+    else delta.withColumn("deleted", lit(false))
+
+  /** Catalog after applying a delta: every delta `ent_id` leaves the
+    * old catalog (anti-join), then the delta's NON-deleted rows append
+    * — upserts replace, tombstones remove. A delete followed by a
+    * later re-add of the same `ent_id` is just an upsert of an id the
+    * catalog no longer holds.
+    */
+  private[graft] def upsertCatalog(oldCat: DataFrame, delta0: DataFrame): DataFrame = {
+    val delta = withDeletedCol(delta0)
     oldCat.join(delta.select(col("ent_id")), Seq("ent_id"), "left_anti")
       .select(col("ent_name"), col("ent_id"))
-      .unionByName(delta.select(col("ent_name"), col("ent_id")))
+      .unionByName(delta.filter(!col("deleted"))
+        .select(col("ent_name"), col("ent_id")))
+  }
 
   /** CATALOG-DELTA RE-VERDICTING — the invalidation core the evolving
     * matches store ([[graft.streaming.EventStreams.applyCatalogDelta]])
-    * and the surfaced `er_match_catalog_delta` query share: a catalog
-    * upsert invalidates EXACTLY the mentions whose blocking keys
+    * and the surfaced `er_match_catalog_delta` /
+    * `er_match_catalog_tombstone` queries share: a catalog upsert OR
+    * DELETE invalidates EXACTLY the mentions whose blocking keys
     * intersect the changed entities' postings, under both the OLD and
     * the NEW names (a candidate set can only change through a key one
     * of those names posts to — including the kept/dropped flips of
     * [[ErMaxBlock]], which move a key's posting count only when a
-    * changed entity enters or leaves it). Those mentions are re-scored
-    * against the upserted catalog with the unchanged blocked-election
-    * core; everything else keeps its stored verdict.
+    * changed entity enters or leaves it), plus — the tombstone face —
+    * mentions whose STORED verdict points at a deleted entity. Those
+    * mentions are re-scored against the applied catalog with the
+    * unchanged blocked-election core (a mention whose every candidate
+    * was deleted re-verdicts to the null match — silent dangling ids
+    * are how deletes corrupt a serving store); everything else keeps
+    * its stored verdict.
     *
     * Scale shape: the affected-key set is dimension-delta-sized and
     * BROADCASTS into a map-side scan of the mention postings (the
@@ -239,32 +258,133 @@ object EntityResolution {
     * re-match here while the mechanics stay the production shape.
     */
   private[graft] def reverdicts(m: DataFrame, oldCat: DataFrame,
-      delta: DataFrame): DataFrame = {
+      delta0: DataFrame, extraAffected: Option[DataFrame] = None): DataFrame = {
     import m.sparkSession.implicits._
+    val delta = withDeletedCol(delta0)
     val newCat = upsertCatalog(oldCat, delta)
     val changedOld = oldCat.join(delta.select($"ent_id"), Seq("ent_id"))
+    // old-name keys of EVERY changed entity (upserted or deleted) ∪
+    // new-name keys of the upserts (a tombstone contributes no new
+    // name — the entity leaves; its old-name keys already mark every
+    // mention that could have been matched to it through blocking)
     val affKeys = keysOf(changedOld.select($"ent_name"), "ent_name").select($"key")
-      .union(keysOf(delta.select($"ent_name"), "ent_name").select($"key"))
+      .union(keysOf(delta.filter(!$"deleted").select($"ent_name"), "ent_name")
+        .select($"key"))
       .distinct()
-    val affIds = keysOf(m, "mention")
+    val m3 = m.select($"mention_id", $"true_name", $"mention")
+    val keyAff = keysOf(m3, "mention")
       .join(broadcast(affKeys), Seq("key"))
-      .select($"mention_id").distinct()
+      .select($"mention_id")
+    // the DANGLING-VERDICT face: a mention whose STORED verdict points
+    // at a deleted entity must re-verdict even if no blocking-key
+    // overlap survives. For verdicts produced by the blocked matcher
+    // against the evolving catalog this set is provably ⊆ the
+    // key-overlap set (the match required a kept key shared with the
+    // entity's current name, and that key is in affKeys) — but a store
+    // seeded from a NON-blocked matcher ([[erEnrich]] matches across
+    // zero shared tokens) or an external backfill can hold verdicts no
+    // key reaches, so the face is enforced whenever the caller ships
+    // stored verdicts: `m` carrying a `matched_id` column, and/or an
+    // `extraAffected` mention-id frame (the store flow's any-generation
+    // dangler scan). Both are dimension-delta-bounded probes.
+    val deletedIds = delta.filter($"deleted").select($"ent_id")
+    val matchedAff =
+      if (m.columns.contains("matched_id"))
+        m.join(broadcast(deletedIds), m("matched_id") === deletedIds("ent_id"),
+          "left_semi").select($"mention_id")
+      else keyAff.limit(0)
+    val affIds = keyAff.union(matchedAff)
+      .union(extraAffected.map(_.select($"mention_id"))
+        .getOrElse(keyAff.limit(0)))
+      .distinct()
     val (ck, keptKeys) = catalogKeys(newCat)
-    matchAgainstKeys(m.join(affIds, Seq("mention_id"), "left_semi"), ck, keptKeys)
+    matchAgainstKeys(m3.join(affIds, Seq("mention_id"), "left_semi"), ck, keptKeys)
+  }
+
+  /** Stamp the AFFECTED-FRACTION column onto a re-verdict output
+    * (r14 verdict #2): `affected_ppm` = affected mentions ×10⁶ div
+    * corpus mentions, exact integer ppm, constant across rows — the
+    * self-documenting degeneracy gauge. On the base fixture the
+    * planted delta's tiny color vocabulary drives it toward 10⁶ (the
+    * bench row bounds the WORST case); on amplified fixtures it drops
+    * toward the production delta-scaled shape. The re-verdict frame is
+    * checkpointed once (affected-scaled), so the count is a block scan
+    * and the stamp is the broadcast scalar-subquery pattern — no
+    * second re-verdict pass, no global window.
+    */
+  private def withAffectedPpm(rv: DataFrame, allMentions: DataFrame): DataFrame = {
+    val r = rv.localCheckpoint()
+    val nAff = r.agg(count(lit(1)).as("n_aff"))
+    val nTot = allMentions.agg(count(lit(1)).as("n_tot"))
+    r.crossJoin(broadcast(nAff)).crossJoin(broadcast(nTot))
+      .withColumn("affected_ppm", expr("n_aff * 1000000 div n_tot"))
+      .drop("n_aff", "n_tot")
   }
 
   /** The surfaced incremental face: re-verdicts for the planted
     * [[catalogDeltaOf]] upsert against the fixture catalog — exactly
     * the rows a maintained matches store upserts when this delta
-    * lands. The oracle recomputes the affected set and the post-delta
-    * election independently (DuckDB walks old-name ∪ new-name keys →
-    * affected mentions → blocked election on the upserted catalog).
+    * lands, each stamped with the affected fraction
+    * ([[withAffectedPpm]]). The oracle recomputes the affected set and
+    * the post-delta election independently (DuckDB walks old-name ∪
+    * new-name keys → affected mentions → blocked election on the
+    * upserted catalog).
     */
   def matchCatalogDelta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    reverdicts(mentions(spark, dir), catalog(spark, dir),
-      catalogDeltaOf(spark, dir))
-      .drop("true_name")
+    val m = mentions(spark, dir)
+    withAffectedPpm(
+      reverdicts(m, catalog(spark, dir), catalogDeltaOf(spark, dir))
+        .drop("true_name"),
+      m)
+      .orderBy($"mention_id")
+  }
+
+  /** The planted TOMBSTONE delta for the delete face: DELETES
+    * (ent_id % 11 = 6 — the entity leaves the catalog; the tombstone
+    * row carries NO name, the erasure posture) interleaved with
+    * RENAMES (ent_id % 9 = 2, excluding the deleted class — first
+    * token dropped, `retag` prefixed) so one delta exercises both
+    * verdict classes: mentions re-electing a new nearest after their
+    * match was deleted OR renamed, and mentions re-verdicting to the
+    * NULL match because every candidate left.
+    */
+  private[graft] def catalogTombstoneDeltaOf(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = catalog(spark, dir)
+    cat.filter($"ent_id" % 11 === 6)
+      .select($"ent_id", lit(null).cast("string").as("ent_name"),
+        lit(true).as("deleted"))
+      .unionByName(cat.filter($"ent_id" % 9 === 2 && $"ent_id" % 11 =!= 6)
+        .select($"ent_id",
+          concat(lit("retag "),
+            array_join(slice(split($"ent_name", " "), 2, 100000), " ")).as("ent_name"),
+          lit(false).as("deleted")))
+  }
+
+  /** The surfaced TOMBSTONE face (r14 verdict #1): re-verdicts for the
+    * planted [[catalogTombstoneDeltaOf]] delete+rename delta, with the
+    * stored verdicts read off the derive-once [[matchesLayout]] so the
+    * dangling-`matched_id` face is exercised exactly as the serving
+    * store exercises it (mentions whose stored match IS a deleted
+    * entity join the affected set even with no key overlap). Unmatched
+    * is allowed: a mention whose whole candidate neighbourhood was
+    * deleted re-verdicts to the null match. The oracle independently
+    * recomputes the pre-delta election, the affected union, and the
+    * post-delete blocked election.
+    */
+  def matchCatalogTombstone(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = mentions(spark, dir)
+    val stored = m.join(
+      matchesLayout(spark, dir).select($"mention_id", $"matched_id"),
+      Seq("mention_id"), "left")
+    withAffectedPpm(
+      reverdicts(stored, catalog(spark, dir),
+        catalogTombstoneDeltaOf(spark, dir))
+        .drop("true_name"),
+      m)
       .orderBy($"mention_id")
   }
 
@@ -489,7 +609,8 @@ object EntityResolution {
     "er_match" -> matchMentions _,
     "er_match_full" -> matchFull _,
     "er_match_quality" -> matchQuality _,
-    "er_match_catalog_delta" -> matchCatalogDelta _)
+    "er_match_catalog_delta" -> matchCatalogDelta _,
+    "er_match_catalog_tombstone" -> matchCatalogTombstone _)
 
   /** Shared oracle CTE prefix: catalog, planted mentions, postings. */
   private val erCte: String =
@@ -597,8 +718,59 @@ object EntityResolution {
         |              (PARTITION BY mention_id ORDER BY dist, ent_id) AS rn
         |            FROM enscored) WHERE rn = 1)
         |SELECT m.mention_id, m.mention, e.ent_id AS matched_id, e.dist,
-        |       COALESCE(e.ent_name = m.true_name, false) AS correct
+        |       COALESCE(e.ent_name = m.true_name, false) AS correct,
+        |       (SELECT count(*) FROM eaff) * 1000000 // (SELECT count(*) FROM emen) AS affected_ppm
         |FROM emen m JOIN eaff USING (mention_id) LEFT JOIN enel e USING (mention_id)
+        |ORDER BY mention_id""".stripMargin,
+    "er_match_catalog_tombstone" ->
+      s"""WITH $erCte,
+        |ekept AS (SELECT key FROM eck GROUP BY key HAVING count(*) <= $ErMaxBlock),
+        |ecand AS (SELECT DISTINCT k.mention_id, c.ent_id, c.ent_name
+        |          FROM emk k JOIN ekept USING (key) JOIN eck c USING (key)),
+        |escored AS (SELECT c.mention_id, c.ent_id, c.ent_name,
+        |              CAST(levenshtein(lower(m.mention), lower(c.ent_name)) AS BIGINT) AS dist
+        |            FROM ecand c JOIN emen m USING (mention_id)),
+        |eel AS (SELECT * FROM (SELECT *, row_number() OVER
+        |               (PARTITION BY mention_id ORDER BY dist, ent_id) AS rn
+        |             FROM escored) WHERE rn = 1),
+        |etdel AS (SELECT ent_id, CAST(NULL AS VARCHAR) AS ent_name, true AS deleted
+        |          FROM ecat WHERE ent_id % 11 = 6
+        |          UNION ALL
+        |          SELECT ent_id,
+        |            'retag ' || array_to_string(list_slice(string_split(ent_name, ' '), 2, 100000), ' '),
+        |            false
+        |          FROM ecat WHERE ent_id % 9 = 2 AND ent_id % 11 <> 6),
+        |etnew AS (SELECT ent_name, ent_id FROM ecat
+        |          WHERE ent_id NOT IN (SELECT ent_id FROM etdel)
+        |          UNION ALL SELECT ent_name, ent_id FROM etdel WHERE NOT deleted),
+        |etak AS (SELECT DISTINCT key FROM (
+        |           SELECT unnest(list_distinct(string_split(lower(c.ent_name), ' '))) AS key
+        |           FROM ecat c JOIN etdel d USING (ent_id)
+        |           UNION ALL
+        |           SELECT unnest(list_distinct(string_split(lower(ent_name), ' '))) AS key
+        |           FROM etdel WHERE NOT deleted)),
+        |etaff AS (SELECT DISTINCT mention_id FROM (
+        |            SELECT mention_id FROM emk JOIN etak USING (key)
+        |            UNION ALL
+        |            SELECT e.mention_id FROM eel e
+        |              JOIN etdel d ON d.deleted AND e.ent_id = d.ent_id)),
+        |etck AS (SELECT ent_id, ent_name,
+        |           unnest(list_distinct(string_split(lower(ent_name), ' '))) AS key
+        |         FROM etnew),
+        |etkept AS (SELECT key FROM etck GROUP BY key HAVING count(*) <= $ErMaxBlock),
+        |etcand AS (SELECT DISTINCT k.mention_id, c.ent_id, c.ent_name
+        |           FROM emk k JOIN etaff USING (mention_id)
+        |             JOIN etkept USING (key) JOIN etck c USING (key)),
+        |etscored AS (SELECT c.mention_id, c.ent_id, c.ent_name,
+        |               CAST(levenshtein(lower(m.mention), lower(c.ent_name)) AS BIGINT) AS dist
+        |             FROM etcand c JOIN emen m USING (mention_id)),
+        |etel AS (SELECT * FROM (SELECT *, row_number() OVER
+        |              (PARTITION BY mention_id ORDER BY dist, ent_id) AS rn
+        |            FROM etscored) WHERE rn = 1)
+        |SELECT m.mention_id, m.mention, e.ent_id AS matched_id, e.dist,
+        |       COALESCE(e.ent_name = m.true_name, false) AS correct,
+        |       (SELECT count(*) FROM etaff) * 1000000 // (SELECT count(*) FROM emen) AS affected_ppm
+        |FROM emen m JOIN etaff USING (mention_id) LEFT JOIN etel e USING (mention_id)
         |ORDER BY mention_id""".stripMargin,
     "er_match_quality" ->
       s"""WITH $erCte,

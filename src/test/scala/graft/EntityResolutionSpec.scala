@@ -131,4 +131,93 @@ class EntityResolutionSpec extends SparkSpec {
       Seq((7L, "alpha"), (9L, "alphz")))
     assert(ok.select("matched_id").head.getLong(0) === 7L)
   }
+
+  // ---- tombstone face (r14 verdict #1) ----
+
+  test("upsertCatalog applies deletes, upserts, and a delete-then-re-add") {
+    import spark.implicits._
+    val cat = Seq(("alpha one", 1L), ("beta two", 2L), ("gamma three", 3L))
+      .toDF("ent_name", "ent_id")
+    val delta = Seq((2L, null: String, true), (3L, "gamma renamed", false),
+        (4L, "delta four", false))
+      .toDF("ent_id", "ent_name", "deleted")
+    val applied = EntityResolution.upsertCatalog(cat, delta)
+      .collect().map(r => (r.getLong(1), r.getString(0))).sorted.toSeq
+    assert(applied === Seq((1L, "alpha one"), (3L, "gamma renamed"),
+      (4L, "delta four")))
+    // re-add of a previously deleted id is an ordinary upsert
+    val readd = Seq((2L, "beta reborn", false)).toDF("ent_id", "ent_name", "deleted")
+    val applied2 = EntityResolution.upsertCatalog(
+        EntityResolution.upsertCatalog(cat, delta), readd)
+      .collect().map(r => (r.getLong(1), r.getString(0))).sorted.toSeq
+    assert(applied2.contains((2L, "beta reborn")))
+    // a 2-column delta (upsert-only producer) still applies
+    val up2 = Seq(("alpha renamed", 1L)).toDF("ent_name", "ent_id")
+    assert(EntityResolution.upsertCatalog(cat, up2)
+      .filter($"ent_id" === 1L).head.getString(0) === "alpha renamed")
+  }
+
+  test("a deleted entity's danglers re-verdict even with zero key overlap — the matched_id face") {
+    import spark.implicits._
+    // an erEnrich-style store can hold a verdict across ZERO shared
+    // tokens (no blocking): mention "zzz qqq" matched to entity 1
+    // ("alpha one"). Deleting entity 1 must re-verdict that mention —
+    // reachable ONLY through the stored matched_id, never a key.
+    val cat = Seq(("alpha one", 1L), ("beta two", 2L)).toDF("ent_name", "ent_id")
+    val del = Seq((1L, null: String, true)).toDF("ent_id", "ent_name", "deleted")
+    val m = Seq((10L, "zzz qqq", "zzz qqq", 1L), (11L, "beta two", "beta two", 2L))
+      .toDF("mention_id", "true_name", "mention", "matched_id")
+    val rv = EntityResolution.reverdicts(m, cat, del)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).sortBy(_._1).toSeq
+    // mention 10: affected via matched_id; shares no key with the
+    // shrunk catalog → re-verdicts to the NULL match (unmatched
+    // allowed). mention 11: untouched entity, not affected.
+    assert(rv === Seq((10L, None)))
+    // WITHOUT the stored matched_id the face is unreachable — the
+    // key-overlap set alone misses the dangler (pins why the face
+    // exists; verdicts from the BLOCKED matcher are provably covered
+    // by key overlap, a non-blocked seed is not)
+    val rvNoStore = EntityResolution.reverdicts(
+      m.select($"mention_id", $"true_name", $"mention"), cat, del)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rvNoStore === Seq.empty)
+  }
+
+  test("tombstone re-verdicts elect the surviving nearest and allow the null match") {
+    import spark.implicits._
+    val cat = Seq(("alpha one", 1L), ("alpha uno", 2L), ("omega far", 3L))
+      .toDF("ent_name", "ent_id")
+    val m = Seq((10L, "alpha one", "alpha one"), (11L, "omega far", "omega far"))
+      .toDF("mention_id", "true_name", "mention")
+    // delete the exact match: the mention re-elects the surviving
+    // block-mate (shares the "alpha" key)
+    val d1 = Seq((1L, null: String, true)).toDF("ent_id", "ent_name", "deleted")
+    val rv1 = EntityResolution.reverdicts(m, cat, d1).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(rv1 === Seq((10L, 2L)))
+    // delete the whole candidate neighbourhood: null match
+    val d2 = Seq((1L, null: String, true), (2L, null: String, true))
+      .toDF("ent_id", "ent_name", "deleted")
+    val rv2 = EntityResolution.reverdicts(m, cat, d2).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toSeq
+    assert(rv2 === Seq((10L, None)))
+  }
+
+  test("the surfaced delta queries stamp an exact affected_ppm") {
+    import spark.implicits._
+    val nTot = EntityResolution.mentions(spark, dir).count()
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val rows = df.select("affected_ppm").distinct().collect()
+      assert(rows.length === 1, "affected_ppm must be constant across rows")
+      assert(rows.head.getLong(0) === df.count() * 1000000L / nTot)
+    }
+    check(EntityResolution.matchCatalogDelta(spark, dir))
+    val tomb = EntityResolution.matchCatalogTombstone(spark, dir)
+    check(tomb)
+    // the tombstone delta affects strictly fewer than everything on
+    // this fixture — the gauge is non-vacuous
+    assert(tomb.select("affected_ppm").head.getLong(0) < 1000000L)
+  }
 }

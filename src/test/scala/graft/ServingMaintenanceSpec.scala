@@ -25,9 +25,14 @@ class ServingMaintenanceSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  /** Generation dirs only — a `_keys` materialization under the tree
+    * is part of the layout, not a generation.
+    */
   private def gens(d: String): Int = {
     val s = Files.list(java.nio.file.Paths.get(d))
-    try s.iterator().asScala.count(p => Files.isDirectory(p)) finally s.close()
+    try s.iterator().asScala.count(p => Files.isDirectory(p) &&
+      p.getFileName.toString.matches("base_\\d+|b\\d+|cd\\d+"))
+    finally s.close()
   }
 
   // ---- ER matches layout ----
@@ -72,6 +77,13 @@ class ServingMaintenanceSpec extends SparkSpec {
     // the replay-fenced newest delta, preserves every verdict
     assert(EventStreams.compactMatchesLayout(spark, layoutDir, maxDeltas = 2, files = 2))
     assert(gens(layoutDir) === 2)
+    // the stream-constant catalog keys live under the tree as `_keys`
+    // (r14 ADVICE: shared storage with the layout, not a driver-local
+    // temp dir) — invisible to the recursive serving read (the row
+    // equalities above would break otherwise) and untouched by the
+    // compactor's fold/trash pass
+    assert(Files.isDirectory(java.nio.file.Paths.get(s"$layoutDir/_keys/ck")) &&
+      Files.isDirectory(java.nio.file.Paths.get(s"$layoutDir/_keys/kept")))
     assert(matchRows(EventStreams.readMatchesLayout(spark, layoutDir)) === got)
     assert(!EventStreams.compactMatchesLayout(spark, layoutDir, maxDeltas = 2, files = 2))
     // the compacted base is range-clustered on mention_id: files cover
@@ -273,6 +285,203 @@ class ServingMaintenanceSpec extends SparkSpec {
       .select("mention_id", "mention", "matched_id", "dist", "correct")
     assert(matchRows(cd)
       === matchRows(EntityResolution.matchCatalogDelta(spark, dir)))
+  }
+
+  // ---- tombstone face of the evolving store pair (r14 verdict #1) ----
+
+  test("evolving store pair with tombstones: store ≡ full re-match across interleaved mention batches, deletes, and a re-add; compaction erases") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-tombstream").toString
+    val (catalogDir, layoutDir) = (s"$root/catalog", s"$root/matches")
+    val cat0 = EntityResolution.catalog(spark, dir).localCheckpoint()
+    val m = EntityResolution.mentions(spark, dir).localCheckpoint()
+    def expect(mentions: DataFrame, cat: DataFrame) =
+      matchRows(EntityResolution.matchAgainst(mentions, cat))
+    EventStreams.catalogStoreInit(cat0, catalogDir)
+    val (ck0, kept0) = EntityResolution.catalogKeys(cat0)
+    EventStreams.matchesStoreInit(
+      EntityResolution.matchAgainstKeys(m.filter($"mention_id" % 3 === 0), ck0, kept0),
+      layoutDir)
+    def mentionBatch(k: Long, batchId: Long): Unit =
+      EventStreams.applyMentionBatch(m.filter($"mention_id" % 3 === k),
+        catalogDir, layoutDir, batchId)
+    mentionBatch(1L, 0L)
+
+    // delta 0: the planted DELETE+RENAME tombstone delta — every
+    // mention ingested so far must land where a full re-match against
+    // the shrunk catalog lands
+    val d0 = EntityResolution.catalogTombstoneDeltaOf(spark, dir).localCheckpoint()
+    val deletedIds = d0.filter($"deleted").select($"ent_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(deletedIds.nonEmpty, "the planted delta must actually delete")
+    EventStreams.applyCatalogDelta(spark, d0, catalogDir, layoutDir, 0L)
+    val cat1 = EntityResolution.upsertCatalog(cat0, d0).localCheckpoint()
+    val in01 = m.filter($"mention_id" % 3 <= 1)
+    assert(matchRows(EventStreams.readMatchesStore(spark, layoutDir))
+      === expect(in01, cat1),
+      "store after the tombstone delta must equal a full re-match against the shrunk catalog")
+    // the served catalog holds no tombstoned entity
+    assert(EventStreams.readCatalogStore(spark, catalogDir)
+      .filter($"ent_id".isInCollection(deletedIds)).count() === 0)
+
+    // a LATER mention batch scores against the shrunk catalog
+    mentionBatch(2L, 1L)
+    assert(matchRows(EventStreams.readMatchesStore(spark, layoutDir))
+      === expect(m, cat1))
+
+    // delta 1: RE-ADD one deleted entity under its original name — a
+    // delete followed by a re-add of the same ent_id is an upsert of
+    // an id the catalog no longer holds; its mentions re-elect it
+    val readdId = deletedIds.min
+    val readdName = cat0.filter($"ent_id" === readdId).head.getString(0)
+    val d1 = Seq((readdId, readdName, false))
+      .toDF("ent_id", "ent_name", "deleted").localCheckpoint()
+    EventStreams.applyCatalogDelta(spark, d1, catalogDir, layoutDir, 1L)
+    val cat2 = EntityResolution.upsertCatalog(cat1, d1).localCheckpoint()
+    val afterD1 = matchRows(EventStreams.readMatchesStore(spark, layoutDir))
+    assert(afterD1 === expect(m, cat2),
+      "store after the re-add must equal a full re-match against the re-grown catalog")
+
+    // own-delta replay idempotence (the monotonic guard's equal case)
+    EventStreams.applyCatalogDelta(spark, d1, catalogDir, layoutDir, 1L)
+    assert(matchRows(EventStreams.readMatchesStore(spark, layoutDir)) === afterD1)
+    // the monotonic guard (r14 verdict #4): a REPLAYED-LOWER deltaId
+    // would let stale re-verdicts outrank newer generations — refused
+    // loudly, before any write
+    val err = intercept[IllegalArgumentException] {
+      EventStreams.applyCatalogDelta(spark, d0, catalogDir, layoutDir, 0L)
+    }
+    assert(err.getMessage.contains("monotonically increasing"))
+    assert(matchRows(EventStreams.readMatchesStore(spark, layoutDir)) === afterD1,
+      "the refused delta must not have touched either store")
+
+    // delta 2: a rename upsert, so the delete generations are no
+    // longer fenced anywhere and its own cd is non-empty
+    // (deleted ids excluded: an overlap would be a silent re-add and
+    // void the erasure assertions below)
+    val d2 = cat0.filter($"ent_id" % 5 === 1 &&
+        !$"ent_id".isInCollection(deletedIds))
+      .select($"ent_id", lit("swapped placeholder").as("ent_name"),
+        lit(false).as("deleted"))
+      .localCheckpoint()
+    EventStreams.applyCatalogDelta(spark, d2, catalogDir, layoutDir, 2L)
+    val cat3 = EntityResolution.upsertCatalog(cat2, d2).localCheckpoint()
+    assert(matchRows(EventStreams.readMatchesStore(spark, layoutDir))
+      === expect(m, cat3))
+
+    // CATALOG compaction (r14 verdict #3): served catalog unchanged,
+    // and the ERASURE guarantee — once the delete generation folds, no
+    // raw parquet row anywhere under the catalog tree carries a
+    // still-deleted entity (id or name)
+    val servedCat = EventStreams.readCatalogStore(spark, catalogDir)
+      .collect().map(r => (r.getLong(1), r.getString(0))).sorted.toSeq
+    assert(EventStreams.compactCatalogStore(spark, catalogDir, maxDeltas = 2, files = 2))
+    assert(EventStreams.readCatalogStore(spark, catalogDir)
+      .collect().map(r => (r.getLong(1), r.getString(0))).sorted.toSeq === servedCat)
+    val stillDeleted = deletedIds - readdId
+    assert(stillDeleted.nonEmpty)
+    val rawCat = spark.read.option("recursiveFileLookup", "true").parquet(catalogDir)
+    assert(rawCat.filter($"ent_id".isInCollection(stillDeleted)).count() === 0,
+      "erasure: a folded tombstone leaves no raw row for the entity")
+    val deletedNames = cat0.filter($"ent_id".isInCollection(stillDeleted))
+      .select($"ent_name").collect().map(_.getString(0)).toSet
+    assert(rawCat.filter($"ent_name".isInCollection(deletedNames)).count() === 0,
+      "erasure: the deleted entities' names are physically gone from the tree")
+    // replay of the FENCED catalog delta against the compacted tree is
+    // still idempotent (gen preserved through compaction)
+    EventStreams.applyCatalogDelta(spark, d2, catalogDir, layoutDir, 2L)
+    assert(matchRows(EventStreams.readMatchesStore(spark, layoutDir))
+      === expect(m, cat3))
+
+    // MATCHES-store compaction triggered by the cd count (r14 ADVICE:
+    // cd deltas previously counted toward no trigger): 2 mention
+    // deltas + 3 cd deltas ≥ maxDeltas=4 where the b count alone (2)
+    // would never fire
+    assert(EventStreams.compactMatchesStore(spark, layoutDir, maxDeltas = 4, files = 2))
+    assert(gens(layoutDir) === 2,
+      "base + the replay-fenced newest mention delta")
+    assert(matchRows(EventStreams.readMatchesStore(spark, layoutDir))
+      === expect(m, cat3))
+    // and the folded serving rows dangle at no deleted entity
+    assert(EventStreams.readMatchesStore(spark, layoutDir)
+      .filter($"matched_id".isInCollection(stillDeleted)).count() === 0)
+  }
+
+  // ---- cascade label rebuild (r14 verdict #5) ----
+
+  test("rebuildCascadeStores restores streamed ≡ batch after a mid-stream bucket cap crossing") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-rebuild").toString
+    EventStreams.cascadeStoreInit(spark, root)
+    val cap = 2
+    // 4 docs with the IDENTICAL shingle set (a 3-word cycle repeated a
+    // doc-specific number of times): identical minhash signatures →
+    // every band bucket holds all four docs; distinct texts keep the
+    // exact/normalized stages out of the way so the near stage is
+    // what diverges
+    def doc(i: Long) = (i, Seq.fill(10 + i.toInt)("red green blue").mkString(" "))
+    val batchA = Seq(doc(1), doc(2)).toDF("doc_id", "text")
+    val batchB = Seq(doc(3), doc(4)).toDF("doc_id", "text")
+    EventStreams.applyCascadeBatch(batchA, root, 0L, maxBucket = cap)
+    EventStreams.applyCascadeBatch(batchB, root, 1L, maxBucket = cap)
+    // the detector sees the crossing
+    assert(EventStreams.saturatedBandBuckets(spark, root, cap).count() > 0)
+    def verdicts(df: DataFrame) =
+      df.select("doc_id", "stage", "keeper_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    def batchTwin(docs: DataFrame) = {
+      val corpus = Dedup.fingerprintsOf(docs)
+        .select($"doc_id", $"fp", $"nfp").localCheckpoint()
+      val labels = Dedup.clustersOver(corpus.select($"doc_id"),
+        Dedup.lshEdgesOverBands(
+          Dedup.bandSigRows(Dedup.signaturesOf(docs)), maxBucket = cap),
+        Dedup.ClusterMaxHops)
+      verdicts(Dedup.cascadeOver(corpus,
+        corpus.groupBy($"fp").agg(min($"doc_id").as("ek")),
+        corpus.groupBy($"nfp").agg(min($"doc_id").as("nk")),
+        labels))
+    }
+    val all4 = batchA.unionByName(batchB).localCheckpoint()
+    val streamed = verdicts(EventStreams.readCascadeVerdicts(spark, root))
+    val want = batchTwin(all4)
+    // DIVERGENCE: batch A's bucket was under the cap when probed, so
+    // the streamed labels keep the 1-2 edge; a batch recompute drops
+    // the (now size-4) bucket wholesale and keeps everyone
+    assert(streamed !== want, "the fixture must actually diverge")
+    assert(streamed.find(_._1 == 2L).get._2 === "near")
+    assert(want.forall(_._2 == "kept"))
+    // the nightly recompute the saturation warning names
+    EventStreams.rebuildCascadeStores(spark, root, maxBucket = cap)
+    assert(verdicts(EventStreams.readCascadeVerdicts(spark, root)) === want)
+    // maintenance continues against the rebuilt store and stays ≡ batch
+    EventStreams.applyCascadeBatch(Seq(doc(5)).toDF("doc_id", "text"),
+      root, 2L, maxBucket = cap)
+    assert(verdicts(EventStreams.readCascadeVerdicts(spark, root))
+      === batchTwin(all4.unionByName(Seq(doc(5)).toDF("doc_id", "text"))))
+  }
+
+  test("an oversized merge batch fails the streaming label seam naming the rebuild recovery") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-poison").toString
+    // 4 singleton components; a batch merging 2 of them with the cap
+    // at 1 — the bulk-backfill boundary, driven through the STREAMING
+    // seam (r14 ADVICE: the raw guard made one oversized batch an
+    // unrecoverable crash-replay loop with no operator-facing path)
+    EventStreams.labelStoreInit(
+      spark.range(0L, 4L).select($"id".as("doc_id"), $"id".as("cluster_id")),
+      root, files = 1)
+    val edges = Seq((0L, 1L), (2L, 3L)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      EventStreams.applyLabelBatch(edges, root, 0L, maxReps = 1)
+    }
+    assert(e.getMessage.contains("rebuildCascadeStores"))
+    assert(e.getMessage.contains("bulk-backfill"))
+    assert(e.getMessage.contains("same checkpoint"))
+    // at the cap the seam still lands the delta
+    EventStreams.applyLabelBatch(edges, root, 0L, maxReps = 2)
+    assert(EventStreams.readLabelStore(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      === Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 2L)))
   }
 
   // ---- streaming cascade stores ----
