@@ -407,6 +407,42 @@ class ServingMaintenanceSpec extends SparkSpec {
       .filter($"matched_id".isInCollection(stillDeleted)).count() === 0)
   }
 
+  test("erasure timing: a fenced delete generation erases at the NEXT compaction, never before") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-tombfence").toString
+    val (catalogDir, layoutDir) = (s"$root/catalog", s"$root/matches")
+    val cat0 = EntityResolution.catalog(spark, dir).localCheckpoint()
+    val m = EntityResolution.mentions(spark, dir).localCheckpoint()
+    EventStreams.catalogStoreInit(cat0, catalogDir)
+    val (ck0, kept0) = EntityResolution.catalogKeys(cat0)
+    EventStreams.matchesStoreInit(
+      EntityResolution.matchAgainstKeys(m, ck0, kept0), layoutDir)
+    val victim = cat0.orderBy($"ent_id").head.getLong(1)
+    val victimName = cat0.filter($"ent_id" === victim).head.getString(0)
+    def rawCat() = spark.read.option("recursiveFileLookup", "true").parquet(catalogDir)
+    // the delete lands as the NEWEST delta: compaction declines (only
+    // the fenced delta is pending) and the tombstone row must still
+    // exist raw — the replay fence owns it until a newer delta lands
+    EventStreams.applyCatalogDelta(spark,
+      Seq((victim, null: String, true)).toDF("ent_id", "ent_name", "deleted"),
+      catalogDir, layoutDir, 0L)
+    assert(!EventStreams.compactCatalogStore(spark, catalogDir, maxDeltas = 1))
+    assert(rawCat().filter($"ent_id" === victim && $"deleted").count() === 1,
+      "the fenced tombstone generation must survive (replay needs it)")
+    // served view already erased, of course
+    assert(EventStreams.readCatalogStore(spark, catalogDir)
+      .filter($"ent_id" === victim).count() === 0)
+    // a newer delta unfences the delete; the next compaction folds and
+    // physically erases it — id AND the name carried by base_0
+    EventStreams.applyCatalogDelta(spark,
+      Seq((9999999L, "fresh unrelated entity", false))
+        .toDF("ent_id", "ent_name", "deleted"),
+      catalogDir, layoutDir, 1L)
+    assert(EventStreams.compactCatalogStore(spark, catalogDir, maxDeltas = 1))
+    assert(rawCat().filter($"ent_id" === victim).count() === 0)
+    assert(rawCat().filter($"ent_name" === victimName).count() === 0)
+  }
+
   // ---- cascade label rebuild (r14 verdict #5) ----
 
   test("rebuildCascadeStores restores streamed ≡ batch after a mid-stream bucket cap crossing") {
