@@ -917,6 +917,34 @@ object EventStreams {
       .write.mode("overwrite").parquet(s"$layoutDir/cd$deltaId")
   }
 
+  /** STORE-SIDE erasure audit — the serving-store composition of
+    * [[graft.operators.Redaction.erasureAudit]]'s audit-first
+    * philosophy (r14 verdict #1): given the deletion-request entity
+    * ids, count the RAW parquet rows under each store tree that still
+    * reference them — catalog rows by `ent_id` (tombstone generations
+    * included: a fenced delete still counts until compaction folds
+    * it), matches rows by `matched_id` across every generation. The
+    * sign-off artifact a deletion batch reads after its
+    * apply-then-compact cycle: both counts at zero = physical erasure
+    * complete; a non-zero catalog count names the replay fence's one
+    * pending generation, a non-zero matches count names stale
+    * generations a [[compactMatchesStore]] pass will fold away.
+    * Broadcast semi-joins over map-side scans — the request list is
+    * dimension-delta-sized, the stores never shuffle.
+    */
+  def erasureAuditStores(spark: org.apache.spark.sql.SparkSession,
+      catalogDir: String, layoutDir: String, entIds: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ids = entIds.select(col("ent_id"))
+    val nCat = spark.read.option("recursiveFileLookup", "true").parquet(catalogDir)
+      .join(broadcast(ids), Seq("ent_id"), "left_semi").count()
+    val nMatch = spark.read.option("recursiveFileLookup", "true").parquet(layoutDir)
+      .join(broadcast(ids), col("matched_id") === ids("ent_id"), "left_semi")
+      .count()
+    Seq(("catalog", nCat), ("matches", nMatch))
+      .toDF("store", "n_raw_rows_referencing")
+  }
+
   /** Compact the evolving matches store: fold base + mention deltas +
     * re-verdict deltas (latest gen wins) into one base generation,
     * each mention keeping its winning row's gen. The

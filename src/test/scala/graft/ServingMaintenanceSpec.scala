@@ -369,6 +369,16 @@ class ServingMaintenanceSpec extends SparkSpec {
     assert(matchRows(EventStreams.readMatchesStore(spark, layoutDir))
       === expect(m, cat3))
 
+    // the store-side erasure AUDIT before any compaction: raw rows in
+    // both trees still reference the deleted ids (tombstone + original
+    // catalog generations; pre-delete match generations)
+    val stillDeletedDf = (deletedIds - readdId).toSeq.toDF("ent_id")
+    val auditPre = EventStreams.erasureAuditStores(spark, catalogDir, layoutDir,
+        stillDeletedDf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(auditPre("catalog") > 0 && auditPre("matches") > 0,
+      s"pre-compaction audit must see raw references: $auditPre")
+
     // CATALOG compaction (r14 verdict #3): served catalog unchanged,
     // and the ERASURE guarantee — once the delete generation folds, no
     // raw parquet row anywhere under the catalog tree carries a
@@ -405,6 +415,14 @@ class ServingMaintenanceSpec extends SparkSpec {
     // and the folded serving rows dangle at no deleted entity
     assert(EventStreams.readMatchesStore(spark, layoutDir)
       .filter($"matched_id".isInCollection(stillDeleted)).count() === 0)
+    // the store-side erasure audit signs off: after the
+    // apply-then-compact cycle NO raw row in either tree references
+    // the deleted entities
+    val auditPost = EventStreams.erasureAuditStores(spark, catalogDir, layoutDir,
+        stillDeletedDf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(auditPost === Map("catalog" -> 0L, "matches" -> 0L),
+      s"post-compaction audit must be clean: $auditPost")
   }
 
   test("erasure timing: a fenced delete generation erases at the NEXT compaction, never before") {
