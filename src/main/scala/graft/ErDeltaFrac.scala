@@ -15,6 +15,10 @@ import org.apache.spark.sql.SparkSession
   *    must DROP ~copies-fold with amplification — the evidence that
   *    the re-score is delta-scaled, not corpus-scaled, once the token
   *    space outgrows the delta.
+  *  - `fixed_tombstone` — the same contract for the DELETE face
+  *    (r15): the base fixture's planted delete+rename delta applied
+  *    unchanged against the grown corpus; same drop expected (the
+  *    delete face adds only a broadcast dangler probe to the apply).
   *  - `scaled` — the surfaced `er_match_catalog_delta` plant, whose
   *    delta grows WITH the catalog (ent_id mod classes over the
   *    amplified fixture); its fraction stays near the base fixture's
@@ -39,8 +43,10 @@ object ErDeltaFrac {
     val dirs = base +: Seq("/root/repo/target/scale10x", "/root/repo/target/scale30x",
         "/root/repo/target/scale100x")
       .filter(d => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d, "part.parquet")))
+    val fixedTomb = er.catalogTombstoneDeltaOf(spark, base).localCheckpoint()
     for (dir <- dirs; (tag, delta) <- Seq(
-        "fixed" -> fixedDelta, "scaled" -> er.catalogDeltaOf(spark, dir))) {
+        "fixed" -> fixedDelta, "fixed_tombstone" -> fixedTomb,
+        "scaled" -> er.catalogDeltaOf(spark, dir))) {
       val m = er.mentions(spark, dir)
       val t0 = System.nanoTime()
       val aff = er.reverdicts(m, er.catalog(spark, dir), delta).count()
