@@ -880,6 +880,27 @@ object EventStreams {
           .otherwise(col("ent_name")).as("ent_name"),
         col("deleted"))
       .localCheckpoint()
+    // delta WELL-FORMEDNESS, enforced at the store boundary (r15
+    // self-review): two rows for one ent_id land with the SAME gen and
+    // tie in the latest-gen-wins fold — the store would serve one of
+    // them nondeterministically, and a delete+upsert pair for one id is
+    // semantically ambiguous. A null ent_id can never be replaced or
+    // deleted (the anti-join skips nulls). Both are producer bugs; fail
+    // loudly before any write. One aggregate over the checkpointed
+    // dimension-delta-sized frame.
+    val shape = d.agg(count(lit(1)).as("n"),
+      count(col("ent_id")).as("nn"), countDistinct(col("ent_id")).as("nd"))
+      .head()
+    require(shape.getLong(0) == shape.getLong(1),
+      s"catalog delta $deltaId carries ${shape.getLong(0) - shape.getLong(1)} " +
+        "null ent_id row(s) — a null id can never be upserted over or " +
+        "tombstoned; drop or key the rows upstream")
+    require(shape.getLong(1) == shape.getLong(2),
+      s"catalog delta $deltaId carries duplicate ent_ids " +
+        s"(${shape.getLong(1)} rows over ${shape.getLong(2)} distinct ids) — " +
+        "one row per entity per delta: duplicates land with equal gen and " +
+        "the latest-gen-wins fold would serve one of them arbitrarily; " +
+        "fold the producer's changes per entity before applying")
     d.withColumn("gen", lit(deltaId + 1L))
       .write.mode("overwrite").parquet(s"$catalogDir/b$deltaId")
     // stored mentions come from base_* + b* generations ONLY: those

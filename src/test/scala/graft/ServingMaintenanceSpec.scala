@@ -425,6 +425,34 @@ class ServingMaintenanceSpec extends SparkSpec {
       s"post-compaction audit must be clean: $auditPost")
   }
 
+  test("a malformed catalog delta (duplicate or null ent_ids) is refused before any write") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-tombshape").toString
+    val (catalogDir, layoutDir) = (s"$root/catalog", s"$root/matches")
+    val cat0 = EntityResolution.catalog(spark, dir)
+    EventStreams.catalogStoreInit(cat0, catalogDir)
+    val (ck0, kept0) = EntityResolution.catalogKeys(cat0)
+    EventStreams.matchesStoreInit(EntityResolution.matchAgainstKeys(
+      EntityResolution.mentions(spark, dir), ck0, kept0), layoutDir)
+    def gensNow() = gens(catalogDir)
+    val before = gensNow()
+    // duplicate ent_id: a delete+upsert pair for one id would tie in
+    // the latest-gen-wins fold
+    val dup = Seq((5L, null: String, true), (5L, "re-listed", false))
+      .toDF("ent_id", "ent_name", "deleted")
+    val e1 = intercept[IllegalArgumentException] {
+      EventStreams.applyCatalogDelta(spark, dup, catalogDir, layoutDir, 0L)
+    }
+    assert(e1.getMessage.contains("duplicate ent_ids"))
+    val nul = Seq((Some(5L), "ok", false), (None, "ghost", false))
+      .toDF("ent_id", "ent_name", "deleted")
+    val e2 = intercept[IllegalArgumentException] {
+      EventStreams.applyCatalogDelta(spark, nul, catalogDir, layoutDir, 0L)
+    }
+    assert(e2.getMessage.contains("null ent_id"))
+    assert(gensNow() === before, "a refused delta must not have written a generation")
+  }
+
   test("erasure timing: a fenced delete generation erases at the NEXT compaction, never before") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-tombfence").toString
