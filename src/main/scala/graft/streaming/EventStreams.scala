@@ -925,10 +925,8 @@ object EventStreams {
     val deletedIds = d.filter(col("deleted")).select(col("ent_id"))
     val danglers =
       if (deletedIds.isEmpty) None
-      else Some(readParts(spark, matchesStoreParts(layoutDir, excludeCd = deltaId))
-        .join(broadcast(deletedIds), col("matched_id") === col("ent_id"),
-          "left_semi")
-        .select(col("mention_id")).distinct())
+      else Some(danglingMentions(spark, layoutDir, deletedIds,
+        excludeCd = deltaId))
     // a fenced b-delta's mentions can ALSO sit in a folded base (their
     // cd re-verdicts were folded) — identical duplicate rows. Dedupe
     // the AFFECTED-scaled output, never the corpus-scaled input.
@@ -936,6 +934,23 @@ object EventStreams {
       .dropDuplicates("mention_id")
       .withColumn("gen", lit(deltaId + 1L))
       .write.mode("overwrite").parquet(s"$layoutDir/cd$deltaId")
+  }
+
+  /** The dangler probe of [[applyCatalogDelta]]'s delete face, as a
+    * directly plan-auditable seam: mentions whose ANY-generation
+    * stored verdict points at a deleted entity. The store side is
+    * corpus-sized, so its one pass must be a map-side scan probed by a
+    * BROADCAST of the dimension-delta-sized deleted-id set — a
+    * sort-merge join here would shuffle the matches store on every
+    * deleting delta (ServingMaintenanceSpec pins BroadcastHashJoin /
+    * no SortMergeJoin, the band-probe standard).
+    */
+  private[graft] def danglingMentions(spark: org.apache.spark.sql.SparkSession,
+      layoutDir: String, deletedIds: DataFrame, excludeCd: Long): DataFrame = {
+    val ids = deletedIds.select(col("ent_id"))
+    readParts(spark, matchesStoreParts(layoutDir, excludeCd))
+      .join(broadcast(ids), col("matched_id") === ids("ent_id"), "left_semi")
+      .select(col("mention_id")).distinct()
   }
 
   /** STORE-SIDE erasure audit — the serving-store composition of

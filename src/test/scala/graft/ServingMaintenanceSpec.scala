@@ -425,6 +425,29 @@ class ServingMaintenanceSpec extends SparkSpec {
       s"post-compaction audit must be clean: $auditPost")
   }
 
+  test("the dangler probe broadcasts the deleted ids and never shuffles the matches store") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = Files.createTempDirectory("graft-dangler").toString
+    val layoutDir = s"$root/matches"
+    val cat0 = EntityResolution.catalog(spark, dir)
+    val (ck0, kept0) = EntityResolution.catalogKeys(cat0)
+    EventStreams.matchesStoreInit(EntityResolution.matchAgainstKeys(
+      EntityResolution.mentions(spark, dir), ck0, kept0), layoutDir)
+    val deletedIds = cat0.filter($"ent_id" % 11 === 6).select($"ent_id")
+    val probe = EventStreams.danglingMentions(spark, layoutDir, deletedIds,
+      excludeCd = -1L)
+    assert(probe.count() > 0, "the fixture must have dangling verdicts")
+    val plan = (probe.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dangler probe must broadcast the deleted ids:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"dangler probe must not shuffle the matches store:\n$plan")
+  }
+
   test("a malformed catalog delta (duplicate or null ent_ids) is refused before any write") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-tombshape").toString
