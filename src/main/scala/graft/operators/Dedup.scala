@@ -209,6 +209,19 @@ object Dedup {
     * crosses the cap mid-stream (see
     * [[graft.streaming.EventStreams.saturatedBandBuckets]]).
     */
+  /** The minhash similarity ESTIMATE — matching-slot fraction of two
+    * 16-slot signatures. The ONE definition the batch pair core
+    * ([[minhashLshDerive]]), the rebuild edge fold
+    * ([[lshEdgesOverBands]]), and the streamed probe
+    * ([[lshProbeEdges]]) all evaluate (r15 review: three verbatim
+    * expression copies were exactly the silent-divergence class the
+    * rebuild seam exists to repair). Bit-equal to the oracle's
+    * `len(list_filter(...)) / 16` CTEs.
+    */
+  private[graft] def estJaccardOf(sigA: Column, sigB: Column): Column =
+    size(org.apache.spark.sql.functions.filter(
+      zip_with(sigA, sigB, (x, y) => x === y), b => b)) / lit(NumHashes.toDouble)
+
   private[graft] def lshCandidatePairs(bands0: DataFrame,
       maxBucket: Int = MaxBandBucket): DataFrame = {
     // saturated-bucket guard: co-partitioned with the self-join key,
@@ -231,8 +244,7 @@ object Dedup {
     import spark.implicits._
     lshCandidatePairs(bandSigRows(signatures(spark, dir)))
       .select($"doc_a", $"doc_b",
-        (expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))")
-          / lit(NumHashes.toDouble)).as("est_jaccard"))
+        estJaccardOf($"sig_a", $"sig_b").as("est_jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -248,8 +260,7 @@ object Dedup {
       threshold: Double = ClusterThreshold,
       maxBucket: Int = MaxBandBucket): DataFrame =
     lshCandidatePairs(bands0, maxBucket)
-      .filter(expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))")
-        / lit(NumHashes.toDouble) >= threshold)
+      .filter(estJaccardOf(col("sig_a"), col("sig_b")) >= threshold)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
 
   /** STREAMING LSH probe — the near-dup edges one ingested batch adds
@@ -318,8 +329,7 @@ object Dedup {
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .dropDuplicates("doc_a", "doc_b")
-      .filter(expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))")
-        / lit(NumHashes.toDouble) >= threshold)
+      .filter(estJaccardOf($"sig_a", $"sig_b") >= threshold)
       .select($"doc_a".as("src"), $"doc_b".as("dst"))
   }
 

@@ -276,8 +276,10 @@ object EntityResolution {
       .join(broadcast(affKeys), Seq("key"))
       .select($"mention_id")
     // the DANGLING-VERDICT face: a mention whose STORED verdict points
-    // at a deleted entity must re-verdict even if no blocking-key
-    // overlap survives. For verdicts produced by the blocked matcher
+    // at a CHANGED entity — deleted OR renamed — must re-verdict even
+    // if no blocking-key overlap survives (a rename moves the stored
+    // dist/correct out from under the verdict exactly like a delete
+    // dangles its id). For verdicts produced by the blocked matcher
     // against the evolving catalog this set is provably ⊆ the
     // key-overlap set (the match required a kept key shared with the
     // entity's current name, and that key is in affKeys) — but a store
@@ -287,10 +289,10 @@ object EntityResolution {
     // stored verdicts: `m` carrying a `matched_id` column, and/or an
     // `extraAffected` mention-id frame (the store flow's any-generation
     // dangler scan). Both are dimension-delta-bounded probes.
-    val deletedIds = delta.filter($"deleted").select($"ent_id")
+    val changedIds = delta.select($"ent_id")
     val matchedAff =
       if (m.columns.contains("matched_id"))
-        m.join(broadcast(deletedIds), m("matched_id") === deletedIds("ent_id"),
+        m.join(broadcast(changedIds), m("matched_id") === changedIds("ent_id"),
           "left_semi").select($"mention_id")
       else keyAff.limit(0)
     val affIds = keyAff.union(matchedAff)
@@ -753,7 +755,7 @@ object EntityResolution {
         |            SELECT mention_id FROM emk JOIN etak USING (key)
         |            UNION ALL
         |            SELECT e.mention_id FROM eel e
-        |              JOIN etdel d ON d.deleted AND e.ent_id = d.ent_id)),
+        |              JOIN etdel d ON e.ent_id = d.ent_id)),
         |etck AS (SELECT ent_id, ent_name,
         |           unnest(list_distinct(string_split(lower(ent_name), ' '))) AS key
         |         FROM etnew),

@@ -653,10 +653,16 @@ object EventStreams {
   //    (gen 0) + `cd<deltaId>` RE-VERDICT rows (gen deltaId+1),
   //    latest gen wins per mention_id. Rows carry `true_name` so a
   //    later catalog delta can re-score stored mentions without any
-  //    source-of-truth side channel. (No catalog NAME is ever stored
-  //    here — matched_name is dropped at ingest — so erasure needs no
-  //    matches-store rewrite; dangling matched_ids re-verdict away at
-  //    the delete and the stale generations fold out at compaction.)
+  //    source-of-truth side channel. (No catalog-OWNED name column is
+  //    stored — matched_name is dropped at ingest — so CATALOG erasure
+  //    needs no matches-store rewrite: dangling matched_ids re-verdict
+  //    away at the delete and the stale generations fold out at
+  //    compaction. The mention rows' OWN payload — `mention`,
+  //    `true_name` — can still textually contain an erased entity's
+  //    name, exactly as any source document can; erasing mention
+  //    payloads is a Redaction-side verb against the mention source,
+  //    not a catalog operation, and erasureAuditStores SURFACES the
+  //    residue rather than letting the sign-off imply it is gone.)
   //
   // A catalog delta invalidates exactly the mentions whose blocking
   // keys intersect the changed entities' postings under their OLD or
@@ -883,13 +889,16 @@ object EventStreams {
     // delta WELL-FORMEDNESS, enforced at the store boundary (r15
     // self-review): two rows for one ent_id land with the SAME gen and
     // tie in the latest-gen-wins fold — the store would serve one of
-    // them nondeterministically, and a delete+upsert pair for one id is
-    // semantically ambiguous. A null ent_id can never be replaced or
-    // deleted (the anti-join skips nulls). Both are producer bugs; fail
+    // them nondeterministically; a null ent_id can never be replaced or
+    // deleted (the anti-join skips nulls); a null name on an UPSERT
+    // row would serve a nameless entity that silently vanishes from
+    // all blocking (keysOf of null explodes to nothing) — a delete in
+    // disguise that still occupies its id. All producer bugs; fail
     // loudly before any write. One aggregate over the checkpointed
     // dimension-delta-sized frame.
     val shape = d.agg(count(lit(1)).as("n"),
-      count(col("ent_id")).as("nn"), countDistinct(col("ent_id")).as("nd"))
+      count(col("ent_id")).as("nn"), countDistinct(col("ent_id")).as("nd"),
+      count(when(!col("deleted") && col("ent_name").isNull, lit(1))).as("nun"))
       .head()
     require(shape.getLong(0) == shape.getLong(1),
       s"catalog delta $deltaId carries ${shape.getLong(0) - shape.getLong(1)} " +
@@ -901,6 +910,11 @@ object EventStreams {
         "one row per entity per delta: duplicates land with equal gen and " +
         "the latest-gen-wins fold would serve one of them arbitrarily; " +
         "fold the producer's changes per entity before applying")
+    require(shape.getLong(3) == 0L,
+      s"catalog delta $deltaId carries ${shape.getLong(3)} upsert row(s) " +
+        "with a null ent_name — a nameless entity posts no blocking keys " +
+        "and silently vanishes from candidate generation while occupying " +
+        "its id; ship a name or a tombstone (deleted = true)")
     d.withColumn("gen", lit(deltaId + 1L))
       .write.mode("overwrite").parquet(s"$catalogDir/b$deltaId")
     // stored mentions come from base_* + b* generations ONLY: those
@@ -915,18 +929,21 @@ object EventStreams {
         .getFileName.toString.startsWith("cd"))
     val stored = readParts(spark, mentionParts)
       .select(col("mention_id"), col("true_name"), col("mention"))
-    // the dangler face, only when the delta actually deletes: ANY
-    // generation's verdict pointing at a deleted entity marks its
-    // mention affected (a superset of the latest-verdict danglers —
-    // re-verdicting an extra already-current mention is idempotent,
-    // and the any-gen read stays a broadcast-semi-join MAP-SIDE SCAN
-    // where a latest-wins fold would shuffle the corpus per delta).
-    // Own-cd exclusion keeps the replay contract exact.
-    val deletedIds = d.filter(col("deleted")).select(col("ent_id"))
-    val danglers =
-      if (deletedIds.isEmpty) None
-      else Some(danglingMentions(spark, layoutDir, deletedIds,
-        excludeCd = deltaId))
+    // the dangler face: ANY generation's verdict pointing at a CHANGED
+    // entity — deleted or renamed — marks its mention affected (a
+    // superset of the latest-verdict danglers — re-verdicting an extra
+    // already-current mention is idempotent, and the any-gen read
+    // stays a broadcast-semi-join MAP-SIDE SCAN where a latest-wins
+    // fold would shuffle the corpus per delta). For blocked verdicts
+    // this face is redundant with the key overlap; it exists for
+    // non-blocked seeds (erEnrich backfills), and covering renames
+    // too closes the same hazard the delete face closes (r15 review:
+    // a rename moves dist/correct out from under a keyless stored
+    // verdict exactly like a delete dangles its id). One projection
+    // scan of the store per delta is the price. Own-cd exclusion
+    // keeps the replay contract exact.
+    val danglers = Some(danglingMentions(spark, layoutDir,
+      d.select(col("ent_id")), excludeCd = deltaId))
     // a fenced b-delta's mentions can ALSO sit in a folded base (their
     // cd re-verdicts were folded) — identical duplicate rows. Dedupe
     // the AFFECTED-scaled output, never the corpus-scaled input.
@@ -936,18 +953,19 @@ object EventStreams {
       .write.mode("overwrite").parquet(s"$layoutDir/cd$deltaId")
   }
 
-  /** The dangler probe of [[applyCatalogDelta]]'s delete face, as a
-    * directly plan-auditable seam: mentions whose ANY-generation
-    * stored verdict points at a deleted entity. The store side is
+  /** The dangler probe of [[applyCatalogDelta]]'s stored-verdict face,
+    * as a directly plan-auditable seam: mentions whose ANY-generation
+    * stored verdict points at one of the given (changed or deleted)
+    * entity ids. The store side is
     * corpus-sized, so its one pass must be a map-side scan probed by a
-    * BROADCAST of the dimension-delta-sized deleted-id set — a
+    * BROADCAST of the dimension-delta-sized id set — a
     * sort-merge join here would shuffle the matches store on every
-    * deleting delta (ServingMaintenanceSpec pins BroadcastHashJoin /
+    * delta (ServingMaintenanceSpec pins BroadcastHashJoin /
     * no SortMergeJoin, the band-probe standard).
     */
   private[graft] def danglingMentions(spark: org.apache.spark.sql.SparkSession,
-      layoutDir: String, deletedIds: DataFrame, excludeCd: Long): DataFrame = {
-    val ids = deletedIds.select(col("ent_id"))
+      layoutDir: String, refIds: DataFrame, excludeCd: Long): DataFrame = {
+    val ids = refIds.select(col("ent_id"))
     readParts(spark, matchesStoreParts(layoutDir, excludeCd))
       .join(broadcast(ids), col("matched_id") === ids("ent_id"), "left_semi")
       .select(col("mention_id")).distinct()
@@ -961,23 +979,45 @@ object EventStreams {
     * included: a fenced delete still counts until compaction folds
     * it), matches rows by `matched_id` across every generation. The
     * sign-off artifact a deletion batch reads after its
-    * apply-then-compact cycle: both counts at zero = physical erasure
-    * complete; a non-zero catalog count names the replay fence's one
-    * pending generation, a non-zero matches count names stale
-    * generations a [[compactMatchesStore]] pass will fold away.
-    * Broadcast semi-joins over map-side scans — the request list is
-    * dimension-delta-sized, the stores never shuffle.
+    * apply-then-compact cycle: both counts at zero = CATALOG-SIDE
+    * physical erasure complete (the dimension's rows and every stored
+    * reference to its ids); a non-zero catalog count names the replay
+    * fence's one pending generation, a non-zero matches count names
+    * stale generations a [[compactMatchesStore]] pass will fold away.
+    *
+    * SCOPE, stated exactly (r15 review — the audit must not imply more
+    * than it checks): mention rows' OWN payload (`mention`,
+    * `true_name`) can still textually CONTAIN an erased entity's name,
+    * the same way any source document can; that residue is a
+    * mention-source redaction concern, not a catalog operation. Pass
+    * the erased NAMES as `entNames` and the audit SURFACES it as a
+    * third row (`matches_payload`: raw rows whose true_name or mention
+    * equals an erased name) so the sign-off reads the residue
+    * explicitly instead of a silent zero. Broadcast semi-joins over
+    * map-side scans — the request list is dimension-delta-sized, the
+    * stores never shuffle.
     */
   def erasureAuditStores(spark: org.apache.spark.sql.SparkSession,
-      catalogDir: String, layoutDir: String, entIds: DataFrame): DataFrame = {
+      catalogDir: String, layoutDir: String, entIds: DataFrame,
+      entNames: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val ids = entIds.select(col("ent_id"))
+    val matchesRaw = spark.read
+      .option("recursiveFileLookup", "true").parquet(layoutDir)
     val nCat = spark.read.option("recursiveFileLookup", "true").parquet(catalogDir)
       .join(broadcast(ids), Seq("ent_id"), "left_semi").count()
-    val nMatch = spark.read.option("recursiveFileLookup", "true").parquet(layoutDir)
+    val nMatch = matchesRaw
       .join(broadcast(ids), col("matched_id") === ids("ent_id"), "left_semi")
       .count()
-    Seq(("catalog", nCat), ("matches", nMatch))
+    val payload = entNames.map { nm =>
+      val names = nm.select(col("ent_name"))
+      "matches_payload" -> matchesRaw
+        .join(broadcast(names),
+          col("true_name") === names("ent_name") ||
+            col("mention") === names("ent_name"), "left_semi")
+        .count()
+    }
+    (Seq(("catalog", nCat), ("matches", nMatch)) ++ payload)
       .toDF("store", "n_raw_rows_referencing")
   }
 
@@ -1224,8 +1264,10 @@ object EventStreams {
     * sub-stores never diverge (disjoint appends; `min` keeper folds
     * compose), so only `labels/` is rebuilt — staged: the new base is
     * written to a sibling, the old tree moves to trash, the rebuild
-    * moves in, trash drops; an interruption leaves the old labels
-    * servable.
+    * moves in, trash drops. An interruption before the swap leaves the
+    * old labels servable; one mid-swap is repaired by re-running (no
+    * point in the sequence has zero on-disk copies — see the swap
+    * comment below).
     *
     * Single-maintainer contract like every store verb here: run
     * between batches (the nightly window, stream stopped or idle). A
@@ -1249,10 +1291,22 @@ object EventStreams {
     val tmp = s"$root/labels.rebuilding"
     deleteRecursively(Paths.get(tmp))
     labelStoreInit(labels, tmp, files)
+    // staged swap, interruption-repairable at every point (r15 review:
+    // the first draft cleared trash BEFORE checking labels existed, so
+    // a crash between the two moves left a retry that destroyed the
+    // only old copy and then wedged on the move): the old tree moves
+    // to trash ONLY when it exists — after a mid-swap crash the
+    // re-run finds labels/ absent, skips straight to moving the fresh
+    // rebuild in, and the stale trash drops at the end. At no point do
+    // zero copies exist: the only window without labels/ has both the
+    // old copy (trash) and the new one (tmp) on disk.
+    val labelsPath = Paths.get(s"$root/labels")
     val trash = Paths.get(s"$root/labels.trash")
-    deleteRecursively(trash)
-    Files.move(Paths.get(s"$root/labels"), trash)
-    Files.move(Paths.get(tmp), Paths.get(s"$root/labels"))
+    if (Files.isDirectory(labelsPath)) {
+      deleteRecursively(trash)
+      Files.move(labelsPath, trash)
+    }
+    Files.move(Paths.get(tmp), labelsPath)
     deleteRecursively(trash)
   }
 

@@ -182,6 +182,21 @@ class EntityResolutionSpec extends SparkSpec {
       m.select($"mention_id", $"true_name", $"mention"), cat, del)
       .collect().map(_.getLong(0)).toSeq
     assert(rvNoStore === Seq.empty)
+    // the RENAME face of the same hazard (r15 review): a rename moves
+    // the stored dist/correct out from under a keyless verdict exactly
+    // like a delete dangles its id — the stored-verdict face covers
+    // ANY changed entity, not only deletes. Entity 1 renamed to a
+    // name sharing no tokens with anything: mention 10 must re-score
+    // (here to the null match — under BLOCKED re-scoring it shares no
+    // key with the renamed catalog; what matters is the stale
+    // dist/correct row is replaced, not served forever)
+    val ren = Seq((1L, "totally different", false))
+      .toDF("ent_id", "ent_name", "deleted")
+    val rvRen = EntityResolution.reverdicts(m, cat, ren)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).sortBy(_._1).toSeq
+    assert(rvRen === Seq((10L, None)),
+      "the renamed entity's keyless dangler must be re-scored")
   }
 
   test("tombstone re-verdicts elect the surviving nearest and allow the null match") {

@@ -423,6 +423,18 @@ class ServingMaintenanceSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(auditPost === Map("catalog" -> 0L, "matches" -> 0L),
       s"post-compaction audit must be clean: $auditPost")
+    // the audit's SCOPE row: mention-side payload (true_name/mention)
+    // can still textually contain an erased name — that residue is
+    // mention-source data, not catalog data, and the audit must
+    // SURFACE it (non-zero here: planted mentions carry the catalog
+    // names verbatim) rather than let the zero rows above imply it is
+    // gone
+    val auditNames = EventStreams.erasureAuditStores(spark, catalogDir, layoutDir,
+        stillDeletedDf,
+        Some(deletedNames.toSeq.toDF("ent_name")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(auditNames("matches_payload") > 0L,
+      s"the payload-residue row must surface the mention-side names: $auditNames")
   }
 
   test("the dangler probe broadcasts the deleted ids and never shuffles the matches store") {
