@@ -211,10 +211,17 @@ object EntityResolution {
     * row is either an UPSERT (`deleted = false`, `ent_name` = the new
     * name) or a DELETE (`deleted = true` — the entity leaves the
     * catalog). Upsert-only producers ship 2-column deltas; this adds
-    * the `false` flag so every consumer handles one shape.
+    * the `false` flag so every consumer handles one shape. A NULL flag
+    * value coalesces to `false` for the same reason the absent column
+    * does: every consumer filters `!deleted`, where a NULL is neither
+    * kept nor counted under three-valued logic — left raw, a null-flag
+    * row would pass the store boundary's shape checks as nothing and
+    * then vanish from every serving fold as if tombstoned (a silent,
+    * compaction-permanent delete of an intended upsert).
     */
   private[graft] def withDeletedCol(delta: DataFrame): DataFrame =
-    if (delta.columns.contains("deleted")) delta
+    if (delta.columns.contains("deleted"))
+      delta.withColumn("deleted", coalesce(col("deleted"), lit(false)))
     else delta.withColumn("deleted", lit(false))
 
   /** Catalog after applying a delta: every delta `ent_id` leaves the

@@ -315,9 +315,18 @@ object EventStreams {
     * newer batch exists. Costs one unfolded delta per tree — bounded,
     * and ServingMaintenanceSpec drives the crash-compact-replay
     * sequence both ways.
+    *
+    * `includeFenced = true` is the QUIESCED DRAIN (r15 review): fold
+    * the fenced delta too. Only the two upsert-store compactors expose
+    * it ([[compactMatchesStore]]/[[compactCatalogStore]], for the
+    * erasure sign-off of a STOPPED stream — see there for why replay
+    * stays content-idempotent on those trees even after a drain);
+    * append-fold trees (span layout, cascade docs/bands/minima) never
+    * drain — folding their fenced delta turns a replay into the
+    * re-append the fence exists to prevent.
     */
   private def compactDeltaTree(dir: String, maxDeltas: Int,
-      maxDeltaBytes: Long = Long.MaxValue)(
+      maxDeltaBytes: Long = Long.MaxValue, includeFenced: Boolean = false)(
       writeBase: (String, Seq[String]) => Unit): Boolean = {
     import java.nio.file.{Files, Path, Paths}
     val root = Paths.get(dir)
@@ -330,9 +339,8 @@ object EventStreams {
     // re-verdict deltas. Anything else under the tree (a `_keys`
     // materialization, foreign files) is neither counted, folded, nor
     // trashed.
-    val genDirs = entries(root).filter(p =>
-      Files.isDirectory(p) &&
-        p.getFileName.toString.matches("base(_\\d+)?|b\\d+|cd\\d+"))
+    val genDirs = subDirs(dir).filter(
+      _.getFileName.toString.matches("base(_\\d+)?|b\\d+|cd\\d+"))
     // the trigger counts BOTH delta kinds (r14 ADVICE: cd re-verdict
     // deltas are folded anyway, so letting them accumulate uncounted
     // made a catalog-delta-heavy workload re-fold an unbounded
@@ -353,7 +361,7 @@ object EventStreams {
     // base (see compactMatchesStore)
     val bDirs = deltaDirs.filter(_.getFileName.toString.matches("b\\d+"))
     val newest =
-      if (bDirs.isEmpty) None
+      if (includeFenced || bDirs.isEmpty) None
       else Some(bDirs.maxBy(_.getFileName.toString.drop(1).toLong))
     // nothing to fold but the fenced delta itself → decline (a rewrite
     // of base alone reclaims nothing and would re-trigger every call);
@@ -380,6 +388,22 @@ object EventStreams {
       parts: Seq[String]): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(parts: _*)
 
+  /** Immediate SUBDIRECTORIES of a store tree — the one listing every
+    * generation-grammar filter reads ([[compactDeltaTree]],
+    * [[labelStoreParts]], [[matchesStoreParts]], [[genIds]]; r15
+    * review: four hand-rolled Files.list copies had already let the
+    * base-generation regex diverge once). Empty if the tree doesn't
+    * exist yet.
+    */
+  private def subDirs(dir: String): Seq[java.nio.file.Path] = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) return Seq.empty
+    val s = Files.list(root)
+    try s.iterator().asScala.toVector.filter(Files.isDirectory(_))
+    finally s.close()
+  }
+
   /** Seed a streaming-maintained LABEL STORE: the converged label
     * table `(doc_id, cluster_id)` — yesterday's full-loop artifact —
     * written as generation 0, range-clustered on `cluster_id` so the
@@ -395,16 +419,11 @@ object EventStreams {
       .write.mode("overwrite").parquet(s"$storeDir/base_0")
 
   private def labelStoreParts(storeDir: String,
-      excludeBatch: Long = -1L): Seq[String] = {
-    import java.nio.file.{Files, Paths}
-    val root = Paths.get(storeDir)
-    val s = Files.list(root)
-    val dirs = try s.iterator().asScala.toVector finally s.close()
-    dirs.filter(p => Files.isDirectory(p) && {
+      excludeBatch: Long = -1L): Seq[String] =
+    subDirs(storeDir).filter { p =>
       val n = p.getFileName.toString
       n.matches("base_\\d+") || (n.matches("b\\d+") && n != s"b$excludeBatch")
-    }).map(_.toString).sorted
-  }
+    }.map(_.toString).sorted
 
   /** Read the maintained label store: base generation + every
     * micro-batch delta, LATEST generation wins per doc (deltas are
@@ -728,16 +747,28 @@ object EventStreams {
     * replay-fenced like every tree here — a delete whose generation is
     * still fenced erases at the NEXT compaction, once a newer delta
     * exists.
+    *
+    * `quiesced = true` folds the fenced newest delta too — the DRAIN a
+    * final erasure sign-off needs when no newer delta will ever land.
+    * Only set it when catalog-delta application is STOPPED for this
+    * tree. Safe even against a later exact replay of the drained
+    * delta: [[applyCatalogDelta]]'s recompute is deterministic and its
+    * rows keep their original gen, so a re-written `b<id>` ties the
+    * folded base with IDENTICAL rows — the latest-gen-wins fold serves
+    * the same catalog either way (unlike the append-fold trees, which
+    * never drain).
     */
   def compactCatalogStore(spark: org.apache.spark.sql.SparkSession,
-      catalogDir: String, maxDeltas: Int = 8, files: Int = 2): Boolean =
-    compactDeltaTree(catalogDir, maxDeltas) { (tmp, parts) =>
-      foldCatalogFull(readParts(spark, parts))
-        .filter(!col("deleted"))
-        .select(col("ent_name"), col("ent_id"), col("deleted"), col("gen"))
-        .repartitionByRange(files, col("ent_id"))
-        .sortWithinPartitions(col("ent_id"))
-        .write.mode("overwrite").parquet(tmp)
+      catalogDir: String, maxDeltas: Int = 8, files: Int = 2,
+      quiesced: Boolean = false): Boolean =
+    compactDeltaTree(catalogDir, maxDeltas, includeFenced = quiesced) {
+      (tmp, parts) =>
+        foldCatalogFull(readParts(spark, parts))
+          .filter(!col("deleted"))
+          .select(col("ent_name"), col("ent_id"), col("deleted"), col("gen"))
+          .repartitionByRange(files, col("ent_id"))
+          .sortWithinPartitions(col("ent_id"))
+          .write.mode("overwrite").parquet(tmp)
     }
 
   /** Seed the evolving matches store from a nightly full-match
@@ -760,17 +791,12 @@ object EventStreams {
     * `cd<id>` (the own-delta replay exclusion of [[applyCatalogDelta]]).
     */
   private def matchesStoreParts(layoutDir: String,
-      excludeCd: Long = -1L): Seq[String] = {
-    import java.nio.file.{Files, Paths}
-    val root = Paths.get(layoutDir)
-    val s = Files.list(root)
-    val dirs = try s.iterator().asScala.toVector finally s.close()
-    dirs.filter(p => Files.isDirectory(p) && {
+      excludeCd: Long = -1L): Seq[String] =
+    subDirs(layoutDir).filter { p =>
       val n = p.getFileName.toString
       n.matches("base_\\d+") || n.matches("b\\d+") ||
         (n.matches("cd\\d+") && n != s"cd$excludeCd")
-    }).map(_.toString).sorted
-  }
+    }.map(_.toString).sorted
 
   /** Latest verdict per mention. Keeps the winning row's `gen`: the
     * compactor persists it — folding a cd re-verdict (gen > 0) into a
@@ -831,16 +857,10 @@ object EventStreams {
   /** Existing generation ids of one kind under a delta tree — the
     * monotonicity evidence [[applyCatalogDelta]]'s guard reads.
     */
-  private def genIds(dir: String, prefix: String): Seq[Long] = {
-    import java.nio.file.{Files, Paths}
-    val root = Paths.get(dir)
-    if (!Files.isDirectory(root)) return Seq.empty
-    val s = Files.list(root)
-    val dirs = try s.iterator().asScala.toVector finally s.close()
-    dirs.map(_.getFileName.toString)
+  private def genIds(dir: String, prefix: String): Seq[Long] =
+    subDirs(dir).map(_.getFileName.toString)
       .filter(_.matches(prefix + "\\d+"))
       .map(_.drop(prefix.length).toLong)
-  }
 
   /** Apply a CATALOG DELTA — upserted `(ent_id, ent_name)` rows and/or
     * tombstoned `(ent_id, deleted = true)` rows — to the evolving
@@ -981,9 +1001,17 @@ object EventStreams {
     * sign-off artifact a deletion batch reads after its
     * apply-then-compact cycle: both counts at zero = CATALOG-SIDE
     * physical erasure complete (the dimension's rows and every stored
-    * reference to its ids); a non-zero catalog count names the replay
-    * fence's one pending generation, a non-zero matches count names
-    * stale generations a [[compactMatchesStore]] pass will fold away.
+    * reference to its ids). A non-zero count names the generations the
+    * next fold clears — with one honest exception (r15 review): the
+    * replay-fenced NEWEST delta in each tree. A fenced tombstone, or a
+    * fenced mention batch whose gen-0 verdicts PREDATE the delete,
+    * stays raw until a newer delta unfences it — and in a QUIESCED
+    * stream no newer delta ever comes, so the normal
+    * apply-then-compact cycle pins the count above zero forever. The
+    * terminating procedure is the compactors' drain: stop the
+    * maintainer stream, then [[compactMatchesStore]] /
+    * [[compactCatalogStore]] with `quiesced = true` folds the fenced
+    * generation and this audit reaches zero.
     *
     * SCOPE, stated exactly (r15 review — the audit must not imply more
     * than it checks): mention rows' OWN payload (`mention`,
@@ -993,31 +1021,43 @@ object EventStreams {
     * the erased NAMES as `entNames` and the audit SURFACES it as a
     * third row (`matches_payload`: raw rows whose true_name or mention
     * equals an erased name) so the sign-off reads the residue
-    * explicitly instead of a silent zero. Broadcast semi-joins over
-    * map-side scans — the request list is dimension-delta-sized, the
+    * explicitly instead of a silent zero.
+    *
+    * Execution shape: the request list is dimension-delta-sized, so it
+    * collects to a bounded in-memory set and pushes into codegen'd
+    * set-membership predicates — ONE conditional-aggregation scan per
+    * tree computes every count (the matches tree is read once for both
+    * its rows, where the first draft's OR-condition semi-join planned
+    * a nested-loop broadcast join and scanned the tree per count). The
     * stores never shuffle.
     */
   def erasureAuditStores(spark: org.apache.spark.sql.SparkSession,
       catalogDir: String, layoutDir: String, entIds: DataFrame,
       entNames: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
-    val ids = entIds.select(col("ent_id"))
+    // deletion-request-sized collects (the bounded-collect class every
+    // probe here uses)
+    val ids = entIds.select(col("ent_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val names = entNames.map(_.select(col("ent_name")).distinct()
+      .collect().map(_.getString(0)).toSeq)
+    def inIds(c: org.apache.spark.sql.Column) =
+      if (ids.isEmpty) lit(false) else c.isInCollection(ids)
+    val nCat = spark.read.option("recursiveFileLookup", "true")
+      .parquet(catalogDir)
+      .agg(count(when(inIds(col("ent_id")), lit(1)))).head().getLong(0)
     val matchesRaw = spark.read
       .option("recursiveFileLookup", "true").parquet(layoutDir)
-    val nCat = spark.read.option("recursiveFileLookup", "true").parquet(catalogDir)
-      .join(broadcast(ids), Seq("ent_id"), "left_semi").count()
-    val nMatch = matchesRaw
-      .join(broadcast(ids), col("matched_id") === ids("ent_id"), "left_semi")
-      .count()
-    val payload = entNames.map { nm =>
-      val names = nm.select(col("ent_name"))
-      "matches_payload" -> matchesRaw
-        .join(broadcast(names),
-          col("true_name") === names("ent_name") ||
-            col("mention") === names("ent_name"), "left_semi")
-        .count()
-    }
-    (Seq(("catalog", nCat), ("matches", nMatch)) ++ payload)
+    val matchAggs = count(when(inIds(col("matched_id")), lit(1))) +:
+      names.toSeq.map { ns =>
+        def inNames(c: org.apache.spark.sql.Column) =
+          if (ns.isEmpty) lit(false) else c.isInCollection(ns)
+        count(when(inNames(col("true_name")) || inNames(col("mention")),
+          lit(1)))
+      }
+    val matchRow = matchesRaw.agg(matchAggs.head, matchAggs.tail: _*).head()
+    val payload = names.map(_ => "matches_payload" -> matchRow.getLong(1))
+    (Seq(("catalog", nCat), ("matches", matchRow.getLong(0))) ++ payload)
       .toDF("store", "n_raw_rows_referencing")
   }
 
@@ -1028,15 +1068,31 @@ object EventStreams {
     * here; `cd` deltas fold freely — a re-applied catalog delta
     * recomputes identical rows whose gen outranks the folded base, so
     * compaction can never turn its replay into a divergence.
+    *
+    * `quiesced = true` folds the fenced newest mention delta too — the
+    * DRAIN the erasure sign-off needs when that delta PREDATES a
+    * delete (its raw gen-0 rows still reference the deleted entity)
+    * and the mention stream is STOPPED, so no newer batch will ever
+    * unfence it and the normal cycle pins the audit above zero
+    * forever (r15 review). Only set it when the maintainer stream is
+    * stopped. Safe even against a later replay of the drained batch:
+    * a mention's folded row either carries a `cd` gen > 0 (outranks
+    * the replay's gen-0 rows) or is gen 0 precisely because no applied
+    * catalog delta affected it — in which case the replay's recompute
+    * against the current catalog reproduces the identical verdict and
+    * the equal-gen tie is between identical rows. The append-fold
+    * trees get no such switch; their replay really would re-append.
     */
   def compactMatchesStore(spark: org.apache.spark.sql.SparkSession,
-      layoutDir: String, maxDeltas: Int = 8, files: Int = 4): Boolean =
-    compactDeltaTree(layoutDir, maxDeltas) { (tmp, parts) =>
-      // gen is PRESERVED (not reset): see foldMatchesStore
-      foldMatchesStore(readParts(spark, parts))
-        .repartitionByRange(files, col("mention_id"))
-        .sortWithinPartitions(col("mention_id"))
-        .write.mode("overwrite").parquet(tmp)
+      layoutDir: String, maxDeltas: Int = 8, files: Int = 4,
+      quiesced: Boolean = false): Boolean =
+    compactDeltaTree(layoutDir, maxDeltas, includeFenced = quiesced) {
+      (tmp, parts) =>
+        // gen is PRESERVED (not reset): see foldMatchesStore
+        foldMatchesStore(readParts(spark, parts))
+          .repartitionByRange(files, col("mention_id"))
+          .sortWithinPartitions(col("mention_id"))
+          .write.mode("overwrite").parquet(tmp)
     }
 
   // ------------------------------------------------------------------

@@ -524,6 +524,115 @@ class ServingMaintenanceSpec extends SparkSpec {
     assert(rawCat().filter($"ent_name" === victimName).count() === 0)
   }
 
+  test("a NULL deleted flag is an upsert, never a silent tombstone") {
+    import spark.implicits._
+    // r15 review: the shape guards test `!deleted`, where a NULL is
+    // neither counted nor kept under three-valued logic — left raw, a
+    // null-flag row sailed through the boundary and then vanished from
+    // every `filter(!deleted)` serving fold as if tombstoned, with the
+    // next compaction making the erasure physical. withDeletedCol now
+    // coalesces NULL to false (the absent-column default), so the row
+    // is what the producer shipped: an upsert.
+    val root = Files.createTempDirectory("graft-nulldel").toString
+    val (catalogDir, layoutDir) = (s"$root/catalog", s"$root/matches")
+    val cat0 = EntityResolution.catalog(spark, dir).localCheckpoint()
+    EventStreams.catalogStoreInit(cat0, catalogDir)
+    val (ck0, kept0) = EntityResolution.catalogKeys(cat0)
+    EventStreams.matchesStoreInit(EntityResolution.matchAgainstKeys(
+      EntityResolution.mentions(spark, dir), ck0, kept0), layoutDir)
+    val victim = cat0.orderBy($"ent_id").head.getLong(1)
+    EventStreams.applyCatalogDelta(spark,
+      Seq((victim, "renamed via null flag", None: Option[Boolean]))
+        .toDF("ent_id", "ent_name", "deleted"),
+      catalogDir, layoutDir, 0L)
+    def served() = EventStreams.readCatalogStore(spark, catalogDir)
+      .filter($"ent_id" === victim).collect().map(_.getString(0)).toSeq
+    assert(served() === Seq("renamed via null flag"),
+      "the null-flag row must serve as the upsert it is")
+    // the landed generation carries an explicit false, so no later
+    // fold can reinterpret it
+    assert(spark.read.parquet(s"$catalogDir/b0")
+      .filter($"ent_id" === victim && !$"deleted").count() === 1)
+    // and it survives the compaction that would have made the silent
+    // delete permanent (a newer delta unfences b0 first)
+    EventStreams.applyCatalogDelta(spark,
+      Seq((9999998L, "unfencing entity", false))
+        .toDF("ent_id", "ent_name", "deleted"),
+      catalogDir, layoutDir, 1L)
+    assert(EventStreams.compactCatalogStore(spark, catalogDir, maxDeltas = 1))
+    assert(served() === Seq("renamed via null flag"))
+  }
+
+  test("quiesced drain: a stopped stream's erasure sign-off reaches zero despite the replay fence") {
+    import spark.implicits._
+    // r15 review: when the newest MENTION delta predates a delete, its
+    // raw gen-0 verdicts dangle at the deleted entity, the fence keeps
+    // the delta out of every fold, and in a quiesced stream no newer
+    // batch ever unfences it — the documented apply-then-compact cycle
+    // pins the audit above zero forever. The drain (quiesced = true)
+    // is the terminating procedure.
+    val root = Files.createTempDirectory("graft-drain").toString
+    val (catalogDir, layoutDir) = (s"$root/catalog", s"$root/matches")
+    val cat0 = EntityResolution.catalog(spark, dir).localCheckpoint()
+    val m = EntityResolution.mentions(spark, dir).localCheckpoint()
+    EventStreams.catalogStoreInit(cat0, catalogDir)
+    val (ck0, kept0) = EntityResolution.catalogKeys(cat0)
+    EventStreams.matchesStoreInit(EntityResolution.matchAgainstKeys(
+      m.filter($"mention_id" % 2 === 0), ck0, kept0), layoutDir)
+    // the newest mention delta lands BEFORE the delete: its verdicts
+    // reference the pre-delete catalog
+    EventStreams.applyMentionBatch(m.filter($"mention_id" % 2 === 1),
+      catalogDir, layoutDir, 0L)
+    // delete an entity the fenced batch's verdicts point at
+    val victim = spark.read.parquet(s"$layoutDir/b0")
+      .filter($"matched_id".isNotNull).select($"matched_id")
+      .orderBy($"matched_id").head.getLong(0)
+    val victimDf = Seq(victim).toDF("ent_id")
+    EventStreams.applyCatalogDelta(spark,
+      Seq((victim, null: String, true)).toDF("ent_id", "ent_name", "deleted"),
+      catalogDir, layoutDir, 0L)
+    def audit() = EventStreams.erasureAuditStores(spark, catalogDir,
+        layoutDir, victimDf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // the normal cycle: compaction folds cd0 but fences b0 (matches)
+    // and the tombstone b0 (catalog) — the audit cannot reach zero
+    assert(EventStreams.compactMatchesStore(spark, layoutDir, maxDeltas = 1))
+    assert(!EventStreams.compactCatalogStore(spark, catalogDir, maxDeltas = 1),
+      "only the fenced tombstone is pending — the normal compactor declines")
+    val pinned = audit()
+    assert(pinned("matches") > 0 && pinned("catalog") > 0,
+      s"the fenced generations must pin the audit above zero: $pinned")
+    // and the cycle is STUCK: another normal pass has nothing unfenced
+    assert(!EventStreams.compactMatchesStore(spark, layoutDir, maxDeltas = 1))
+    val beforeDrain = matchRows(EventStreams.readMatchesStore(spark, layoutDir))
+    val servedCat = EventStreams.readCatalogStore(spark, catalogDir)
+      .collect().map(r => (r.getLong(1), r.getString(0))).sorted.toSeq
+
+    // the drain: stream stopped, fold the fenced generations too
+    assert(EventStreams.compactMatchesStore(spark, layoutDir, maxDeltas = 1,
+      quiesced = true))
+    assert(EventStreams.compactCatalogStore(spark, catalogDir, maxDeltas = 1,
+      quiesced = true))
+    assert(audit() === Map("catalog" -> 0L, "matches" -> 0L),
+      "after the drain the sign-off must be clean")
+    // serving unchanged by the drain
+    assert(matchRows(EventStreams.readMatchesStore(spark, layoutDir))
+      === beforeDrain)
+    assert(EventStreams.readCatalogStore(spark, catalogDir)
+      .collect().map(r => (r.getLong(1), r.getString(0))).sorted.toSeq
+      === servedCat)
+
+    // the drain's replay contract (the scaladoc's argument, driven): a
+    // replay of the drained mention batch re-lands gen-0 rows, but
+    // every folded row either carries a cd gen > 0 (outranks) or is
+    // gen 0 because no delta affected it (identical recompute) —
+    // serving cannot move
+    EventStreams.applyMentionBatch(m.filter($"mention_id" % 2 === 1),
+      catalogDir, layoutDir, 0L)
+    assert(matchRows(EventStreams.readMatchesStore(spark, layoutDir))
+      === beforeDrain)
+  }
+
   // ---- cascade label rebuild (r14 verdict #5) ----
 
   test("rebuildCascadeStores restores streamed ≡ batch after a mid-stream bucket cap crossing") {
