@@ -1167,9 +1167,18 @@ object EventStreams {
     */
   private[graft] def applyCascadeBatch(batch: DataFrame, root: String,
       batchId: Long,
-      maxBucket: Int = graft.operators.Dedup.MaxBandBucket): Unit = {
+      maxBucket: Int = graft.operators.Dedup.MaxBandBucket,
+      threshold: Double = graft.operators.Dedup.ClusterThreshold): Unit = {
     val spark = batch.sparkSession
+    val batchTombIds = tombstoneDocIds(spark, root)
+    // the takedown ledger gates the INGEST boundary too: a taken-down
+    // id never re-enters — neither through a replayed batch that
+    // predates its takedown (whose raw rows would otherwise re-land
+    // and re-merge the repaired components) nor through a fresh
+    // re-upload (an erased doc stays erased; re-admission needs a new
+    // id). One batch-scaled set-membership filter.
     val b = batch.select(col("doc_id"), col("text"))
+      .filter(notTombstoned(col("doc_id"), batchTombIds))
     // both frames feed multiple writes — materialize the md5 /
     // normalize / minhash projections exactly once (batch-scaled)
     val fps = graft.operators.Dedup.fingerprintsOf(b)
@@ -1183,10 +1192,13 @@ object EventStreams {
     fps.groupBy(col("nfp")).agg(min(col("doc_id")).as("keeper"))
       .write.mode("overwrite").parquet(s"$root/nfp/b$batchId")
     bands.write.mode("overwrite").parquet(s"$root/bands/b$batchId")
+    // tombstone-aware probe: a new ingest never pairs against a
+    // taken-down doc's band rows (and the cap sees surviving sizes)
     val storeBands = spark.read
       .option("recursiveFileLookup", "true").parquet(s"$root/bands")
+      .filter(notTombstoned(col("doc_id"), batchTombIds))
     val edges = graft.operators.Dedup.lshProbeEdges(storeBands, bands,
-      maxBucket = maxBucket)
+      threshold = threshold, maxBucket = maxBucket)
     writeLabelDelta(edges, s"$root/labels", batchId)
   }
 
@@ -1231,13 +1243,20 @@ object EventStreams {
       batchId: Long,
       threshold: Double = graft.operators.Dedup.EmbeddingCosineThreshold): Unit = {
     val spark = batch.sparkSession
+    val batchTombIds = tombstoneIds(spark, root, "vec_id")
+    // the ledger gates the ingest boundary (see applyCascadeBatch): a
+    // taken-down id never re-enters, via replay or re-upload
     val vecs = graft.operators.Similarity.embWithBucketOf(
-        batch.select(col("vec_id"), col("embedding")),
+        batch.select(col("vec_id"), col("embedding"))
+          .filter(notTombstoned(col("vec_id"), batchTombIds)),
         graft.operators.Dedup.EmbeddingLshBits)
       .localCheckpoint()
     vecs.write.mode("overwrite").parquet(s"$root/vecs/b$batchId")
+    // tombstone-aware probe: a new ingest never pairs against a
+    // taken-down vector's rows
     val store = spark.read
       .option("recursiveFileLookup", "true").parquet(s"$root/vecs")
+      .filter(notTombstoned(col("vec_id"), batchTombIds))
     val edges = graft.operators.Dedup.embProbeEdges(store, vecs, threshold)
     writeLabelDelta(edges, s"$root/labels", batchId)
   }
@@ -1248,8 +1267,13 @@ object EventStreams {
     */
   def compactEmbeddingClusterStores(spark: org.apache.spark.sql.SparkSession,
       root: String, maxDeltas: Int = 8, files: Int = 4): Boolean = {
+    // takedown face: compaction physically erases tombstoned vector
+    // rows (same fence caveat as the cascade trees — the newest delta
+    // stays raw until unfenced)
+    val tombIds = tombstoneIds(spark, root, "vec_id")
     val vecs = compactDeltaTree(s"$root/vecs", maxDeltas) { (tmp, parts) =>
       readParts(spark, parts)
+        .filter(notTombstoned(col("vec_id"), tombIds))
         .repartitionByRange(files, col("bucket"))
         .sortWithinPartitions(col("bucket"))
         .write.mode("overwrite").parquet(tmp)
@@ -1258,10 +1282,368 @@ object EventStreams {
     vecs || labels
   }
 
+  /** TAKE DOWN vectors from a maintained embedding-cluster store tree —
+    * [[takedownCascadeDocs]]' embedding twin, with two structural
+    * simplifications: there are no keeper sub-stores to correct, and
+    * the sign-bucket probe has no saturation cap, so there is no
+    * cap-uncross face. What remains is the shared core: the ledger
+    * generation (monotonic `tombId`, equal = exact replay), immediate
+    * tombstone-aware reads (the ingest probe and the vecs compaction
+    * fold filter), and the COMPONENT REPAIR — affected components
+    * re-clustered from the surviving vector rows and swapped in
+    * ([[repairLabelTree]]). Single-maintainer contract: run with the
+    * ingest stream stopped.
+    */
+  def takedownEmbeddingVecs(spark: org.apache.spark.sql.SparkSession,
+      root: String, vecIds: Seq[Long], tombId: Long,
+      threshold: Double = graft.operators.Dedup.EmbeddingCosineThreshold,
+      maxHops: Int = graft.operators.Dedup.ClusterMaxHops,
+      files: Int = 4): Unit = {
+    import spark.implicits._
+    require(vecIds.nonEmpty, "a takedown names at least one vec_id")
+    val tombDir = s"$root/_tombstones"
+    val existing = genIds(tombDir, "t")
+    require(existing.isEmpty || tombId >= existing.max,
+      s"takedown tombId $tombId is below the already-applied generation " +
+        s"${existing.max} — tombIds must be monotonically increasing " +
+        "(equal to the newest = exact replay of that takedown); a reused " +
+        "lower id would overwrite an earlier takedown's ledger generation " +
+        "and silently resurrect its vectors")
+    vecIds.toDF("vec_id").write.mode("overwrite").parquet(s"$tombDir/t$tombId")
+    val tombs = tombstoneIds(spark, root, "vec_id")
+    repairLabelTree(spark, root, vecIds, tombs, maxHops, files) { survivors =>
+      val vecsF = spark.read
+        .option("recursiveFileLookup", "true").parquet(s"$root/vecs")
+        .filter(notTombstoned(col("vec_id"), tombs))
+      val survivorRows = vecsF.join(
+        broadcast(survivors.withColumnRenamed("doc_id", "vec_id")),
+        Seq("vec_id"))
+      graft.operators.Dedup.embProbeEdges(vecsF, survivorRows, threshold)
+    }
+  }
+
+  /** STORE-SIDE takedown audit for an embedding-cluster tree —
+    * [[erasureAuditCascade]]'s twin: raw rows under `vecs/` still
+    * carrying a taken-down id, label rows naming it (as member or as
+    * cluster name), and the permanent ledger row. One
+    * conditional-aggregation scan per sub-store.
+    */
+  def erasureAuditEmbedding(spark: org.apache.spark.sql.SparkSession,
+      root: String, vecIds: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    def inIds(c: Column) =
+      if (vecIds.isEmpty) lit(false) else c.isInCollection(vecIds)
+    def cnt(df: DataFrame, cond: Column) =
+      df.agg(count(when(cond, lit(1)))).head().getLong(0)
+    def raw(sub: String) = spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$root/$sub")
+    val ledger =
+      if (subDirs(s"$root/_tombstones").isEmpty) 0L
+      else cnt(raw("_tombstones"), inIds(col("vec_id")))
+    Seq(
+      ("vecs", cnt(raw("vecs"), inIds(col("vec_id")))),
+      ("labels", cnt(raw("labels"),
+        inIds(col("doc_id")) || inIds(col("cluster_id")))),
+      ("tombstone_record", ledger))
+      .toDF("store", "n_raw_rows_referencing")
+  }
+
   private def readKeeperStore(spark: org.apache.spark.sql.SparkSession,
       dir: String, keyCol: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(dir)
       .groupBy(col(keyCol)).agg(min(col("keeper")).as("keeper"))
+
+  // ------------------------------------------------------------------
+  // document takedown face (the corpus-side delete face: opt-outs and
+  // legal removals against the cascade serving stores — the symmetric
+  // hole the r15 catalog tombstones left open)
+  // ------------------------------------------------------------------
+
+  /** Cumulative takedown TOMBSTONES under a cascade store tree:
+    * `(doc_id, fp, nfp)` rows in `_tombstones/t<id>` generations (the
+    * `_` prefix keeps the ledger out of every recursive sub-store
+    * read). The content keys ride along because the keeper-election
+    * correction needs the AFFECTED fp/nfp keys for the store's whole
+    * life — after compaction physically erases the doc's rows, they
+    * are no longer derivable from `docs/`. That retention is an honest
+    * scope statement, not an oversight: an md5 fingerprint of deleted
+    * content persists in the deletion ledger (surfaced by
+    * [[erasureAuditCascade]]'s `tombstone_record` row), exactly like
+    * the ER catalog's tombstone generation retains the deleted
+    * `ent_id` until its compaction folds it — here the ledger is
+    * permanent because read-side keeper correction consults it.
+    */
+  private[graft] def cascadeTombstones(spark: org.apache.spark.sql.SparkSession,
+      root: String): DataFrame = {
+    import spark.implicits._
+    if (subDirs(s"$root/_tombstones").isEmpty)
+      Seq.empty[(Long, Option[String], Option[String])]
+        .toDF("doc_id", "fp", "nfp")
+    else spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$root/_tombstones")
+  }
+
+  /** The tombstoned ids under a store tree, collected — takedown
+    * requests are the bounded dimension-delta class (the same contract
+    * as [[erasureAuditStores]]' request list), so they push into
+    * codegen'd set-membership predicates on every corpus-sized read
+    * instead of joining. `idCol` is the tree's ledger key (`doc_id`
+    * for cascade trees, `vec_id` for embedding trees).
+    */
+  private def tombstoneIds(spark: org.apache.spark.sql.SparkSession,
+      root: String, idCol: String): Seq[Long] =
+    if (subDirs(s"$root/_tombstones").isEmpty) Seq.empty
+    else spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$root/_tombstones")
+      .select(col(idCol)).distinct().collect().map(_.getLong(0)).toSeq
+
+  private def tombstoneDocIds(spark: org.apache.spark.sql.SparkSession,
+      root: String): Seq[Long] = tombstoneIds(spark, root, "doc_id")
+
+  private def notTombstoned(c: Column, ids: Seq[Long]): Column =
+    if (ids.isEmpty) lit(true) else !c.isInCollection(ids)
+
+  /** The COMPONENT-REPAIR core both takedown faces share: a removal
+    * can split a near-dup component (the removed row was the only
+    * bridge) and can take a cluster's NAME with it (labels are min
+    * member ids) — neither reconstructible by a read-side filter. So:
+    * re-cluster ONLY the components a removed id touches (affected =
+    * their cluster ids, a removal-sized set), over survivor-probed
+    * edges (`probeEdges`, the modality-specific seed-probe — LSH bands
+    * for text, sign-buckets for embeddings), and swap the repaired
+    * tree in via [[replaceLabelTree]]. Graph work scales with the
+    * affected components, never the corpus — the delete twin of
+    * [[graft.operators.Dedup.clustersIncrementalDelta]]'s merge face.
+    */
+  private def repairLabelTree(spark: org.apache.spark.sql.SparkSession,
+      root: String, removedIds: Seq[Long], tombIds: Seq[Long],
+      maxHops: Int, files: Int)(
+      probeEdges: DataFrame => DataFrame): Unit = {
+    val labelsFold = readLabelStore(spark, s"$root/labels").localCheckpoint()
+    val affected = labelsFold.filter(col("doc_id").isInCollection(removedIds))
+      .select(col("cluster_id")).distinct().collect().map(_.getLong(0)).toSeq
+    if (affected.isEmpty) return
+    val members = labelsFold.filter(col("cluster_id").isInCollection(affected))
+    val survivors = members.filter(notTombstoned(col("doc_id"), tombIds))
+      .select(col("doc_id")).localCheckpoint()
+    val edges = probeEdges(survivors)
+      .join(survivors.withColumnRenamed("doc_id", "src"), Seq("src"),
+        "left_semi")
+      .join(survivors.withColumnRenamed("doc_id", "dst"), Seq("dst"),
+        "left_semi")
+    val newLabels = graft.operators.Dedup.clustersOver(
+      survivors, edges, maxHops)
+    val repaired = labelsFold
+      .filter(!col("cluster_id").isInCollection(affected))
+      .select(col("doc_id"), col("cluster_id"))
+      .unionByName(newLabels.select(col("doc_id"), col("cluster_id")))
+    replaceLabelTree(root, repaired, files)
+  }
+
+  /** TAKE DOWN documents from a maintained cascade store tree — the
+    * corpus-side delete face: a production training-data pipeline
+    * receives opt-outs and legal removals, and a taken-down doc must
+    * leave every serving surface — its own verdict rows, every keeper
+    * election it won, every LSH bucket it occupies, and the component
+    * structure it held together. Single-maintainer contract like
+    * [[rebuildCascadeStores]]: run with the ingest stream STOPPED (the
+    * nightly window).
+    *
+    * What lands where:
+    *  1. the doc ids + their content keys (captured from `docs/`
+    *     BEFORE any physical erasure can drop them) land as a
+    *     `_tombstones/t<tombId>` generation — `tombId`s are monotonic
+    *     (equal to the newest = exact replay, which overwrites the
+    *     same directory idempotently);
+    *  2. every read becomes tombstone-aware (docs/bands scans filter,
+    *     keeper folds re-elect — see [[readCascadeVerdicts]]), so the
+    *     doc vanishes from serving and from future batch probes
+    *     IMMEDIATELY, with physical erasure following at the next
+    *     [[compactCascadeStores]];
+    *  3. the label sub-store is REPAIRED in place: a takedown can
+    *     split a component (the removed doc was the only bridge
+    *     between two survivors) and can take a cluster's NAME with it
+    *     (labels are min member ids), neither of which any read-side
+    *     filter can reconstruct — so the affected components (only
+    *     those containing a taken-down doc) are re-clustered from the
+    *     surviving band rows under batch semantics (caps evaluated on
+    *     SURVIVING bucket sizes) and the label tree is swapped via
+    *     [[replaceLabelTree]]'s staged no-data-loss move. Graph work
+    *     scales with the affected components, never the corpus — the
+    *     delete twin of [[graft.operators.Dedup.clustersIncrementalDelta]]'s
+    *     merge face.
+    *
+    * Returns the CAP-UNCROSS report: buckets the takedown shrank from
+    * saturated (> maxBucket, dropped wholesale by batch semantics)
+    * back to within-cap. Such a bucket's pairs become batch-semantics
+    * edges RETROACTIVELY — inside the affected components the repair
+    * absorbs them, but a bucket whose surviving members touch no
+    * affected component may now under-merge vs a batch recompute, the
+    * same divergence class as [[saturatedBandBuckets]]; a non-empty
+    * report is WARNED loudly and names [[rebuildCascadeStores]] as the
+    * restoring pass.
+    *
+    * Replay/crash story: re-running the same (docIds, tombId) is
+    * idempotent — the tombstone overwrite is identical, and the label
+    * repair re-derives the same survivor components from the same
+    * filtered stores (a crash between the tombstone write and the
+    * label swap leaves tombstone-filtered serving correct for the
+    * deleted docs themselves; the re-run completes the component
+    * repair). A stopped stream restarting afterward may replay its
+    * last batch: its sub-store deltas are pure functions of the batch
+    * (overwritten identically), and its label delta re-contracts edges
+    * the repaired store already absorbed — small and idempotent
+    * (ingested docs are never tombstoned retroactively by the replay:
+    * the probe filters tombstoned STORE rows, and the batch's own docs
+    * are new).
+    */
+  def takedownCascadeDocs(spark: org.apache.spark.sql.SparkSession,
+      root: String, docIds: Seq[Long], tombId: Long,
+      threshold: Double = graft.operators.Dedup.ClusterThreshold,
+      maxBucket: Int = graft.operators.Dedup.MaxBandBucket,
+      maxHops: Int = graft.operators.Dedup.ClusterMaxHops,
+      files: Int = 4): DataFrame = {
+    import spark.implicits._
+    require(docIds.nonEmpty, "a takedown names at least one doc_id")
+    val tombDir = s"$root/_tombstones"
+    val existing = genIds(tombDir, "t")
+    require(existing.isEmpty || tombId >= existing.max,
+      s"takedown tombId $tombId is below the already-applied generation " +
+        s"${existing.max} — tombIds must be monotonically increasing " +
+        "(equal to the newest = exact replay of that takedown); a reused " +
+        "lower id would overwrite an earlier takedown's ledger generation " +
+        "and silently resurrect its docs")
+    // 1. capture the content keys while docs/ still holds them — a
+    // broadcast-semi MAP-SIDE scan of the corpus-sized store (a left
+    // join with the store on the right could not broadcast and would
+    // shuffle the corpus per takedown); ids the store never saw get
+    // keyless ledger rows via the anti-join over the captured few
+    val docsRaw = spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$root/docs")
+    val ids = docIds.toDF("doc_id")
+    val captured = docsRaw.select(col("doc_id"), col("fp"), col("nfp"))
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      // a doc can sit twice in the tree (replay-fenced delta + folded
+      // base hold identical rows) — the ledger keeps one
+      .dropDuplicates("doc_id")
+      .localCheckpoint()
+    val missing = ids
+      .join(captured.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .withColumn("fp", lit(null).cast("string"))
+      .withColumn("nfp", lit(null).cast("string"))
+    captured.unionByName(missing)
+      .write.mode("overwrite").parquet(s"$tombDir/t$tombId")
+    val tombs = tombstoneDocIds(spark, root) // cumulative, incl. this gen
+    // 3. label repair: re-cluster ONLY the components a tombstoned doc
+    // touches, over the surviving band rows under batch cap semantics
+    // — the survivors' own band rows probe the filtered store, the
+    // same map-side seed-probe shape as the streamed ingest, with the
+    // affected components as the "batch"
+    repairLabelTree(spark, root, docIds, tombs, maxHops, files) { survivors =>
+      val bandsF = spark.read
+        .option("recursiveFileLookup", "true").parquet(s"$root/bands")
+        .filter(notTombstoned(col("doc_id"), tombs))
+      val survivorRows = bandsF.join(broadcast(survivors), Seq("doc_id"))
+      graft.operators.Dedup.lshProbeEdges(
+        bandsF, survivorRows, threshold, maxBucket)
+    }
+    // cap-uncross report (see scaladoc) — sized on the tombstoned
+    // docs' own buckets, the only ones a takedown can shrink
+    val bandsAll = spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$root/bands")
+    val dKeys = bandsAll.filter(col("doc_id").isInCollection(docIds))
+      .select(col("band"), col("band_key")).distinct()
+    val uncrossed = bandsAll.join(broadcast(dKeys), Seq("band", "band_key"))
+      .groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("n_all"),
+        count(when(notTombstoned(col("doc_id"), tombs), lit(1)))
+          .as("n_surviving"))
+      .filter(col("n_all") > maxBucket && col("n_surviving") <= maxBucket)
+      .localCheckpoint()
+    if (uncrossed.count() > 0) System.err.println(
+      s"[cascade] WARNING: ${uncrossed.count()} band bucket(s) shrank from " +
+        s"saturated (> $maxBucket, dropped wholesale by batch semantics) " +
+        "back to within-cap under this takedown — their pairs are now " +
+        "batch-semantics edges the streamed labels never saw; components " +
+        "touching a taken-down doc were repaired here, but an uncrossed " +
+        "bucket whose surviving members touch no affected component may " +
+        "under-merge vs a batch recompute. Run " +
+        "EventStreams.rebuildCascadeStores(root) in the nightly window to " +
+        "restore streamed ≡ batch")
+    uncrossed
+  }
+
+  /** Keeper election over a maintained keeper sub-store, corrected for
+    * takedowns: folded batch minima are the global election only while
+    * every candidate is live — a tombstoned doc that won an election
+    * sits in folded rows that a `min` fold can never revoke. The
+    * correction drops the AFFECTED keys (the tombstones' own fp/nfp
+    * keys — every stale keeper row is under one, since a doc's keeper
+    * row carries the doc's own key) and re-elects exactly those keys
+    * from the live `docs/` tree minus tombstones. Always applied at
+    * read (idempotent, and immune to stale rows in the replay-fenced
+    * newest delta); [[compactCascadeStores]] makes the same correction
+    * physical for everything it folds. Costs one key-filtered map-side
+    * scan of the docs tree, sized by cumulative takedowns.
+    */
+  private def correctedKeeperStore(spark: org.apache.spark.sql.SparkSession,
+      root: String, sub: String, keyCol: String): DataFrame = {
+    val fold = readKeeperStore(spark, s"$root/$sub", keyCol)
+    val affKeys = affectedKeeperKeys(spark, root, keyCol)
+    if (affKeys.isEmpty) fold
+    else fold.filter(!col(keyCol).isInCollection(affKeys))
+      .unionByName(reelectKeepers(spark, root, keyCol, affKeys))
+  }
+
+  private def affectedKeeperKeys(spark: org.apache.spark.sql.SparkSession,
+      root: String, keyCol: String): Seq[String] =
+    if (subDirs(s"$root/_tombstones").isEmpty) Seq.empty
+    else cascadeTombstones(spark, root)
+      .select(col(keyCol)).filter(col(keyCol).isNotNull)
+      .distinct().collect().map(_.getString(0)).toSeq
+
+  private def reelectKeepers(spark: org.apache.spark.sql.SparkSession,
+      root: String, keyCol: String, affKeys: Seq[String]): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$root/docs")
+      .filter(col(keyCol).isInCollection(affKeys) &&
+        notTombstoned(col("doc_id"), tombstoneDocIds(spark, root)))
+      .groupBy(col(keyCol)).agg(min(col("doc_id")).as("keeper"))
+
+  /** STORE-SIDE takedown audit — [[erasureAuditStores]]' corpus twin:
+    * given taken-down doc ids, count the RAW parquet rows under each
+    * cascade sub-store that still reference them — `docs`/`bands` by
+    * `doc_id`, the keeper stores by the elections the docs still hold
+    * (`keeper`), `labels` by doc OR cluster name (a component's label
+    * IS its min member id, so a deleted doc can survive as other
+    * docs' cluster_id — the repair face [[takedownCascadeDocs]]
+    * closes). The `tombstone_record` row surfaces the deletion
+    * ledger's own rows (doc ids + content-key md5s, retained
+    * permanently for keeper correction — see [[cascadeTombstones]]):
+    * the sign-off for the CONTENT stores is the other five rows at
+    * zero, reached after a takedown + post-takedown ingest (unfencing
+    * the pre-takedown deltas) + [[compactCascadeStores]] cycle. One
+    * conditional-aggregation scan per sub-store; nothing shuffles.
+    */
+  def erasureAuditCascade(spark: org.apache.spark.sql.SparkSession,
+      root: String, docIds: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    def raw(sub: String) = spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$root/$sub")
+    def inIds(c: Column) =
+      if (docIds.isEmpty) lit(false) else c.isInCollection(docIds)
+    def cnt(df: DataFrame, cond: Column) =
+      df.agg(count(when(cond, lit(1)))).head().getLong(0)
+    Seq(
+      ("docs", cnt(raw("docs"), inIds(col("doc_id")))),
+      ("bands", cnt(raw("bands"), inIds(col("doc_id")))),
+      ("fp_keepers", cnt(raw("fp"), inIds(col("keeper")))),
+      ("nfp_keepers", cnt(raw("nfp"), inIds(col("keeper")))),
+      ("labels", cnt(raw("labels"),
+        inIds(col("doc_id")) || inIds(col("cluster_id")))),
+      ("tombstone_record", cnt(cascadeTombstones(spark, root),
+        inIds(col("doc_id")))))
+      .toDF("store", "n_raw_rows_referencing")
+  }
 
   /** Serve the cascade attribution table off the maintained stores —
     * row-identical to a batch [[graft.operators.Dedup.cascade]]-style
@@ -1275,13 +1657,21 @@ object EventStreams {
     */
   def readCascadeVerdicts(spark: org.apache.spark.sql.SparkSession,
       root: String): DataFrame = {
+    // tombstone-aware serving (the takedown face): taken-down docs out
+    // of the corpus scan, keeper elections corrected for revoked
+    // winners, labels defensively filtered (the repair swap already
+    // dropped them physically; the filter covers a crash between a
+    // takedown's ledger write and its label swap)
+    val tombIds = tombstoneDocIds(spark, root)
     val corpus = spark.read
       .option("recursiveFileLookup", "true").parquet(s"$root/docs")
-    val ex = readKeeperStore(spark, s"$root/fp", "fp")
+      .filter(notTombstoned(col("doc_id"), tombIds))
+    val ex = correctedKeeperStore(spark, root, "fp", "fp")
       .withColumnRenamed("keeper", "ek")
-    val nx = readKeeperStore(spark, s"$root/nfp", "nfp")
+    val nx = correctedKeeperStore(spark, root, "nfp", "nfp")
       .withColumnRenamed("keeper", "nk")
     val labels = readLabelStore(spark, s"$root/labels")
+      .filter(notTombstoned(col("doc_id"), tombIds))
     graft.operators.Dedup.cascadeOver(corpus, ex, nx, labels)
   }
 
@@ -1305,6 +1695,10 @@ object EventStreams {
       maxBucket: Int = graft.operators.Dedup.MaxBandBucket): DataFrame =
     spark.read.option("recursiveFileLookup", "true")
       .parquet(s"$root/bands")
+      // tombstone-aware: the divergence contract compares against a
+      // batch recompute over SURVIVING docs, whose caps see surviving
+      // bucket sizes
+      .filter(notTombstoned(col("doc_id"), tombstoneDocIds(spark, root)))
       .groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("bn"))
       .filter(col("bn") > maxBucket)
@@ -1335,27 +1729,42 @@ object EventStreams {
       root: String, maxHops: Int = graft.operators.Dedup.ClusterMaxHops,
       files: Int = 4,
       maxBucket: Int = graft.operators.Dedup.MaxBandBucket): Unit = {
-    import java.nio.file.{Files, Paths}
+    // tombstone-aware like every cascade read: taken-down docs are out
+    // of the rebuilt node set and out of every bucket (so the caps the
+    // batch semantics evaluate are the SURVIVING bucket sizes)
+    val tombIds = tombstoneDocIds(spark, root)
     val bands = spark.read
       .option("recursiveFileLookup", "true").parquet(s"$root/bands")
+      .filter(notTombstoned(col("doc_id"), tombIds))
     val edges = graft.operators.Dedup.lshEdgesOverBands(bands,
       maxBucket = maxBucket)
     val nodes = spark.read
       .option("recursiveFileLookup", "true").parquet(s"$root/docs")
       .select(col("doc_id"))
+      .filter(notTombstoned(col("doc_id"), tombIds))
     val labels = graft.operators.Dedup.clustersOver(nodes, edges, maxHops)
+    replaceLabelTree(root, labels, files)
+  }
+
+  /** The staged no-data-loss REPLACEMENT of a cascade tree's `labels/`
+    * sub-store — [[rebuildCascadeStores]]' swap tail, shared with the
+    * takedown face's label repair. Interruption-repairable at every
+    * point (r15 review: the first draft cleared trash BEFORE checking
+    * labels existed, so a crash between the two moves left a retry
+    * that destroyed the only old copy and then wedged on the move):
+    * the old tree moves to trash ONLY when it exists — after a
+    * mid-swap crash the re-run finds labels/ absent, skips straight to
+    * moving the fresh rebuild in, and the stale trash drops at the
+    * end. At no point do zero copies exist: the only window without
+    * labels/ has both the old copy (trash) and the new one (tmp) on
+    * disk.
+    */
+  private def replaceLabelTree(root: String, labels: DataFrame,
+      files: Int): Unit = {
+    import java.nio.file.{Files, Paths}
     val tmp = s"$root/labels.rebuilding"
     deleteRecursively(Paths.get(tmp))
     labelStoreInit(labels, tmp, files)
-    // staged swap, interruption-repairable at every point (r15 review:
-    // the first draft cleared trash BEFORE checking labels existed, so
-    // a crash between the two moves left a retry that destroyed the
-    // only old copy and then wedged on the move): the old tree moves
-    // to trash ONLY when it exists — after a mid-swap crash the
-    // re-run finds labels/ absent, skips straight to moving the fresh
-    // rebuild in, and the stale trash drops at the end. At no point do
-    // zero copies exist: the only window without labels/ has both the
-    // old copy (trash) and the new one (tmp) on disk.
     val labelsPath = Paths.get(s"$root/labels")
     val trash = Paths.get(s"$root/labels.trash")
     if (Files.isDirectory(labelsPath)) {
@@ -1379,17 +1788,33 @@ object EventStreams {
     */
   def compactCascadeStores(spark: org.apache.spark.sql.SparkSession,
       root: String, maxDeltas: Int = 8, files: Int = 4): Boolean = {
+    // takedown face: compaction is where tombstoned rows are
+    // PHYSICALLY erased — doc-keyed rows drop from the folds, and the
+    // keeper folds bake in the read-side correction (drop the affected
+    // keys, re-elect them from the surviving docs tree) so the
+    // compacted base never carries a revoked election. Rows in the
+    // replay-fenced newest delta of each sub-store stay raw until a
+    // newer batch unfences them — the same honest fence caveat as the
+    // ER stores; [[erasureAuditCascade]] reads the truth either way.
+    val tombIds = tombstoneDocIds(spark, root)
     def rewrite(sub: String, rangeCol: String): Boolean =
       compactDeltaTree(s"$root/$sub", maxDeltas) { (tmp, parts) =>
         readParts(spark, parts)
+          .filter(notTombstoned(col("doc_id"), tombIds))
           .repartitionByRange(files, col(rangeCol))
           .sortWithinPartitions(col(rangeCol))
           .write.mode("overwrite").parquet(tmp)
       }
     def foldKeepers(sub: String, keyCol: String): Boolean =
       compactDeltaTree(s"$root/$sub", maxDeltas) { (tmp, parts) =>
-        readParts(spark, parts)
+        val folded = readParts(spark, parts)
           .groupBy(col(keyCol)).agg(min(col("keeper")).as("keeper"))
+        val affKeys = affectedKeeperKeys(spark, root, keyCol)
+        val corrected =
+          if (affKeys.isEmpty) folded
+          else folded.filter(!col(keyCol).isInCollection(affKeys))
+            .unionByName(reelectKeepers(spark, root, keyCol, affKeys))
+        corrected
           .repartitionByRange(files, col(keyCol))
           .sortWithinPartitions(col(keyCol))
           .write.mode("overwrite").parquet(tmp)
