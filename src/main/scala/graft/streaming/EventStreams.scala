@@ -200,18 +200,63 @@ object EventStreams {
     docs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val b = batch.select(col("doc_id"), col("text")).persist()
-        try {
-          val store = spark.read.option("recursiveFileLookup", "true")
-            .parquet(storeDir).select(col("doc_id"), col("fp"))
-          graft.operators.TextAnalysis.spanPairsIncremental(b, store)
-            .write.mode("overwrite").parquet(s"$layoutDir/b$batchId")
-          graft.operators.TextAnalysis.winnowOf(b)
-            .write.mode("overwrite").parquet(s"$storeDir/b$batchId")
-        } finally b.unpersist()
-        ()
+        applySpanBatch(batch, storeDir, layoutDir, batchId)
       }
+
+  /** One micro-batch of [[maintainSpanLayout]], as a directly callable
+    * seam (the other maintainers' pattern) so specs can drive the
+    * replay contract. Tombstone-aware at both boundaries (the takedown
+    * face, [[takedownSpanDocs]]): the batch itself is gated — a
+    * replayed or re-uploaded taken-down id never re-enters either tree
+    * — and the store probe never pairs an arriving doc against a
+    * taken-down doc's fingerprints (so the [[graft.operators.TextAnalysis.MaxSpanDf]]
+    * caps see SURVIVING posting-list sizes, consistent with the batch
+    * twin over survivors).
+    *
+    * The store probe EXCLUDES the batch's own `b<batchId>` store delta
+    * (the label maintainer's replay rule, which this tree turned out
+    * to need too): a replay after both writes landed but before the
+    * checkpoint committed would otherwise probe the batch's own
+    * fingerprints — every batch doc self-pairs (doc_a = doc_b) and
+    * every intra-batch pair lands TWICE (once from the pair core, once
+    * from the store arm), and since layout deltas are counted FACTS,
+    * not idempotent upserts, the corrupted overwrite would serve
+    * inflated span counts forever. With the exclusion, both replay
+    * windows (before/after the store write) reconstruct exactly the
+    * pre-batch store and the overwrite is content-identical.
+    */
+  private[graft] def applySpanBatch(batch: DataFrame, storeDir: String,
+      layoutDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val tombs = tombstoneIds(spark, storeDir, "doc_id")
+    val b = batch.select(col("doc_id"), col("text"))
+      .filter(notTombstoned(col("doc_id"), tombs)).persist()
+    try {
+      val parts = spanStoreParts(storeDir, excludeBatch = batchId)
+      val store = (if (parts.isEmpty)
+          spark.range(0).select(col("id").as("doc_id"), col("id").as("fp"))
+        else spark.read.option("recursiveFileLookup", "true")
+          .parquet(parts: _*))
+        .select(col("doc_id"), col("fp"))
+        .filter(notTombstoned(col("doc_id"), tombs))
+      graft.operators.TextAnalysis.spanPairsIncremental(b, store)
+        .write.mode("overwrite").parquet(s"$layoutDir/b$batchId")
+      graft.operators.TextAnalysis.winnowOf(b)
+        .write.mode("overwrite").parquet(s"$storeDir/b$batchId")
+    } finally { b.unpersist(); () }
+  }
+
+  /** Generation dirs of a winnow-fingerprint store minus the batch's
+    * own delta — [[applySpanBatch]]'s replay-safe probe list (the
+    * `labelStoreParts` rule with the span trees' wider base grammar:
+    * seeds are written as bare `base`).
+    */
+  private def spanStoreParts(storeDir: String,
+      excludeBatch: Long): Seq[String] =
+    subDirs(storeDir).filter { p =>
+      val n = p.getFileName.toString
+      n.matches("base(_\\d+)?") || (n.matches("b\\d+") && n != s"b$excludeBatch")
+    }.map(_.toString).sorted
 
   /** Read back the maintained span-pair relation: the initial layout
     * plus every micro-batch delta [[maintainSpanLayout]] appended.
@@ -235,9 +280,19 @@ object EventStreams {
     * snapshot artifact — rebuilt, never appended to.
     */
   def readSpanLayoutDeltas(spark: org.apache.spark.sql.SparkSession,
-      layoutDir: String): DataFrame =
+      layoutDir: String): DataFrame = {
+    // tombstone-aware serving (the takedown face): a taken-down doc's
+    // pair rows vanish immediately at read; physical erasure follows
+    // at the next compaction. Pair rows are per-pair facts — removing
+    // an endpoint never changes a SURVIVING pair's row, so the
+    // endpoint filter alone restores batch-over-survivors semantics
+    // (modulo the df-cap uncross class takedownSpanDocs reports).
+    val tombs = tombstoneIds(spark, layoutDir, "doc_id")
     spark.read.option("recursiveFileLookup", "true").parquet(layoutDir)
       .select(col("doc_a"), col("doc_b"), col("n_shared_spans"))
+      .filter(notTombstoned(col("doc_a"), tombs) &&
+        notTombstoned(col("doc_b"), tombs))
+  }
 
   /** DELTA COMPACTION for the maintained span layout —
     * [[maintainSpanLayout]] appends one `b<batchId>` delta directory
@@ -276,14 +331,207 @@ object EventStreams {
     */
   def compactSpanLayout(spark: org.apache.spark.sql.SparkSession,
       layoutDir: String, maxDeltas: Int = 8, files: Int = 8,
-      maxDeltaBytes: Long = Long.MaxValue): Boolean =
+      maxDeltaBytes: Long = Long.MaxValue): Boolean = {
+    // takedown face: compaction physically erases pair rows touching a
+    // taken-down endpoint (the fenced newest delta stays raw until a
+    // newer batch unfences it — the shared fence caveat)
+    val tombs = tombstoneIds(spark, layoutDir, "doc_id")
     compactDeltaTree(layoutDir, maxDeltas, maxDeltaBytes) { (tmp, parts) =>
       readParts(spark, parts)
         .select(col("doc_a"), col("doc_b"), col("n_shared_spans"))
+        .filter(notTombstoned(col("doc_a"), tombs) &&
+          notTombstoned(col("doc_b"), tombs))
         .repartitionByRange(files, col("doc_a"))
         .sortWithinPartitions(col("doc_a"), col("doc_b"))
         .write.mode("overwrite").parquet(tmp)
     }
+  }
+
+  /** Generation compaction for the maintained WINNOW-FINGERPRINT store
+    * ([[maintainSpanLayout]]'s `storeDir` side — one `b<batchId>`
+    * directory per micro-batch forever, re-read by every batch's
+    * store probe): fold base + deltas into one base range-clustered on
+    * `fp`, the probe join's key, so the per-batch df-count and
+    * fp-equijoin prune row groups. Same single-maintainer,
+    * between-batches contract and staged swap as [[compactSpanLayout]];
+    * the replay fence keeps the newest delta raw. Tombstoned docs'
+    * fingerprint rows are physically erased by the fold (the takedown
+    * face). Returns true iff a compaction ran.
+    */
+  def compactSpanStore(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, maxDeltas: Int = 8, files: Int = 4,
+      maxDeltaBytes: Long = Long.MaxValue): Boolean = {
+    val tombs = tombstoneIds(spark, storeDir, "doc_id")
+    compactDeltaTree(storeDir, maxDeltas, maxDeltaBytes) { (tmp, parts) =>
+      readParts(spark, parts)
+        .filter(notTombstoned(col("doc_id"), tombs))
+        .repartitionByRange(files, col("fp"))
+        .sortWithinPartitions(col("fp"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+  }
+
+  /** TAKE DOWN documents from a maintained span-tree PAIR
+    * ([[maintainSpanLayout]]'s fingerprint store + pair layout) — the
+    * span family's delete verb, completing the takedown face across
+    * every maintained tree family ([[takedownCascadeDocs]] /
+    * [[takedownEmbeddingVecs]] are the cascade/embedding twins). The
+    * span trees are structurally the EASY case: pair rows are per-pair
+    * facts and the store rows are per-doc facts, so — unlike the label
+    * trees — no stored aggregate can be held by a deleted doc (no
+    * keeper elections, no cluster names), and read-side endpoint
+    * filters alone restore batch-over-survivors semantics. What lands:
+    *
+    *  1. a `(doc_id)` ledger generation `_tombstones/t<tombId>` under
+    *     BOTH trees (each tree's reads gate with its own ledger;
+    *     `tombId`s are monotonic across the pair, equal-to-newest =
+    *     exact replay — a crash between the two writes is repaired by
+    *     the replay, which overwrites both idempotently);
+    *  2. every read becomes tombstone-aware — the serving read
+    *     ([[readSpanLayoutDeltas]]), the ingest boundary and store
+    *     probe ([[applySpanBatch]]), and both compaction folds, where
+    *     physical erasure happens.
+    *
+    * Returns the DF-UNCROSS report, the span twin of
+    * [[takedownCascadeDocs]]' cap-uncross face: a fingerprint whose
+    * posting list the takedown shrinks from boilerplate-capped
+    * (> maxDf docs, pairs dropped wholesale at ingest) back to
+    * within-cap now owes its surviving docs pair rows that no ingest
+    * ever emitted — a streamed ≡ batch-over-survivors divergence no
+    * read-side filter can repair. Non-empty ⇒ WARN loudly naming
+    * [[rebuildSpanLayout]] as the restoring pass. Fingerprints left
+    * with fewer than 2 surviving docs are not reported (no pair can
+    * exist). Sized on the taken-down docs' own fingerprints — a
+    * broadcast semi-join map-side scan of the store, never all fps.
+    *
+    * Single-maintainer contract: run with the ingest stream STOPPED.
+    * Replaying the same (docIds, tombId) is idempotent (identical
+    * ledger overwrite; reads re-derive the same filtered state).
+    */
+  def takedownSpanDocs(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, layoutDir: String, docIds: Seq[Long],
+      tombId: Long,
+      maxDf: Int = graft.operators.TextAnalysis.MaxSpanDf): DataFrame = {
+    import spark.implicits._
+    require(docIds.nonEmpty, "a takedown names at least one doc_id")
+    val existing = genIds(s"$storeDir/_tombstones", "t") ++
+      genIds(s"$layoutDir/_tombstones", "t")
+    require(existing.isEmpty || tombId >= existing.max,
+      s"takedown tombId $tombId is below the already-applied generation " +
+        s"${existing.max} — tombIds must be monotonically increasing " +
+        "(equal to the newest = exact replay of that takedown); a reused " +
+        "lower id would overwrite an earlier takedown's ledger generation " +
+        "and silently resurrect its docs")
+    val ledger = docIds.toDF("doc_id").localCheckpoint()
+    ledger.write.mode("overwrite").parquet(s"$storeDir/_tombstones/t$tombId")
+    ledger.write.mode("overwrite").parquet(s"$layoutDir/_tombstones/t$tombId")
+    val tombs = tombstoneIds(spark, storeDir, "doc_id")
+    val fpsAll = spark.read
+      .option("recursiveFileLookup", "true").parquet(storeDir)
+      .select(col("doc_id"), col("fp"))
+    val dFps = fpsAll.filter(col("doc_id").isInCollection(docIds))
+      .select(col("fp")).distinct()
+    val uncrossed = fpsAll.join(broadcast(dFps), Seq("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_all"),
+        count(when(notTombstoned(col("doc_id"), tombs), lit(1)))
+          .as("n_surviving"))
+      .filter(col("n_all") > maxDf && col("n_surviving") <= maxDf &&
+        col("n_surviving") >= 2)
+      .localCheckpoint()
+    if (uncrossed.count() > 0) System.err.println(
+      s"[span] WARNING: ${uncrossed.count()} fingerprint posting list(s) " +
+        s"shrank from boilerplate-capped (> $maxDf docs, pairs dropped " +
+        "wholesale at ingest) back to within-cap under this takedown — " +
+        "their surviving docs are owed pair rows no ingest ever emitted, " +
+        "so the served layout under-reports shared spans vs a batch " +
+        "recompute over survivors. Run " +
+        "EventStreams.rebuildSpanLayout(storeDir, layoutDir) in the " +
+        "nightly window to restore streamed ≡ batch")
+    uncrossed
+  }
+
+  /** REBUILD the span-pair layout from the (surviving) fingerprint
+    * store — the nightly recompute the df-uncross warning
+    * ([[takedownSpanDocs]]) asks for, and the span twin of
+    * [[rebuildCascadeStores]]: one batch [[graft.operators.TextAnalysis.sharedSpansOf]]
+    * over the tombstone-filtered store, staged-swapped in as a single
+    * range-clustered `base_0`.
+    *
+    * REPLAY FENCE, disjoint-append edition: the newest `b<id>` layout
+    * delta is KEPT (a restarting stream replays its batch and
+    * overwrites that directory — trashing it would lose nothing, but
+    * folding its pairs into the rebuilt base would turn the replay's
+    * re-landed rows into duplicates, the re-append corruption the
+    * fence exists to prevent). Its pairs are anti-joined OUT of the
+    * rebuilt base instead, so base ∪ kept-delta stays disjoint and
+    * complete whether or not the replay arrives.
+    *
+    * Single-maintainer, between-batches contract. Interruption-
+    * repairable by re-running: the fingerprint STORE is the source of
+    * truth — the rebuild never reads the layout generations it
+    * replaces (only the kept delta, which it does not touch).
+    */
+  def rebuildSpanLayout(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, layoutDir: String, files: Int = 8): Unit = {
+    import java.nio.file.{Files, Paths}
+    val tombs = tombstoneIds(spark, storeDir, "doc_id")
+    val fps = spark.read
+      .option("recursiveFileLookup", "true").parquet(storeDir)
+      .select(col("doc_id"), col("fp"))
+      .filter(notTombstoned(col("doc_id"), tombs))
+    val full = graft.operators.TextAnalysis.sharedSpansOf(fps)
+    val genDirs = subDirs(layoutDir).filter(
+      _.getFileName.toString.matches("base(_\\d+)?|b\\d+|cd\\d+"))
+    val bNames = genDirs.map(_.getFileName.toString).filter(_.matches("b\\d+"))
+    val keep = if (bNames.isEmpty) None
+      else Some(bNames.maxBy(_.drop(1).toLong))
+    val rebuilt = keep match {
+      case None => full
+      case Some(d) =>
+        val kept = spark.read.parquet(s"$layoutDir/$d")
+          .select(col("doc_a"), col("doc_b"))
+        full.join(kept, Seq("doc_a", "doc_b"), "left_anti")
+    }
+    val tmp = s"$layoutDir.rebuilding"
+    deleteRecursively(Paths.get(tmp))
+    rebuilt.repartitionByRange(files, col("doc_a"))
+      .sortWithinPartitions(col("doc_a"), col("doc_b"))
+      .write.mode("overwrite").parquet(tmp)
+    val trash = Paths.get(s"$layoutDir.trash")
+    deleteRecursively(trash)
+    Files.createDirectories(trash)
+    genDirs.filter(p => !keep.contains(p.getFileName.toString))
+      .foreach(p => Files.move(p, trash.resolve(p.getFileName.toString)))
+    Files.move(Paths.get(tmp), Paths.get(layoutDir).resolve("base_0"))
+    deleteRecursively(trash)
+  }
+
+  /** STORE-SIDE takedown audit for a span-tree pair —
+    * [[erasureAuditCascade]]'s span twin: raw fingerprint rows still
+    * carrying a taken-down id, raw pair rows naming it as either
+    * endpoint, and the permanent ledger row. One conditional-
+    * aggregation scan per tree.
+    */
+  def erasureAuditSpan(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, layoutDir: String, docIds: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    def inIds(c: Column) =
+      if (docIds.isEmpty) lit(false) else c.isInCollection(docIds)
+    def cnt(df: DataFrame, cond: Column) =
+      df.agg(count(when(cond, lit(1)))).head().getLong(0)
+    def raw(dir: String) = spark.read
+      .option("recursiveFileLookup", "true").parquet(dir)
+    val ledger =
+      if (subDirs(s"$storeDir/_tombstones").isEmpty) 0L
+      else cnt(raw(s"$storeDir/_tombstones"), inIds(col("doc_id")))
+    Seq(
+      ("fp_store", cnt(raw(storeDir), inIds(col("doc_id")))),
+      ("span_pairs", cnt(raw(layoutDir),
+        inIds(col("doc_a")) || inIds(col("doc_b")))),
+      ("tombstone_record", ledger))
+      .toDF("store", "n_raw_rows_referencing")
+  }
 
   /** The shared trigger + staged no-data-loss swap every delta-tree
     * compactor here delegates to. Triggers when the delta count —
@@ -435,6 +683,37 @@ object EventStreams {
     * table format's job.
     */
   def readLabelStore(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame = {
+    // tombstone-aware against the tree's OWN ledger (the takedown
+    // face, [[takedownLabelDocs]]): a defensive filter covering the
+    // crash window between a takedown's ledger write and its repair
+    // swap — the repair removes tombstoned rows physically, so the
+    // filter is usually a no-op. The standalone ledger lives in the
+    // `<storeDir>.tombstones` SIBLING, not inside the tree: the repair
+    // replaces the whole tree directory ([[replaceLabelTree]]), and an
+    // inner ledger would be destroyed by its own takedown's swap. For
+    // cascade/embedding trees (ledger at the tree ROOT) the sibling
+    // never exists and their call sites filter with the root ledger.
+    foldLabelStore(spark.read.option("recursiveFileLookup", "true")
+      .parquet(labelStoreParts(storeDir): _*))
+      .filter(notTombstoned(col("doc_id"),
+        tombstoneIdsAt(spark, labelLedgerDir(storeDir), "doc_id")))
+  }
+
+  /** The standalone label store's takedown-ledger location — a SIBLING
+    * of the tree (see [[readLabelStore]]: the repair swap replaces the
+    * tree directory wholesale, so the permanent ledger cannot live
+    * inside it).
+    */
+  private def labelLedgerDir(storeDir: String): String =
+    s"$storeDir.tombstones"
+
+  /** [[readLabelStore]] WITHOUT the self-ledger filter — the repair
+    * core's read: [[repairLabelTree]] must see the removed ids' rows
+    * to locate the affected components (the filtered read would hide
+    * them and collapse the affected set to empty).
+    */
+  private def readLabelStoreRaw(spark: org.apache.spark.sql.SparkSession,
       storeDir: String): DataFrame =
     foldLabelStore(spark.read.option("recursiveFileLookup", "true")
       .parquet(labelStoreParts(storeDir): _*))
@@ -510,11 +789,19 @@ object EventStreams {
       batchId: Long,
       maxReps: Int = graft.operators.Dedup.DeltaPushdownMaxReps): Unit = {
     val spark = edges.sparkSession
+    // takedown face: the tree's own ledger gates the ingest boundary —
+    // a replayed edge batch naming a since-taken-down doc must not
+    // resurrect it as a node or re-merge its repaired component. For
+    // cascade/embedding trees (root-level ledger) this sibling ledger
+    // is empty and their apply seams gate upstream.
+    val ledgerIds = tombstoneIdsAt(spark, labelLedgerDir(labelDir), "doc_id")
+    val gated = edges.filter(notTombstoned(col("src"), ledgerIds) &&
+      notTombstoned(col("dst"), ledgerIds))
     val store = foldLabelStore(
       spark.read.option("recursiveFileLookup", "true")
         .parquet(labelStoreParts(labelDir, excludeBatch = batchId): _*))
     val delta =
-      try graft.operators.Dedup.clustersIncrementalDelta(store, edges,
+      try graft.operators.Dedup.clustersIncrementalDelta(store, gated,
         maxReps = maxReps)
       catch {
         case e: IllegalArgumentException
@@ -544,14 +831,93 @@ object EventStreams {
     * trash). Returns true iff a compaction ran.
     */
   def compactLabelStore(spark: org.apache.spark.sql.SparkSession,
-      storeDir: String, maxDeltas: Int = 8, files: Int = 4): Boolean =
+      storeDir: String, maxDeltas: Int = 8, files: Int = 4): Boolean = {
+    // takedown face: defensive physical erasure against the tree's own
+    // ledger — the repair swap already removed tombstoned rows, so
+    // this only bites in the crash window before a takedown's re-run
+    val tombs = tombstoneIdsAt(spark, labelLedgerDir(storeDir), "doc_id")
     compactDeltaTree(storeDir, maxDeltas) { (tmp, parts) =>
       foldLabelStore(readParts(spark, parts))
+        .filter(notTombstoned(col("doc_id"), tombs))
         .withColumn("gen", lit(0L))
         .repartitionByRange(files, col("cluster_id"))
         .sortWithinPartitions(col("cluster_id"))
         .write.mode("overwrite").parquet(tmp)
     }
+  }
+
+  /** TAKE DOWN documents from a STANDALONE maintained label store
+    * ([[maintainLabelStore]]'s tree — component labels fed by an edge
+    * stream, e.g. the span graph's incremental components) — the label
+    * face of [[takedownSpanDocs]]: read-side filters cannot repair a
+    * label tree (a removal can split a component and take its min-id
+    * NAME with it), so the shared component-repair core re-clusters
+    * exactly the affected components over caller-supplied survivor
+    * edges and swaps the repaired tree in.
+    *
+    * `survivorEdges` receives the surviving members `(doc_id)` of the
+    * affected components and returns candidate `(src, dst)` edges for
+    * them from the EDGE SOURCE this store is maintained from (for a
+    * span-backed store: [[readSpanLayoutDeltas]] renamed — already
+    * tombstone-filtered if the span trees were taken down first, which
+    * is the intended order). The core then restricts both endpoints to
+    * the survivor set, so over-delivery is harmless.
+    *
+    * The ledger (`t<id>` generations in the `<storeDir>.tombstones`
+    * SIBLING — outside the tree, which the repair swap replaces
+    * wholesale) additionally gates [[readLabelStore]] (crash-window
+    * defense) and the edge-ingest boundary (`writeLabelDelta` drops
+    * edges naming a taken-down id, so a replayed batch or a late edge
+    * cannot resurrect the node or re-merge the repaired component),
+    * and [[compactLabelStore]] erases defensively. Single-maintainer
+    * contract: run with the edge stream STOPPED; same-(docIds, tombId)
+    * replay is idempotent, a lower tombId is refused.
+    */
+  def takedownLabelDocs(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, docIds: Seq[Long], tombId: Long,
+      maxHops: Int = graft.operators.Dedup.ClusterMaxHops,
+      files: Int = 4)(
+      survivorEdges: DataFrame => DataFrame): Unit = {
+    import spark.implicits._
+    require(docIds.nonEmpty, "a takedown names at least one doc_id")
+    val tombDir = labelLedgerDir(storeDir)
+    val existing = genIds(tombDir, "t")
+    require(existing.isEmpty || tombId >= existing.max,
+      s"takedown tombId $tombId is below the already-applied generation " +
+        s"${existing.max} — tombIds must be monotonically increasing " +
+        "(equal to the newest = exact replay of that takedown); a reused " +
+        "lower id would overwrite an earlier takedown's ledger generation " +
+        "and silently resurrect its docs")
+    docIds.toDF("doc_id").write.mode("overwrite").parquet(s"$tombDir/t$tombId")
+    val tombs = tombstoneIdsAt(spark, tombDir, "doc_id")
+    repairLabelTree(spark, storeDir, docIds, tombs, maxHops, files)(
+      survivorEdges)
+  }
+
+  /** STORE-SIDE takedown audit for a standalone label store — raw
+    * label rows naming a taken-down id as member or as cluster NAME
+    * (labels are min member ids, so a deleted doc can survive as other
+    * docs' `cluster_id` — the repair face closes exactly that), plus
+    * the permanent ledger row.
+    */
+  def erasureAuditLabels(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, docIds: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    def inIds(c: Column) =
+      if (docIds.isEmpty) lit(false) else c.isInCollection(docIds)
+    def cnt(df: DataFrame, cond: Column) =
+      df.agg(count(when(cond, lit(1)))).head().getLong(0)
+    val ledger =
+      if (subDirs(labelLedgerDir(storeDir)).isEmpty) 0L
+      else cnt(spark.read.option("recursiveFileLookup", "true")
+        .parquet(labelLedgerDir(storeDir)), inIds(col("doc_id")))
+    Seq(
+      ("labels", cnt(spark.read.option("recursiveFileLookup", "true")
+        .parquet(labelStoreParts(storeDir): _*),
+        inIds(col("doc_id")) || inIds(col("cluster_id")))),
+      ("tombstone_record", ledger))
+      .toDF("store", "n_raw_rows_referencing")
+  }
 
   // ------------------------------------------------------------------
   // ER matches-layout maintenance (the streaming twin of
@@ -1311,7 +1677,7 @@ object EventStreams {
         "and silently resurrect its vectors")
     vecIds.toDF("vec_id").write.mode("overwrite").parquet(s"$tombDir/t$tombId")
     val tombs = tombstoneIds(spark, root, "vec_id")
-    repairLabelTree(spark, root, vecIds, tombs, maxHops, files) { survivors =>
+    repairLabelTree(spark, s"$root/labels", vecIds, tombs, maxHops, files) { survivors =>
       val vecsF = spark.read
         .option("recursiveFileLookup", "true").parquet(s"$root/vecs")
         .filter(notTombstoned(col("vec_id"), tombs))
@@ -1392,9 +1758,17 @@ object EventStreams {
     */
   private def tombstoneIds(spark: org.apache.spark.sql.SparkSession,
       root: String, idCol: String): Seq[Long] =
-    if (subDirs(s"$root/_tombstones").isEmpty) Seq.empty
+    tombstoneIdsAt(spark, s"$root/_tombstones", idCol)
+
+  /** [[tombstoneIds]] with the ledger directory given explicitly — the
+    * standalone label store keeps its ledger in a sibling dir
+    * ([[labelLedgerDir]]), not under the tree root.
+    */
+  private def tombstoneIdsAt(spark: org.apache.spark.sql.SparkSession,
+      ledgerDir: String, idCol: String): Seq[Long] =
+    if (subDirs(ledgerDir).isEmpty) Seq.empty
     else spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$root/_tombstones")
+      .parquet(ledgerDir)
       .select(col(idCol)).distinct().collect().map(_.getLong(0)).toSeq
 
   private def tombstoneDocIds(spark: org.apache.spark.sql.SparkSession,
@@ -1416,10 +1790,10 @@ object EventStreams {
     * [[graft.operators.Dedup.clustersIncrementalDelta]]'s merge face.
     */
   private def repairLabelTree(spark: org.apache.spark.sql.SparkSession,
-      root: String, removedIds: Seq[Long], tombIds: Seq[Long],
+      labelsDir: String, removedIds: Seq[Long], tombIds: Seq[Long],
       maxHops: Int, files: Int)(
       probeEdges: DataFrame => DataFrame): Unit = {
-    val labelsFold = readLabelStore(spark, s"$root/labels").localCheckpoint()
+    val labelsFold = readLabelStoreRaw(spark, labelsDir).localCheckpoint()
     val affected = labelsFold.filter(col("doc_id").isInCollection(removedIds))
       .select(col("cluster_id")).distinct().collect().map(_.getLong(0)).toSeq
     if (affected.isEmpty) return
@@ -1437,7 +1811,7 @@ object EventStreams {
       .filter(!col("cluster_id").isInCollection(affected))
       .select(col("doc_id"), col("cluster_id"))
       .unionByName(newLabels.select(col("doc_id"), col("cluster_id")))
-    replaceLabelTree(root, repaired, files)
+    replaceLabelTree(labelsDir, repaired, files)
   }
 
   /** TAKE DOWN documents from a maintained cascade store tree — the
@@ -1539,7 +1913,7 @@ object EventStreams {
     // — the survivors' own band rows probe the filtered store, the
     // same map-side seed-probe shape as the streamed ingest, with the
     // affected components as the "batch"
-    repairLabelTree(spark, root, docIds, tombs, maxHops, files) { survivors =>
+    repairLabelTree(spark, s"$root/labels", docIds, tombs, maxHops, files) { survivors =>
       val bandsF = spark.read
         .option("recursiveFileLookup", "true").parquet(s"$root/bands")
         .filter(notTombstoned(col("doc_id"), tombs))
@@ -1743,7 +2117,7 @@ object EventStreams {
       .select(col("doc_id"))
       .filter(notTombstoned(col("doc_id"), tombIds))
     val labels = graft.operators.Dedup.clustersOver(nodes, edges, maxHops)
-    replaceLabelTree(root, labels, files)
+    replaceLabelTree(s"$root/labels", labels, files)
   }
 
   /** The staged no-data-loss REPLACEMENT of a cascade tree's `labels/`
@@ -1759,14 +2133,14 @@ object EventStreams {
     * labels/ has both the old copy (trash) and the new one (tmp) on
     * disk.
     */
-  private def replaceLabelTree(root: String, labels: DataFrame,
+  private def replaceLabelTree(labelsDir: String, labels: DataFrame,
       files: Int): Unit = {
     import java.nio.file.{Files, Paths}
-    val tmp = s"$root/labels.rebuilding"
+    val tmp = s"$labelsDir.rebuilding"
     deleteRecursively(Paths.get(tmp))
     labelStoreInit(labels, tmp, files)
-    val labelsPath = Paths.get(s"$root/labels")
-    val trash = Paths.get(s"$root/labels.trash")
+    val labelsPath = Paths.get(labelsDir)
+    val trash = Paths.get(s"$labelsDir.trash")
     if (Files.isDirectory(labelsPath)) {
       deleteRecursively(trash)
       Files.move(labelsPath, trash)

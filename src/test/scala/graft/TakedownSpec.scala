@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** The document TAKEDOWN face of the cascade serving stores (the
@@ -268,5 +268,214 @@ class TakedownSpec extends SparkSpec {
     val surv = Seq(doc(1), doc(2)).toDF("doc_id", "text")
     assert(verdicts(EventStreams.readCascadeVerdicts(spark, root))
       === batchTwin(surv))
+  }
+
+  // ---- span-tree takedown face (store + layout + label consumers) ----
+
+  private def spanRows(df: DataFrame): Seq[(Long, Long, Long)] =
+    df.select("doc_a", "doc_b", "n_shared_spans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+
+  private def spanTwin(docs: DataFrame): Seq[(Long, Long, Long)] =
+    spanRows(TextAnalysis.sharedSpansOf(TextAnalysis.winnowOf(docs)))
+
+  test("span takedown: serving ≡ batch recompute over survivors; ingest/replay guards; audit through compaction") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-spantakedown").toString
+    val (storeDir, layoutDir) = (s"$root/store", s"$root/layout")
+    val common = (0 until 12).map(i => s"shared$i").mkString(" ")
+    val other = (0 until 12).map(i => s"pairspan$i").mkString(" ")
+    def d(i: Long, span: String) = (i, s"u${i}a u${i}b u${i}c " + span)
+    val all = Seq(d(1, common), d(2, common), d(3, common), d(4, common),
+      d(5, other), d(6, other),
+      (7L, "a lone document with no shared span at all here"))
+      .toDF("doc_id", "text").localCheckpoint()
+    def docsOf(ids: Long*) = all.filter($"doc_id".isInCollection(ids))
+    TextAnalysis.winnowOf(docsOf(1L, 2L, 5L)).write.parquet(s"$storeDir/base")
+    TextAnalysis.sharedSpansOf(TextAnalysis.winnowOf(docsOf(1L, 2L, 5L)))
+      .write.parquet(s"$layoutDir/base")
+    EventStreams.applySpanBatch(docsOf(3L, 6L), storeDir, layoutDir, 0L)
+    EventStreams.applySpanBatch(docsOf(4L, 7L), storeDir, layoutDir, 1L)
+    def served() = spanRows(EventStreams.readSpanLayoutDeltas(spark, layoutDir))
+    assert(served() === spanTwin(all), "incremental union ≡ batch recompute")
+
+    // takedown 1: a member of the 4-clique
+    val rep1 = EventStreams.takedownSpanDocs(spark, storeDir, layoutDir,
+      Seq(2L), tombId = 0L)
+    assert(rep1.count() === 0, "no posting list is df-capped in this fixture")
+    assert(served() === spanTwin(docsOf(1L, 3L, 4L, 5L, 6L, 7L)))
+    // takedown 2: one endpoint of the (5,6) pair plus another clique member
+    EventStreams.takedownSpanDocs(spark, storeDir, layoutDir,
+      Seq(5L, 3L), tombId = 1L)
+    assert(served() === spanTwin(docsOf(1L, 4L, 6L, 7L)))
+
+    // replay contracts: a lower tombId is refused before any write...
+    val err = intercept[IllegalArgumentException] {
+      EventStreams.takedownSpanDocs(spark, storeDir, layoutDir,
+        Seq(7L), tombId = 0L)
+    }
+    assert(err.getMessage.contains("monotonically increasing"))
+    assert(served() === spanTwin(docsOf(1L, 4L, 6L, 7L)))
+    // ...exact replay is idempotent...
+    EventStreams.takedownSpanDocs(spark, storeDir, layoutDir,
+      Seq(5L, 3L), tombId = 1L)
+    assert(served() === spanTwin(docsOf(1L, 4L, 6L, 7L)))
+    // ...and a replayed ingest batch carrying a since-taken-down doc
+    // cannot resurrect it (the ledger gates the ingest boundary)
+    EventStreams.applySpanBatch(docsOf(3L, 6L), storeDir, layoutDir, 0L)
+    assert(served() === spanTwin(docsOf(1L, 4L, 6L, 7L)))
+    assert(spark.read.parquet(s"$storeDir/b0")
+      .filter($"doc_id" === 3L).count() === 0,
+      "the replay's overwrite physically drops the tombstoned doc's fps")
+
+    // audit lifecycle: raw rows persist until compaction; the ledger
+    // is permanent
+    val deleted = Seq(2L, 5L, 3L)
+    def audit() = EventStreams.erasureAuditSpan(spark, storeDir, layoutDir,
+      deleted).collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val pre = audit()
+    assert(pre("fp_store") > 0 && pre("span_pairs") > 0
+      && pre("tombstone_record") === 3L, s"pre-compaction: $pre")
+    // a fresh ingest unfences the pre-takedown deltas, then compaction
+    // erases physically
+    EventStreams.applySpanBatch(
+      Seq((8L, "an entirely fresh arrival talking about new things"))
+        .toDF("doc_id", "text"), storeDir, layoutDir, 2L)
+    assert(EventStreams.compactSpanStore(spark, storeDir, maxDeltas = 1))
+    assert(EventStreams.compactSpanLayout(spark, layoutDir, maxDeltas = 1))
+    val post = audit()
+    assert(post("fp_store") === 0L && post("span_pairs") === 0L,
+      s"post-compaction the content stores hold no raw reference: $post")
+    assert(post("tombstone_record") === 3L)
+    val survPlus = docsOf(1L, 4L, 6L, 7L).unionByName(
+      Seq((8L, "an entirely fresh arrival talking about new things"))
+        .toDF("doc_id", "text"))
+    assert(served() === spanTwin(survPlus))
+  }
+
+  test("span replay after both writes landed is content-identical (own-delta exclusion in the store probe)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-spanreplay").toString
+    val (storeDir, layoutDir) = (s"$root/store", s"$root/layout")
+    val span = (0 until 12).map(i => s"repl$i").mkString(" ")
+    val seed = Seq((1L, s"s1a s1b s1c $span")).toDF("doc_id", "text")
+    val batch = Seq((2L, s"s2a s2b s2c $span"), (3L, s"s3a s3b s3c $span"))
+      .toDF("doc_id", "text")
+    TextAnalysis.winnowOf(seed).write.parquet(s"$storeDir/base")
+    TextAnalysis.sharedSpansOf(TextAnalysis.winnowOf(seed))
+      .write.parquet(s"$layoutDir/base")
+    EventStreams.applySpanBatch(batch, storeDir, layoutDir, 0L)
+    val first = spanRows(EventStreams.readSpanLayoutDeltas(spark, layoutDir))
+    // the at-least-once case: both writes landed, the checkpoint did
+    // not commit, the batch replays. Without the own-delta exclusion
+    // the probe would see the batch's own stored fps — every batch doc
+    // self-pairs and the intra-batch pair (2,3) lands twice
+    EventStreams.applySpanBatch(batch, storeDir, layoutDir, 0L)
+    val replayed = spanRows(EventStreams.readSpanLayoutDeltas(spark, layoutDir))
+    assert(replayed === first, "replay must overwrite with identical content")
+    assert(replayed.forall { case (a, b, _) => a < b }, "no self-pairs")
+    assert(first === spanTwin(seed.unionByName(batch)))
+  }
+
+  test("label-store takedown: component split + cluster rename via survivor edges; ingest gate blocks resurrection") {
+    import spark.implicits._
+    val storeDir = Files.createTempDirectory("graft-labeltakedown")
+      .toString + "/labels"
+    EventStreams.labelStoreInit(
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+        .toDF("doc_id", "cluster_id"), storeDir)
+    // the edge source this store was maintained from: 2 bridges {1,3}
+    val edgesAll = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+      .localCheckpoint()
+    def labels() = EventStreams.readLabelStore(spark, storeDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    def survivorEdges(tombs: Seq[Long])(survivors: DataFrame): DataFrame =
+      edgesAll.filter(!$"src".isInCollection(tombs) &&
+        !$"dst".isInCollection(tombs))
+
+    // takedown the bridge: the component must split into singletons
+    EventStreams.takedownLabelDocs(spark, storeDir, Seq(2L), tombId = 0L)(
+      survivorEdges(Seq(2L)))
+    assert(labels() === Seq(1L -> 1L, 3L -> 3L, 10L -> 10L, 11L -> 10L))
+    // takedown a cluster NAME (10 names component {10,11})
+    EventStreams.takedownLabelDocs(spark, storeDir, Seq(10L), tombId = 1L)(
+      survivorEdges(Seq(2L, 10L)))
+    assert(labels() === Seq(1L -> 1L, 3L -> 3L, 11L -> 11L),
+      "the orphaned survivor must relabel to itself")
+    // replay guards
+    val err = intercept[IllegalArgumentException] {
+      EventStreams.takedownLabelDocs(spark, storeDir, Seq(3L), tombId = 0L)(
+        survivorEdges(Seq(2L, 10L, 3L)))
+    }
+    assert(err.getMessage.contains("monotonically increasing"))
+    EventStreams.takedownLabelDocs(spark, storeDir, Seq(10L), tombId = 1L)(
+      survivorEdges(Seq(2L, 10L)))
+    assert(labels() === Seq(1L -> 1L, 3L -> 3L, 11L -> 11L))
+    // ingest gate: a replayed edge batch naming tombstoned docs cannot
+    // resurrect them or re-merge; genuinely new edges still apply
+    EventStreams.applyLabelBatch(
+      Seq((1L, 2L), (2L, 3L), (3L, 12L)).toDF("src", "dst"), storeDir, 0L)
+    assert(labels() === Seq(1L -> 1L, 3L -> 3L, 11L -> 11L, 12L -> 3L),
+      "gated edges dropped, the new (3,12) edge merged")
+    // audit: the repair erased physically; the ledger is permanent
+    val audit = EventStreams.erasureAuditLabels(spark, storeDir, Seq(2L, 10L))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(audit("labels") === 0L && audit("tombstone_record") === 2L,
+      s"audit: $audit")
+    // crash-window defense: a ledger generation written without its
+    // repair (the takedown crashed mid-verb) still hides the doc at
+    // read; the re-run then makes it physical
+    Seq(12L).toDF("doc_id").write.mode("overwrite")
+      .parquet(s"$storeDir.tombstones/t2")
+    assert(labels() === Seq(1L -> 1L, 3L -> 3L, 11L -> 11L),
+      "the read-side filter covers the crash window")
+    EventStreams.takedownLabelDocs(spark, storeDir, Seq(12L), tombId = 2L)(
+      survivorEdges(Seq(2L, 10L, 12L)))
+    assert(labels() === Seq(1L -> 1L, 3L -> 3L, 11L -> 11L))
+  }
+
+  test("span df-uncross: a takedown shrinking a boilerplate-capped posting list is reported; rebuild restores batch semantics under the replay fence") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-spanuncross").toString
+    val (storeDir, layoutDir) = (s"$root/store", s"$root/layout")
+    val boiler = (0 until 8).map(i => s"boiler$i").mkString(" ")
+    val seedDocs = (1L to 66L).map(i => (i, boiler)).toDF("doc_id", "text")
+      .localCheckpoint()
+    // 66 identical docs: every interior fp's posting list is 66 > 64
+    // (MaxSpanDf) — the seed layout drops ALL their pairs wholesale
+    TextAnalysis.winnowOf(seedDocs).write.parquet(s"$storeDir/base")
+    TextAnalysis.sharedSpansOf(TextAnalysis.winnowOf(seedDocs))
+      .write.parquet(s"$layoutDir/base")
+    assert(spark.read.parquet(s"$layoutDir/base").count() === 0)
+    // one streamed pair with its own span, to exercise the rebuild's
+    // replay fence (its delta must survive the rebuild un-folded)
+    val freshSpan = (0 until 12).map(i => s"fresh$i").mkString(" ")
+    val fresh = Seq((100L, s"f1a f1b f1c $freshSpan"),
+      (101L, s"f2a f2b f2c $freshSpan"))
+      .toDF("doc_id", "text").localCheckpoint()
+    EventStreams.applySpanBatch(fresh, storeDir, layoutDir, 0L)
+    def served() = spanRows(EventStreams.readSpanLayoutDeltas(spark, layoutDir))
+    assert(served().nonEmpty, "the fresh pair is served")
+
+    // deleting 3 docs shrinks every boiler posting list 66 → 63 ≤ 64:
+    // the survivors are owed pair rows no ingest ever emitted
+    val report = EventStreams.takedownSpanDocs(spark, storeDir, layoutDir,
+      Seq(1L, 2L, 3L), tombId = 0L)
+    assert(report.count() > 0, "the df-uncrossing must be reported")
+    val row = report.select("n_all", "n_surviving").head
+    assert(row.getLong(0) === 66L && row.getLong(1) === 63L)
+    val survivors = seedDocs.filter($"doc_id" > 3L).unionByName(fresh)
+    assert(served() !== spanTwin(survivors),
+      "pre-rebuild the served layout under-reports (the divergence the report names)")
+
+    EventStreams.rebuildSpanLayout(spark, storeDir, layoutDir)
+    assert(served() === spanTwin(survivors),
+      "the rebuild restores batch-over-survivors semantics")
+    // the fence: the newest delta survived the rebuild and a replayed
+    // ingest overwrites it content-identically (base excluded its pairs)
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$layoutDir/b0")))
+    EventStreams.applySpanBatch(fresh, storeDir, layoutDir, 0L)
+    assert(served() === spanTwin(survivors))
   }
 }
