@@ -115,6 +115,69 @@ object Tables {
     try f finally spark.conf.set(key, prior)
   }
 
+  /** Bytes a materialized `localCheckpoint` frame holds in the block
+    * store (memory + disk), or None when the frame is not a
+    * materialized LogicalRDD — the cheap driver-side size reading
+    * [[loopParallelism]] keys on (no action, no data movement; the
+    * storage info is block-manager metadata).
+    */
+  private[graft] def materializedBytes(df: DataFrame): Option[Long] = {
+    val rddId = df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }
+    rddId.flatMap(id =>
+      df.sparkSession.sparkContext.getRDDStorageInfo.find(_.id == id)
+        .map(i => i.memSize + i.diskSize))
+  }
+
+  /** SCALE-ADAPTIVE parallelism for the static-planner loop windows
+    * (min-label propagation, pagerank mass-passing): the per-hop
+    * shuffle partition count derived from the MEASURED size of the
+    * loop's materialized relations instead of inherited from the
+    * session constant. With AQE off inside the loop (see
+    * [[withAqeOff]]) nothing coalesces post-shuffle partitions at
+    * runtime, so a session-sized constant (32 on the bench session)
+    * schedules 32-task stages per hop over relations that are a few
+    * KB at small fixtures — measured r15: 280-700 ms per min-label
+    * hop, almost all task-scheduling floor. Deriving the count from
+    * bytes keeps tiny loops at 1 task per stage while the SAME rule
+    * grows with the data: partitions = ceil(bytes / advisory
+    * partition size), floored at 1, capped at the session's
+    * configured parallelism (a cluster session sizes
+    * `spark.sql.shuffle.partitions` to its executor fleet, which is
+    * exactly the ceiling hop stages should respect; the advisory size
+    * is AQE's own `spark.sql.adaptive.advisoryPartitionSizeInBytes`,
+    * so the loop window targets the same partition granularity the
+    * adaptive planner gives every non-loop query). Falls back to the
+    * session constant when any relation is not a materialized
+    * checkpoint (nothing measured → nothing assumed).
+    */
+  def loopParallelism(spark: SparkSession, rels: DataFrame*): Int = {
+    val ceiling = spark.sessionState.conf.numShufflePartitions
+    val sizes = rels.map(materializedBytes)
+    if (sizes.isEmpty || sizes.exists(_.isEmpty)) ceiling
+    else {
+      val advisory = math.max(1L, spark.sessionState.conf.getConf(
+        org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
+      val n = ((sizes.flatten.sum + advisory - 1) / advisory).toInt
+      math.max(1, math.min(n, ceiling))
+    }
+  }
+
+  /** Run `f` with the static planner ([[withAqeOff]]) AND the loop's
+    * scale-adaptive partition count as the session shuffle
+    * parallelism, restoring both after — the loop window every
+    * iterative driver opens. Same session-conf-mutation contract as
+    * [[withAqeOff]]: the window must not overlap concurrent query
+    * submission on this session.
+    */
+  def withLoopParallelism[A](spark: SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try withAqeOff(spark)(f) finally spark.conf.set(key, prior)
+  }
+
   /** Unpersist every RDD still registered with the context — the
     * between-queries cleanup the bench/verify drivers run so one
     * query's leftover blocks cannot tax the next query's JVM.

@@ -564,7 +564,11 @@ object Dedup {
       df.queryExecution.analyzed.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }
-    val frozen = graft.engine.Tables.withAqeOff(spark) {
+    // hop parallelism derived from the measured edge bytes (see
+    // Tables.loopParallelism): tiny graphs run 1-task hops instead of
+    // session-constant 32-task stages, big graphs grow with the data
+    val frozen = graft.engine.Tables.withLoopParallelism(spark,
+        graft.engine.Tables.loopParallelism(spark, e0)) {
       val (sym, labels0) = loopRelationsFrom(spark, nodes, e0)
       var labels = labels0
       // the checkpoint generation backing `labels` — freed as soon as

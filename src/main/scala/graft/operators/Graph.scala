@@ -226,12 +226,14 @@ object Graph {
       carry: String, contribExpr: String): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    val n = spark.sessionState.conf.numShufflePartitions
+    // hop parallelism from the measured edge-checkpoint bytes (see
+    // Tables.loopParallelism): the session constant only caps it
+    val n = graft.engine.Tables.loopParallelism(spark, edges)
     def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
       df.queryExecution.analyzed.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }
-    val last = graft.engine.Tables.withAqeOff(spark) {
+    val last = graft.engine.Tables.withLoopParallelism(spark, n) {
       // the sender's constant rides the MASS frame, so the edge
       // relation drops its copy (it would be ambiguous in contribExpr
       // after the propagation join) — edges keep only (src, dst [, w]).
