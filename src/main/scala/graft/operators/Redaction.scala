@@ -64,7 +64,12 @@ object Redaction {
     */
   def piiColumns(textCol: String): Seq[Column] = {
     val t = col(textCol)
-    def n(re: String) = size(regexp_extract_all(t, lit(re), lit(0))).cast("long")
+    // regexp_count walks the same non-overlapping matches as
+    // size(regexp_extract_all(…)) — identical counts — without
+    // materializing the match array per row (r15, guide §1.2 step 2:
+    // per-task work; the three count passes allocated ~4 strings/row
+    // for numbers that were immediately reduced to a size)
+    def n(re: String) = regexp_count(t, lit(re)).cast("long")
     val redacted =
       regexp_replace(
         regexp_replace(

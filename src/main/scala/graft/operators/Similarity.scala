@@ -1029,10 +1029,14 @@ object Similarity {
     *
     * Scale shape: the corpus-sized work is ONE scored scan per query
     * batch (broadcast queries, rank filter → WindowGroupLimit) that
-    * bounds the pool to [[MmrCand]] per query; the pairwise-sim
-    * relation and the k greedy rounds run over queries × C(C−1) rows —
-    * METADATA, localCheckpointed once, control-only loop (the
-    * pagerank precedent). The O(C²) never touches the corpus.
+    * bounds the pool to [[MmrCand]] per query; the k greedy rounds
+    * then fold INSIDE one row-local expression over each query's
+    * collected pool (queries × C struct rows — METADATA), so the whole
+    * selection is a single job instead of k driver-scheduled rounds
+    * (r15: the round loop's wall was ~k sequential checkpoint jobs
+    * over ~100 rows, pure scheduling floor — measured, see
+    * OPTIMIZATION_r15.md). The O(C²) pairwise sims are evaluated
+    * inside that fold and never touch the corpus.
     */
   def mmrTopK(spark: SparkSession, dir: String,
       numQueries: Int = NumQueries, k: Int = TopK): DataFrame = {
@@ -1047,35 +1051,52 @@ object Similarity {
         row_number().over(Window.partitionBy($"q_id").orderBy($"qsim".desc, $"vec_id")))
       .filter($"rn" <= MmrCand)
       .select($"q_id", $"vec_id", $"qsim", $"vc")
-      .localCheckpoint()
-    val pair = cand.select($"q_id", $"vec_id".as("d"), $"vc".as("qc")).as("a")
-      .join(cand.select($"q_id", $"vec_id".as("s"), $"vc").as("b"), Seq("q_id"))
-      .filter($"d" =!= $"s")
-      .withColumn("ds", codeDot)
-      .select($"q_id", $"d", $"s", $"ds")
-      .localCheckpoint()
-    val pool = cand.select($"q_id", $"vec_id", $"qsim")
-    var sel = spark.emptyDataFrame
-    for (t <- 1 to k) {
-      val rem =
-        if (t == 1) pool
-        else pool.join(sel.select($"q_id", $"vec_id"), Seq("q_id", "vec_id"), "left_anti")
-      val ms =
-        if (t == 1) rem.withColumn("ms", lit(0L))
-        else rem.join(
-          pair.join(sel.select($"q_id", $"vec_id".as("s")), Seq("q_id", "s"))
-            .groupBy($"q_id", $"d".as("vec_id")).agg(max($"ds").as("msel")),
-          Seq("q_id", "vec_id"), "left")
-          .withColumn("ms", coalesce($"msel", lit(0L)))
-      val win = ms
-        .withColumn("mmr", expr(s"$MmrLambdaNum * qsim - ${MmrLambdaDen - MmrLambdaNum} * ms"))
-        .withColumn("rn",
-          row_number().over(Window.partitionBy($"q_id").orderBy($"mmr".desc, $"vec_id")))
-        .filter($"rn" === 1)
-        .select($"q_id", $"vec_id", $"mmr", lit(t.toLong).as("rnd"))
-      sel = (if (t == 1) win else sel.unionByName(win)).localCheckpoint()
-    }
-    sel.orderBy($"q_id", $"rnd")
+    // The k greedy rounds fold INSIDE one expression over each query's
+    // collected pool (queries × MmrCand struct rows — model-sized by
+    // construction) instead of k driver-scheduled rounds: the r15
+    // measurement showed the loop's wall was ~k sequential
+    // checkpoint/join jobs over ~100 rows, pure job-scheduling floor.
+    // Semantics unchanged: per round the remaining candidate maximizing
+    // λ·qsim − (1−λ)·max_{s∈sel} dot(d, s) wins (ties → lowest vec_id);
+    // the empty-selection max is 0 — safe to seed the max fold with,
+    // because code dots are non-negative.
+    val lam = MmrLambdaNum
+    val oneMinusLam = MmrLambdaDen - MmrLambdaNum
+    val selExpr = expr(
+      s"""aggregate(
+         |  sequence(1, $k),
+         |  CAST(array() AS ARRAY<STRUCT<vec_id: BIGINT, mmr: BIGINT,
+         |                               rnd: BIGINT, vc: ARRAY<BIGINT>>>),
+         |  (sel, t) -> CASE WHEN size(sel) < t - 1 THEN sel ELSE
+         |    (CASE WHEN best.vec_id < 0 THEN sel ELSE
+         |       array_append(sel, best) END)
+         |  END)""".stripMargin
+        .replace("best",
+          s"""aggregate(
+             |  transform(
+             |    filter(pool, p -> !exists(sel, s0 -> s0.vec_id = p.vec_id)),
+             |    p -> named_struct(
+             |      'vec_id', p.vec_id,
+             |      'mmr', $lam * p.qsim - $oneMinusLam * aggregate(sel,
+             |               CAST(0 AS BIGINT),
+             |               (m, s1) -> greatest(m, aggregate(
+             |                 zip_with(p.vc, s1.vc, (x, y) -> x * y),
+             |                 CAST(0 AS BIGINT), (a2, v) -> a2 + v))),
+             |      'rnd', CAST(t AS BIGINT),
+             |      'vc', p.vc)),
+             |  named_struct('vec_id', CAST(-1 AS BIGINT),
+             |               'mmr', CAST(-1000000000000000 AS BIGINT),
+             |               'rnd', CAST(t AS BIGINT),
+             |               'vc', CAST(array() AS ARRAY<BIGINT>)),
+             |  (b, x) -> CASE WHEN x.mmr > b.mmr OR
+             |                      (x.mmr = b.mmr AND x.vec_id < b.vec_id)
+             |                 THEN x ELSE b END)""".stripMargin))
+    cand.groupBy($"q_id")
+      .agg(collect_list(struct($"vec_id", $"qsim", $"vc")).as("pool"))
+      .select($"q_id", explode(selExpr).as("s"))
+      .select($"q_id", $"s.vec_id".as("vec_id"), $"s.mmr".as("mmr"),
+        $"s.rnd".as("rnd"))
+      .orderBy($"q_id", $"rnd")
   }
 
   /** RESIDUAL-encoding IVF+PQ — the ACTUAL IndexIVFPQ default (Jégou

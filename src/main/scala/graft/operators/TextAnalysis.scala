@@ -817,15 +817,26 @@ object TextAnalysis {
     */
   def cmsEstimate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val terms = docs(spark, dir).select(explode(tok).as("term"))
+    // ONE corpus scan, aggregated to the vocabulary FIRST (guide §2.3
+    // "aggregate before you shuffle"): the sketch's per-(row, bucket)
+    // counts are sums of per-term counts, so the md5 bucketing runs
+    // per DISTINCT term instead of per occurrence (r15: the md5 inside
+    // the transform lambda was evaluated CmsRows× per OCCURRENCE — the
+    // r2 HOF-inlining trap at corpus scale), and the exact top-20
+    // probe shares the same term aggregate instead of re-scanning the
+    // corpus (its term-keyed exchange is canonically equal, so AQE
+    // serves both consumers from one runtime shuffle).
+    val termCounts = docs(spark, dir).select(explode(tok).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("exact_cnt"))
+      .withColumn("h", md5($"term"))
     val bucketsExpr =
       s"""transform(sequence(0, ${CmsRows - 1}),
-         |  i -> CAST(conv(substr(md5(term), 1 + 4 * i, 4), 16, 10) AS BIGINT) % $CmsWidth)""".stripMargin
-    val sketch = terms
-      .select(posexplode(expr(bucketsExpr)).as(Seq("row", "bucket")))
+         |  i -> CAST(conv(substr(h, 1 + 4 * i, 4), 16, 10) AS BIGINT) % $CmsWidth)""".stripMargin
+    val sketch = termCounts
+      .select($"exact_cnt", posexplode(expr(bucketsExpr)).as(Seq("row", "bucket")))
       .groupBy($"row", $"bucket")
-      .agg(count(lit(1)).as("c"))
-    val top = terms.groupBy($"term").agg(count(lit(1)).as("exact_cnt"))
+      .agg(sum($"exact_cnt").as("c"))
+    val top = termCounts
       .orderBy($"exact_cnt".desc, $"term").limit(20)
     top
       .select($"term", $"exact_cnt", posexplode(expr(bucketsExpr)).as(Seq("row", "bucket")))
@@ -897,11 +908,19 @@ object TextAnalysis {
       .select($"doc_id", explode(expr(
         "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"))
         .as("trigram"))
-    val firsts = tg.groupBy($"trigram").agg(min($"doc_id").as("first_doc"))
-    tg.join(firsts, Seq("trigram"))
+    // collapse occurrence rows to (doc, trigram, cnt) BEFORE anything
+    // shuffles by trigram (guide §2.3): the first-doc election and the
+    // join back both consume the aggregated frame, whose trigram-keyed
+    // exchanges are canonically equal — AQE serves both from ONE
+    // runtime shuffle, so the corpus-scaled explode runs once instead
+    // of twice and the trigram shuffle carries per-doc-distinct rows
+    // instead of raw occurrences.
+    val tgc = tg.groupBy($"doc_id", $"trigram").agg(count(lit(1)).as("cnt"))
+    val firsts = tgc.groupBy($"trigram").agg(min($"doc_id").as("first_doc"))
+    tgc.join(firsts, Seq("trigram"))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .agg(sum($"cnt").as("n_grams"),
+        sum(when($"first_doc" === $"doc_id", $"cnt").otherwise(0L)).as("n_novel"))
       .withColumn("novelty_ppm", expr("(n_novel * 1000000) div n_grams"))
       .orderBy($"doc_id")
   }
@@ -1093,12 +1112,19 @@ object TextAnalysis {
         .as("shingle"))
     val nPos = toks.select($"doc_id",
       greatest(size($"t") - 2, lit(0)).cast("long").as("n_pos"))
+    // collapse occurrence rows to (doc, shingle, cnt) first (guide
+    // §2.3, same shape as [[novelty]]): the df election counts the
+    // aggregated frame's rows (already one per distinct (doc,
+    // shingle)), and the coverage join consumes the same frame — its
+    // shingle-keyed exchanges are canonically equal, so the explode
+    // runs once and the shingle shuffle carries per-doc-distinct rows
+    val posc = pos.groupBy($"doc_id", $"shingle").agg(count(lit(1)).as("cnt"))
     // shingles appearing in ≥ 2 DISTINCT docs
-    val dup = pos.select($"doc_id", $"shingle").distinct()
+    val dup = posc
       .groupBy($"shingle").agg(count(lit(1)).as("df"))
       .filter($"df" >= 2).select($"shingle")
-    val covered = pos.join(dup, Seq("shingle"))
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_dup_pos"))
+    val covered = posc.join(dup, Seq("shingle"))
+      .groupBy($"doc_id").agg(sum($"cnt").as("n_dup_pos"))
     nPos.join(covered, Seq("doc_id"), "left")
       .select($"doc_id", $"n_pos",
         coalesce($"n_dup_pos", lit(0L)).as("n_dup_pos"))
