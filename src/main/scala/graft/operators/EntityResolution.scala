@@ -457,20 +457,36 @@ object EntityResolution {
       s"erEnrich catalog has ${catalog.size} entries, over the literal-" +
         s"expression cap of $ErEnrichMaxCatalog — use the blocked er_match " +
         "path (EntityResolution.matchMentions) for large catalogs")
-    val catArr = array(catalog.map { case (id, nm) =>
-      struct(lit(id).as("id"), lit(nm).as("nm"))
+    // r15 (guide §1.2 step 2, per-task work): the fold carries its
+    // best-so-far distance into a THRESHOLD levenshtein — the banded
+    // O(len·k) variant returns −1 the moment the running best cannot
+    // be beaten, so once any close candidate is seen every remaining
+    // comparison degenerates to the |len a − len b| band check instead
+    // of the full O(len²) DP table. Election unchanged: the catalog is
+    // sorted by id HERE (callers may pass any order), so a
+    // strictly-better-only replacement reproduces the argmin with
+    // lowest-id ties exactly — an equal-distance later candidate has a
+    // higher id and never won under the old rule either. The lowered
+    // mention is bound ONCE as a lambda variable (an aliased lower()
+    // would be re-inlined per element — the r2 HOF trap), and the
+    // lowered catalog names fold to literals at plan time
+    // (lower(lit(...)) is constant-foldable).
+    val catArr = array(catalog.sortBy(_._1).map { case (id, nm) =>
+      struct(lit(id).as("id"), lit(nm).as("nm"), lower(lit(nm)).as("lnm"))
     }: _*)
     mentions
       .withColumn("__cat", catArr)
       .withColumn("__best", expr(
-        """aggregate(
-          |  transform(__cat, c -> named_struct(
-          |    'id', c.id, 'nm', c.nm,
-          |    'd', CAST(levenshtein(lower(mention), lower(c.nm)) AS BIGINT))),
-          |  named_struct('id', CAST(-1 AS BIGINT), 'nm', CAST(NULL AS STRING),
-          |               'd', CAST(1073741824 AS BIGINT)),
-          |  (s, x) -> CASE WHEN x.d < s.d OR (x.d = s.d AND x.id < s.id)
-          |                 THEN x ELSE s END)""".stripMargin))
+        """element_at(transform(array(lower(mention)), lm ->
+          |  aggregate(__cat,
+          |    named_struct('id', CAST(-1 AS BIGINT), 'nm', CAST(NULL AS STRING),
+          |                 'd', CAST(1073741824 AS BIGINT)),
+          |    (s, c) -> CASE
+          |      WHEN s.d = 0 THEN s
+          |      WHEN levenshtein(lm, c.lnm, CAST(s.d AS INT) - 1) >= 0
+          |        THEN named_struct('id', c.id, 'nm', c.nm,
+          |          'd', CAST(levenshtein(lm, c.lnm, CAST(s.d AS INT) - 1) AS BIGINT))
+          |      ELSE s END)), 1)""".stripMargin))
       .withColumn("matched_id", col("__best.id"))
       .withColumn("matched_name", col("__best.nm"))
       .withColumn("dist", col("__best.d"))

@@ -360,10 +360,10 @@ object Graph {
   /** [[trianglesOver]]'s core when per-endpoint degrees already ride
     * the pair frame (`doc_a, doc_b, deg_a, deg_b` — the layout
     * schema): orientation toward the (deg, id)-lexicographically
-    * larger endpoint is then a PURE PROJECTION (the destination's
-    * degree is carried so the wedge join keeps the same total order
-    * without a third join), and the whole operator is scan →
-    * projection → one self-join + one closing join + explode + count.
+    * larger endpoint is then a PURE PROJECTION, and the whole
+    * operator is scan → projection → one adjacency fold + two
+    * co-partitioned joins + explode + count (edge-iterator with
+    * neighbor arrays since r15 — see the in-body comment).
     */
   /** The degree-ordering projection alone: each `(doc_a, doc_b,
     * deg_a, deg_b)` pair re-oriented from its (degree, id)-smaller
@@ -401,6 +401,10 @@ object Graph {
     // one edge-sized relation per fixture, same budget as the span
     // layout it reads from.
     val oriented = orientPairs(pairsDeg)
+      .select($"src", $"dst") // ddeg ordered the old wedge self-join;
+                              // the adjacency fold below needs only the
+                              // bare edge, so the persisted relation
+                              // stays two columns wide
       .repartition(spark.sessionState.conf.numShufflePartitions, $"src")
       .persist()
     // materialize up front (one job, cache-served on repeat calls):
@@ -408,15 +412,46 @@ object Graph {
     // AdaptiveSparkPlan and reports UnknownPartitioning at plan time —
     // the joins below would re-shuffle exactly as if checkpointed
     oriented.count()
-    val tri = oriented.as("e1")
-      .join(oriented.as("e2"), col("e1.src") === col("e2.src") &&
-        (col("e1.ddeg") < col("e2.ddeg") ||
-          (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))))
-      .join(oriented.as("e3"),
-        col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
-      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
-    tri.select(explode(array($"a", $"b", $"c")).as("doc_id"))
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_triangles"))
+    // EDGE-ITERATOR enumeration over out-adjacency ARRAYS (r15,
+    // guide §2.3 "shuffle keys and metadata instead of payloads" /
+    // §2.4): the previous wedge SELF-JOIN materialized Θ(wedges) rows
+    // and pushed them through the closing-join exchange — at sf0.1
+    // that was the operator's GC wall (bench-q gc ≈ 2.2 s/query; the
+    // wedge relation is the Σ C(d⁺,2) ≈ m·√m term). Grouping the
+    // oriented edges once into per-source neighbor arrays turns every
+    // triangle test into an in-CPU array intersection: a triangle
+    // x→y, x→z, y→z is found exactly once at its base edge (x, y) as
+    // z ∈ N⁺(x) ∩ N⁺(y) (z ∈ N⁺ of both ⇔ both upper edges exist;
+    // it cannot recur at (x, z) or (y, z) because y ∉ N⁺(z) and
+    // x ∉ N⁺(y) in the orientation). Row counts drop from Θ(wedges)
+    // to Θ(m) — the wedge mass is still walked, but as array words
+    // inside one codegen stage instead of shuffled, GC-visible rows.
+    // The arrays are bounded by the orientation's out-degree cap
+    // (≤ √(2m) for any graph), so no row is ever hub-sized.
+    val adj = oriented.groupBy($"src")
+      .agg(collect_list($"dst").as("nbrs"))
+    // no pre-aggregation filter on size(common): Catalyst pushes a
+    // `size(common) > 0` filter INTO the dst-join condition while the
+    // projection keeps its own copy, so array_intersect — the
+    // operator's dominant kernel — would evaluate twice per surviving
+    // edge. Zero-credit rows instead ride the (edge-bounded) explode
+    // for free and the post-aggregation `n_triangles > 0` filter on
+    // the node-sized result reproduces the old membership set exactly
+    // (every actual triangle member accrues >= 1).
+    val tri = oriented
+      .join(adj, Seq("src"))
+      .join(adj.select($"src".as("dst"), $"nbrs".as("nbrs_dst")), Seq("dst"))
+      .select($"src", $"dst",
+        array_intersect($"nbrs", $"nbrs_dst").as("common"))
+    // each triangle credits its three members: src and dst once per
+    // common neighbor, every common neighbor once
+    tri.select(explode(concat(
+        array(
+          struct($"src".as("doc_id"), size($"common").cast("long").as("c")),
+          struct($"dst".as("doc_id"), size($"common").cast("long").as("c"))),
+        transform($"common", z => struct(z.as("doc_id"), lit(1L).as("c"))))).as("t"))
+      .groupBy($"t.doc_id".as("doc_id")).agg(sum($"t.c").as("n_triangles"))
+      .filter($"n_triangles" > 0)
       .orderBy($"doc_id")
   }
 

@@ -163,7 +163,7 @@ class PlanAudit11Spec extends SparkSpec {
     assert(hops.toSeq === Seq(0, 1, 2, 3), "the cap must bound the walk at 4 hops")
   }
 
-  test("triangles wedge join is exchange-free on both sides without broadcast") {
+  test("triangles adjacency joins reuse the persisted src partitioning without broadcast") {
     import spark.implicits._
     // layout-shaped input: (doc_a, doc_b, deg_a, deg_b) — a K4 plus a
     // pendant, degrees carried like the span-pair layout does
@@ -176,13 +176,15 @@ class PlanAudit11Spec extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val (n, plan) = shuffles(graft.operators.Graph.trianglesOverDeg(pairsDeg))
-      // wedge-stream (dst,dst) + closing oriented (src,dst) + count
-      // hash + output range — the persisted src partitioning must
-      // absorb BOTH wedge-join sides (a checkpointed oriented relation
-      // loses it under AQE and this climbs to 6)
-      assert(n === 4,
-        s"triangles must shuffle only for the closing join, the count, and " +
-          s"the output order, saw $n exchanges:\n$plan")
+      // r15 edge-iterator shape: the src-side adjacency fold AND the
+      // src join both reuse the persisted src partitioning (exchange-
+      // free); the remaining exchanges are the dst-side re-key of the
+      // edge+nbrs stream, the count hash, and the output range — a
+      // checkpointed oriented relation loses the partitioning under
+      // AQE and this climbs back up
+      assert(n === 3,
+        s"triangles must shuffle only for the dst-side join re-key, the " +
+          s"count, and the output order, saw $n exchanges:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
