@@ -168,18 +168,40 @@ object EntityResolution {
       keptKeys: DataFrame): DataFrame = {
     import m.sparkSession.implicits._
     val mk = keysOf(m, "mention").select($"key", $"mention_id")
+    // r15 (guide §1.2 step 1+2): per-mention candidate ARRAYS instead
+    // of row-per-pair scoring. collect_set dedupes the multi-key
+    // candidates inside the one groupBy exchange (the old
+    // distinct() + window election paid two), and the election runs
+    // as the same banded best-so-far fold as [[erEnrich]]: candidates
+    // sorted by ent_id (array_sort on the id-first struct — ids are
+    // unique), strictly-better-only replacement under a THRESHOLD
+    // levenshtein, so once any close candidate is seen the remaining
+    // comparisons degenerate to the O(len·k) band instead of the full
+    // DP table. Reproduces the (dist, ent_id) argmin bit-for-bit: an
+    // equal-distance later candidate has a higher id and never won
+    // under the window's orderBy either. The lowered mention is bound
+    // once as a lambda variable (the r2 HOF trap); lowered candidate
+    // names are computed once per candidate before the fold.
     val cand = mk.join(keptKeys, Seq("key"))
       .join(ck, Seq("key"))
-      .select($"mention_id", $"ent_id", $"ent_name").distinct()
-    val scored = cand
-      .join(m, Seq("mention_id"))
-      .withColumn("dist", levenshtein(lower($"mention"), lower($"ent_name")).cast("long"))
-    val elected = scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"mention_id").orderBy($"dist", $"ent_id")))
-      .filter($"rn" === 1)
-      .select($"mention_id", $"ent_id".as("matched_id"),
-        $"ent_name".as("matched_name"), $"dist")
+      .groupBy($"mention_id")
+      .agg(array_sort(collect_set(struct($"ent_id".as("id"),
+        $"ent_name".as("nm"), lower($"ent_name").as("lnm")))).as("cands"))
+    val elected = cand
+      .join(m.select($"mention_id", $"mention"), Seq("mention_id"))
+      .withColumn("__best", expr(
+        """element_at(transform(array(lower(mention)), lm ->
+          |  aggregate(cands,
+          |    named_struct('id', CAST(-1 AS BIGINT), 'nm', CAST(NULL AS STRING),
+          |                 'd', CAST(1073741824 AS BIGINT)),
+          |    (s, c) -> CASE
+          |      WHEN s.d = 0 THEN s
+          |      WHEN levenshtein(lm, c.lnm, CAST(s.d AS INT) - 1) >= 0
+          |        THEN named_struct('id', c.id, 'nm', c.nm,
+          |          'd', CAST(levenshtein(lm, c.lnm, CAST(s.d AS INT) - 1) AS BIGINT))
+          |      ELSE s END)), 1)""".stripMargin))
+      .select($"mention_id", $"__best.id".as("matched_id"),
+        $"__best.nm".as("matched_name"), $"__best.d".as("dist"))
     m.join(elected, Seq("mention_id"), "left")
       .select($"mention_id", $"true_name", $"mention", $"matched_id", $"dist",
         coalesce($"matched_name" === $"true_name", lit(false)).as("correct"))

@@ -773,12 +773,14 @@ object Similarity {
     import spark.implicits._
     val coded = pqCodedFrame(spark, dir)
     val books = trainOnce(spark, s"pq $dir")(trainPqBooks(coded))
-    val enc = pqEnc(coded, books)
-    val lut = pqLut(coded, books, numQueries)
-    val cand = broadcast(lut).join(enc, Seq("m", "scode"))
-      .filter($"vec_id" =!= $"q_id")
-      .groupBy($"q_id", $"vec_id")
-      .agg(sum($"pts").as("adc"))
+    // packed-array ADC (r15): one row per (query, vector) with an
+    // in-expression M-lookup fold, replacing the corpus×M enc explode
+    // + LUT join + hash aggregate — identical integer sums
+    val encA = pqEncArr(coded, books)
+    val lutA = coded.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("q_id"), pqLutArrCol(books, squared = false).as("pts"))
+    val cand = encA.join(broadcast(lutA), $"vec_id" =!= $"q_id")
+      .withColumn("adc", adcFoldCol)
       .withColumn("crnk",
         row_number().over(Window.partitionBy($"q_id").orderBy($"adc".desc, $"vec_id")))
       .filter($"crnk" <= PqCandK)
@@ -795,7 +797,11 @@ object Similarity {
     import spark.implicits._
     val e0 = Tables.load(spark, dir, "embeddings")
       .select($"vec_id", Vectors.toDouble($"embedding").as("emb"))
-    val (mns, mxs) = pqStatsOf(e0)
+    // the bounds are the OTHER half of the frozen PQ model (the
+    // quantizer trainedPqModel publishes) — train-once like the
+    // codebooks (r15: the per-invocation stats job was one collect +
+    // shuffle per bench run for a constant the model already owns)
+    val (mns, mxs) = trainOnce(spark, s"pqstats $dir")(pqStatsOf(e0))
     e0.select($"vec_id", pqCodesCol(mns, mxs).as("vc")).localCheckpoint()
   }
 
@@ -834,7 +840,7 @@ object Similarity {
     import spark.implicits._
     val e0 = Tables.load(spark, dir, "embeddings")
       .select($"vec_id", Vectors.toDouble($"embedding").as("emb"))
-    val (mns, mxs) = pqStatsOf(e0)
+    val (mns, mxs) = trainOnce(spark, s"pqstats $dir")(pqStatsOf(e0))
     val coded = e0.select($"vec_id", pqCodesCol(mns, mxs).as("vc")).localCheckpoint()
     (mns, mxs, trainOnce(spark, s"pq $dir")(trainPqBooks(coded)))
   }
@@ -866,26 +872,52 @@ object Similarity {
       .select($"vec_id", $"m".cast("long").as("m"), $"scode")
   }
 
-  /** Per-query ADC LOOKUP TABLE `(q_id, m, scode, pts)` — the dot of
-    * every query subvector with every codebook entry; queries × M × K
-    * rows, broadcast-sized by construction.
+  /** The M sub-codes packed into ONE `codes` array column per vector
+    * (r15, guide §2.3/§1.2-1): the row-per-(m, scode) [[pqEnc]] shape
+    * multiplied every candidate by M through the ADC LUT join and a
+    * corpus×M-row hash aggregate; packed codes keep the scan at one
+    * row per vector and the ADC becomes [[adcFoldCol]]'s in-expression
+    * M-lookup fold — identical integer sums, M× fewer rows, one fewer
+    * exchange. [[pqEnc]] stays as the streaming-encoder output shape
+    * ([[pqEncodeWith]]).
     */
-  private def pqLut(coded: DataFrame,
-      books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]], numQueries: Int): DataFrame = {
-    import coded.sparkSession.implicits._
-    val qsubs = coded.filter($"vec_id" < numQueries)
-      .select($"vec_id".as("q_id"), posexplode(expr(
-        s"""transform(sequence(0, ${PqSubspaces - 1}),
-           |  m -> slice(vc, CAST(m * $PqSubDims + 1 AS INT), $PqSubDims))""".stripMargin))
-        .as(Seq("m", "qsub")))
-      .select($"q_id", $"m".cast("long").as("m"), $"qsub")
-    val bookDf = (for {
+  private def pqEncArr(coded: DataFrame,
+      books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]): DataFrame =
+    withSubCodes(coded, books).select(col("vec_id"),
+      array((0 until PqSubspaces).map(m => col(s"sc$m").cast("long")): _*)
+        .as("codes"))
+
+  /** Per-query ADC LOOKUP TABLE as ONE `pts` array per query row —
+    * entry `m·K + scode` holds the dot (or, for the residual L2 form,
+    * the squared distance) of query subvector `m` with codebook entry
+    * `scode`. The codebooks are driver literals, so the whole LUT is
+    * a pure projection over the (tiny) query frame's `vc` — no
+    * explode, no book join. Same integers as the old row-per-entry
+    * LUT, row-packed for [[adcFoldCol]].
+    */
+  private def pqLutArrCol(books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]],
+      squared: Boolean): Column = {
+    val kernel = if (squared) "(a - b) * (a - b)" else "a * b"
+    array((for {
       m <- 0 until PqSubspaces; c <- 0 until PqCentroids
-    } yield (m.toLong, c.toLong, books(m)(c).toArray)).toDF("m", "scode", "civ")
-    qsubs.join(broadcast(bookDf), Seq("m"))
-      .withColumn("pts", ArrayExpressions.dotL($"qsub", $"civ"))
-      .select($"q_id", $"m", $"scode", $"pts")
+    } yield expr(
+      s"""aggregate(zip_with(slice(vc, ${m * PqSubDims + 1}, $PqSubDims),
+         |  array(${books(m)(c).mkString(", ")}),
+         |  (a, b) -> $kernel), CAST(0 AS BIGINT), (s, t) -> s + t)"""
+        .stripMargin)): _*)
   }
+
+  /** The ADC sum over packed `codes`/`pts` columns: Σₘ
+    * pts[m·K + codes[m]] — eight in-expression array lookups per
+    * candidate instead of an M-row join + hash aggregate. `codes` is
+    * the zip_with COLLECTION argument (referenced once — the r2
+    * HOF-inlining rule) and `pts` is a join-side attribute, so
+    * neither projection re-inlines into the lambda.
+    */
+  private def adcFoldCol: Column = expr(
+    s"""aggregate(zip_with(codes, sequence(0, ${PqSubspaces - 1}),
+       |  (c, m) -> element_at(pts, CAST(m * $PqCentroids + c + 1 AS INT))),
+       |  CAST(0 AS BIGINT), (s, t) -> s + t)""".stripMargin)
 
   /** The exact-tail refine stage shared by the PQ cascades: the ADC
     * shortlist `(q_id, vec_id)` re-ranked by the exact full-width code
@@ -976,8 +1008,11 @@ object Similarity {
       Some(s"ivf $dir $IvfNumCentroids $IvfKmeansIters"))
     val coded = pqCodedFrame(spark, dir)
     val books = trainOnce(spark, s"pq $dir")(trainPqBooks(coded))
-    val enc = pqEnc(coded, books)
-    val lut = pqLut(coded, books, numQueries)
+    // packed-array ADC (r15, see pqTopK): candidates stay one row per
+    // (query, vector) through the whole cascade
+    val encA = pqEncArr(coded, books)
+    val lutA = coded.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("q_id"), pqLutArrCol(books, squared = false).as("pts"))
     // coarse routing: each query's nProbe nearest lists (queries × k
     // centroid rows only — the corpus never sees this window)
     val centDf = broadcast(cents.zipWithIndex
@@ -996,10 +1031,9 @@ object Similarity {
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id")
     val cand = clist
-      .join(enc, Seq("vec_id"))
-      .join(broadcast(lut), Seq("q_id", "m", "scode"))
-      .groupBy($"q_id", $"vec_id")
-      .agg(sum($"pts").as("adc"))
+      .join(encA, Seq("vec_id"))
+      .join(broadcast(lutA), Seq("q_id"))
+      .withColumn("adc", adcFoldCol)
       .withColumn("crnk",
         row_number().over(Window.partitionBy($"q_id").orderBy($"adc".desc, $"vec_id")))
       .filter($"crnk" <= PqCandK)
@@ -1140,7 +1174,8 @@ object Similarity {
       .localCheckpoint()
     val books = trainOnce(spark, s"pq-residual $dir")(
       trainPqBooks(rcv.select($"vec_id", $"vc")))
-    val enc = pqEnc(rcv.select($"vec_id", $"vc"), books)
+    // packed-array ADC (r15, see pqTopK) with the residual L2 kernel
+    val encA = pqEncArr(rcv.select($"vec_id", $"vc"), books)
     // coarse routing (same probe rule as ivfPqTopK)
     val centDf = broadcast(cents.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toDF("cent_id", "civ"))
@@ -1153,32 +1188,23 @@ object Similarity {
       .filter($"crnk" <= nProbe)
       .select($"q_id", $"cent_id", $"iv")
     // one LUT per (query, probed list): the query's residual w.r.t.
-    // THAT list's centroid, dotted with every codebook entry
-    val bookDf = (for {
-      m <- 0 until PqSubspaces; c <- 0 until PqCentroids
-    } yield (m.toLong, c.toLong, books(m)(c).toArray)).toDF("m", "scode", "bciv")
-    val lut = probes.join(centDf, Seq("cent_id"))
-      .withColumn("rq", expr("zip_with(iv, civ, (a, b) -> a - b)"))
-      .select($"q_id", $"cent_id", posexplode(expr(
-        s"""transform(sequence(0, ${PqSubspaces - 1}),
-           |  m -> slice(rq, CAST(m * $PqSubDims + 1 AS INT), $PqSubDims))""".stripMargin))
-        .as(Seq("m", "qsub")))
-      .select($"q_id", $"cent_id", $"m".cast("long").as("m"), $"qsub")
-      .join(broadcast(bookDf), Seq("m"))
-      // L2 ADC (the FAISS form): per-subspace SQUARED DISTANCE of the
-      // query residual to each codebook entry — within a shared list
-      // Σₘ ‖rq_m − code_m‖² approximates ‖x − y‖² exactly up to code
-      // error, because x − y = rx − ry under the same centroid
-      .withColumn("pts", ArrayExpressions.sqDistL($"qsub", $"bciv"))
-      .select($"q_id", $"cent_id", $"m", $"scode", $"pts")
-    // scan: only the probed lists' codes, keyed by (q, list, m, scode)
+    // THAT list's centroid — L2 ADC (the FAISS form): per-subspace
+    // SQUARED DISTANCE of the query residual to each codebook entry;
+    // within a shared list Σₘ ‖rq_m − code_m‖² approximates ‖x − y‖²
+    // exactly up to code error, because x − y = rx − ry under the
+    // same centroid. Packed into one pts array per (q, list) row —
+    // books are literals, so this is a pure projection over the
+    // (queries × nProbe)-row probe frame.
+    val lutA = probes.join(centDf, Seq("cent_id"))
+      .withColumn("vc", expr("zip_with(iv, civ, (a, b) -> a - b)"))
+      .select($"q_id", $"cent_id", pqLutArrCol(books, squared = true).as("pts"))
+    // scan: only the probed lists' codes, keyed by (q, list)
     val cand = broadcast(probes.select($"q_id", $"cent_id"))
       .join(rcv.select($"vec_id", $"cent_id"), Seq("cent_id"))
       .filter($"vec_id" =!= $"q_id")
-      .join(enc, Seq("vec_id"))
-      .join(broadcast(lut), Seq("q_id", "cent_id", "m", "scode"))
-      .groupBy($"q_id", $"vec_id")
-      .agg(sum($"pts").as("adc"))
+      .join(encA, Seq("vec_id"))
+      .join(broadcast(lutA), Seq("q_id", "cent_id"))
+      .withColumn("adc", adcFoldCol)
       .withColumn("crnk",
         row_number().over(Window.partitionBy($"q_id").orderBy($"adc", $"vec_id")))
       .filter($"crnk" <= PqCandK)

@@ -102,11 +102,16 @@ class EntityResolutionSpec extends SparkSpec {
     j.unpersist()
   }
 
-  test("nearest-candidate election compiles to WindowGroupLimit") {
+  test("nearest-candidate election folds over collected candidate arrays") {
     val plan = EntityResolution.matchMentions(spark, dir)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("WindowGroupLimit"),
-      s"per-mention rank-1 must run as map-side top-1 heaps, got:\n$plan")
+    // r15: collect_set + banded fold replaced the pair-row
+    // WindowGroupLimit election (one exchange fewer, threshold-banded
+    // levenshtein instead of the full DP table per pair)
+    assert(plan.contains("collect_set"),
+      s"per-mention election must fold over collected candidates, got:\n$plan")
+    assert(!plan.contains("Window"),
+      s"the pair-row window election was retired in r15, got:\n$plan")
   }
 
   test("erEnrich refuses a catalog past the literal-expression cap, loudly") {

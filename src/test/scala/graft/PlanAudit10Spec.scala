@@ -26,8 +26,13 @@ class PlanAudit10Spec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
       s"candidate generation must stay an equi-join on the blocking key:\n$plan")
-    assert(plan.contains("WindowGroupLimit"),
-      s"the per-mention election must push as a map-side top-1 heap:\n$plan")
+    // r15: the election is the banded best-so-far fold over per-mention
+    // candidate arrays — one collect_set aggregation, no pair-row
+    // window election (and no second distinct exchange) at all
+    assert(plan.contains("collect_set"),
+      s"the per-mention election must fold over collected candidate arrays:\n$plan")
+    assert(!plan.contains("Window"),
+      s"the pair-row window election was retired in r15:\n$plan")
   }
 
   test("stream-safe er enrich is a pure projection: no exchange, no join") {
